@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced with a full
+collect (or count for large outputs) so the measured time includes the
+whole plan, not just job submission.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.embedder import with_embedding
+    from whatsapp_vectordb_spark.harness import (
+        _events,
+        _t,
+        dedup_minhash_lsh,
+        events_sessionized_counts,
+        rel_nation_revenue,
+        rel_pricing_summary,
+    )
+    from whatsapp_vectordb_spark.operators.dedup import exact_duplicates
+    from whatsapp_vectordb_spark.operators.search import topk, topk_batched_twophase
+    from whatsapp_vectordb_spark.operators.textops import quality_scores
+    from whatsapp_vectordb_spark.operators.upsert import upsert_by_key
+    from whatsapp_vectordb_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="wvs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + python workers so query timings measure plans, not startup
+    spark.range(1000).select(F.sum("id")).collect()
+
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    n_emb = emb.count()
+    docs = _t(spark, sf_dir, "documents").cache()
+    docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str):
+        def deco(fn):
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        return deco
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+
+    @timed("knn_topk_single")
+    def _():
+        topk(emb, qvec, k=10).collect()
+
+    @timed("knn_batched_100_twophase")
+    def _():
+        qrows = emb.limit(100).select("vec_id", "embedding").collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+        topk_batched_twophase(emb, queries, k=10).count()
+
+    @timed("embed_documents")
+    def _():
+        with_embedding(docs, "text", "emb").select(F.count("emb")).collect()
+
+    @timed("dedup_exact")
+    def _():
+        exact_duplicates(docs).count()
+
+    @timed("dedup_minhash_lsh")
+    def _():
+        dedup_minhash_lsh(spark, sf_dir).count()
+
+    @timed("text_quality")
+    def _():
+        quality_scores(docs).select(F.sum("quality_score")).collect()
+
+    @timed("upsert_dedupe")
+    def _():
+        b1 = emb.select("vec_id", "label", F.lit(1).alias("seq"))
+        b2 = emb.select("vec_id", (F.col("label") + 1).alias("label"), F.lit(2).alias("seq"))
+        upsert_by_key(b1, b2, key_col="vec_id", seq_col="seq").count()
+
+    @timed("rel_pricing_summary")
+    def _():
+        rel_pricing_summary(spark, sf_dir).collect()
+
+    @timed("rel_nation_revenue")
+    def _():
+        rel_nation_revenue(spark, sf_dir).collect()
+
+    @timed("events_sessionized")
+    def _():
+        events_sessionized_counts(spark, sf_dir).count()
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_embeddings": n_emb,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.operators.ann import IvfIndex, cosine_lsh_join
+from whatsapp_vectordb_spark.operators.search import topk
+
+
+def test_lsh_join_finds_near_duplicates(spark, embeddings):
+    emb = embeddings.limit(200)
+    dupes = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dupes)
+    a = corpus.select(F.col("vec_id").alias("id_a"), "embedding")
+    b = corpus.select(F.col("vec_id").alias("id_b"), "embedding")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_lsh_join(a, b, threshold=0.99).collect()
+    }
+    expected = {(i, i + 1000000) for i in range(0, 200, 50)}
+    # identical vectors share every band bucket -> all must be found
+    assert expected <= got
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    qvec = embeddings.where(F.col("vec_id") == 7).head()["embedding"]
+    exact = [r["vec_id"] for r in topk(embeddings, qvec, k=10).collect()]
+    ivf = IvfIndex.build(embeddings, n_centroids=8)
+    approx = [r["vec_id"] for r in ivf.probe(qvec, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 7  # self is in the probed partition
+    assert recall >= 0.5  # nprobe=4 of 8 centroids
+
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf.probe(qvec, k=10, nprobe=8).collect()]
+    assert full == exact

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    jaccard_near_duplicates,
+    minhash_near_duplicates,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+TEXTS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # near dup of 1
+    (4, "completely different content about quarterly financial results and markets"),
+    (5, "THE QUICK   brown fox jumps over the lazy dog near the river bank today"),  # case/ws dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = exact_duplicates(docs).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 5]  # normalization folds case/whitespace
+    assert all(r["group_size"] == 3 for r in rows)
+
+
+def test_jaccard_near_duplicates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_finds_high_jaccard_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    # exact dups always collide in every band; near-dup 1-3 has j≈0.8
+    assert (1, 2) in got
+    assert (1, 5) in got
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_subset_of_exact_jaccard(docs):
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    ex = {(r["id_a"], r["id_b"]) for r in jaccard_near_duplicates(docs, threshold=0.5).collect()}
+    assert mh <= ex  # LSH candidates are verified, so no false positives
+
+
+def test_simhash_identical_texts_equal_hash(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2] == sig[5]
+    assert 0 <= sig[1] < 2**32
+
+
+def test_simhash_pairs_hamming(docs):
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert rows[(1, 2)] == 0
+    assert rows[(1, 5)] == 0
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),  # near-identical
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(emb, threshold=0.95).collect()}
+    assert got == {(1, 2)}

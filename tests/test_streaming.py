@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import time
+
+from whatsapp_vectordb_spark.streaming.ops import (
+    run_stream_to_memory,
+    streaming_embed_pipeline,
+    windowed_event_counts,
+)
+
+
+def _await(q, timeout=60):
+    q.awaitTermination(timeout)
+    q.stop()
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12, 5), "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 12, 20), "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 13, 5), "view", 4.0),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = run_stream_to_memory(out, "win_counts", output_mode="complete")
+    _await(q)
+    got = {
+        (r["w"]["start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[(12, "click")] == 2
+    assert got[(13, "view")] == 1
+
+
+def test_streaming_embed_pipeline(spark, tmp_path):
+    lines = [
+        ("[09.09.23, 14:35:02] ~ ana: hello there friend",),
+        ("[09.09.23, 14:36:10] ~ bob: the deployment failed again",),
+        ("garbage line",),
+    ]
+    src = str(tmp_path / "chat_src")
+    spark.createDataFrame(lines, "value string").write.text(src)
+
+    stream = spark.readStream.schema("value string").text(src)
+    out = streaming_embed_pipeline(stream, dim=32)
+    q = run_stream_to_memory(out, "embedded", output_mode="append")
+    _await(q)
+    rows = spark.sql("select * from embedded").collect()
+    assert len(rows) == 2  # garbage line dropped
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    assert {r["sender"] for r in rows} == {"ana", "bob"}
+
+    # batch/stream parity: the same transformation on a batch frame
+    batch = streaming_embed_pipeline(spark.read.text(src), dim=32).collect()
+    assert {r["id"] for r in batch} == {r["id"] for r in rows}

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import pytest
+
+from whatsapp_vectordb_spark.operators.events import sessionized_counts, tumbling_window_agg
+from whatsapp_vectordb_spark.operators.textops import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox, version 2.0 — jumps!"),
+        (2, "el perro es un animal y la casa es grande con mi tu su"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 8  # the quick brown fox version 2 0 jumps
+    assert got[1]["n_pieces"] > got[1]["n_tokens"]  # punctuation adds pieces
+    assert got[3]["n_tokens"] == 0
+
+
+def test_quality_scores_bounds(docs):
+    for r in quality_scores(docs).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprints_stable_under_case(spark):
+    rows = [(1, "Hello World Foo Bar Baz Qux Quux"), (2, "hello   world foo bar baz qux quux")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert got[1]["exact_fp"] == got[2]["exact_fp"]
+    assert got[1]["content_fp"] == got[2]["content_fp"]
+
+
+def test_sessionization(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 100, base),
+        (2, 100, base + dt.timedelta(minutes=10)),  # same session
+        (3, 100, base + dt.timedelta(minutes=50)),  # gap 40min > 30 → new session
+        (4, 200, base),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in sessionized_counts(ev, gap_minutes=30).collect()}
+    assert got[100]["n_sessions"] == 2 and got[100]["n_events"] == 3
+    assert got[200]["n_sessions"] == 1
+
+
+def test_tumbling_windows(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12, 5), "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 12, 55), "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 13, 5), "click", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {r["window_start"]: r for r in tumbling_window_agg(ev).collect()}
+    assert got["2024-01-01 12:00:00"]["n_events"] == 2
+    assert got["2024-01-01 13:00:00"]["sum_value"] == pytest.approx(4.0)

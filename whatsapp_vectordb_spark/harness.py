@@ -49,6 +49,18 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load `events` with its TIMESTAMP(NANOS) column normalized to a real
+    timestamp. Spark can't read nanos-parquet natively; with
+    ``nanosAsLong`` the column arrives as LONG nanos and integer ``DIV
+    1000`` matches DuckDB's truncating nanos→micros conversion exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev
+
+
 # --------------------------------------------------------------------------
 # Q1/Q2 — k-NN top-k under each metric (SURVEY.md §2.5). The query vector is
 # a stored one (vec_id=0) so the oracle needs no Python embedder.
@@ -286,3 +298,530 @@ def parse_counters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = _chat_lines_df(spark, sf_dir)
     return parse_counters(parse_chat_lines(lines, value_col="value"))
+
+
+# ==========================================================================
+# Extended surface: dedup + text analysis (BASELINE.json north star).
+# The sf0.01 corpus has no duplicate texts, so dedup queries run on a
+# deterministically AUGMENTED corpus — exact copies (doc_id+1000000 for
+# doc_id%50=0) and near-dup copies with a token appended (doc_id+2000000
+# for doc_id%50=10) — built identically in Spark and the SQL oracle.
+# ==========================================================================
+
+_AUG_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text || ' zzqx extra trailing words' AS text
+FROM documents WHERE doc_id % 50 = 10
+"""
+
+# Shared DuckDB fragments mirroring functions/text.py exactly (ascii corpus).
+_TOKS = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _sh_sql(n: int) -> str:
+    """DuckDB expression for word n-gram shingles over token list `tk`."""
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    gram = gram.replace("tk[i+0]", "tk[i]")
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(tk) - {n - 2}), i -> {gram})) "
+        f"ELSE [array_to_string(tk, ' ')] END"
+    )
+
+
+def _phash_sql(expr: str, seed: int = 0) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.where(F.col("doc_id") % 50 == 10)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzqx extra trailing words")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@_register(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_AUG_SQL})
+SELECT dup_hash, doc_id, group_size FROM (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS dup_hash,
+         doc_id,
+         COUNT(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS group_size
+  FROM corpus
+) WHERE group_size >= 2
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import exact_duplicates
+
+    out = exact_duplicates(_augmented_docs(spark, sf_dir))
+    return out.withColumn("group_size", F.col("group_size").cast("long"))
+
+
+def _minhash_sig_sql(num_hashes: int, shingle_n: int, source: str) -> str:
+    # mirrors dedup._signatures_from_shingles: one md5 per shingle, split
+    # into 32-bit halves x1/x2, h_i = (x1 + i*x2) & 0xFFFFFFFF
+    mins = ",\n       ".join(
+        f"MIN((x1 + {i} * x2) & 4294967295) AS s{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH corpus AS ({source}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+sh AS (SELECT doc_id, {_sh_sql(shingle_n)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 8))::BIGINT AS x1,
+              ('0x' || substr(md5(s), 9, 8))::BIGINT AS x2
+       FROM ex)
+SELECT doc_id,
+       {mins}
+FROM hx GROUP BY doc_id
+"""
+
+
+@_register("minhash_signatures", _minhash_sig_sql(16, 3, "SELECT doc_id, text FROM documents"))
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16, shingle_n=3)
+
+
+def _minhash_pairs_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float) -> str:
+    r = num_hashes // bands
+    sig = _minhash_sig_sql(num_hashes, shingle_n, _AUG_SQL)
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({sig}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_sh_sql(shingle_n)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE ROUND(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 6) >= {threshold}
+"""
+
+
+@_register("dedup_minhash_lsh", _minhash_pairs_sql(16, 4, 3, 0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@_register(
+    "dedup_jaccard_exact",
+    f"""
+WITH corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE ROUND(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 6) >= 0.5
+""",
+)
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import jaccard_near_duplicates
+
+    return jaccard_near_duplicates(_augmented_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+def _simhash_sql(bits: int, source: str) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    return f"""
+WITH corpus AS ({source}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+ex AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks),
+hs AS (SELECT doc_id, {_phash_sql('tok')} AS h FROM ex),
+agg AS (SELECT doc_id,
+       {bit_sums}
+FROM hs GROUP BY doc_id)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM agg
+"""
+
+
+@_register("simhash_signatures", _simhash_sql(32, "SELECT doc_id, text FROM documents"))
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def _simhash_pairs_sql(bits: int, band_bits: int, max_hamming: int) -> str:
+    sig = _simhash_sql(bits, _AUG_SQL)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS chunk FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({sig}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+""".replace("{mask}", str(mask))
+
+
+@_register("dedup_simhash_pairs", _simhash_pairs_sql(32, 8, 3))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(_augmented_docs(spark, sf_dir), bits=32, band_bits=8, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates(emb.unionByName(dupes), threshold=0.95)
+
+
+# ==========================================================================
+# Text analysis (extension surface: token stats, quality, language-ID,
+# fingerprints) — all map-only Catalyst expressions over `documents`.
+# ==========================================================================
+
+_STOP_SQL = (
+    "['the','a','an','and','or','of','to','in','is','are','was','were','be','been',"
+    "'it','this','that','for','on','with','as','at','by','from','not','no','i','you',"
+    "'he','she','we','they','do','does','did','have','has','had']"
+)
+
+
+@_register(
+    "text_token_stats",
+    f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS.format(c='text')} AS tk FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       CAST(len(tk) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_pieces,
+       CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct_tokens
+FROM toks
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import token_stats
+
+    out = token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("int").alias("n_chars_measured"),
+        "n_tokens",
+        "n_pieces",
+        "n_distinct_tokens",
+    )
+
+
+@_register(
+    "text_quality_scores",
+    f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS.format(c='text')} AS tk FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END AS mwl,
+         CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END AS sr,
+         CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END AS dv
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(dv, 6) AS lexical_diversity,
+       ROUND(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+         + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+         + LEAST(sr * 2.0, 1.0) * 0.25
+         + dv * 0.25, 6) AS quality_score
+FROM feats
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_language_id",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+ratios AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_en,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','mit','von','auf','für','er','sie','es','ich','du','wir'], x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_de,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','no','por','con','para','su','al','lo','se','mi','tu'], x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_es,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains(['le','la','les','de','des','et','est','une','un','que','ne','pas','pour','dans','ce','il','elle','nous','vous'], x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_fr
+  FROM toks
+)
+SELECT doc_id,
+       ROUND(r_en, 6) AS en_ratio,
+       ROUND(GREATEST(r_en, r_de, r_es, r_fr), 6) AS best_ratio,
+       CASE WHEN GREATEST(r_en, r_de, r_es, r_fr) = 0 THEN 'und'
+            WHEN r_de = GREATEST(r_en, r_de, r_es, r_fr) THEN 'de'
+            WHEN r_en = GREATEST(r_en, r_de, r_es, r_fr) THEN 'en'
+            WHEN r_es = GREATEST(r_en, r_de, r_es, r_fr) THEN 'es'
+            WHEN r_fr = GREATEST(r_en, r_de, r_es, r_fr) THEN 'fr'
+       END AS lang_pred
+FROM ratios
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_fingerprints",
+    f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS.format(c='text')} AS tk FROM documents),
+shl AS (SELECT doc_id, text, {_sh_sql(5)} AS shingles FROM toks)
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS exact_fp,
+       list_min(list_transform(shingles, s -> {_phash_sql('s')})) AS content_fp
+FROM shl
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"), shingle_n=5)
+
+
+# ==========================================================================
+# Relational surface over the TPC-H-ish star schema — green-field per
+# SURVEY.md §2.10 (the reference has no joins/aggregations): demonstrates
+# scan→filter→partial agg, broadcast joins, and per-group top-k at scale.
+# ==========================================================================
+
+
+@_register(
+    "rel_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "rel_top_customers",
+    """
+SELECT c_custkey, c_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "rel_nation_revenue",
+    """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ==========================================================================
+# Event-time windowed aggregation over `events` — the batch twin of the
+# Structured Streaming pipeline in streaming/ops.py (same window semantics;
+# the streaming variant adds a watermark). Window starts are emitted as
+# formatted strings for engine-portable hashing.
+# ==========================================================================
+
+
+@_register(
+    "events_hourly_windows",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "events_sessionized_counts",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+def events_sessionized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.events import sessionized_counts
+
+    return sessionized_counts(_events(spark, sf_dir), gap_minutes=30)

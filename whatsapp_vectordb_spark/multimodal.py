@@ -1,0 +1,129 @@
+"""Multimodal column plumbing (extension surface, BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs, flowing through the same vector-index pipeline as text: decode →
+feature-extract → embed → index. The Spark-side plumbing (schemas, Arrow
+batch shapes, mapInPandas signatures, partitioning) is real and tested;
+the *codec* step is stubbed (no image/audio libraries in this
+environment) behind ``DecodeUnavailable`` plus a deterministic fake used
+by tests — swapping in PIL/librosa changes one function, not the plan.
+
+Scale notes: binary payloads make rows wide — ``maxRecordsPerBatch`` must
+cap Arrow batch bytes, and the decode stage should run *after* any filter
+(predicate pushdown keeps undecoded bytes out of Python entirely). The
+media table partitions by modality so single-modality pipelines prune.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real-codec path: media codecs are not installed in
+    this environment. Use ``deterministic_fake=True`` (tests) or swap in
+    a real decoder."""
+
+
+def _fake_decode_embed(content: bytes | None, dim: int) -> list[float] | None:
+    """Deterministic stand-in for decode→feature-extract: bytes → seeded
+    unit vector. Keeps the full pipeline runnable and exactly testable."""
+    if content is None:
+        return None
+    digest = hashlib.blake2b(content, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "big"))
+    v = rng.standard_normal(dim)
+    n = np.linalg.norm(v)
+    return (v / n).astype(np.float32).tolist() if n > 0 else None
+
+
+def extract_media_features(
+    media: DataFrame,
+    dim: int = 64,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """mapInPandas decode/feature-extract stage: MEDIA_SCHEMA →
+    FEATURE_SCHEMA. One Arrow batch per Python hop; binary payloads never
+    leave the executor. With ``deterministic_fake=False`` this raises
+    ``DecodeUnavailable`` (the real-codec slot)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise DecodeUnavailable(
+                    "media codecs not available; install a decoder or use deterministic_fake"
+                )
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else None),
+                    "content_sha": content.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "embedding": content.map(lambda b: _fake_decode_embed(b, dim)),
+                }
+            )
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    present = [c for c in cols if c in media.columns]
+    return media.select(*present).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (frame decode itself is the stubbed codec step). Pure Catalyst:
+    sequence() explodes timestamps JVM-side, so the fan-out happens before
+    any Python stage and partitions stay balanced by frame count."""
+    return (
+        media.where(F.col("modality") == "video")
+        .where(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

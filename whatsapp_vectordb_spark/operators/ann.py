@@ -1,0 +1,169 @@
+"""Approximate nearest-neighbor search — the 100 TB scale path.
+
+Exact brute force (operators/search.py) is a full scan per query batch;
+fine up to ~10^8 vectors × small query counts, wrong at 100 TB. Two
+ANN strategies, both pure DataFrame-to-DataFrame (no custom Catalyst):
+
+- **Random-hyperplane LSH** (``cosine_lsh_*``): sign-bit signatures under
+  ``n_planes`` fixed random hyperplanes → vectors bucketed by signature
+  band; a query probes only matching buckets. Collision probability for
+  angle θ is (1 - θ/π)^bits — band/rows tuning identical to MinHash.
+  Implemented with HOF expressions (JVM-side); the plane matrix is a
+  broadcast literal.
+- **IVF (inverted-file) partitioning** (``IvfIndex``): k-means coarse
+  centroids (MLlib); each vector is assigned to its nearest centroid and
+  the table is *written partitioned by centroid id*. A query scores the
+  ``nprobe`` nearest centroids and scans only those partitions —
+  partition pruning does the work of an index.
+
+Recall is tested against exact top-k in tests/test_ann.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+from whatsapp_vectordb_spark.operators.search import topk
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _signature_col(vec_col, planes: np.ndarray):
+    """Bit-signature as a string of sign bits — computed with zip_with/
+    aggregate HOFs per plane, whole-stage codegen'd."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_lsh_bucketize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Attach ``band``/``bucket`` columns: the signature is split into
+    ``bands`` chunks; each (band, chunk) pair is a bucket key. Output has
+    one row per input row per band (multi-probe)."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    planes = _random_planes(dim, n_planes, seed)
+    sig = _signature_col(F.col(vec_col), planes).alias("_sig")
+    with_sig = df.withColumn("_sig", sig)
+    rows_per_band = n_planes // bands
+    out = None
+    for b in range(bands):
+        part = with_sig.select(
+            "*",
+            F.lit(b).alias("band"),
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("bucket"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.drop("_sig")
+
+
+def cosine_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate similarity join: candidate pairs share an LSH bucket in
+    ≥1 band, then exact cosine verification ≥ threshold. The join is on
+    (band, bucket) — shuffle proportional to collisions, never |L|×|R|."""
+    lb = cosine_lsh_bucketize(left, vec_col, n_planes, bands, seed).select(
+        F.col(left_id), F.col(vec_col).alias("_va"), "band", "bucket"
+    )
+    rb = cosine_lsh_bucketize(right, vec_col, n_planes, bands, seed).select(
+        F.col(right_id), F.col(vec_col).alias("_vb"), "band", "bucket"
+    )
+    cand = (
+        lb.join(rb, ["band", "bucket"])
+        .where(F.col(left_id) < F.col(right_id))
+        .select(left_id, right_id, "_va", "_vb")
+        .dropDuplicates([left_id, right_id])
+    )
+    return cand.select(
+        left_id,
+        right_id,
+        F.round(cosine_similarity("_va", "_vb"), round_to).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
+
+
+class IvfIndex:
+    """Inverted-file index: coarse k-means quantizer + centroid-partitioned
+    vectors. Build once, probe per query.
+
+    On a cluster the assigned table would be ``write.partitionBy("centroid")``
+    parquet so probing prunes file partitions; in-memory here, the same
+    pruning happens via the partition filter.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 10,
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+        km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_features")
+        model = km.fit(feat)
+        centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+        assigned = (
+            model.transform(feat)
+            .withColumnRenamed(model.getPredictionCol(), "centroid")
+            .drop("_features")
+        )
+        return cls(assigned, centroids, id_col, vec_col)
+
+    def probe(self, query_vec, k: int = 10, nprobe: int = 3, round_to: int | None = None) -> DataFrame:
+        """Top-k among vectors in the ``nprobe`` centroids nearest (by
+        cosine) to the query — a partition-pruned exact search."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        cn = np.linalg.norm(self.centroids, axis=1)
+        sims = (self.centroids @ q) / np.where(cn * qn == 0, 1.0, cn * qn)
+        probe_ids = [int(i) for i in np.argsort(-sims)[:nprobe]]
+        subset = self.assigned.where(F.col("centroid").isin(probe_ids))
+        return topk(
+            subset,
+            query_vec,
+            k=k,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            round_to=round_to,
+        )

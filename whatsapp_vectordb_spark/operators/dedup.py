@@ -1,0 +1,337 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Green-field extension surface (the reference has no dedup; SURVEY.md §2.10
+— mandated by BASELINE.json's north star). Five tiers, cheapest first:
+
+- ``exact_duplicates``      — hash-groupBy on normalized text. One shuffle.
+- ``simhash_signatures``    — 32-bit SimHash per doc; near-dups = small
+                              hamming distance. Map-only signature.
+- ``minhash_near_duplicates`` — MinHash+LSH banding: shingle → H portable
+                              min-hashes → B bands → candidates share a
+                              band key → verify exact Jaccard. The banded
+                              self-join touches only colliding keys —
+                              never the O(n²) cross product.
+- ``jaccard_near_duplicates`` — exact n-gram Jaccard over pairs sharing a
+                              shingle (inverted-index join); the
+                              verification oracle for MinHash.
+- ``embedding_near_duplicates`` — cosine ≥ τ pairs; exact all-pairs here,
+                              LSH-bucketed variant in ``ann`` for scale.
+
+Scale design: every op is shuffle-by-key (shingle, band key, hash) with
+map-side ``array_distinct`` shrinking exploded rows; hot shingles (stop
+phrases) are the skew risk — ``max_shingle_freq`` drops shingles shared by
+more than a fraction of docs (they generate candidate pairs quadratically
+and carry no dedup signal). All hashes are md5-derived (portable_hash) so
+a SQL oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.text import (
+    normalize_text,
+    portable_hash,
+    tokens,
+    word_shingles,
+)
+from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of ids sharing identical normalized text.
+
+    Returns ``(dup_hash, doc_id, group_size)`` for groups of size ≥ 2 —
+    one partial+final hash aggregate; the md5 is computed map-side so the
+    shuffle carries 32-byte keys, not full documents.
+    """
+    h = F.md5(normalize_text(text_col)).alias("dup_hash")
+    w = Window.partitionBy("dup_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .withColumn("group_size", F.count("*").over(w))
+        .where(F.col("group_size") >= 2)
+        .select("dup_hash", id_col, "group_size")
+    )
+
+
+def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Explode distinct word n-grams, repartitioned by id first: the
+    shingle construction is the CPU-heavy map of every dedup op, and small
+    inputs otherwise run it on a handful of scan partitions. Hash
+    partitioning by id also pre-satisfies the groupBy(id) distribution of
+    the signature aggregate (no second shuffle)."""
+    return df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """H min-hashes from ONE md5 per shingle via double hashing
+    (Kirsch-Mitzenmacher): md5 → two 32-bit halves x1, x2;
+    h_i = (x1 + i·x2) mod 2^32. 16× fewer digest computations than
+    independent seeded hashes, identical SQL portability."""
+    md5 = F.md5(F.col("shingle"))
+    x1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    x2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    hashed = sh.select(id_col, x1.alias("_x1"), x2.alias("_x2"))
+    mask = F.lit((1 << 32) - 1)
+    aggs = [
+        F.min((F.col("_x1") + F.lit(i) * F.col("_x2")).bitwiseAND(mask)).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns ``s0..s{H-1}`` = min over the
+    doc's distinct shingles of portable_hash(shingle, seed=i)."""
+    return _signatures_from_shingles(
+        _distinct_shingles(df, text_col, id_col, shingle_n), id_col, num_hashes
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs ``(id_a, id_b, jaccard)``.
+
+    Candidates = pairs agreeing on all rows of ≥1 band (band key = md5 of
+    the band's signature slice); each candidate is verified with the exact
+    Jaccard over distinct shingles, keeping pairs ≥ ``threshold``.
+    LSH guarantee: a pair with true Jaccard j collides w.p.
+    1-(1-j^r)^b (r = H/b rows per band) — tune (H, b) to put the S-curve
+    knee at the threshold.
+    """
+    rows_per_band = num_hashes // bands
+    # the shingle table is the shared expensive intermediate: cache it and
+    # derive both the signatures and the Jaccard verification from it.
+    sh = _distinct_shingles(df, text_col, id_col, shingle_n).cache()
+    sig = _signatures_from_shingles(sh, id_col, num_hashes)
+    # one map producing all band keys, exploded — the signature lineage
+    # (shingle explode + H hash mins) is evaluated once, not once per band
+    # per join side; `banded` is tiny (docs × bands) and cached for the
+    # self-join.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = banded.cache()
+
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold, round_to)
+
+
+def _verify_jaccard(
+    cand: DataFrame, shingles: DataFrame, id_col: str, threshold: float, round_to: int
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via inverted-index join."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("_sb_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_sb_id")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                round_to,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index join (no LSH): the
+    candidate set is every pair sharing ≥1 (non-hot) shingle. This is the
+    ground truth MinHash approximates; quadratic only in per-shingle
+    collision counts, bounded by ``max_shingle_freq``."""
+    sh = _distinct_shingles(df, text_col, id_col, shingle_n).cache()
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("freq"))
+            .where(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = _distinct_shingles(df, text_col, id_col, shingle_n).cache()
+    return _verify_jaccard(cand, full, id_col, threshold, round_to)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over distinct unigram tokens: bit j of the signature
+    is the sign of Σ_tokens (±1 by bit j of portable_hash(token)).
+
+    Near-duplicate docs differ in few bits (compare with
+    ``simhash_pairs``). Map + one aggregate; no joins.
+    """
+    tok = df.repartition(F.col(id_col)).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = portable_hash(F.col("tok")).alias("h")
+    tok = tok.select(id_col, h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidates via banding the signature into ``bits/band_bits`` chunks
+    (pigeonhole: distance ≤ bands-1 guarantees one identical chunk), then
+    exact popcount verify — never all-pairs.
+    """
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    parts = []
+    for b in range(n_bands):
+        parts.append(
+            sig.select(
+                id_col,
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+        )
+    banded = parts[0]
+    for extra in parts[1:]:
+        banded = banded.unionByName(extra)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_duplicates(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine near-dup pairs ``(id_a, id_b, cos_sim)`` with
+    cos ≥ threshold. All-pairs — correct at verification scale; at 100 TB
+    use ``ann.cosine_lsh_join`` to generate candidates first and this
+    verify on the survivors."""
+    a = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity("va", "vb"), round_to).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,65 @@
+"""Event-time operators over the ``events`` table (extension surface).
+
+Batch twins of the Structured Streaming pipelines in ``streaming/ops.py``
+— same window/gap semantics, minus the watermark. Timestamp arithmetic is
+done in integer microseconds (``unix_micros``) so results are exact and
+engine-portable.
+
+Scale notes: sessionization is the classic skew trap — windows partition
+by user, so one hyperactive user serializes on one task. The gap-session
+window here is a single shuffle by user; for pathological users, salt by
+(user, day) first and merge boundary sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's gap
+    since the previous event exceeds ``gap_minutes``. Returns per-user
+    ``(user_id, n_sessions, n_events)``."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_session = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    with_flag = events.withColumn("_new_session", new_session)
+    w2 = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sid = with_flag.withColumn("_session_id", F.sum("_new_session").over(w2))
+    return with_sid.groupBy(user_col).agg(
+        F.max("_session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time windows with per-type counts and value sums —
+    the batch form of the streaming hourly rollup."""
+    return (
+        events.groupBy(F.window(ts_col, window_duration).alias("w"), group_col)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines (extension surface;
+reference has none — SURVEY.md §2.10, BASELINE.json north star).
+
+All pure Catalyst expressions over the ``documents`` table: map-only,
+codegen'd, no shuffle except where an aggregate is the point. Every op is
+SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.text import (
+    EN_STOPWORDS,
+    normalize_text,
+    portable_hash,
+    tokens,
+    word_shingles,
+)
+
+# BPE-ish subword proxy: runs of letters, digits, or single non-space
+# symbols — a deterministic stand-in for a real tokenizer's piece count.
+BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-token and subword-piece counts + char length per doc."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_measured"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), 0)).alias("n_pieces"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score ∈ [0,1]:
+    length band, mean word length band, stopword presence, lexical
+    diversity. Deterministic and engine-portable (round 6)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS))).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    diversity = F.when(
+        n_tok > 0, F.size(F.array_distinct(t)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    len_ok = (n_tok >= 10) & (n_tok <= 1000)
+    word_len_ok = (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.25
+        + word_len_ok.cast("double") * 0.25
+        + F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.25
+        + diversity * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio against a per-language
+    function-word list; argmax with deterministic tiebreak, 'und' when no
+    list scores > 0. (On the synthetic corpus every text is English-like —
+    the operator's value is its *shape*: per-language broadcastable lists,
+    map-only scoring.)"""
+    lists = {
+        "en": EN_STOPWORDS,
+        "de": "der die das und ist nicht ein eine zu mit von auf für er sie es ich du wir".split(),
+        "es": "el la los las de que y en un una es no por con para su al lo se mi tu".split(),
+        "fr": "le la les de des et est une un que ne pas pour dans ce il elle nous vous".split(),
+    }
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    ratios = {
+        lang: F.when(
+            n_tok > 0,
+            F.size(F.filter(t, lambda x: x.isin(*words))).cast("double") / n_tok,
+        ).otherwise(F.lit(0.0))
+        for lang, words in lists.items()
+    }
+    best_score = F.greatest(*ratios.values())
+    # deterministic tiebreak: alphabetically-first language at the max wins
+    pred = F.lit("und")
+    for lang in reversed(sorted(lists)):
+        pred = F.when((ratios[lang] == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        F.round(ratios["en"], 6).alias("en_ratio"),
+        F.round(best_score, 6).alias("best_ratio"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Document fingerprints: exact (md5 of normalized text) and a
+    winnowing-style content fingerprint (min portable-hash over distinct
+    word 5-grams — stable under small edits away from the minimum)."""
+    sh = F.array_distinct(word_shingles(text_col, shingle_n))
+    min_h = F.array_min(F.transform(sh, lambda s: portable_hash(s)))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(text_col)).alias("exact_fp"),
+        min_h.alias("content_fp"),
+    )

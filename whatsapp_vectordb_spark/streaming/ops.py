@@ -1,0 +1,72 @@
+"""Structured Streaming pipelines (extension surface; the reference has no
+streaming — SURVEY.md §2.10. These are the streaming twins of the batch
+operators in operators/events.py and the ingest pipeline).
+
+Design: every transformation here is also valid on a batch DataFrame —
+the functions take any DataFrame (streaming or not) so the same logic is
+oracle-checkable in batch and deployable as ``readStream → writeStream``.
+Watermarks bound state; output modes are chosen per sink semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data tolerance.
+
+    On a stream: state per (window, type) is dropped once the watermark
+    passes window end — bounded state at any corpus rate. Works identically
+    on a batch frame (watermark is a no-op there).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(F.window(ts_col, window_duration).alias("w"), group_col).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def streaming_embed_pipeline(
+    lines: DataFrame,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference's embed pipeline (embed/embed.go:85-131) as a stream:
+    parse WhatsApp lines → drop unparseable → embed → vector records.
+    Each micro-batch is the batch pipeline verbatim; ids are content
+    hashes (position ids don't exist on an unbounded stream)."""
+    from whatsapp_vectordb_spark.embedder import embed_udf
+    from whatsapp_vectordb_spark.functions.text import portable_hash64
+    from whatsapp_vectordb_spark.parse import parse_chat_lines
+
+    parsed = parse_chat_lines(lines)
+    ok = parsed.where(F.col("parse_ok"))
+    return ok.select(
+        F.concat(F.lit("vec_"), portable_hash64(F.col("raw")).cast("string")).alias("id"),
+        F.col("ts"),
+        F.col("sender"),
+        F.col("message").alias("text"),
+        embed_udf(dim=dim, seed=seed)(F.col("message")).alias("embedding"),
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
+    """Helper for tests: sink a streaming frame to an in-memory table and
+    return the StreamingQuery (caller awaits + stops)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
