@@ -92,6 +92,18 @@ def main() -> None:
         b2 = emb.select("vec_id", (F.col("label") + 1).alias("label"), F.lit(2).alias("seq"))
         upsert_by_key(b1, b2, key_col="vec_id", seq_col="seq").count()
 
+    @timed("ann_lsh_topk")
+    def _():
+        from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+        portable_lsh_topk(emb, query_id=0, k=10, round_to=6).collect()
+
+    @timed("events_asof_purchase")
+    def _():
+        from whatsapp_vectordb_spark.harness import events_asof_purchase
+
+        events_asof_purchase(spark, sf_dir).count()
+
     @timed("rel_pricing_summary")
     def _():
         rel_pricing_summary(spark, sf_dir).collect()

@@ -36,3 +36,30 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     # full probe == exact
     full = [r["vec_id"] for r in ivf.probe(qvec, k=10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_portable_lsh_topk_subset_of_exact_ranking(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    qvec = embeddings.where(F.col("vec_id") == 0).head()["embedding"]
+    approx = portable_lsh_topk(embeddings, query_id=0, k=10, round_to=6).collect()
+    # self-match ranks first with score 1.0
+    assert approx[0]["vec_id"] == 0
+    assert abs(approx[0]["score"] - 1.0) < 1e-9
+    # every ANN hit's score agrees with the exact brute-force score
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in topk(embeddings, qvec, k=embeddings.count(), round_to=6).collect()
+    }
+    for r in approx:
+        assert exact[r["vec_id"]] == r["score"]
+
+
+def test_portable_planes_are_deterministic():
+    from whatsapp_vectordb_spark.operators.ann import portable_planes
+
+    a = portable_planes(8, 4, seed=0)
+    b = portable_planes(8, 4, seed=0)
+    assert a == b
+    assert all(s in (-1, 1) for row in a for s in row)
+    assert portable_planes(8, 4, seed=1) != a

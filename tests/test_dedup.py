@@ -63,7 +63,7 @@ def test_minhash_subset_of_exact_jaccard(docs):
 def test_simhash_identical_texts_equal_hash(docs):
     sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert sig[1] == sig[2] == sig[5]
-    assert 0 <= sig[1] < 2**32
+    assert 0 <= sig[1] < 2**48
 
 
 def test_simhash_pairs_hamming(docs):

@@ -1,0 +1,53 @@
+"""Reference-format compat sources/sinks (sources/compat.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.sources import (
+    read_chat_export,
+    read_embeddings_csv,
+    write_embeddings_csv,
+)
+
+
+@pytest.fixture()
+def chat_file(tmp_path):
+    p = tmp_path / "chat.txt"
+    p.write_text(
+        "[09.09.23, 14:35:02] ~ john_doe: Hello world!\n"
+        "[09.09.23, 14:36:10] ~ jane: How are you?\n"
+        "not a chat line\n"
+    )
+    return str(p)
+
+
+def test_read_chat_export_parses_typed_columns(spark, chat_file):
+    rows = read_chat_export(spark, chat_file).collect()
+    ok = [r for r in rows if r["parse_ok"]]
+    assert len(rows) == 3 and len(ok) == 2
+    assert {r["sender"] for r in ok} == {"john_doe", "jane"}
+    assert ok[0]["message"] in ("Hello world!", "How are you?")
+
+
+def test_embeddings_csv_roundtrip(spark, tmp_path, embeddings):
+    path = str(tmp_path / "emb_csv")
+    src = embeddings.limit(20).select("embedding")
+    write_embeddings_csv(src, path)
+    back = read_embeddings_csv(spark, path)
+    assert back.count() == 20
+    first = back.orderBy("id").head()
+    assert first["id"].startswith("vector_id_")
+    assert len(first["embedding"]) == len(src.head()["embedding"])
+    # %f keeps 6 decimals — the reference's own lossy serialization
+    orig = {round(float(x), 6) for x in src.head()["embedding"]}
+    got = {round(float(x), 6) for x in first["embedding"]}
+    assert len(orig) == len(got)
+
+
+def test_read_embeddings_csv_ids_are_line_positions(spark, tmp_path):
+    p = tmp_path / "three.csv"
+    p.write_text("1.0,2.0\n3.0,4.0\n5.0,6.0\n")
+    rows = read_embeddings_csv(spark, str(p)).orderBy("id").collect()
+    assert [r["id"] for r in rows] == ["vector_id_1", "vector_id_2", "vector_id_3"]

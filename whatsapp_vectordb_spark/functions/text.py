@@ -51,14 +51,17 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, sh).otherwise(F.array(joined))
 
 
-def portable_hash(c: Column | str, seed: int = 0) -> Column:
-    """Deterministic 32-bit unsigned hash as BIGINT, identical in Spark and
-    DuckDB: first 8 hex chars of md5('<seed>:' || value), base-16 decoded.
+def portable_hash(c: Column | str, seed: int = 0, nibbles: int = 8) -> Column:
+    """Deterministic ``4·nibbles``-bit unsigned hash as BIGINT, identical in
+    Spark and DuckDB: first ``nibbles`` hex chars of md5('<seed>:' || value),
+    base-16 decoded. ``nibbles`` ≤ 15 keeps the value positive in int64.
 
-    DuckDB equivalent: ``('0x' || substr(md5(seed || ':' || v), 1, 8))::BIGINT``.
+    DuckDB equivalent: ``('0x' || substr(md5(seed || ':' || v), 1, n))::BIGINT``.
     """
     c = F.col(c) if isinstance(c, str) else c
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 8), 16, 10).cast("long")
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, nibbles), 16, 10
+    ).cast("long")
 
 
 def portable_hash64(c: Column | str, seed: int = 0) -> Column:

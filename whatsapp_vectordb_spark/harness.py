@@ -332,8 +332,8 @@ def _sh_sql(n: int) -> str:
     )
 
 
-def _phash_sql(expr: str, seed: int = 0) -> str:
-    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT"
+def _phash_sql(expr: str, seed: int = 0, nibbles: int = 8) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {expr}), 1, {nibbles}))::BIGINT"
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,7 +493,7 @@ def _simhash_sql(bits: int, source: str) -> str:
 WITH corpus AS ({source}),
 toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
 ex AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks),
-hs AS (SELECT doc_id, {_phash_sql('tok')} AS h FROM ex),
+hs AS (SELECT doc_id, {_phash_sql('tok', nibbles=(bits + 3) // 4)} AS h FROM ex),
 agg AS (SELECT doc_id,
        {bit_sums}
 FROM hs GROUP BY doc_id)
@@ -501,11 +501,11 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM agg
 """
 
 
-@_register("simhash_signatures", _simhash_sql(32, "SELECT doc_id, text FROM documents"))
+@_register("simhash_signatures", _simhash_sql(48, "SELECT doc_id, text FROM documents"))
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.dedup import simhash_signatures
 
-    return simhash_signatures(_t(spark, sf_dir, "documents"), bits=32)
+    return simhash_signatures(_t(spark, sf_dir, "documents"), bits=48)
 
 
 def _simhash_pairs_sql(bits: int, band_bits: int, max_hamming: int) -> str:
@@ -532,11 +532,11 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """.replace("{mask}", str(mask))
 
 
-@_register("dedup_simhash_pairs", _simhash_pairs_sql(32, 8, 3))
+@_register("dedup_simhash_pairs", _simhash_pairs_sql(48, 12, 3))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.dedup import simhash_pairs
 
-    out = simhash_pairs(_augmented_docs(spark, sf_dir), bits=32, band_bits=8, max_hamming=3)
+    out = simhash_pairs(_augmented_docs(spark, sf_dir), bits=48, band_bits=12, max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -825,3 +825,234 @@ def events_sessionized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.events import sessionized_counts
 
     return sessionized_counts(_events(spark, sf_dir), gap_minutes=30)
+
+
+# ==========================================================================
+# ANN — the 100 TB scale path for similarity search (operators/ann.py).
+# ``ann_lsh_topk`` uses the *portable* integer-quantized sign-projection
+# LSH so the oracle reproduces buckets bit-for-bit; ``ann_ivf_topk`` is
+# KMeans-based (not SQL-expressible → rows-only check by design).
+# ==========================================================================
+
+_ANN_LSH_ORACLE = """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+qb AS (SELECT band, chunk FROM banded WHERE vec_id = 0),
+cand AS (SELECT DISTINCT banded.vec_id
+         FROM banded JOIN qb ON banded.band = qb.band AND banded.chunk = qb.chunk),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_lsh_topk", _ANN_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return portable_lsh_topk(
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE
+    )
+
+
+@_register("ann_ivf_topk")  # KMeans centroids — rows-only check by design
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = IvfIndex.build(emb, n_centroids=8)
+    return idx.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
+
+
+@_register("embed_search_pipeline")  # deterministic embedder — rows-only (no SQL embedder)
+def embed_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full flagship pipeline (SURVEY.md §3.3 restated): embed corpus +
+    query text, exact top-20. Embeddings come from the Python embedder so
+    the oracle can't recompute them — covered by the rows-only check here
+    and exactly by tests/test_search.py at fixture scale."""
+    from whatsapp_vectordb_spark.embedder import with_embedding
+    from whatsapp_vectordb_spark.operators.search import search_text
+
+    docs = _t(spark, sf_dir, "documents")
+    index = with_embedding(docs, "text", "embedding").select(
+        F.col("doc_id").alias("id"), "embedding"
+    )
+    out = search_text(index, "data processing at scale", k=20, payload_cols=())
+    return out.select("id", F.round(F.col("score"), ROUND_SCORE).alias("score"))
+
+
+# ==========================================================================
+# As-of join (operators/asof.py): latest purchase at-or-before each click,
+# per user. Oracle: DuckDB's native ASOF LEFT JOIN.
+# ==========================================================================
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@_register(
+    "events_asof_purchase",
+    f"""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("ts_matched", _TS_FMT_SPARK).alias("purchase_ts"),
+    )
+
+
+# ==========================================================================
+# Multimodal columns (multimodal.py): binary content + typed metadata,
+# decode/feature-extract via mapInPandas (deterministic fake codec), frame
+# sampling as a pure Catalyst sequence-explode. Media rows are synthesized
+# from `documents` identically in both engines.
+# ==========================================================================
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        (F.lit(500) + (F.col("doc_id") % 7) * 777).cast("long").alias("duration_ms"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha,
+       CAST(64 AS INTEGER) AS dim
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.multimodal import extract_media_features
+
+    feats = extract_media_features(_media_df(spark, sf_dir), dim=64)
+    return feats.select(
+        "media_id", "modality", "n_bytes", "content_sha", F.size("embedding").alias("dim")
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       unnest(range(0, 500 + (doc_id % 7) * 777, 1000)) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media_df(spark, sf_dir), every_ms=1000)
+
+
+# ==========================================================================
+# Structured Streaming: the events table replayed THROUGH the streaming
+# engine (file source → watermark → windowed agg → memory sink); on bounded
+# input it must equal the batch answer, which this oracle checks.
+# ==========================================================================
+
+
+@_register(
+    "streaming_hourly_windows",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_events_hourly_stream
+
+    return run_events_hourly_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Per-group top-k over the relational schema (window rank — the grouped
+# twin of the global TakeOrderedAndProject top-k).
+# ==========================================================================
+
+
+@_register(
+    "rel_orders_topk_per_cust",
+    """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def rel_orders_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rank",
+        )
+    )

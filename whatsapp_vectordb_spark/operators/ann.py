@@ -111,6 +111,97 @@ def cosine_lsh_join(
     ).where(F.col("cos_sim") >= threshold)
 
 
+# ---------------------------------------------------------------------------
+# Portable LSH: same sign-random-projection idea as cosine_lsh_*, but every
+# arithmetic step is exact-integer so a SQL oracle reproduces buckets
+# bit-for-bit: components quantized to round(x·10^6) BIGINT, hyperplanes are
+# ±1 vectors derived from md5 nibbles. Integer sums are order-independent, so
+# Spark's fold and DuckDB's vectorized sum agree exactly — no float-sign
+# flakiness at the bucket boundary.
+# ---------------------------------------------------------------------------
+
+PORTABLE_QUANT = 1_000_000
+
+
+def portable_planes(dim: int, n_planes: int, seed: int = 0) -> list[list[int]]:
+    """±1 hyperplanes from md5: component (p, i) is +1 iff the low bit of
+    the first hex nibble of md5('<seed>:<p>:<i>') is set. SQL twin:
+    ``('0x' || substr(md5(seed||':'||p||':'||i), 1, 1))::BIGINT & 1``."""
+    import hashlib
+
+    return [
+        [
+            1 if (int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[0], 16) & 1) else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def portable_signature(vec_col, planes: list[list[int]]):
+    """Bit-string signature over quantized integer dot products (exact)."""
+    vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * PORTABLE_QUANT).cast("long")
+    )
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(int(s)) for s in row])
+        dot = F.aggregate(
+            F.zip_with(q, plane, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def portable_lsh_topk(
+    index_df: DataFrame,
+    query_id,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN top-k for a stored query vector (`query_id` row): candidates are
+    vectors sharing ≥1 LSH band bucket with the query, then exact cosine
+    top-k over candidates only.
+
+    Plan shape: one signature map over the index (codegen'd integer HOFs),
+    a broadcast join against the query's ``bands`` bucket keys, then the
+    TakeOrderedAndProject top-k — the full-scan cosine of ``topk`` is
+    replaced by a bucket-pruned scan; recall is governed by (planes, bands).
+    """
+    rows_per_band = n_planes // bands
+    dim = len(index_df.select(vec_col).head()[0])
+    planes = portable_planes(dim, n_planes, seed)
+    sig = index_df.select(
+        F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, vec_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    qb = banded.where(F.col(id_col) == query_id).select("band", "chunk")
+    cand = (
+        banded.join(F.broadcast(qb), ["band", "chunk"])
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    qvec = index_df.where(F.col(id_col) == query_id).head()[vec_col]
+    return topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
 class IvfIndex:
     """Inverted-file index: coarse k-means quantizer + centroid-partitioned
     vectors. Build once, probe per query.

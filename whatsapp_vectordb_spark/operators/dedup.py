@@ -234,18 +234,22 @@ def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 48,
 ) -> DataFrame:
-    """32-bit SimHash over distinct unigram tokens: bit j of the signature
-    is the sign of Σ_tokens (±1 by bit j of portable_hash(token)).
+    """``bits``-bit SimHash over distinct unigram tokens: bit j of the
+    signature is the sign of Σ_tokens (±1 by bit j of portable_hash(token)).
 
     Near-duplicate docs differ in few bits (compare with
-    ``simhash_pairs``). Map + one aggregate; no joins.
+    ``simhash_pairs``). Map + one aggregate; no joins. 48 bits (default)
+    keeps unrelated docs far apart — 32 was coarse enough that a shared
+    vocabulary put thousands of honest non-dups within hamming 3.
     """
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (int64 signature)")
     tok = df.repartition(F.col(id_col)).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    h = portable_hash(F.col("tok")).alias("h")
+    h = portable_hash(F.col("tok"), nibbles=(bits + 3) // 4).alias("h")
     tok = tok.select(id_col, h)
     bit_sums = [
         F.sum(
@@ -265,9 +269,9 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 48,
     max_hamming: int = 3,
-    band_bits: int = 8,
+    band_bits: int = 12,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 

@@ -1,0 +1,63 @@
+"""Reference-format sources/sinks (SURVEY.md §2.1 S1/S2, §2.4 K1).
+
+The reference's interchange formats are (a) a line-oriented WhatsApp chat
+export and (b) a headerless CSV of 1536 ``%f``-formatted floats per row
+(embed/embed.go:120-126, upsert/upsert.go:142-165). Parquet with
+``ARRAY<FLOAT>`` is this engine's native storage (CSV-of-floats is an
+anti-pattern at scale: no pushdown, no types, 3-4× the bytes); these
+functions exist so a reference user's files still load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StringType, StructField, StructType
+
+
+def read_chat_export(spark: SparkSession, path: str, parse: bool = True) -> DataFrame:
+    """S1: one row per chat line (``spark.read.text``); with ``parse=True``
+    the typed (ts, sender, message, parse_ok) columns the reference's regex
+    intended to extract (embed/embed.go:98-111 — see SURVEY.md §2.2 BUG)."""
+    lines = spark.read.text(path)
+    if not parse:
+        return lines
+    from whatsapp_vectordb_spark.parse import parse_chat_lines
+
+    return parse_chat_lines(lines)
+
+
+def read_embeddings_csv(spark: SparkSession, path: str, assign_ids: bool = True) -> DataFrame:
+    """S2: headerless float CSV → ``(id, embedding ARRAY<FLOAT>)``.
+
+    Ids replicate the reference's line-position scheme
+    ``vector_id_<1-based line number>`` (upsert/upsert.go:170). Line
+    numbering an unordered distributed scan requires a zipWithIndex pass
+    (one extra job to count per-partition offsets) — inherent to the
+    format, one more reason parquet is the native store.
+    """
+    lines = spark.read.text(path)
+    if not assign_ids:
+        return lines.select(
+            F.split(F.col("value"), ",").cast("array<float>").alias("embedding")
+        )
+    schema = StructType(
+        [StructField("_line_no", LongType(), False), StructField("value", StringType(), True)]
+    )
+    numbered = lines.rdd.zipWithIndex().map(lambda t: (t[1] + 1, t[0]["value"])).toDF(schema)
+    return numbered.select(
+        F.concat(F.lit("vector_id_"), F.col("_line_no").cast("string")).alias("id"),
+        F.split(F.col("value"), ",").cast("array<float>").alias("embedding"),
+    )
+
+
+def write_embeddings_csv(
+    df: DataFrame, path: str, vec_col: str = "embedding", mode: str = "overwrite"
+) -> None:
+    """K1 (reference-compat sink): one CSV line per vector, each component
+    ``%f``-formatted (6 decimals — the reference's lossy serialization,
+    embed/embed.go:141-147, kept only for format compatibility)."""
+    line = F.array_join(
+        F.transform(F.col(vec_col), lambda x: F.format_string("%f", x.cast("double"))), ","
+    )
+    df.select(line.alias("value")).write.mode(mode).text(path)

@@ -60,6 +60,48 @@ def streaming_embed_pipeline(
     )
 
 
+def run_events_hourly_stream(spark, events_path: str, watermark: str = "2 hours") -> DataFrame:
+    """Run the events table THROUGH Structured Streaming (parquet file
+    source → watermark → tumbling window agg → memory sink, availableNow)
+    and return the finished result as a batch DataFrame.
+
+    This is the real streaming engine — incremental state, watermark
+    eviction — not the batch twin; on bounded input with a complete sink it
+    must produce exactly the batch answer, which the oracle checks.
+    """
+    import uuid
+
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # the streaming file source wants a directory; narrow it back to just
+    # this table's file with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = windowed_event_counts(stream, "1 hour", watermark).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("event_type"),
+        F.col("n_events"),
+        F.col("sum_value"),
+    )
+    name = f"events_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
     """Helper for tests: sink a streaming frame to an in-memory table and
     return the StreamingQuery (caller awaits + stops)."""
