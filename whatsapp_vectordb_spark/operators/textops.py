@@ -4,6 +4,12 @@ reference has none — SURVEY.md §2.10, BASELINE.json north star).
 All pure Catalyst expressions over the ``documents`` table: map-only,
 codegen'd, no shuffle except where an aggregate is the point. Every op is
 SQL-expressible for the DuckDB oracle.
+
+Evaluation pattern: every operator tokenizes ONCE into a materialized
+``_tk`` projection and derives all features from that array column —
+CollapseProject won't merge the projections (it would duplicate the
+non-cheap split), so the regex split runs once per row, not once per
+feature expression.
 """
 
 from __future__ import annotations
@@ -15,8 +21,8 @@ from whatsapp_vectordb_spark.functions.text import (
     EN_STOPWORDS,
     normalize_text,
     portable_hash,
+    shingles_from_tokens,
     tokens,
-    word_shingles,
 )
 
 # BPE-ish subword proxy: runs of letters, digits, or single non-space
@@ -24,10 +30,14 @@ from whatsapp_vectordb_spark.functions.text import (
 BPE_PIECE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 
+def _with_tokens(df: DataFrame, text_col: str, id_col: str, *extra) -> DataFrame:
+    return df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("_tk"), *extra)
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace-token and subword-piece counts + char length per doc."""
-    t = tokens(text_col)
-    return df.select(
+    t = F.col("_tk")
+    return _with_tokens(df, text_col, id_col).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars_measured"),
         F.size(t).alias("n_tokens"),
@@ -40,7 +50,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Heuristic quality features + composite score ∈ [0,1]:
     length band, mean word length band, stopword presence, lexical
     diversity. Deterministic and engine-portable (round 6)."""
-    t = tokens(text_col)
+    t = F.col("_tk")
     n_tok = F.size(t)
     n_chars = F.length(text_col)
     mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
@@ -59,7 +69,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         + F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.25
         + diversity * 0.25
     )
-    return df.select(
+    return _with_tokens(df, text_col, id_col).select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
@@ -81,7 +91,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         "es": "el la los las de que y en un una es no por con para su al lo se mi tu".split(),
         "fr": "le la les de des et est une un que ne pas pour dans ce il elle nous vous".split(),
     }
-    t = tokens(text_col)
+    t = F.col("_tk")
     n_tok = F.size(t)
     ratios = {
         lang: F.when(
@@ -95,7 +105,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.lit("und")
     for lang in reversed(sorted(lists)):
         pred = F.when((ratios[lang] == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
-    return df.select(
+    return _with_tokens(df, text_col, id_col).select(
         F.col(id_col),
         F.round(ratios["en"], 6).alias("en_ratio"),
         F.round(best_score, 6).alias("best_ratio"),
@@ -112,9 +122,9 @@ def fingerprints(
     """Document fingerprints: exact (md5 of normalized text) and a
     winnowing-style content fingerprint (min portable-hash over distinct
     word 5-grams — stable under small edits away from the minimum)."""
-    sh = F.array_distinct(word_shingles(text_col, shingle_n))
+    sh = F.array_distinct(shingles_from_tokens(F.col("_tk"), shingle_n))
     min_h = F.array_min(F.transform(sh, lambda s: portable_hash(s)))
-    return df.select(
+    return _with_tokens(df, text_col, id_col).select(
         F.col(id_col),
         F.md5(normalize_text(text_col)).alias("exact_fp"),
         min_h.alias("content_fp"),
