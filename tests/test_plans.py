@@ -1,0 +1,105 @@
+"""Physical-plan audits: the shape that must survive a 100×/1000× scale-up.
+
+These assert on ``explain("formatted")`` output — pushdown, pruning,
+broadcast side, top-k physical operator, no accidental Python in hot paths.
+A correctness-green operator with the wrong plan fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.operators.search import topk, topk_batched
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def test_point_fetch_pushes_filter_to_parquet(embeddings):
+    p = plan(embeddings.where(F.col("vec_id").isin(5, 10, 15)).select("vec_id", "label"))
+    assert "PushedFilters: [In(vec_id" in p
+    # column pruning: the wide embedding array must NOT be read
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "embedding" not in read_schema
+
+
+def test_topk_uses_take_ordered_not_full_sort(embeddings):
+    qvec = [0.1] * 64
+    p = plan(topk(embeddings, qvec, k=10))
+    assert "TakeOrderedAndProject" in p
+    # a global Exchange+Sort would shuffle the whole index
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_topk_scan_prunes_unused_columns(embeddings):
+    p = plan(topk(embeddings, [0.1] * 64, k=10))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "label" not in read_schema  # only id + vector needed
+
+
+def test_batched_topk_broadcasts_query_side(embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = plan(topk_batched(embeddings, queries, k=3))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # the big index side must not move through a shuffle before scoring
+    scored_part = p.split("Window")[0]
+    assert "Exchange hashpartitioning" not in scored_part
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    from whatsapp_vectordb_spark.harness import rel_nation_revenue, rel_top_customers
+
+    p = plan(rel_top_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    p2 = plan(rel_nation_revenue(spark, sf_dir))
+    assert p2.count("BroadcastHashJoin") >= 2  # customer and nation dims
+
+
+def test_text_quality_is_jvm_side_map_only(documents):
+    from whatsapp_vectordb_spark.operators.textops import quality_scores
+
+    p = plan(quality_scores(documents))
+    # map-only: no shuffle at all, vectorized parquet scan. (Higher-order
+    # function lambdas are JVM-interpreted, not codegen'd — still no Python.)
+    assert "Exchange" not in p
+    assert "Batched: true" in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p  # no Python in the hot path
+    # tokenization is materialized once in its own projection, so the
+    # non-cheap split() appears exactly once in the plan
+    assert p.count("split(lower(text") == 1
+
+
+def test_exact_dedup_shuffles_hashes_not_documents(documents):
+    from whatsapp_vectordb_spark.operators.dedup import exact_duplicates
+
+    p = plan(exact_duplicates(documents))
+    # the md5 must be computed below the exchange (map-side), so the text
+    # column never crosses the shuffle
+    assert "hashpartitioning(dup_hash" in p
+    exchange = p[p.find(") Exchange") :]
+    input_line = [ln for ln in exchange.splitlines() if ln.startswith("Input")][0]
+    assert "text" not in input_line and "dup_hash" in input_line
+
+
+def test_aggregates_are_partial_then_final(spark, sf_dir):
+    from whatsapp_vectordb_spark.harness import rel_pricing_summary
+
+    p = plan(rel_pricing_summary(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters" in p  # shipdate predicate reaches the scan
+
+
+def test_lsh_candidate_join_is_on_bucket_keys(embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    p = plan(portable_lsh_topk(embeddings, query_id=0, k=10))
+    # query buckets broadcast; candidate pruning happens before cosine
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
