@@ -62,3 +62,23 @@ def test_streaming_embed_pipeline(spark, tmp_path):
     # batch/stream parity: the same transformation on a batch frame
     batch = streaming_embed_pipeline(spark.read.text(src), dim=32).collect()
     assert {r["id"] for r in batch} == {r["id"] for r in rows}
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir):
+    import os
+
+    from whatsapp_vectordb_spark.harness import _events
+    from whatsapp_vectordb_spark.operators.events import sessionized_counts
+    from whatsapp_vectordb_spark.streaming.ops import run_sessionized_stream
+
+    streamed = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in run_sessionized_stream(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionized_counts(_events(spark, sf_dir), gap_minutes=30).collect()
+    }
+    assert streamed == batch

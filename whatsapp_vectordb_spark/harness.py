@@ -1056,3 +1056,222 @@ def rel_orders_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ==========================================================================
+# Bucketed range join (operators/rangejoin.py): clicks within the 5 minutes
+# before each error, per user — an equi-join on (key, time-bucket) + exact
+# range filter, never a nested-loop inequality join.
+# ==========================================================================
+
+
+@_register(
+    "events_range_join",
+    """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, COUNT(c.ts) AS n_recent_clicks
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+GROUP BY e.event_id
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = interval_join(errors, clicks, on="user_id", lower_s=-300.0, upper_s=0.0)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_recent_clicks"))
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"))
+    )
+
+
+# ==========================================================================
+# Custom stateful streaming (applyInPandasWithState): per-user session
+# counts folded through per-group state; must equal the batch window-lag
+# sessionization (the oracle).
+# ==========================================================================
+
+
+@_register(
+    "streaming_sessionized",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_sessionized_stream
+
+    return run_sessionized_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Reference CSV format parity (sources/compat.py K1/P3): the %f-serialized
+# line for every vector, md5'd — proves byte-identical interchange with the
+# reference's embeddings-CSV format without emitting raw float arrays.
+# ==========================================================================
+
+
+@_register(
+    "compat_csv_format",
+    """
+SELECT vec_id,
+       md5(array_to_string(list_transform(embedding, x -> printf('%f', x::DOUBLE)), ',')) AS csv_md5
+FROM embeddings
+""",
+)
+def compat_csv_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.sources.compat import embedding_csv_line
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.md5(embedding_csv_line("embedding")).alias("csv_md5"))
+
+
+# ==========================================================================
+# Index lifecycle end-to-end (index.py: create → upsert → re-upsert →
+# stats): run against a scratch root, return per-namespace stats plus how
+# many rows the second batch replaced.
+# ==========================================================================
+
+
+@_register(
+    "index_lifecycle",
+    """
+SELECT 'ns' || CAST(vec_id % 4 AS VARCHAR) AS namespace,
+       COUNT(*) AS vector_count,
+       CAST(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM embeddings
+GROUP BY 1
+""",
+)
+def index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"),
+        F.col("embedding"),
+        F.concat(F.lit("text for "), F.col("vec_id").cast("string")).alias("text"),
+        F.concat(F.lit("ns"), (F.col("vec_id") % 4).cast("string")).alias("namespace"),
+    )
+    root = tempfile.mkdtemp(prefix="wvs_index_")
+    try:
+        idx = VectorIndex.create_or_get(spark, root, "harness-idx", dimension=64)
+        idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+        # second batch replaces every vec_id % 3 == 0 row (upsert contract:
+        # same id -> replace, reference upsert/upsert.go:23)
+        updates = records.where(F.col("id").rlike("^v[0-9]+$")).join(
+            emb.where(F.col("vec_id") % 3 == 0).select(
+                F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id")
+            ),
+            "id",
+        ).withColumn("text", F.concat(F.lit("updated "), F.col("id")))
+        idx.upsert(updates.withColumn("_ingest_seq", F.lit(2)))
+        merged = idx.read()
+        out = (
+            merged.groupBy("namespace")
+            .agg(
+                F.count("*").alias("vector_count"),
+                F.sum(F.when(F.col("text").startswith("updated "), 1).otherwise(0)).alias(
+                    "n_updated"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(out, "namespace string, vector_count long, n_updated long")
+
+
+# ==========================================================================
+# Relational coverage: rollup, distinct aggregate, running (cumulative)
+# window sum — green-field per SURVEY.md §2.10.
+# ==========================================================================
+
+
+@_register(
+    "rel_revenue_rollup",
+    """
+SELECT n_name, o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, o_orderpriority)
+""",
+)
+def rel_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "rel_distinct_customers",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def rel_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_register(
+    "rel_running_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey), 2) AS running_rev
+FROM orders
+""",
+)
+def rel_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
+    )

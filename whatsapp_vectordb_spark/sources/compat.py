@@ -51,13 +51,20 @@ def read_embeddings_csv(spark: SparkSession, path: str, assign_ids: bool = True)
     )
 
 
+def embedding_csv_line(vec_col="embedding"):
+    """The reference's CSV serialization as a Column: every component
+    ``%f``-formatted (6 decimals, embed/embed.go:141-147), comma-joined.
+    Engine-portable: DuckDB's ``printf('%f', x::DOUBLE)`` produces the
+    identical string (fixed-notation rounding of a double never lands on an
+    exact decimal midpoint, so HALF_UP vs round-half-even cannot differ)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array_join(F.transform(c, lambda x: F.format_string("%f", x.cast("double"))), ",")
+
+
 def write_embeddings_csv(
     df: DataFrame, path: str, vec_col: str = "embedding", mode: str = "overwrite"
 ) -> None:
     """K1 (reference-compat sink): one CSV line per vector, each component
     ``%f``-formatted (6 decimals — the reference's lossy serialization,
     embed/embed.go:141-147, kept only for format compatibility)."""
-    line = F.array_join(
-        F.transform(F.col(vec_col), lambda x: F.format_string("%f", x.cast("double"))), ","
-    )
-    df.select(line.alias("value")).write.mode(mode).text(path)
+    df.select(embedding_csv_line(vec_col).alias("value")).write.mode(mode).text(path)

@@ -102,6 +102,85 @@ def run_events_hourly_stream(spark, events_path: str, watermark: str = "2 hours"
     return spark.table(name)
 
 
+def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session counting with a ``gap_minutes`` inactivity rule.
+
+    State per user = (last event ts, session count, event count) — O(1)
+    regardless of stream length; each micro-batch sorts only its own rows
+    and folds them into the state. Works on a batch frame too (one "batch"
+    = whole input), which is how the oracle checks it.
+
+    Expects columns ``user_id`` and ``ts_us`` (event time in epoch micros).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = "user_id bigint, n_sessions bigint, n_events bigint"
+    state_schema = "last_ts bigint, n_sessions bigint, n_events bigint"
+
+    def fold(key, pdfs, state):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            ts = np.sort(pdf["ts_us"].to_numpy())
+            if len(ts) == 0:
+                continue
+            prev = np.concatenate(([last_ts if last_ts is not None else -(1 << 62)], ts[:-1]))
+            n_sessions += int((ts - prev > gap_us).sum())
+            n_events += len(ts)
+            last_ts = int(ts[-1])
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_sessionized_stream(spark, events_path: str, gap_minutes: int = 30) -> DataFrame:
+    """Replay the events table through the stateful sessionizer and return
+    the final per-user counts as a batch frame."""
+    import os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    # ts arrives as LONG nanos (nanosAsLong); integer DIV keeps micros exact
+    # (double division would round above 2^53)
+    src = stream.select("user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    out = sessionize_with_state(src, gap_minutes)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (user, batch); keep the final state row
+    from pyspark.sql import Window
+
+    final = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        final.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
     """Helper for tests: sink a streaming frame to an in-memory table and
     return the StreamingQuery (caller awaits + stops)."""
