@@ -92,6 +92,24 @@ def main() -> None:
         b2 = emb.select("vec_id", (F.col("label") + 1).alias("label"), F.lit(2).alias("seq"))
         upsert_by_key(b1, b2, key_col="vec_id", seq_col="seq").count()
 
+    @timed("dedup_simhash_pairs")
+    def _():
+        from whatsapp_vectordb_spark.harness import dedup_simhash_pairs
+
+        dedup_simhash_pairs(spark, sf_dir).count()
+
+    @timed("events_range_join")
+    def _():
+        from whatsapp_vectordb_spark.harness import events_range_join
+
+        events_range_join(spark, sf_dir).count()
+
+    @timed("streaming_sessionized")
+    def _():
+        from whatsapp_vectordb_spark.harness import streaming_sessionized
+
+        streaming_sessionized(spark, sf_dir).count()
+
     @timed("ann_lsh_topk")
     def _():
         from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk

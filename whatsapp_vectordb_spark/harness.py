@@ -492,7 +492,8 @@ def _simhash_sql(bits: int, source: str) -> str:
     return f"""
 WITH corpus AS ({source}),
 toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
-ex AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks),
+shl AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS tok FROM shl),
 hs AS (SELECT doc_id, {_phash_sql('tok', nibbles=(bits + 3) // 4)} AS h FROM ex),
 agg AS (SELECT doc_id,
        {bit_sums}

@@ -4,8 +4,8 @@ Green-field extension surface (the reference has no dedup; SURVEY.md §2.10
 — mandated by BASELINE.json's north star). Five tiers, cheapest first:
 
 - ``exact_duplicates``      — hash-groupBy on normalized text. One shuffle.
-- ``simhash_signatures``    — 32-bit SimHash per doc; near-dups = small
-                              hamming distance. Map-only signature.
+- ``simhash_signatures``    — 48-bit SimHash over word shingles; near-dups
+                              = small hamming distance. Map-only signature.
 - ``minhash_near_duplicates`` — MinHash+LSH banding: shingle → H portable
                               min-hashes → B bands → candidates share a
                               band key → verify exact Jaccard. The banded
@@ -243,19 +243,23 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 48,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """``bits``-bit SimHash over distinct unigram tokens: bit j of the
-    signature is the sign of Σ_tokens (±1 by bit j of portable_hash(token)).
+    """``bits``-bit SimHash over distinct word ``shingle_n``-grams: bit j of
+    the signature is the sign of Σ_features (±1 by bit j of
+    portable_hash(feature)).
 
-    Near-duplicate docs differ in few bits (compare with
-    ``simhash_pairs``). Map + one aggregate; no joins. 48 bits (default)
-    keeps unrelated docs far apart — 32 was coarse enough that a shared
-    vocabulary put thousands of honest non-dups within hamming 3.
+    Near-duplicate docs differ in few bits (compare with ``simhash_pairs``).
+    Map + one aggregate; no joins. Shingle features (not unigrams) matter:
+    corpora with a shared vocabulary put honest non-dups within small
+    hamming of each other under bag-of-words SimHash (measured: 12% of all
+    pairs ≤ 3 bits on the synthetic corpus); 3-gram features keep unrelated
+    docs ~bits/2 apart while one-token edits stay hamming-close.
     """
     if bits > 60:
         raise ValueError("bits must be <= 60 (int64 signature)")
-    tok = df.repartition(F.col(id_col)).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    tok = _distinct_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.col("shingle").alias("tok")
     )
     h = portable_hash(F.col("tok"), nibbles=(bits + 3) // 4).alias("h")
     tok = tok.select(id_col, h)
@@ -280,6 +284,7 @@ def simhash_pairs(
     bits: int = 48,
     max_hamming: int = 3,
     band_bits: int = 12,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -287,22 +292,24 @@ def simhash_pairs(
     (pigeonhole: distance ≤ bands-1 guarantees one identical chunk), then
     exact popcount verify — never all-pairs.
     """
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    sig = simhash_signatures(df, text_col, id_col, bits, shingle_n)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    parts = []
-    for b in range(n_bands):
-        parts.append(
-            sig.select(
-                id_col,
-                "simhash",
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
-            )
+    # one explode (NOT a per-band union of selects: each union branch would
+    # re-execute the whole shingle+aggregate lineage, 2·bands times across
+    # the self-join); cache the tiny banded table for both join sides
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
         )
-    banded = parts[0]
-    for extra in parts[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(n_bands)
+    ]
+    banded = (
+        sig.select(F.col(id_col), "simhash", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+        .cache()
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

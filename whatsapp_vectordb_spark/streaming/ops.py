@@ -161,14 +161,21 @@ def run_sessionized_stream(spark, events_path: str, gap_minutes: int = 30) -> Da
     src = stream.select("user_id", F.expr("ts DIV 1000").alias("ts_us"))
     out = sessionize_with_state(src, gap_minutes)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # each shuffle partition becomes a state-store partition with its own
+    # Python state worker; a handful of key groups doesn't need 32 of them
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update mode appends one row per (user, batch); keep the final state row
     from pyspark.sql import Window
 
