@@ -63,3 +63,13 @@ def test_portable_planes_are_deterministic():
     assert a == b
     assert all(s in (-1, 1) for row in a for s in row)
     assert portable_planes(8, 4, seed=1) != a
+
+
+def test_mllib_lsh_topk_agrees_with_exact(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import mllib_lsh_topk
+
+    qvec = embeddings.where(F.col("vec_id") == 3).head()["embedding"]
+    approx = [r["vec_id"] for r in mllib_lsh_topk(embeddings, qvec, k=5).collect()]
+    assert approx and approx[0] == 3  # self-match nearest
+    exact = [r["vec_id"] for r in topk(embeddings, qvec, k=5).collect()]
+    assert len(set(approx) & set(exact)) >= 3  # decent recall at tiny scale

@@ -75,3 +75,23 @@ def test_end_to_end_text_query(spark, root):
     ix.upsert(batch)
     top = ix.query("coffee tomorrow morning meet", k=2).collect()
     assert {r["id"] for r in top} == {"m1", "m3"}
+
+
+def test_namespace_partition_pruning(spark, tmp_path, embeddings):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(spark, str(tmp_path), "pruned", dimension=64)
+    records = embeddings.limit(100).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"),
+        "embedding",
+        F.concat(F.lit("ns"), (F.col("vec_id") % 4).cast("string")).alias("namespace"),
+    )
+    idx.upsert(records)
+    one_ns = idx.read().where(F.col("namespace") == "ns1")
+    jvm = spark._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = one_ns._jdf.queryExecution().explainString(em)
+    assert "PartitionFilters" in p and "namespace" in p.split("PartitionFilters")[1][:120]
+    assert one_ns.count() == 25

@@ -77,3 +77,21 @@ def test_tumbling_windows(spark):
     got = {r["window_start"]: r for r in tumbling_window_agg(ev).collect()}
     assert got["2024-01-01 12:00:00"]["n_events"] == 2
     assert got["2024-01-01 13:00:00"]["sum_value"] == pytest.approx(4.0)
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from whatsapp_vectordb_spark.operators.textops import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["term"]): (r["term_count"], r["tfidf"]) for r in tfidf(docs).collect()}
+    # N=2; df(apple)=1, df(banana)=2, df(cherry)=1
+    idf_rare = math.log(3 / 2) + 1
+    idf_common = math.log(3 / 3) + 1
+    assert rows[(1, "apple")] == (2, round(2 * idf_rare, 6))
+    assert rows[(1, "banana")] == (1, round(1 * idf_common, 6))
+    assert rows[(2, "cherry")] == (1, round(1 * idf_rare, 6))

@@ -1276,3 +1276,21 @@ def rel_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
     )
+
+
+@_register(
+    "text_tfidf",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf AS term_count,
+       ROUND(tf.tf * (ln((n.n + 1)::DOUBLE / (dfreq.df + 1)) + 1), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import tfidf
+
+    return tfidf(_t(spark, sf_dir, "documents"))

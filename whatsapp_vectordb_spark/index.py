@@ -129,7 +129,11 @@ class VectorIndex:
             .select(*cols)
         )
         tmp = self.path + ".staging"
-        winner.write.mode("overwrite").parquet(tmp)
+        # namespace is the partition column (the reference models namespaces
+        # but never uses them, main.go:54 — here they buy file pruning for
+        # single-tenant reads; see test_index.test_namespace_partition_pruning)
+        winner = winner.withColumn("namespace", F.coalesce(F.col("namespace"), F.lit("")))
+        winner.write.partitionBy("namespace").mode("overwrite").parquet(tmp)
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)

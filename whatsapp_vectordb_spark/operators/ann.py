@@ -258,3 +258,48 @@ class IvfIndex:
             vec_col=self.vec_col,
             round_to=round_to,
         )
+
+
+def mllib_lsh_topk(
+    index_df: DataFrame,
+    query_vec,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via MLlib ``BucketedRandomProjectionLSH`` (Euclidean LSH;
+    on L2-normalized vectors the Euclidean and cosine rankings coincide:
+    ||a-b||² = 2 - 2·cos). Returns ``(id, distance)`` for the ~k nearest.
+
+    This is the library path SURVEY.md §4.2 names; ``portable_lsh_topk`` is
+    the oracle-checkable equivalent. approxNearestNeighbors probes only the
+    query's hash buckets — index scan is bucket-pruned exactly like IVF.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from whatsapp_vectordb_spark.functions.vector import l2_normalize
+
+    feat = index_df.select(
+        F.col(id_col),
+        array_to_vector(l2_normalize(F.col(vec_col))).alias("_features"),
+    ).where(F.col("_features").isNotNull())
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    q = np.asarray(query_vec, dtype=np.float64)
+    n = np.linalg.norm(q)
+    if n > 0:
+        q = q / n
+    from pyspark.ml.linalg import Vectors
+
+    out = model.approxNearestNeighbors(feat, Vectors.dense(q), k, distCol="distance")
+    return out.select(F.col(id_col), F.round("distance", 6).alias("distance"))

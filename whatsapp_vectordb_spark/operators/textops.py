@@ -113,6 +113,39 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Smoothed TF-IDF per (doc, term): ``tf · (ln((N+1)/(df+1)) + 1)``.
+
+    Pure DataFrame restatement of the HashingTF+IDF pipeline with exact
+    terms instead of feature hashing (collision-free and SQL-oracle-able).
+    Two narrow shuffles: terms-per-doc aggregate, then doc-frequency join —
+    the doc-frequency side is a broadcast (|vocabulary| rows).
+    """
+    toks = _with_tokens(df, text_col, id_col).select(
+        F.col(id_col), F.explode("_tk").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    return tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        F.col("tf").alias("term_count"),
+        F.round(F.col("tf") * idf, round_to).alias("tfidf"),
+    )
+
+
 def fingerprints(
     df: DataFrame,
     text_col: str = "text",
