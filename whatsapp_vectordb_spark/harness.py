@@ -1294,3 +1294,29 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.textops import tfidf
 
     return tfidf(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "upsert_metrics",
+    """
+WITH e AS (SELECT vec_id FROM embeddings),
+n AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id FROM embeddings WHERE vec_id % 5 = 0)
+SELECT
+  (SELECT COUNT(DISTINCT vec_id) FROM e) AS n_existing,
+  (SELECT COUNT(DISTINCT vec_id) FROM n) AS n_batch,
+  (SELECT COUNT(*) FROM (SELECT vec_id FROM e INTERSECT SELECT vec_id FROM n)) AS n_replaced,
+  (SELECT COUNT(*) FROM (SELECT vec_id FROM n EXCEPT SELECT vec_id FROM e)) AS n_inserted,
+  (SELECT COUNT(*) FROM (SELECT vec_id FROM e UNION SELECT vec_id FROM n)) AS n_after
+""",
+)
+def upsert_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.upsert import upsert_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.select("vec_id")
+    batch = emb.where(F.col("vec_id") % 3 == 0).select("vec_id").unionByName(
+        emb.where(F.col("vec_id") % 5 == 0).select((F.col("vec_id") + 10000).alias("vec_id"))
+    )
+    return upsert_metrics(existing, batch, key_col="vec_id")

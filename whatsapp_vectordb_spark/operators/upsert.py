@@ -39,3 +39,41 @@ def upsert_by_key(
     out = merged.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     drop = ["_rn"] + (["_gen"] if seq_col == "_gen" else [])
     return out.drop(*drop)
+
+
+def upsert_metrics(
+    existing: DataFrame,
+    new: DataFrame,
+    key_col: str = "id",
+) -> DataFrame:
+    """G2 counters for a replace-by-key merge, as ONE aggregate over the
+    key sets (the reference tallies success/fail per HTTP response,
+    upsert/upsert.go:150-152, 193-207; here failures don't exist and the
+    interesting split is replaced vs inserted).
+
+    Returns one row: ``n_existing, n_batch, n_replaced, n_inserted,
+    n_after``. Plan: two key projections, full-outer-ish via union +
+    per-key presence flags — a single narrow shuffle on the key.
+    """
+    e = existing.select(F.col(key_col).alias("_k")).withColumn("_in_e", F.lit(1)).withColumn(
+        "_in_n", F.lit(0)
+    )
+    n = new.select(F.col(key_col).alias("_k")).withColumn("_in_e", F.lit(0)).withColumn(
+        "_in_n", F.lit(1)
+    )
+    per_key = (
+        e.unionByName(n)
+        .groupBy("_k")
+        .agg(F.max("_in_e").alias("_e"), F.max("_in_n").alias("_n"))
+    )
+    return per_key.agg(
+        F.sum("_e").alias("n_existing"),
+        F.sum("_n").alias("n_batch"),
+        F.sum(F.when((F.col("_e") == 1) & (F.col("_n") == 1), 1).otherwise(0)).alias(
+            "n_replaced"
+        ),
+        F.sum(F.when((F.col("_e") == 0) & (F.col("_n") == 1), 1).otherwise(0)).alias(
+            "n_inserted"
+        ),
+        F.count("*").alias("n_after"),
+    )
