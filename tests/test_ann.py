@@ -73,3 +73,32 @@ def test_mllib_lsh_topk_agrees_with_exact(spark, embeddings):
     assert approx and approx[0] == 3  # self-match nearest
     exact = [r["vec_id"] for r in topk(embeddings, qvec, k=5).collect()]
     assert len(set(approx) & set(exact)) >= 3  # decent recall at tiny scale
+
+
+def test_ivf_save_load_prunes_partitions(spark, embeddings, tmp_path):
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    qvec = embeddings.where(F.col("vec_id") == 7).head()["embedding"]
+    built = IvfIndex.build(embeddings, n_centroids=8)
+    built.save(str(tmp_path / "ivf"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+
+    got = loaded.probe(qvec, k=10, nprobe=4)
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = got._jdf.queryExecution().explainString(em)
+    # centroid is a partition column of the saved index: the probe filter
+    # must appear as a PartitionFilter (file pruning), not a data Filter
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1][:160]
+    assert "centroid" in pf
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in built.probe(qvec, k=10, nprobe=4).collect()
+    ]
+
+
+def test_portable_lsh_numpy_impl_identical_buckets(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    a = portable_lsh_topk(embeddings, query_id=0, k=10, round_to=6, impl="expr").collect()
+    b = portable_lsh_topk(embeddings, query_id=0, k=10, round_to=6, impl="numpy").collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [(r["vec_id"], r["score"]) for r in b]

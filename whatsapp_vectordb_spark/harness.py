@@ -1320,3 +1320,23 @@ def upsert_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 5 == 0).select((F.col("vec_id") + 10000).alias("vec_id"))
     )
     return upsert_metrics(existing, batch, key_col="vec_id")
+
+
+@_register(
+    "multimodal_audio_chunks",
+    """
+WITH chunks AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         500 + (doc_id % 7) * 777 AS duration_ms,
+         unnest(range(0, 500 + (doc_id % 7) * 777, 2000)) AS chunk_start_ms
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_id, chunk_start_ms,
+       LEAST(chunk_start_ms + 2000, duration_ms) AS chunk_end_ms
+FROM chunks
+""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.multimodal import chunk_media_plan
+
+    return chunk_media_plan(_media_df(spark, sf_dir), chunk_ms=2000, modality="audio")

@@ -109,6 +109,32 @@ def extract_media_features(
     return media.select(*present).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def chunk_media_plan(
+    media: DataFrame,
+    chunk_ms: int = 2000,
+    modality: str = "audio",
+) -> DataFrame:
+    """Fixed-duration chunking *plan* for audio/video: one row per
+    ``chunk_ms`` window with clamped end (the waveform split itself is the
+    stubbed codec step). Pure Catalyst sequence-explode, like
+    ``frame_sample_plan`` — fan-out happens JVM-side before any Python."""
+    start = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("duration_ms") - 1, F.lit(chunk_ms))
+    ).alias("chunk_start_ms")
+    return (
+        media.where(F.col("modality") == modality)
+        .where(F.col("duration_ms").isNotNull())
+        .select("media_id", "duration_ms", start)
+        .select(
+            "media_id",
+            "chunk_start_ms",
+            F.least(F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")).alias(
+                "chunk_end_ms"
+            ),
+        )
+    )
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_ms: int = 1000,

@@ -156,6 +156,39 @@ def portable_signature(vec_col, planes: list[list[int]]):
     return F.concat(*bits)
 
 
+def portable_signature_numpy(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
+    """The same integer-exact signature as ``portable_signature``, computed
+    as one Arrow-batched int64 matmul per partition instead of ``n_planes``
+    interpreted HOF folds per row. Bit-for-bit identical buckets (quantize →
+    integer dot → sign); use at scale, keep the expression form for the SQL
+    oracle's sake at verification scale."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    pl = np.asarray(planes, dtype=np.int64)  # (P, dim)
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            df.schema[vec_col],
+            StructField("_sig", StringType()),
+        ]
+    )
+
+    def sign_bits(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            q = np.round(v * PORTABLE_QUANT).astype(np.int64)  # (n, dim)
+            bits = (q @ pl.T) >= 0  # (n, P)
+            sigs = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "_sig": sigs}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(sign_bits, schema=out_schema)
+
+
 def portable_lsh_topk(
     index_df: DataFrame,
     query_id,
@@ -166,22 +199,33 @@ def portable_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    impl: str = "expr",
 ) -> DataFrame:
     """ANN top-k for a stored query vector (`query_id` row): candidates are
     vectors sharing ≥1 LSH band bucket with the query, then exact cosine
     top-k over candidates only.
 
-    Plan shape: one signature map over the index (codegen'd integer HOFs),
-    a broadcast join against the query's ``bands`` bucket keys, then the
-    TakeOrderedAndProject top-k — the full-scan cosine of ``topk`` is
-    replaced by a bucket-pruned scan; recall is governed by (planes, bands).
+    Plan shape: one signature map over the index, a broadcast join against
+    the query's ``bands`` bucket keys, then the TakeOrderedAndProject top-k
+    — the full-scan cosine of ``topk`` is replaced by a bucket-pruned scan;
+    recall and candidate volume are governed by (planes, bands): each band
+    chunk has ``n_planes/bands`` bits, so a random non-neighbor collides
+    w.p. ≈ bands · 2^-(n_planes/bands) — size chunks ≥ 8 bits at scale.
+
+    ``impl='expr'`` builds signatures with integer HOF expressions (exactly
+    reproducible in the SQL oracle); ``impl='numpy'`` computes the SAME
+    bits via an Arrow-batched int64 matmul (~n_planes× fewer per-row ops —
+    the form to run on a big index).
     """
     rows_per_band = n_planes // bands
     dim = len(index_df.select(vec_col).head()[0])
     planes = portable_planes(dim, n_planes, seed)
-    sig = index_df.select(
-        F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
-    )
+    if impl == "numpy":
+        sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
+    else:
+        sig = index_df.select(
+            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -189,15 +233,18 @@ def portable_lsh_topk(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        id_col, vec_col, F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    # band only (id, band, chunk) — never drag the wide vector through the
+    # explode + join; candidates re-acquire vectors by id afterwards
+    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
+    )
     qb = banded.where(F.col(id_col) == query_id).select("band", "chunk")
-    cand = (
+    cand_ids = (
         banded.join(F.broadcast(qb), ["band", "chunk"])
-        .select(id_col, vec_col)
+        .select(id_col)
         .dropDuplicates([id_col])
     )
+    cand = index_df.join(cand_ids, id_col).select(id_col, vec_col)
     qvec = index_df.where(F.col(id_col) == query_id).head()[vec_col]
     return topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
 
@@ -240,6 +287,40 @@ class IvfIndex:
             .drop("_features")
         )
         return cls(assigned, centroids, id_col, vec_col)
+
+    def save(self, path: str) -> "IvfIndex":
+        """Persist the inverted file: vectors written ``partitionBy(centroid)``
+        (one directory per coarse cell) + the centroid matrix. A probe
+        against the saved index prunes to ``nprobe`` directories at the file
+        level — the parquet-native form of an IVF index."""
+        import json
+        import os
+
+        self.assigned.write.partitionBy("centroid").mode("overwrite").parquet(
+            os.path.join(path, "cells")
+        )
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+        return self
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        assigned = spark.read.parquet(os.path.join(path, "cells"))
+        return cls(
+            assigned, np.asarray(meta["centroids"]), meta["id_col"], meta["vec_col"]
+        )
 
     def probe(self, query_vec, k: int = 10, nprobe: int = 3, round_to: int | None = None) -> DataFrame:
         """Top-k among vectors in the ``nprobe`` centroids nearest (by
