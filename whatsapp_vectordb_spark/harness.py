@@ -68,7 +68,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_ORACLE = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id,
+SELECT e.vec_id,{payload}
        ROUND({score_expr}, 6) AS score
 FROM embeddings e, q
 WHERE {score_expr} IS NOT NULL
@@ -80,18 +80,24 @@ LIMIT 10
 @_register(
     "knn_topk_cosine",
     _KNN_ORACLE.format(
-        score_expr="list_cosine_similarity(e.embedding::DOUBLE[], q.qv)", dir="DESC"
+        score_expr="list_cosine_similarity(e.embedding::DOUBLE[], q.qv)",
+        dir="DESC",
+        payload=" e.label,",  # Q4: payload hydrated in the same select
     ),
 )
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    return topk(emb, qvec, k=10, metric="cosine", round_to=ROUND_SCORE)
+    return topk(
+        emb, qvec, k=10, metric="cosine", round_to=ROUND_SCORE, payload_cols=("label",)
+    )
 
 
 @_register(
     "knn_topk_dotproduct",
-    _KNN_ORACLE.format(score_expr="list_dot_product(e.embedding::DOUBLE[], q.qv)", dir="DESC"),
+    _KNN_ORACLE.format(
+        score_expr="list_dot_product(e.embedding::DOUBLE[], q.qv)", dir="DESC", payload=""
+    ),
 )
 def knn_topk_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -101,7 +107,9 @@ def knn_topk_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "knn_topk_euclidean",
-    _KNN_ORACLE.format(score_expr="list_distance(e.embedding::DOUBLE[], q.qv)", dir="ASC"),
+    _KNN_ORACLE.format(
+        score_expr="list_distance(e.embedding::DOUBLE[], q.qv)", dir="ASC", payload=""
+    ),
 )
 def knn_topk_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
