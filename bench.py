@@ -43,9 +43,13 @@ def main() -> None:
     # warm up the JVM + python workers so query timings measure plans, not startup
     spark.range(1000).select(F.sum("id")).collect()
 
-    emb = _t(spark, sf_dir, "embeddings").cache()
+    # single parquet files scan as 1-2 splits; spread them once so every
+    # query measures the engine, not an accidental 1-core layout (at real
+    # scale inputs arrive in thousands of splits and this is a no-op)
+    par = spark.sparkContext.defaultParallelism
+    emb = _t(spark, sf_dir, "embeddings").repartition(par).cache()
     n_emb = emb.count()
-    docs = _t(spark, sf_dir, "documents").cache()
+    docs = _t(spark, sf_dir, "documents").repartition(par).cache()
     docs.count()
 
     timings: dict[str, float] = {}

@@ -95,3 +95,16 @@ def test_namespace_partition_pruning(spark, tmp_path, embeddings):
     p = one_ns._jdf.queryExecution().explainString(em)
     assert "PartitionFilters" in p and "namespace" in p.split("PartitionFilters")[1][:120]
     assert one_ns.count() == 25
+
+
+def test_upsert_rejects_wrong_dimension(spark, tmp_path, embeddings):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(spark, str(tmp_path), "dim-check", dimension=32)
+    bad = embeddings.limit(3).select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"  # 64-dim into a 32-dim index
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        idx.upsert(bad)

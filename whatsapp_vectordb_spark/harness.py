@@ -1348,3 +1348,30 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.multimodal import chunk_media_plan
 
     return chunk_media_plan(_media_df(spark, sf_dir), chunk_ms=2000, modality="audio")
+
+
+@_register("multimodal_cross_search")  # fake-codec embeddings — rows-only by design
+def multimodal_cross_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union scoring across modalities (SURVEY.md §7.2 step 5): text docs
+    and media rows share one embedding space/table shape; a single top-k
+    ranks both. Text side embeds with the deterministic embedder, media
+    side with the fake-codec extractor — same dim, one unioned index."""
+    from whatsapp_vectordb_spark.embedder import embed_text, with_embedding
+    from whatsapp_vectordb_spark.multimodal import extract_media_features
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    text_side = with_embedding(docs, "text", "embedding").select(
+        F.concat(F.lit("text:"), F.col("doc_id").cast("string")).alias("item_id"),
+        F.lit("text").alias("modality"),
+        "embedding",
+    )
+    media_side = extract_media_features(_media_df(spark, sf_dir), dim=64).select(
+        F.concat(F.lit("media:"), F.col("media_id")).alias("item_id"),
+        "modality",
+        "embedding",
+    )
+    index = text_side.unionByName(media_side)
+    qvec = embed_text("large scale data processing")
+    out = topk(index, qvec, k=25, id_col="item_id", payload_cols=("modality",), round_to=6)
+    return out

@@ -107,6 +107,17 @@ class VectorIndex:
         then swaps, so a failed job never corrupts the index.
         """
         cols = ["id", "embedding", "text", "metadata", "namespace"]
+        if "embedding" in batch.columns:
+            # enforce the index DDL dimension (reference upsert.go:68-72 —
+            # Pinecone rejects wrong-dim vectors server-side; here it's one
+            # cheap aggregate before any write)
+            bad = batch.where(
+                F.col("embedding").isNotNull() & (F.size("embedding") != self.dimension)
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"{bad} vector(s) do not match index dimension {self.dimension}"
+                )
         batch = batch.select(
             *[
                 (F.col(c) if c in batch.columns else F.lit(None)).alias(c)
