@@ -1375,3 +1375,146 @@ def multimodal_cross_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = embed_text("large scale data processing")
     out = topk(index, qvec, k=25, id_col="item_id", payload_cols=("modality",), round_to=6)
     return out
+
+
+# ==========================================================================
+# Sliding (hopping) event-time windows + numeric distribution queries.
+# ==========================================================================
+
+
+@_register(
+    "events_sliding_windows",
+    """
+WITH x AS (
+  SELECT ts, event_type, value, unnest([0, 1, 2, 3]) AS i FROM events
+),
+w AS (
+  SELECT make_timestamp((epoch_us(ts) - epoch_us(ts) % 900000000) - CAST(i AS BIGINT) * 900000000) AS ws,
+         event_type, value
+  FROM x
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 minutes: each event lands in 4
+    overlapping windows — Spark's F.window(slideDuration) expansion, the
+    same operator Structured Streaming uses for hopping aggregations."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "rel_price_quantiles",
+    """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@_register(
+    "events_value_histogram",
+    """
+SELECT event_type,
+       CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "events_json_props",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props payload (green-field —
+    SURVEY.md §2.10 lists JSON functions as absent in the reference)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.where(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@_register(
+    "rel_set_ops",
+    """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1995' AS tag, o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+""",
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_custs(y: int):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year_custs(1995), year_custs(1996)
+    both = y95.intersect(y96).select(F.lit("both").alias("tag"), "o_custkey")
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("tag"), "o_custkey")
+    return both.unionByName(only95)
