@@ -54,3 +54,24 @@ def test_udf_self_cosine(spark, documents):
         .count()
     )
     assert bad == 0
+
+
+def test_reference_dimension_1536(spark):
+    """The reference's ada-002 dimension (main.go:27): the embedder and the
+    search path are dimension-parametric; 1536 works end to end."""
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.embedder import embed_text, with_embedding
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "unrelated text here")],
+        "doc_id long, text string",
+    )
+    emb = with_embedding(docs, "text", "embedding", dim=1536, min_partitions=0)
+    first = emb.head()["embedding"]
+    assert len(first) == 1536
+    q = embed_text("alpha beta gamma", dim=1536)
+    hits = topk(emb, q, k=2, id_col="doc_id").collect()
+    assert hits[0]["doc_id"] == 1 and hits[0]["score"] > 0.999
+    assert hits[1]["doc_id"] == 2  # near text ranks above unrelated

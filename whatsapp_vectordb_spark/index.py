@@ -144,7 +144,12 @@ class VectorIndex:
         # but never uses them, main.go:54 — here they buy file pruning for
         # single-tenant reads; see test_index.test_namespace_partition_pruning)
         winner = winner.withColumn("namespace", F.coalesce(F.col("namespace"), F.lit("")))
-        winner.write.partitionBy("namespace").mode("overwrite").parquet(tmp)
+        # cluster rows by their partition value before the partitioned write:
+        # otherwise every shuffle partition emits a file per namespace it
+        # touches (tiny-file explosion at fan-out; same fix at 100 TB)
+        winner.repartition(F.col("namespace")).write.partitionBy("namespace").mode(
+            "overwrite"
+        ).parquet(tmp)
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
