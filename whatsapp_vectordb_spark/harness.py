@@ -1518,3 +1518,18 @@ def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = y95.intersect(y96).select(F.lit("both").alias("tag"), "o_custkey")
     only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("tag"), "o_custkey")
     return both.unionByName(only95)
+
+
+@_register(
+    "streaming_distinct_keys",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (withWatermark + dropDuplicates) replayed over
+    the events table; on bounded input the surviving key set must equal
+    batch DISTINCT, which the oracle checks."""
+    from whatsapp_vectordb_spark.streaming.ops import run_streaming_distinct
+
+    return run_streaming_distinct(spark, os.path.join(sf_dir, "events.parquet"))

@@ -195,6 +195,46 @@ def run_sessionized_stream(spark, events_path: str, gap_minutes: int = 30) -> Da
     )
 
 
+def run_streaming_distinct(spark, events_path: str, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: ``withWatermark + dropDuplicates`` — the
+    streaming twin of ``operators.dedup.exact_duplicates`` for unbounded
+    ingest (state per key is dropped once the watermark passes, so dedup
+    state stays bounded). Replays the events table, emits the distinct
+    (user_id, event_type) key set."""
+    import os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"distinct_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
     """Helper for tests: sink a streaming frame to an in-memory table and
     return the StreamingQuery (caller awaits + stops)."""
