@@ -969,6 +969,8 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("modality"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
         (F.lit(500) + (F.col("doc_id") % 7) * 777).cast("long").alias("duration_ms"),
+        (F.lit(320) + (F.col("doc_id") % 5) * 160).cast("int").alias("width"),
+        (F.lit(240) + (F.col("doc_id") % 3) * 120).cast("int").alias("height"),
     )
 
 
@@ -1533,3 +1535,24 @@ def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.streaming.ops import run_streaming_distinct
 
     return run_streaming_distinct(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@_register(
+    "multimodal_resize_dims",
+    """
+WITH imgs AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(320 + (doc_id % 5) * 160 AS INTEGER) AS width,
+         CAST(240 + (doc_id % 3) * 120 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id, width, height,
+       CAST(round(width * LEAST(1.0, 512.0 / GREATEST(width, height))) AS INTEGER) AS target_w,
+       CAST(round(height * LEAST(1.0, 512.0 / GREATEST(width, height))) AS INTEGER) AS target_h
+FROM imgs
+""",
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.multimodal import resize_dims_plan
+
+    return resize_dims_plan(_media_df(spark, sf_dir), max_side=512)

@@ -109,6 +109,30 @@ def extract_media_features(
     return media.select(*present).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def resize_dims_plan(
+    media: DataFrame,
+    max_side: int = 512,
+) -> DataFrame:
+    """Image resize *planning*: target dimensions preserving aspect ratio,
+    bounded by ``max_side`` (never upscaled). Pure Catalyst over the typed
+    metadata — the pixel resample itself is the stubbed codec step, which
+    receives (content, target_w, target_h) per row. Planning on metadata
+    keeps undecoded bytes out of the decision entirely."""
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    scale = F.least(F.lit(1.0), max_side / F.greatest(w, h))
+    return (
+        media.where(F.col("modality") == "image")
+        .where(F.col("width").isNotNull() & F.col("height").isNotNull())
+        .select(
+            "media_id",
+            F.col("width"),
+            F.col("height"),
+            F.round(w * scale).cast("int").alias("target_w"),
+            F.round(h * scale).cast("int").alias("target_h"),
+        )
+    )
+
+
 def chunk_media_plan(
     media: DataFrame,
     chunk_ms: int = 2000,
