@@ -108,3 +108,61 @@ def test_upsert_rejects_wrong_dimension(spark, tmp_path, embeddings):
     )
     with pytest.raises(ValueError, match="dimension"):
         idx.upsert(bad)
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path, embeddings):
+    import os
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "bucketed", dimension=64, num_id_buckets=8
+    )
+    assert idx.num_id_buckets == 8
+    records = embeddings.limit(200).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"),
+        "embedding",
+        F.lit("orig").alias("text"),
+    )
+    idx.upsert(records)
+    assert idx.read().count() == 200
+
+    # snapshot per-bucket file mtimes
+    def bucket_mtimes():
+        out = {}
+        for d in os.listdir(idx.path):
+            if d.startswith("_bucket="):
+                full = os.path.join(idx.path, d)
+                out[d] = max(os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full))
+        return out
+
+    before = bucket_mtimes()
+    assert len(before) > 1
+
+    # second upsert touches exactly one id
+    one = records.where(F.col("id") == "v7").withColumn("text", F.lit("updated"))
+    idx.upsert(one.withColumn("_ingest_seq", F.lit(2)))
+    after = bucket_mtimes()
+
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1  # only v7's bucket rewritten
+    assert idx.read().count() == 200  # replace, not append
+    got = idx.fetch(["v7"]).collect()
+    assert len(got) == 1 and got[0]["text"] == "updated"
+
+
+def test_bucketed_fetch_prunes_partitions(spark, tmp_path, embeddings):
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "bucketed-fetch", dimension=64, num_id_buckets=8
+    )
+    records = embeddings.limit(100).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"), "embedding"
+    )
+    idx.upsert(records)
+    got = idx.fetch(["v3", "v4"])
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = got._jdf.queryExecution().explainString(em)
+    assert "PartitionFilters" in p and "_bucket" in p.split("PartitionFilters")[1][:160]
+    assert {r["id"] for r in got.collect()} == {"v3", "v4"}

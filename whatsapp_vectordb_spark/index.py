@@ -32,12 +32,21 @@ from whatsapp_vectordb_spark.types import DEFAULT_METRIC, METRICS
 class VectorIndex:
     """Handle to one named vector index under a filesystem root."""
 
-    def __init__(self, spark: SparkSession, root: str, name: str, dimension: int, metric: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        dimension: int,
+        metric: str,
+        num_id_buckets: int = 0,
+    ):
         self.spark = spark
         self.root = root
         self.name = name
         self.dimension = dimension
         self.metric = metric
+        self.num_id_buckets = num_id_buckets
         self.path = os.path.join(root, "indexes", name)
 
     # -- DDL ----------------------------------------------------------------
@@ -54,22 +63,31 @@ class VectorIndex:
         name: str,
         dimension: int,
         metric: str = DEFAULT_METRIC,
+        num_id_buckets: int = 0,
     ) -> "VectorIndex":
         """Get-or-create semantics (reference upsert/upsert.go:38-111): if the
-        registry already has ``name``, return it (existing dimension/metric
-        win); otherwise register it."""
+        registry already has ``name``, return it (existing dimension/metric/
+        bucketing win); otherwise register it. ``num_id_buckets > 0`` stores
+        rows hash-bucketed by id (see ``upsert``) — fixed at creation, like
+        the dimension."""
         if metric not in METRICS:
             raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
         existing = cls.list_indexes(spark, root)
         row = next((r for r in existing if r["name"] == name), None)
         if row is not None:
-            return cls(spark, root, name, row["dimension"], row["metric"])
+            return cls(
+                spark, root, name, row["dimension"], row["metric"],
+                int(row.get("num_id_buckets") or 0),
+            )
         reg = spark.createDataFrame(
-            [(name, dimension, metric, _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None))],
-            "name string, dimension int, metric string, created_at timestamp",
+            [(
+                name, dimension, metric, num_id_buckets,
+                _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            )],
+            "name string, dimension int, metric string, num_id_buckets int, created_at timestamp",
         )
         reg.coalesce(1).write.mode("append").parquet(cls._registry_path(root))
-        return cls(spark, root, name, dimension, metric)
+        return cls(spark, root, name, dimension, metric, num_id_buckets)
 
     @classmethod
     def list_indexes(cls, spark: SparkSession, root: str) -> list[dict]:
@@ -92,9 +110,17 @@ class VectorIndex:
         return self.spark.createDataFrame([], VECTOR_RECORD_SCHEMA)
 
     def read(self) -> DataFrame:
+        df = self._read_raw()
+        return df.drop("_bucket") if "_bucket" in df.columns else df
+
+    def _read_raw(self) -> DataFrame:
         if not os.path.exists(self.path):
             return self._empty()
         return self.spark.read.parquet(self.path)
+
+    @staticmethod
+    def _bucket_of(id_col, n: int):
+        return F.pmod(F.xxhash64(id_col), F.lit(n))
 
     def upsert(self, batch: DataFrame) -> None:
         """K3: write a batch of ``(id, embedding, text, metadata, namespace)``
@@ -102,9 +128,17 @@ class VectorIndex:
         reference upsert/upsert.go:23). Last writer within the batch wins by
         ``_ingest_seq`` if present, else arbitrary-but-deterministic.
 
-        Plain-parquet MERGE: union new+old, keep row_number()==1 per id
-        ordered by generation desc. Writes to a fresh generation directory
-        then swaps, so a failed job never corrupts the index.
+        Plain-parquet MERGE, two layouts chosen at index creation:
+
+        - **unbucketed** (default): partitioned by ``namespace`` (tenant
+          pruning); each upsert merges against the full table and swaps a
+          fresh generation directory in — correct but O(table) rewrite.
+        - **``num_id_buckets > 0``**: partitioned by ``_bucket =
+          pmod(xxhash64(id), B)``. An upsert reads and rewrites ONLY the
+          buckets its batch touches (dynamic partition overwrite) — the
+          plain-parquet stand-in for Delta ``MERGE INTO``, with rewrite
+          cost O(touched buckets), not O(table). Point fetch prunes to the
+          ids' buckets. Trade-off: no namespace partition pruning.
         """
         cols = ["id", "embedding", "text", "metadata", "namespace"]
         if "embedding" in batch.columns:
@@ -129,16 +163,13 @@ class VectorIndex:
                 else F.monotonically_increasing_id()
             ).alias("_seq"),
         ).withColumn("_gen", F.lit(1))
+        if self.num_id_buckets > 0:
+            self._upsert_bucketed(batch, cols)
+            return
         existing = self.read().select(*cols).withColumn("_seq", F.lit(-1)).withColumn(
             "_gen", F.lit(0)
         )
-        merged = batch.unionByName(existing)
-        w = Window.partitionBy("id").orderBy(F.col("_gen").desc(), F.col("_seq").desc())
-        winner = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(*cols)
-        )
+        winner = self._merge(batch, existing, cols)
         tmp = self.path + ".staging"
         # namespace is the partition column (the reference models namespaces
         # but never uses them, main.go:54 — here they buy file pruning for
@@ -154,9 +185,70 @@ class VectorIndex:
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
 
+    @staticmethod
+    def _merge(batch: DataFrame, existing: DataFrame, cols: list[str]) -> DataFrame:
+        merged = batch.unionByName(existing)
+        w = Window.partitionBy("id").orderBy(F.col("_gen").desc(), F.col("_seq").desc())
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols)
+        )
+
+    def _upsert_bucketed(self, batch: DataFrame, cols: list[str]) -> None:
+        """Bounded-rewrite merge: only the batch's id-buckets are read,
+        merged, and overwritten (dynamic partition overwrite replaces
+        exactly the partitions present in the output — and every touched
+        bucket IS present, since the batch has rows in it)."""
+        b = self._bucket_of(F.col("id"), self.num_id_buckets)
+        batch = batch.withColumn("_bucket", b)
+        touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
+        raw = self._read_raw()
+        if "_bucket" in raw.columns:
+            existing = (
+                raw.where(F.col("_bucket").isin(touched))  # partition-pruned read
+                .select(*cols)
+                .withColumn("_seq", F.lit(-1))
+                .withColumn("_gen", F.lit(0))
+                .withColumn("_bucket", b)
+            )
+            batch = batch.unionByName(existing)
+        w = Window.partitionBy("id").orderBy(F.col("_gen").desc(), F.col("_seq").desc())
+        winner = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols, "_bucket")
+        )
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            winner.repartition(F.col("_bucket")).write.partitionBy("_bucket").mode(
+                "overwrite"
+            ).parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def fetch(self, ids: list[str]) -> DataFrame:
         """S3: point fetch by id (reference main.go:141-180) — an IN filter
-        that parquet pushes down to row-group/dictionary pruning."""
+        that parquet pushes down to row-group/dictionary pruning; on a
+        bucketed index the lookup first prunes to the ids' hash buckets
+        (file-level pruning), then filters ids within them."""
+        df = self._read_raw()
+        if self.num_id_buckets > 0 and "_bucket" in df.columns:
+            tiny = self.spark.createDataFrame([(i,) for i in ids], "id string")
+            buckets = [
+                r["b"]
+                for r in tiny.select(
+                    self._bucket_of(F.col("id"), self.num_id_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            return (
+                df.where(F.col("_bucket").isin(buckets))
+                .where(F.col("id").isin(ids))
+                .drop("_bucket")
+            )
         return self.read().where(F.col("id").isin(ids))
 
     def stats(self) -> DataFrame:
