@@ -64,3 +64,31 @@ def test_self_cosine_is_one_on_real_data(embeddings):
         .count()
     )
     assert bad == 0
+
+
+def test_int8_quantization_roundtrip_error(spark, embeddings):
+    from whatsapp_vectordb_spark.functions.vector import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = embeddings.limit(50).select("vec_id", "embedding")
+    deq = emb.select(
+        "vec_id",
+        "embedding",
+        dequantize_int8(quantize_int8("embedding")).alias("deq"),
+    )
+    errs = deq.select(
+        F.min(cosine_similarity("embedding", "deq")).alias("worst")
+    ).head()
+    assert errs["worst"] > 0.999  # int8 keeps cosine geometry
+
+
+def test_int8_quantization_null_for_zero_vector(spark):
+    from whatsapp_vectordb_spark.functions.vector import quantize_int8
+
+    df = spark.createDataFrame([([0.0, 0.0],), ([1.0, -2.0],)], "v array<float>")
+    rows = df.select(quantize_int8("v").alias("q")).collect()
+    assert rows[0]["q"] is None
+    assert rows[1]["q"]["values"] == [64, -127]

@@ -1556,3 +1556,90 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.multimodal import resize_dims_plan
 
     return resize_dims_plan(_media_df(spark, sf_dir), max_side=512)
+
+
+_ANN_LSH_BATCHED_ORACLE = """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+qb AS (SELECT vec_id AS query_id, band, chunk FROM banded WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT DISTINCT qb.query_id, banded.vec_id
+  FROM banded JOIN qb ON banded.band = qb.band AND banded.chunk = qb.chunk
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT c.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv ON qv.query_id = c.query_id
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+)
+SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@_register("ann_lsh_batched", _ANN_LSH_BATCHED_ORACLE)
+def ann_lsh_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk_batched
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return portable_lsh_topk_batched(
+        emb, query_ids=[0, 1, 2], k=5, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE
+    )
+
+
+@_register(
+    "vector_quantize_int8",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(q.scale, 9) AS scale,
+       md5(array_to_string(
+         list_transform(e.embedding::DOUBLE[], x -> CAST(round(x / q.scale) AS BIGINT)),
+         ',')) AS q_md5
+FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+WHERE q.scale > 0
+""",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.vector import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8("embedding")
+    return emb.select("vec_id", q.alias("q")).where(F.col("q").isNotNull()).select(
+        "vec_id",
+        F.round(F.col("q.scale"), 9).alias("scale"),
+        F.md5(
+            F.array_join(F.transform(F.col("q.values"), lambda v: v.cast("long").cast("string")), ",")
+        ).alias("q_md5"),
+    )

@@ -384,3 +384,73 @@ def mllib_lsh_topk(
 
     out = model.approxNearestNeighbors(feat, Vectors.dense(q), k, distCol="distance")
     return out.select(F.col(id_col), F.round("distance", 6).alias("distance"))
+
+
+def portable_lsh_topk_batched(
+    index_df: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    impl: str = "expr",
+) -> DataFrame:
+    """Batched ANN: many stored query vectors probed in ONE pass. The
+    signature map runs once over the index; all queries' bucket keys
+    broadcast together; per-query candidates verify + window-rank.
+
+    Returns ``(query_id, id, score, rank)``. Scale shape: index scanned
+    once regardless of |Q| (vs |Q| passes for repeated single probes);
+    shuffle is candidates only, never |Q|×N.
+    """
+    rows_per_band = n_planes // bands
+    dim = len(index_df.select(vec_col).head()[0])
+    planes = portable_planes(dim, n_planes, seed)
+    if impl == "numpy":
+        sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
+    else:
+        sig = index_df.select(
+            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+        )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
+    )
+    qb = banded.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "band", "chunk"
+    )
+    cand = (
+        banded.join(F.broadcast(qb), ["band", "chunk"])
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    qvecs = index_df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        cand.join(index_df.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    score = cosine_similarity(F.col("_qv"), F.col(vec_col))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = scored.select("query_id", id_col, score.alias("score")).where(
+        F.col("score").isNotNull()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
