@@ -1643,3 +1643,23 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(F.col("q.values"), lambda v: v.cast("long").cast("string")), ",")
         ).alias("q_md5"),
     )
+
+
+@_register(
+    "streaming_enriched_counts",
+    """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: events replayed through the streaming
+    engine, enriched with the static customer dim per micro-batch; result
+    must equal the batch join+aggregate (the oracle)."""
+    from whatsapp_vectordb_spark.streaming.ops import run_stream_static_enrich
+
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_stream_static_enrich(spark, os.path.join(sf_dir, "events.parquet"), dim)

@@ -235,6 +235,45 @@ def run_streaming_distinct(spark, events_path: str, watermark: str = "1 day") ->
     return spark.table(name)
 
 
+def run_stream_static_enrich(spark, events_path: str, dim_df: DataFrame) -> DataFrame:
+    """Stream-static join: the event stream enriched against a broadcast
+    dimension table (the canonical streaming-ETL shape: facts stream, dims
+    don't). The static side re-resolves per micro-batch; no state needed.
+    Returns per-(mktsegment, event_type) counts after full replay."""
+    import os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    enriched = stream.join(
+        F.broadcast(dim_df), stream["user_id"] == dim_df["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
     """Helper for tests: sink a streaming frame to an in-memory table and
     return the StreamingQuery (caller awaits + stops)."""
