@@ -166,3 +166,42 @@ def test_bucketed_fetch_prunes_partitions(spark, tmp_path, embeddings):
     p = got._jdf.queryExecution().explainString(em)
     assert "PartitionFilters" in p and "_bucket" in p.split("PartitionFilters")[1][:160]
     assert {r["id"] for r in got.collect()} == {"v3", "v4"}
+
+
+def test_compact_merges_accumulated_upsert_files(spark, tmp_path, embeddings):
+    import os
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "compactable", dimension=64, num_id_buckets=4
+    )
+    base = embeddings.limit(40).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"), "embedding"
+    )
+    idx.upsert(base.withColumn("text", F.lit("gen2")))
+    # upserts rewrite whole partitions (always 1 file generation); the
+    # small-file case comes from append-mode sinks (e.g. a streaming
+    # ingest) — simulate two appended micro-batch files in one bucket
+    bucket_dir = next(
+        os.path.join(idx.path, d) for d in sorted(os.listdir(idx.path)) if d.startswith("_bucket=")
+    )
+    appended = spark.read.parquet(bucket_dir)
+    for _ in range(2):
+        appended.coalesce(1).write.mode("append").parquet(bucket_dir)
+    before = idx.read().count()
+
+    def max_files():
+        counts = []
+        for d in os.listdir(idx.path):
+            if d.startswith("_bucket="):
+                full = os.path.join(idx.path, d)
+                counts.append(sum(1 for f in os.listdir(full) if f.endswith(".parquet")))
+        return max(counts)
+
+    assert max_files() > 1
+    n = idx.compact()
+    assert n == 1  # only the crowded bucket rewritten
+    assert max_files() == 1
+    assert idx.read().count() == before  # content preserved (incl. appended rows)
+    assert idx.fetch(["v3"]).head()["text"] == "gen2"

@@ -1663,3 +1663,19 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return run_stream_static_enrich(spark, os.path.join(sf_dir, "events.parquet"), dim)
+
+
+@_register(
+    "streaming_stream_stream_join",
+    """
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 300 SECONDS
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_stream_stream_join
+
+    return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))

@@ -251,6 +251,44 @@ class VectorIndex:
             )
         return self.read().where(F.col("id").isin(ids))
 
+    def compact(self, max_files_per_partition: int = 1) -> int:
+        """Maintenance: rewrite partitions that have accumulated more than
+        ``max_files_per_partition`` parquet files (repeated bounded-rewrite
+        upserts leave one file generation per batch). Returns the number of
+        partitions compacted. Same dynamic-overwrite trick as the bucketed
+        upsert — untouched partitions are not rewritten."""
+        if not os.path.exists(self.path):
+            return 0
+        part_cols = [
+            d.split("=")[0]
+            for d in os.listdir(self.path)
+            if "=" in d and not d.startswith(".")
+        ][:1]
+        if not part_cols:  # unpartitioned or empty — nothing partition-wise to do
+            return 0
+        pcol = part_cols[0]
+        crowded = []
+        for d in os.listdir(self.path):
+            if not d.startswith(f"{pcol}="):
+                continue
+            full = os.path.join(self.path, d)
+            n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+            if n > max_files_per_partition:
+                crowded.append(d.split("=", 1)[1])
+        if not crowded:
+            return 0
+        raw = self._read_raw()
+        subset = raw.where(F.col(pcol).isin(*crowded))
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            subset.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
+                "overwrite"
+            ).parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return len(crowded)
+
     def stats(self) -> DataFrame:
         """A3: describe_index_stats (reference debug-commands.txt:10-12):
         total vector count plus per-namespace counts."""

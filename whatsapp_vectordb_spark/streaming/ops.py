@@ -274,6 +274,80 @@ def run_stream_static_enrich(spark, events_path: str, dim_df: DataFrame) -> Data
     return spark.table(name)
 
 
+def run_stream_stream_join(
+    spark,
+    events_path: str,
+    window_s: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks: click events joined to the
+    same user's error events within ``window_s`` seconds *after* the click.
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's state is droppable once the other side's
+    watermark passes — bounded state on unbounded streams. On bounded
+    replay the result must equal the batch inequality join (the oracle).
+    """
+    import os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+
+    def src():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+        if dict(s.dtypes)["ts"] == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return s
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        src()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window_s} SECONDS")),
+        "inner",
+    ).select("click_id", "error_id", F.col("c_user").alias("user_id"))
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
     """Helper for tests: sink a streaming frame to an in-memory table and
     return the StreamingQuery (caller awaits + stops)."""
