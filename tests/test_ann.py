@@ -102,3 +102,25 @@ def test_portable_lsh_numpy_impl_identical_buckets(spark, embeddings):
     a = portable_lsh_topk(embeddings, query_id=0, k=10, round_to=6, impl="expr").collect()
     b = portable_lsh_topk(embeddings, query_id=0, k=10, round_to=6, impl="numpy").collect()
     assert [(r["vec_id"], r["score"]) for r in a] == [(r["vec_id"], r["score"]) for r in b]
+
+
+def test_multiprobe_candidates_superset_and_recall(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import (
+        portable_lsh_topk,
+        portable_lsh_topk_multiprobe,
+    )
+
+    qvec = embeddings.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = {r["vec_id"] for r in topk(embeddings, qvec, k=10).collect()}
+    single = portable_lsh_topk(embeddings, query_id=0, k=10, round_to=6).collect()
+    multi = portable_lsh_topk_multiprobe(embeddings, query_id=0, k=10, round_to=6).collect()
+    # the query's own bucket is always among the probes -> single-probe
+    # hits can only be displaced by better candidates, never lost
+    assert multi[0]["vec_id"] == 0
+    single_scores = [r["score"] for r in single]
+    multi_scores = [r["score"] for r in multi]
+    # same k: multi-probe's k-th best is >= single-probe's (more candidates)
+    assert multi_scores >= single_scores
+    recall_multi = len(exact & {r["vec_id"] for r in multi}) / 10
+    recall_single = len(exact & {r["vec_id"] for r in single}) / 10
+    assert recall_multi >= recall_single

@@ -889,6 +889,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_LSH_MULTIPROBE_ORACLE = """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+qb AS (SELECT band, chunk FROM banded WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT band,
+         CASE WHEN f.f = 0 THEN chunk
+              ELSE substr(chunk, 1, f.f - 1)
+                   || (CASE WHEN substr(chunk, f.f, 1) = '1' THEN '0' ELSE '1' END)
+                   || substr(chunk, f.f + 1, 4)
+         END AS chunk
+  FROM qb CROSS JOIN range(0,5) f(f)
+),
+cand AS (SELECT DISTINCT banded.vec_id
+         FROM banded JOIN probes ON banded.band = probes.band AND banded.chunk = probes.chunk),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_lsh_multiprobe", _ANN_LSH_MULTIPROBE_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return portable_lsh_topk_multiprobe(
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE
+    )
+
+
 @_register("ann_ivf_topk")  # KMeans centroids — rows-only check by design
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.ann import IvfIndex
