@@ -81,3 +81,27 @@ def test_embedding_near_duplicates(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(emb, threshold=0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from whatsapp_vectordb_spark.operators.dedup import (
+        canonicalize_duplicates,
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    # 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    verdict = {r["id"]: r for r in canonicalize_duplicates(pairs).collect()}
+    assert verdict[3]["canonical_id"] == 1 and verdict[3]["is_canonical"] == 0
+    assert verdict[1]["is_canonical"] == 1
+    assert verdict[1]["cluster_size"] == 4
+    assert verdict[12]["cluster_size"] == 3
+    kept = {i for i, r in verdict.items() if r["is_canonical"] == 1}
+    assert kept == {1, 10, 20}

@@ -573,6 +573,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb.unionByName(dupes), threshold=0.95)
 
 
+@_register(
+    "dedup_components",
+    """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS id,
+       component AS canonical_id,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       CASE WHEN node = component THEN 1 ELSE 0 END AS is_canonical
+FROM comp
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine near-dup evidence → per-doc keep/drop verdict:
+    hash-min connected components + min-id canonical election. The oracle
+    recomputes components with a recursive CTE (min reachable id)."""
+    from whatsapp_vectordb_spark.operators.dedup import (
+        canonicalize_duplicates,
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_duplicates(emb.unionByName(dupes), threshold=0.95)
+    return canonicalize_duplicates(pairs)
+
+
 # ==========================================================================
 # Text analysis (extension surface: token stats, quality, language-ID,
 # fingerprints) — all map-only Catalyst expressions over `documents`.

@@ -354,3 +354,82 @@ def embedding_near_duplicates(
         "id_b",
         F.round(cosine_similarity("va", "vb"), round_to).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected dup-pair graph by hash-min
+    label propagation: every node starts labeled with its own id; each
+    round a node takes the minimum label among itself and its neighbors;
+    converged when no label changes. Returns ``(node, component)`` where
+    ``component`` is the smallest node id in the cluster.
+
+    This is the step that turns pairwise near-dup evidence (MinHash/SimHash/
+    cosine pairs) into a keep/drop decision — one canonical doc per cluster.
+
+    Scale shape: each round is one join edges⋈labels + one min-groupBy —
+    shuffles keyed by node id, state is O(|V|), rounds are O(graph
+    diameter) ≈ O(log n) for the short near-dup chains dedup produces (the
+    large-star/small-star variant of Kiveris et al. would cut round count
+    for pathological chains). Iteration happens on the driver but every
+    round is a distributed plan — no per-node Python. Each round's labels
+    are cached and the previous round unpersisted; convergence is one
+    count() of changed labels per round.
+    """
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .dropDuplicates(["node", "nbr"])
+        .cache()
+    )
+    labels = und.select("node").dropDuplicates().withColumn("label", F.col("node")).cache()
+    for _ in range(max_iter):
+        prop = und.join(
+            labels.withColumnRenamed("node", "nbr").withColumnRenamed("label", "nbr_label"),
+            "nbr",
+        ).select("node", F.col("nbr_label").alias("label"))
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonicalize_duplicates(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-node dedup verdict from pairwise evidence: cluster the dup graph
+    (``connected_components``), elect the minimum id as the cluster's
+    canonical representative, and emit ``(id, canonical_id, cluster_size,
+    is_canonical)``. Downstream keeps rows where ``is_canonical = 1`` (or
+    anti-joins the rest away); singleton docs never enter the graph and are
+    implicitly kept."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("id"),
+        F.col("component").alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        F.when(F.col("node") == F.col("component"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_canonical"),
+    )
