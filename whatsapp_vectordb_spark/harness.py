@@ -1778,3 +1778,73 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.streaming.ops import run_stream_stream_join
 
     return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Deterministic sampling (operators/sampling.py) — dataset-curation layer:
+# hash-fraction sampling, leakage-proof split assignment, per-group caps.
+# All md5-bucket based so the oracle reproduces exact membership.
+# ==========================================================================
+
+_BUCKET_SQL = "('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+
+
+@_register(
+    "sample_hash_fraction",
+    f"""
+SELECT doc_id, lang FROM documents WHERE {_BUCKET_SQL} < 1000
+""",
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample: membership is a pure function of doc_id —
+    stable under repartitioning, appends, and engine choice (vs
+    ``df.sample``, which is partition-layout dependent)."""
+    from whatsapp_vectordb_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(docs, "doc_id", fraction=0.10)
+
+
+@_register(
+    "sample_split_assign",
+    f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+""",
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment from cumulative hash-bucket ranges;
+    a row's split never changes as the corpus grows, so cross-split leakage
+    is impossible by construction. Output: per-(split, lang) counts."""
+    from whatsapp_vectordb_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        assign_splits(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_register(
+    "sample_group_cap",
+    f"""
+WITH b AS (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+      FROM b)
+SELECT doc_id, lang FROM r WHERE rk <= 50
+""",
+)
+def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsample: ≤50 docs per language, hash-ranked — the
+    rebalancing step that stops a dominant language from swamping a
+    training mix. One window shuffle keyed by group."""
+    from whatsapp_vectordb_spark.operators.sampling import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_cap(docs, "lang", "doc_id", n_per_group=50)

@@ -1,0 +1,91 @@
+"""Deterministic sampling for dataset curation (green-field extension —
+the reference has no sampling; this is the train/val/test and
+downsampling layer a 100 TB training-data pipeline needs).
+
+Everything keys off ``portable_hash`` (md5-derived, engine-portable) so:
+
+- the same row lands in the same split/sample on every run, on every
+  engine, regardless of partitioning or row order (unlike ``df.sample``,
+  whose output depends on partition layout);
+- membership is decided row-locally — a map-only filter, no shuffle, no
+  global coordination; adding data never reassigns existing rows;
+- the DuckDB oracle reproduces the exact member set bit-for-bit.
+
+Scale shape: ``hash_sample`` and ``assign_splits`` are pure Catalyst
+projections/filters (codegen'd, pushdown-friendly). ``stratified_cap`` is
+one window (shuffle by group key) — the standard per-group quota; skewed
+groups are bounded by the cap itself, so the window state per key is
+O(cap) after the rank filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.text import portable_hash
+
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(id_col: Column | str, seed: int = 0) -> Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS) from the row id — the basis for
+    fraction sampling and split assignment. DuckDB twin:
+    ``('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT % 10000``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return portable_hash(c.cast("string"), seed=seed, nibbles=8) % SAMPLE_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose bucket falls
+    below ``fraction·SAMPLE_BUCKETS``. Map-only; reproducible under
+    repartitioning and incremental appends."""
+    cut = int(round(fraction * SAMPLE_BUCKETS))
+    return df.where(sample_bucket(id_col, seed) < cut)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a ``split`` label ('train'/'val'/'test' by default) from
+    cumulative bucket ranges — a row's split never changes as the corpus
+    grows, and leakage across splits is impossible by construction
+    (membership is a pure function of the id)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = sample_bucket(id_col, seed)
+    expr = None
+    acc = 0.0
+    last = list(weights)[-1]
+    for name, w in weights.items():
+        acc += w
+        cut = int(round(acc * SAMPLE_BUCKETS))
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr.otherwise(last))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Balanced downsample: at most ``n_per_group`` rows per group, chosen
+    deterministically (ranked by hash bucket, id-tie-broken) — the
+    rebalancing step that stops a dominant language/source from swamping a
+    training mix."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
