@@ -124,3 +124,64 @@ def test_multiprobe_candidates_superset_and_recall(spark, embeddings):
     recall_multi = len(exact & {r["vec_id"] for r in multi}) / 10
     recall_single = len(exact & {r["vec_id"] for r in single}) / 10
     assert recall_multi >= recall_single
+
+
+def test_portable_lsh_join_subset_of_allpairs_and_full_dup_recall(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+    from whatsapp_vectordb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = embeddings.limit(200).select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in portable_lsh_join(corpus, threshold=0.99, impl="numpy").collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_duplicates(corpus, threshold=0.99).collect()
+    }
+    # LSH candidates verify with the same exact cosine: never a false pair
+    assert lsh <= exact
+    # identical vectors share every band bucket -> every planted dup found
+    planted = {p for p in exact if p[1] == p[0] + 1000000}
+    assert planted <= lsh
+
+
+def test_portable_lsh_join_expr_numpy_identical(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+
+    emb = embeddings.limit(100).select("vec_id", "embedding")
+    a = {tuple(r) for r in portable_lsh_join(emb, threshold=0.8, impl="expr").collect()}
+    b = {tuple(r) for r in portable_lsh_join(emb, threshold=0.8, impl="numpy").collect()}
+    assert a == b
+
+
+def test_missing_query_id_raises_clear_error(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    with pytest.raises(ValueError, match="not found in index"):
+        portable_lsh_topk(embeddings, query_id=99999999, k=5).collect()
+
+
+def test_empty_index_dim_inference_raises_clear_error(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    empty = embeddings.where(F.lit(False))
+    with pytest.raises(ValueError, match="cannot infer vector dimension"):
+        portable_lsh_topk(empty, query_id=0, k=5)
+
+
+def test_dim_param_skips_head_probe(spark, embeddings):
+    """With dim passed from the index registry, building the probe plan must
+    not run a scan-first-row driver job (or any job)."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk_batched
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = portable_lsh_topk_batched(embeddings, query_ids=[0, 1], k=5, dim=64)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before
+    assert df.columns == ["query_id", "vec_id", "score", "rank"]

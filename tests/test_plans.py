@@ -146,3 +146,42 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_embedding_lsh_join_never_goes_cartesian(embeddings):
+    """The scale-safe embedding near-dup join must be a (band, chunk)
+    equi-join — the plan an all-pairs cross join would die on at 100×."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+
+    p = plan(portable_lsh_join(embeddings, threshold=0.95, dim=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_jaccard_builds_shingle_table_once(documents, monkeypatch):
+    """Regression for the double shingle build (VERDICT r1 item 6): the
+    candidate and verify phases must share ONE hashed-shingle table."""
+    from whatsapp_vectordb_spark.operators import dedup
+
+    calls = []
+    orig = dedup._hashed_shingles
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dedup, "_hashed_shingles", counting)
+    dedup.jaccard_near_duplicates(documents.limit(50), max_shingle_freq=40)
+    assert len(calls) == 1
+
+
+def test_minhash_verify_joins_on_int64_keys(documents):
+    """The Jaccard verify joins must shuffle 8-byte hashed shingle ids,
+    never shingle strings (VERDICT r1 perf item)."""
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+
+    p = plan(minhash_near_duplicates(documents.limit(50)))
+    # the verify join condition is on the int64 _h columns
+    assert "_h" in p
+    # no join keyed on a raw shingle string survives in the plan
+    assert "hashpartitioning(shingle" not in p

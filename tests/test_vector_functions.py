@@ -92,3 +92,51 @@ def test_int8_quantization_null_for_zero_vector(spark):
     rows = df.select(quantize_int8("v").alias("q")).collect()
     assert rows[0]["q"] is None
     assert rows[1]["q"]["values"] == [64, -127]
+
+
+def test_sparse_roundtrip_and_cosine_matches_dense(spark, embeddings):
+    from whatsapp_vectordb_spark.functions.vector import (
+        cosine_similarity,
+        dense_to_sparse,
+        sparse_cosine,
+        sparse_dot,
+        sparse_to_dense,
+    )
+
+    emb = embeddings.limit(20).select("vec_id", "embedding")
+    # threshold 0 keeps every non-zero component -> roundtrip is exact
+    rt = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("orig"),
+        sparse_to_dense(dense_to_sparse("embedding", threshold=0.0), dim=64).alias("back"),
+    )
+    bad = rt.where(
+        F.exists(F.zip_with("orig", "back", lambda a, b: F.abs(a - b) > 1e-12), lambda x: x)
+    ).count()
+    assert bad == 0
+
+    # sparse cosine at threshold 0 == dense cosine
+    q = emb.where(F.col("vec_id") == emb.head()["vec_id"]).select(
+        F.col("embedding").alias("qv"),
+        dense_to_sparse("embedding", threshold=0.0).alias("qsp"),
+    )
+    both = emb.crossJoin(q).select(
+        F.round(cosine_similarity("embedding", "qv"), 9).alias("dense"),
+        F.round(sparse_cosine(dense_to_sparse("embedding", 0.0), F.col("qsp")), 9).alias(
+            "sparse"
+        ),
+    )
+    assert both.where(F.col("dense") != F.col("sparse")).count() == 0
+
+    # disjoint index sets -> dot 0
+    from pyspark.sql import Row
+
+    two = spark.createDataFrame(
+        [
+            Row(a={"indices": [0, 2], "values": [1.0, 2.0]},
+                b={"indices": [1, 3], "values": [5.0, 7.0]}),
+        ],
+        "a struct<indices:array<int>,values:array<float>>, "
+        "b struct<indices:array<int>,values:array<float>>",
+    )
+    assert two.select(sparse_dot("a", "b").alias("d")).head()["d"] == 0.0

@@ -114,6 +114,80 @@ def register_sql_functions(spark) -> None:
             break
 
 
+# ---------------------------------------------------------------------------
+# Sparse vectors — the reference models SparseValues {indices[], values[]}
+# (reference main.go:45-48) but never produces them; here the model gets
+# real operators (types.SPARSE_VECTOR_SCHEMA is the struct shape). All pure
+# HOF expressions: JVM-side, no Python, SQL-oracle reproducible.
+# ---------------------------------------------------------------------------
+
+
+def dense_to_sparse(a: Column | str, threshold: float = 0.0) -> Column:
+    """``struct(indices ARRAY<INT>, values ARRAY<FLOAT>)`` keeping the
+    components with ``|x| > threshold`` (0-based indices, ascending).
+    Thresholded sparsification is the storage trade for mostly-zero
+    embeddings (TF-IDF, splade-style): O(nnz) instead of O(dim)."""
+    a = F.col(a) if isinstance(a, str) else a
+    idx = F.filter(
+        F.sequence(F.lit(0), F.size(a) - 1),
+        lambda i: F.abs(F.element_at(a, i + 1).cast("double")) > threshold,
+    )
+    return F.struct(
+        idx.cast("array<int>").alias("indices"),
+        F.transform(idx, lambda i: F.element_at(a, i + 1)).alias("values"),
+    )
+
+
+def sparse_to_dense(s: Column | str, dim: int) -> Column:
+    """Inverse of ``dense_to_sparse``: ARRAY<DOUBLE> of length ``dim`` with
+    zeros at absent indices."""
+    s = F.col(s) if isinstance(s, str) else s
+
+    def at(i):
+        pos = F.array_position(s["indices"], i.cast("int")).cast("int")
+        return F.when(pos > 0, F.element_at(s["values"], pos).cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), at)
+
+
+def sparse_dot(sa: Column | str, sb: Column | str) -> Column:
+    """<a, b> over matching indices — O(nnz_a · nnz_b) index probes per
+    pair (fine for the short post-threshold lists this models; pre-sort and
+    merge in a Pandas UDF if nnz grows to thousands)."""
+    sa = F.col(sa) if isinstance(sa, str) else sa
+    sb = F.col(sb) if isinstance(sb, str) else sb
+    def term(i, v):
+        pos = F.array_position(sb["indices"], i).cast("int")
+        return F.when(
+            pos > 0,
+            v.cast("double") * F.element_at(sb["values"], pos).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    terms = F.zip_with(sa["indices"], sa["values"], term)
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sparse_norm(s: Column | str) -> Column:
+    s = F.col(s) if isinstance(s, str) else s
+    return F.sqrt(
+        F.aggregate(
+            F.transform(s["values"], lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def sparse_cosine(sa: Column | str, sb: Column | str) -> Column:
+    """Cosine over sparse structs; NULL when either norm is zero."""
+    sa = F.col(sa) if isinstance(sa, str) else sa
+    sb = F.col(sb) if isinstance(sb, str) else sb
+    denom = sparse_norm(sa) * sparse_norm(sb)
+    return F.when(denom > 0.0, sparse_dot(sa, sb) / denom)
+
+
 def quantize_int8(a: Column | str) -> Column:
     """Symmetric int8 quantization: ``struct(scale, values ARRAY<TINYINT>)``
     with ``scale = max|x| / 127``, ``q_i = round(x_i / scale)``. 4× smaller

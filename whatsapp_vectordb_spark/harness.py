@@ -380,7 +380,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(num_hashes: int, shingle_n: int, source: str) -> str:
-    # mirrors dedup._signatures_from_shingles: one md5 per shingle, split
+    # mirrors dedup._signatures_from_hashed: one md5 per shingle, split
     # into 32-bit halves x1/x2, h_i = (x1 + i*x2) & 0xFFFFFFFF
     mins = ",\n       ".join(
         f"MIN((x1 + {i} * x2) & 4294967295) AS s{i}" for i in range(num_hashes)
@@ -545,7 +545,11 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.dedup import simhash_pairs
 
-    out = simhash_pairs(_augmented_docs(spark, sf_dir), bits=48, band_bits=12, max_hamming=3)
+    # impl='pandas' folds bit sums via numpy — bit-identical to the expr
+    # form the oracle mirrors, severalfold cheaper at bench scale
+    out = simhash_pairs(
+        _augmented_docs(spark, sf_dir), bits=48, band_bits=12, max_hamming=3, impl="pandas"
+    )
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -571,6 +575,74 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     return embedding_near_duplicates(emb.unionByName(dupes), threshold=0.95)
+
+
+_DEDUP_EMB_LSH_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM corpus CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand c
+JOIN corpus va ON va.vec_id = c.id_a
+JOIN corpus vb ON vb.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) >= 0.95
+"""
+
+
+@_register("dedup_embedding_lsh", _DEDUP_EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of ``dedup_embedding_cosine``: LSH-bucketed
+    candidate pairs (band-key equi-join, never a cross join) + exact
+    cosine verify. The oracle reproduces the integer-exact buckets, and
+    ``dedup_embedding_cosine`` above remains the all-pairs ground truth
+    for recall."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return portable_lsh_join(
+        emb.unionByName(dupes),
+        threshold=0.95,
+        n_planes=16,
+        bands=4,
+        seed=0,
+        round_to=ROUND_SCORE,
+        impl="numpy",
+        dim=64,
+    )
 
 
 @_register(
@@ -928,8 +1000,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    # numpy impl computes bit-identical integer signatures (one int64
+    # matmul per batch); dim comes from the fixture registry, not a
+    # scan-first-row driver job
     return portable_lsh_topk(
-        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
+        impl="numpy", dim=64,
     )
 
 
@@ -984,18 +1060,56 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return portable_lsh_topk_multiprobe(
-        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
+        impl="numpy", dim=64,
     )
 
 
-@_register("ann_ivf_topk")  # KMeans centroids — rows-only check by design
+_IVF_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "ivf_oracle",
+)
+
+# The k-means build is not SQL-expressible, but the QUERY path is: the
+# harness persists the centroid assignment (partitionBy(centroid) parquet —
+# the real disk-resident IVF form) plus the chosen probe ids, and the
+# oracle re-runs the probe phase (centroid filter + exact top-k) over the
+# very same files. Build stays unchecked; the probe is hash-checked.
+_ANN_IVF_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVF_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT centroid FROM read_parquet('{_IVF_ORACLE_DIR}/probe/*.parquet')
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id, ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+FROM cells c JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+CROSS JOIN q
+WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_topk", _ANN_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.ann import IvfIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    idx = IvfIndex.build(emb, n_centroids=8)
-    return idx.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
+    idx = IvfIndex.build(emb.select("vec_id", "embedding"), n_centroids=8).save(
+        _IVF_ORACLE_DIR
+    )
+    # probe the SAVED index (file-level partition pruning on centroid), and
+    # persist the probed centroid ids so the oracle replays the same probe
+    loaded = IvfIndex.load(spark, _IVF_ORACLE_DIR)
+    probe_ids = loaded.probe_centroid_ids(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVF_ORACLE_DIR, "probe"))
+    return loaded.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
 
 
 @_register("embed_search_pipeline")  # deterministic embedder — rows-only (no SQL embedder)
@@ -1709,8 +1823,55 @@ def ann_lsh_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return portable_lsh_topk_batched(
-        emb, query_ids=[0, 1, 2], k=5, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE
+        emb, query_ids=[0, 1, 2], k=5, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
+        impl="numpy", dim=64,
     )
+
+
+# Sparse k-NN (types.SPARSE_VECTOR_SCHEMA, reference main.go:45-48): the
+# corpus is thresholded-sparsified embeddings; ranking uses the sparse
+# cosine over matching indices only. Candidates are restricted to vectors
+# sharing ≥1 sparse index with the query (arrays_overlap) — the same
+# inverted-index semantics the oracle's equi-join on idx expresses.
+_KNN_SPARSE_ORACLE = """
+WITH sp AS (
+  SELECT vec_id, i.i AS idx, embedding[i.i + 1]::DOUBLE AS v
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+  WHERE abs(embedding[i.i + 1]::DOUBLE) > 0.1
+),
+q AS (SELECT idx, v FROM sp WHERE vec_id = 0),
+dots AS (
+  SELECT sp.vec_id, SUM(sp.v * q.v) AS dot
+  FROM sp JOIN q ON sp.idx = q.idx GROUP BY 1
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM sp GROUP BY 1),
+qn AS (SELECT sqrt(SUM(v * v)) AS nrm FROM q)
+SELECT d.vec_id, ROUND(d.dot / (n.nrm * qn.nrm), 6) AS score
+FROM dots d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qn
+WHERE n.nrm > 0 AND qn.nrm > 0
+ORDER BY score DESC, d.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("knn_topk_sparse", _KNN_SPARSE_ORACLE)
+def knn_topk_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.vector import dense_to_sparse, sparse_cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", dense_to_sparse("embedding", threshold=0.1).alias("sp")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("sp").alias("qsp"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.arrays_overlap(F.col("sp.indices"), F.col("qsp.indices")))
+        .select(
+            "vec_id",
+            F.round(sparse_cosine("sp", "qsp"), ROUND_SCORE).alias("score"),
+        )
+        .where(F.col("score").isNotNull())
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10)
 
 
 @_register(

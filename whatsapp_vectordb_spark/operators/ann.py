@@ -34,6 +34,33 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _resolve_dim(index_df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimension, preferably caller-provided (from the index
+    registry, ``types.INDEX_REGISTRY_SCHEMA.dimension``). The ``head()``
+    fallback is a driver-side scan-first-row job BEFORE the real query —
+    acceptable interactively, wrong in a hot path on a big index."""
+    if dim is not None:
+        return dim
+    row = index_df.select(vec_col).where(F.col(vec_col).isNotNull()).head()
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dimension: no non-null '{vec_col}' rows in "
+            "the index; pass dim= explicitly (it lives in the index registry)"
+        )
+    return len(row[0])
+
+
+def _stored_query_vec(index_df: DataFrame, id_col: str, vec_col: str, query_id):
+    """Fetch a stored query vector by id — a point-lookup job — with a
+    clear error instead of `NoneType is not subscriptable` when absent."""
+    row = index_df.where(F.col(id_col) == query_id).select(vec_col).head()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"query_id {query_id!r} not found in index (or its '{vec_col}' is null)"
+        )
+    return row[0]
+
+
 def _signature_col(vec_col, planes: np.ndarray):
     """Bit-signature as a string of sign bits — computed with zip_with/
     aggregate HOFs per plane, whole-stage codegen'd."""
@@ -60,8 +87,7 @@ def cosine_lsh_bucketize(
     """Attach ``band``/``bucket`` columns: the signature is split into
     ``bands`` chunks; each (band, chunk) pair is a bucket key. Output has
     one row per input row per band (multi-probe)."""
-    if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+    dim = _resolve_dim(df, vec_col, dim)
     planes = _random_planes(dim, n_planes, seed)
     sig = _signature_col(F.col(vec_col), planes).alias("_sig")
     with_sig = df.withColumn("_sig", sig)
@@ -88,14 +114,16 @@ def cosine_lsh_join(
     bands: int = 4,
     seed: int = 42,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate similarity join: candidate pairs share an LSH bucket in
     ≥1 band, then exact cosine verification ≥ threshold. The join is on
     (band, bucket) — shuffle proportional to collisions, never |L|×|R|."""
-    lb = cosine_lsh_bucketize(left, vec_col, n_planes, bands, seed).select(
+    dim = _resolve_dim(left, vec_col, dim)
+    lb = cosine_lsh_bucketize(left, vec_col, n_planes, bands, seed, dim=dim).select(
         F.col(left_id), F.col(vec_col).alias("_va"), "band", "bucket"
     )
-    rb = cosine_lsh_bucketize(right, vec_col, n_planes, bands, seed).select(
+    rb = cosine_lsh_bucketize(right, vec_col, n_planes, bands, seed, dim=dim).select(
         F.col(right_id), F.col(vec_col).alias("_vb"), "band", "bucket"
     )
     cand = (
@@ -200,6 +228,7 @@ def portable_lsh_topk(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     impl: str = "expr",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k for a stored query vector (`query_id` row): candidates are
     vectors sharing ≥1 LSH band bucket with the query, then exact cosine
@@ -218,7 +247,7 @@ def portable_lsh_topk(
     the form to run on a big index).
     """
     rows_per_band = n_planes // bands
-    dim = len(index_df.select(vec_col).head()[0])
+    dim = _resolve_dim(index_df, vec_col, dim)
     planes = portable_planes(dim, n_planes, seed)
     if impl == "numpy":
         sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
@@ -245,7 +274,7 @@ def portable_lsh_topk(
         .dropDuplicates([id_col])
     )
     cand = index_df.join(cand_ids, id_col).select(id_col, vec_col)
-    qvec = index_df.where(F.col(id_col) == query_id).head()[vec_col]
+    qvec = _stored_query_vec(index_df, id_col, vec_col, query_id)
     return topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
 
 
@@ -260,6 +289,7 @@ def portable_lsh_topk_multiprobe(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     impl: str = "expr",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe ANN top-k: in each band, probe the query's own bucket
     AND every bucket at Hamming distance 1 (each single-bit flip of the
@@ -274,7 +304,7 @@ def portable_lsh_topk_multiprobe(
     4-bit chunks but the index is still scanned once and never |probes|×N.
     """
     rows_per_band = n_planes // bands
-    dim = len(index_df.select(vec_col).head()[0])
+    dim = _resolve_dim(index_df, vec_col, dim)
     planes = portable_planes(dim, n_planes, seed)
     if impl == "numpy":
         sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
@@ -316,8 +346,79 @@ def portable_lsh_topk_multiprobe(
         .dropDuplicates([id_col])
     )
     cand = index_df.join(cand_ids, id_col).select(id_col, vec_col)
-    qvec = index_df.where(F.col(id_col) == query_id).head()[vec_col]
+    qvec = _stored_query_vec(index_df, id_col, vec_col, query_id)
     return topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
+def portable_lsh_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 0,
+    round_to: int = 6,
+    impl: str = "expr",
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale-safe embedding near-duplicate SELF-join: candidate pairs
+    share ≥1 portable-LSH band bucket, then exact cosine verify ≥
+    ``threshold``. This is the 100 TB shape for what
+    ``dedup.embedding_near_duplicates`` computes all-pairs: the join is on
+    (band, chunk) keys — shuffle proportional to bucket collisions, never
+    O(n²) — and vectors never ride through the band explode; survivors
+    re-acquire them by id for verification.
+
+    Integer-exact signatures (quantize → ±1 md5 planes → sign) make the
+    candidate set bit-reproducible in a SQL oracle. Recall follows the
+    band S-curve: a true cos≈τ pair lands together w.p.
+    1-(1-p^r)^b with p = 1 - θ/π; exact duplicates always collide.
+    """
+    rows_per_band = n_planes // bands
+    dim = _resolve_dim(df, vec_col, dim)
+    planes = portable_planes(dim, n_planes, seed)
+    if impl == "numpy":
+        sig = portable_signature_numpy(df, planes, id_col, vec_col)
+    else:
+        sig = df.select(
+            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+        )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("_va", "_vb"), round_to).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 class IvfIndex:
@@ -393,14 +494,19 @@ class IvfIndex:
             assigned, np.asarray(meta["centroids"]), meta["id_col"], meta["vec_col"]
         )
 
-    def probe(self, query_vec, k: int = 10, nprobe: int = 3, round_to: int | None = None) -> DataFrame:
-        """Top-k among vectors in the ``nprobe`` centroids nearest (by
-        cosine) to the query — a partition-pruned exact search."""
+    def probe_centroid_ids(self, query_vec, nprobe: int = 3) -> list[int]:
+        """The ``nprobe`` centroid ids nearest the query by cosine — the
+        driver-side coarse quantization step (centroid matrix is tiny)."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = np.linalg.norm(q)
         cn = np.linalg.norm(self.centroids, axis=1)
         sims = (self.centroids @ q) / np.where(cn * qn == 0, 1.0, cn * qn)
-        probe_ids = [int(i) for i in np.argsort(-sims)[:nprobe]]
+        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    def probe(self, query_vec, k: int = 10, nprobe: int = 3, round_to: int | None = None) -> DataFrame:
+        """Top-k among vectors in the ``nprobe`` centroids nearest (by
+        cosine) to the query — a partition-pruned exact search."""
+        probe_ids = self.probe_centroid_ids(query_vec, nprobe)
         subset = self.assigned.where(F.col("centroid").isin(probe_ids))
         return topk(
             subset,
@@ -468,6 +574,7 @@ def portable_lsh_topk_batched(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     impl: str = "expr",
+    dim: int | None = None,
 ) -> DataFrame:
     """Batched ANN: many stored query vectors probed in ONE pass. The
     signature map runs once over the index; all queries' bucket keys
@@ -478,7 +585,7 @@ def portable_lsh_topk_batched(
     shuffle is candidates only, never |Q|×N.
     """
     rows_per_band = n_planes // bands
-    dim = len(index_df.select(vec_col).head()[0])
+    dim = _resolve_dim(index_df, vec_col, dim)
     planes = portable_planes(dim, n_planes, seed)
     if impl == "numpy":
         sig = portable_signature_numpy(index_df, planes, id_col, vec_col)

@@ -78,15 +78,28 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     )
 
 
-def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """H min-hashes from ONE md5 per shingle via double hashing
-    (Kirsch-Mitzenmacher): md5 → two 32-bit halves x1, x2;
-    h_i = (x1 + i·x2) mod 2^32. 16× fewer digest computations than
-    independent seeded hashes, identical SQL portability."""
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct shingles reduced to integers with ONE md5 per shingle:
+    ``(_x1, _x2)`` are the digest's two leading 32-bit halves (the MinHash
+    inputs) and ``_h`` is the leading 60 bits as a positive int64 —
+    the 8-byte key the Jaccard verify joins on instead of ~30-byte shingle
+    strings (smaller shuffles, long-vs-string comparisons). Collisions on
+    60 bits are ~n²/2⁶¹ per doc pair — beyond-negligible at any corpus the
+    inverted index itself survives."""
+    sh = _distinct_shingles(df, text_col, id_col, n)
     md5 = F.md5(F.col("shingle"))
-    x1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    x2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-    hashed = sh.select(id_col, x1.alias("_x1"), x2.alias("_x2"))
+    return sh.select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("_x1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("_x2"),
+    ).withColumn("_h", F.shiftleft(F.col("_x1"), 28) + F.shiftright(F.col("_x2"), 4))
+
+
+def _signatures_from_hashed(hashed: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """H min-hashes from the one-md5-per-shingle halves via double hashing
+    (Kirsch-Mitzenmacher): h_i = (x1 + i·x2) mod 2^32. 16× fewer digest
+    computations than independent seeded hashes, identical SQL
+    portability."""
     mask = F.lit((1 << 32) - 1)
     aggs = [
         F.min((F.col("_x1") + F.lit(i) * F.col("_x2")).bitwiseAND(mask)).alias(f"s{i}")
@@ -104,8 +117,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: columns ``s0..s{H-1}`` = min over the
     doc's distinct shingles of portable_hash(shingle, seed=i)."""
-    return _signatures_from_shingles(
-        _distinct_shingles(df, text_col, id_col, shingle_n), id_col, num_hashes
+    return _signatures_from_hashed(
+        _hashed_shingles(df, text_col, id_col, shingle_n), id_col, num_hashes
     )
 
 
@@ -129,10 +142,11 @@ def minhash_near_duplicates(
     knee at the threshold.
     """
     rows_per_band = num_hashes // bands
-    # the shingle table is the shared expensive intermediate: cache it and
-    # derive both the signatures and the Jaccard verification from it.
-    sh = _distinct_shingles(df, text_col, id_col, shingle_n).cache()
-    sig = _signatures_from_shingles(sh, id_col, num_hashes)
+    # the hashed-shingle table is the shared expensive intermediate: cache
+    # it (3 longs per row, not shingle strings) and derive both the
+    # signatures and the Jaccard verification from it.
+    sh = _hashed_shingles(df, text_col, id_col, shingle_n).cache()
+    sig = _signatures_from_hashed(sh, id_col, num_hashes)
     # one map producing all band keys, exploded — the signature lineage
     # (shingle explode + H hash mins) is evaluated once, not once per band
     # per join side; `banded` is tiny (docs × bands) and cached for the
@@ -174,15 +188,17 @@ def minhash_near_duplicates(
 
 
 def _verify_jaccard(
-    cand: DataFrame, shingles: DataFrame, id_col: str, threshold: float, round_to: int
+    cand: DataFrame, hashed: DataFrame, id_col: str, threshold: float, round_to: int
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via inverted-index join."""
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("_sb_id"), F.col("shingle").alias("shingle_b"))
+    """Exact Jaccard for candidate pairs via inverted-index join on the
+    60-bit int64 shingle ids — both verify joins shuffle 8-byte keys, not
+    shingle strings."""
+    sizes = hashed.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = hashed.select(F.col(id_col).alias("id_a"), "_h")
+    sb = hashed.select(F.col(id_col).alias("_sb_id"), F.col("_h").alias("_h_b"))
     inter = (
         cand.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("_sb_id")) & (F.col("shingle") == F.col("shingle_b")))
+        .join(sb, (F.col("id_b") == F.col("_sb_id")) & (F.col("_h") == F.col("_h_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -217,24 +233,27 @@ def jaccard_near_duplicates(
     candidate set is every pair sharing ≥1 (non-hot) shingle. This is the
     ground truth MinHash approximates; quadratic only in per-shingle
     collision counts, bounded by ``max_shingle_freq``."""
-    sh = _distinct_shingles(df, text_col, id_col, shingle_n).cache()
+    # ONE hashed-shingle build serves candidate generation AND verification
+    # (the hot-shingle cap filters candidates only; the Jaccard itself is
+    # always over the full shingle sets)
+    full = _hashed_shingles(df, text_col, id_col, shingle_n).cache()
+    sh = full
     if max_shingle_freq is not None:
         hot = (
-            sh.groupBy("shingle")
+            full.groupBy("_h")
             .agg(F.count("*").alias("freq"))
             .where(F.col("freq") > max_shingle_freq)
-            .select("shingle")
+            .select("_h")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        sh = full.join(F.broadcast(hot), "_h", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "_h")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    full = _distinct_shingles(df, text_col, id_col, shingle_n).cache()
     return _verify_jaccard(cand, full, id_col, threshold, round_to)
 
 
@@ -244,6 +263,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 48,
     shingle_n: int = 3,
+    impl: str = "expr",
 ) -> DataFrame:
     """``bits``-bit SimHash over distinct word ``shingle_n``-grams: bit j of
     the signature is the sign of Σ_features (±1 by bit j of
@@ -255,6 +275,13 @@ def simhash_signatures(
     hamming of each other under bag-of-words SimHash (measured: 12% of all
     pairs ≤ 3 bits on the synthetic corpus); 3-gram features keep unrelated
     docs ~bits/2 apart while one-token edits stay hamming-close.
+
+    ``impl='expr'`` folds the per-bit sums as ``bits`` aggregate
+    expressions (codegen'd, exactly reproducible in the SQL oracle);
+    ``impl='pandas'`` keeps the md5 hashing JVM-side but folds the bit
+    sums as ONE vectorized numpy popcount per doc group — identical
+    integer arithmetic, bit-for-bit the same signature, severalfold
+    cheaper than ``bits`` aggregates per row at scale.
     """
     if bits > 60:
         raise ValueError("bits must be <= 60 (int64 signature)")
@@ -263,6 +290,8 @@ def simhash_signatures(
     )
     h = portable_hash(F.col("tok"), nibbles=(bits + 3) // 4).alias("h")
     tok = tok.select(id_col, h)
+    if impl == "pandas":
+        return _simhash_fold_pandas(tok, id_col, bits)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -277,6 +306,27 @@ def simhash_signatures(
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def _simhash_fold_pandas(tok: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """Per-doc sign fold of already-hashed shingle values: one
+    (n_shingles × bits) ±1 matrix sum per group. The groupBy distribution
+    is already satisfied by ``_distinct_shingles``'s repartition(id), so
+    this adds no extra shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([tok.schema[id_col], StructField("simhash", LongType())])
+    j = np.arange(bits, dtype=np.int64)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = pdf["h"].to_numpy(dtype=np.int64)
+        signs = (((hs[:, None] >> j) & 1) * 2 - 1).sum(axis=0)
+        sim = int((((signs >= 0).astype(np.int64)) << j).sum())
+        return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "simhash": [sim]})
+
+    return tok.groupBy(id_col).applyInPandas(fold, schema=out_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -285,6 +335,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     band_bits: int = 12,
     shingle_n: int = 3,
+    impl: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -292,7 +343,7 @@ def simhash_pairs(
     (pigeonhole: distance ≤ bands-1 guarantees one identical chunk), then
     exact popcount verify — never all-pairs.
     """
-    sig = simhash_signatures(df, text_col, id_col, bits, shingle_n)
+    sig = simhash_signatures(df, text_col, id_col, bits, shingle_n, impl=impl)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     # one explode (NOT a per-band union of selects: each union branch would
@@ -387,6 +438,7 @@ def connected_components(
         .cache()
     )
     labels = und.select("node").dropDuplicates().withColumn("label", F.col("node")).cache()
+    changed = 0
     for _ in range(max_iter):
         prop = und.join(
             labels.withColumnRenamed("node", "nbr").withColumnRenamed("label", "nbr_label"),
@@ -408,6 +460,14 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    if changed != 0:
+        # partially-propagated labels are WRONG labels — downstream
+        # keep/drop verdicts would silently split clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed ≈ graph diameter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -153,17 +153,22 @@ def topk_batched_twophase(
             vecs = vecs[ok] / norms[ok]
             ids = pdf[id_col].to_numpy()[ok]
             sims = vecs @ qmat.T  # (n, Q)
-            kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (k, Q)
+            n = sims.shape[0]
+            kk = min(k, n)
             rows = []
             for qi in range(sims.shape[1]):
-                sel = top[:, qi]
+                # keep every row tied with the local rank-k score: ties at
+                # the boundary must all survive to the global rank so the
+                # (-score, id) winner can't be dropped partition-locally
+                col = sims[:, qi]
+                thr = np.partition(col, n - kk)[n - kk]
+                sel = np.flatnonzero(col >= thr)
                 rows.append(
                     pd.DataFrame(
                         {
                             "query_id": qids[qi],
                             id_col: ids[sel],
-                            "score": sims[sel, qi],
+                            "score": col[sel],
                         }
                     )
                 )

@@ -196,11 +196,16 @@ def run_sessionized_stream(spark, events_path: str, gap_minutes: int = 30) -> Da
 
 
 def run_streaming_distinct(spark, events_path: str, watermark: str = "1 day") -> DataFrame:
-    """Streaming exact dedup: ``withWatermark + dropDuplicates`` — the
-    streaming twin of ``operators.dedup.exact_duplicates`` for unbounded
-    ingest (state per key is dropped once the watermark passes, so dedup
-    state stays bounded). Replays the events table, emits the distinct
-    (user_id, event_type) key set."""
+    """Streaming exact dedup: ``withWatermark + dropDuplicatesWithinWatermark``
+    — the streaming twin of ``operators.dedup.exact_duplicates`` for
+    unbounded ingest. Dedup state for a key is evicted once the watermark
+    passes its last-seen event time, so state stays bounded at any stream
+    length; the tradeoff is that a key recurring *after* eviction is
+    re-emitted. (Plain ``dropDuplicates`` on a key subset without the event
+    -time column would keep every key forever — unbounded state.) On this
+    bounded replay the whole table arrives in one micro-batch (single
+    parquet file, initial watermark 0), so the output is exactly the
+    distinct (user_id, event_type) key set — which the oracle checks."""
     import os
     import uuid
 
@@ -215,7 +220,7 @@ def run_streaming_distinct(spark, events_path: str, watermark: str = "1 day") ->
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     deduped = (
         stream.withWatermark("ts", watermark)
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
     name = f"distinct_{uuid.uuid4().hex[:8]}"
