@@ -132,7 +132,31 @@ def main() -> None:
     def _():
         from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
 
-        portable_lsh_topk(emb, query_id=0, k=10, round_to=6).collect()
+        # numpy signature impl + registry-provided dim: the at-scale form
+        # (bit-identical buckets to the expr form the oracle checks)
+        portable_lsh_topk(emb, query_id=0, k=10, round_to=6, impl="numpy", dim=64).collect()
+
+    # --- 1536-dim fidelity (the reference's one hard constant: dimension
+    # 1536, reference main.go:27) — a deterministic 24× tiling of the
+    # 64-dim fixture preserves cosine structure exactly (dot and both
+    # norms scale by the same factor), so these measure the engine at the
+    # reference's real dimensionality. Corpus prep is cached outside the
+    # timed region; the two entries record the expr-HOF vs numpy crossover.
+    emb1536 = emb.select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 24)).alias("embedding")
+    ).cache()
+    emb1536.count()
+    q1536 = emb1536.where(F.col("vec_id") == 0).head()["embedding"]
+    qrows1536 = emb1536.limit(16).select("vec_id", "embedding").collect()
+
+    @timed("knn_topk_1536_expr")
+    def _():
+        topk(emb1536, q1536, k=10).collect()
+
+    @timed("knn_batched_1536_twophase")
+    def _():
+        queries = [(r["vec_id"], r["embedding"]) for r in qrows1536]
+        topk_batched_twophase(emb1536, queries, k=10).count()
 
     @timed("events_asof_purchase")
     def _():

@@ -67,3 +67,33 @@ def test_twophase_matches_window_plan(embeddings):
         single = topk(embeddings, qvec, k=4).collect()
         for rank, row in enumerate(single, start=1):
             assert got[(qid, rank)] == row["vec_id"]
+
+
+def test_1536_dim_expr_and_numpy_paths_agree(spark, embeddings):
+    """The reference's hard dimension constant is 1536 (main.go:27): the
+    interpreted-HOF expression path and the Arrow/numpy two-phase path
+    must rank identically there, not just at the 64-dim fixture size."""
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.search import topk, topk_batched_twophase
+
+    emb1536 = embeddings.limit(120).select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 24)).alias("embedding")
+    )
+    qrow = emb1536.where(F.col("vec_id") == 3).head()
+    assert len(qrow["embedding"]) == 1536
+    exact = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in topk(emb1536, qrow["embedding"], k=10, round_to=6).collect()
+    ]
+    two = topk_batched_twophase(emb1536, [(3, qrow["embedding"])], k=10).collect()
+    got = [(r["vec_id"], round(r["score"], 6)) for r in sorted(two, key=lambda r: r["rank"])]
+    assert got == exact
+    # tiling preserves cosine: the same ranking as the 64-dim original
+    base = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in topk(
+            embeddings.limit(120), qrow["embedding"][:64], k=10, round_to=6
+        ).collect()
+    ]
+    assert [v for v, _ in base] == [v for v, _ in exact]

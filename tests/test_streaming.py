@@ -82,3 +82,48 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir):
         for r in sessionized_counts(_events(spark, sf_dir), gap_minutes=30).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_index_upsert_replaces_by_id(spark, tmp_path):
+    """Two-batch replay into a bucketed index: a line re-ingested in a
+    later micro-batch must REPLACE its earlier row (same content-hash id),
+    never duplicate it — the foreachBatch twin of the batch upsert."""
+    import os
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+    from whatsapp_vectordb_spark.streaming.ops import run_streaming_index_upsert
+
+    src = tmp_path / "chat_in"
+    src.mkdir()
+    shared = "[09.09.23, 14:35:02] ~ amit: hello from both batches"
+    (src / "batch1.txt").write_text(
+        shared + "\n[09.09.23, 14:36:00] ~ dana: only in batch one\nnot a chat line\n"
+    )
+    (src / "batch2.txt").write_text(
+        shared + "\n[10.09.23, 08:00:00] ~ omer: only in batch two\n"
+    )
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path / "root"), "stream_idx", dimension=64, num_id_buckets=4
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .load(str(src))
+    )
+    run_streaming_index_upsert(
+        stream, idx, checkpoint=str(tmp_path / "ckpt")
+    )
+
+    rows = idx.read().collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # 3 distinct parseable lines -> 3 ids; the shared line appears ONCE
+    assert len(rows) == 3, [r["text"] for r in rows]
+    assert all(len(v) == 1 for v in by_id.values())
+    texts = {r["text"] for r in rows}
+    assert "hello from both batches" in texts
+    assert "only in batch one" in texts and "only in batch two" in texts
+    # embeddings present and at the index dimension
+    assert all(len(r["embedding"]) == 64 for r in rows)

@@ -63,6 +63,34 @@ def with_line_ids(parsed_df: DataFrame) -> DataFrame:
     )
 
 
+def quarantine_failures(parsed_df: DataFrame) -> DataFrame:
+    """C3: per-row failure capture — the reference appends raw API/parse
+    failures to ``err.log`` (reference main.go:270-276); the engine's
+    equivalent is a *quarantine frame* of the unparseable lines with a
+    machine-readable reason, to be written as a side parquet next to the
+    ingested table. Counters (``parse_counters``) stay the cheap
+    aggregate; this is the row-level evidence an ingest operator needs to
+    reprocess or triage.
+
+    Returns ``(raw, reason)``; reasons are stable strings so downstream
+    can group by failure mode.
+    """
+    bad = parsed_df.where(~F.col("parse_ok"))
+    v = F.col("raw")
+    reason = (
+        F.when(F.length(F.trim(v)) == 0, F.lit("empty_line"))
+        .when(~v.rlike(r"^\["), F.lit("no_timestamp_prefix"))
+        .when(~v.rlike(r"^\[\d{2}\.\d{2}\.\d{2}, \d{2}:\d{2}:\d{2}\]"), F.lit("bad_timestamp"))
+        .otherwise(F.lit("no_sender_separator"))
+    )
+    return bad.select(v.alias("raw"), reason.alias("reason"))
+
+
+def write_quarantine(parsed_df: DataFrame, path: str) -> None:
+    """Persist the quarantine frame (overwrite per ingest run)."""
+    quarantine_failures(parsed_df).write.mode("overwrite").parquet(path)
+
+
 def parse_counters(parsed_df: DataFrame) -> DataFrame:
     """G1: ingest summary counters as one partial+final hash aggregate
     (reference embed/embed.go:63-131 tallies these in a sequential loop)."""

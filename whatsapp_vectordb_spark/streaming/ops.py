@@ -353,6 +353,39 @@ def run_stream_stream_join(
     return spark.table(name)
 
 
+def run_streaming_index_upsert(
+    lines_stream: DataFrame,
+    index,
+    dim: int | None = None,
+    seed: int = 42,
+    checkpoint: str | None = None,
+):
+    """Streaming index maintenance: the embed stream is upserted into a
+    ``VectorIndex`` via ``foreachBatch`` — each micro-batch runs the SAME
+    replace-by-id merge as the batch path (``index.upsert``), so a bucketed
+    index rewrites only the id-buckets the batch touched. ``_ingest_seq``
+    is the micro-batch id: later batches beat earlier ones for the same id
+    (and the existing table always loses to the incoming batch), giving
+    exactly the Pinecone upsert contract on an unbounded ingest stream
+    (reference upsert/upsert.go:113-215 per-vector HTTP upserts, here one
+    bounded-rewrite merge per micro-batch).
+
+    Processes everything available (availableNow) and returns the index.
+    """
+    vec_dim = dim if dim is not None else getattr(index, "dimension", 64)
+    vectors = streaming_embed_pipeline(lines_stream, dim=vec_dim, seed=seed)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index.upsert(batch_df.withColumn("_ingest_seq", F.lit(batch_id)))
+
+    writer = vectors.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return index
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "update"):
     """Helper for tests: sink a streaming frame to an in-memory table and
     return the StreamingQuery (caller awaits + stops)."""
