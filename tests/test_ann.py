@@ -185,3 +185,32 @@ def test_dim_param_skips_head_probe(spark, embeddings):
     after = len(tracker.getJobIdsForGroup(None))
     assert after == before
     assert df.columns == ["query_id", "vec_id", "score", "rank"]
+
+
+def test_ivf_incremental_add_and_drift(spark, embeddings, tmp_path):
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfIndex.build(emb, n_centroids=4)
+    idx.save(str(tmp_path / "ivf"))
+    n0 = idx.assigned.count()
+    # drift right after build: the frozen-quantizer argmin agrees with the
+    # k-means model's own assignment
+    assert idx.drift() == 0.0
+
+    # add copies of existing vectors under new ids: they must land in the
+    # same cells as their originals, and a probe must find them
+    batch = emb.limit(40).select(
+        (F.col("vec_id") + 5000000).alias("vec_id"), "embedding"
+    )
+    idx.add_batch(batch, path=str(tmp_path / "ivf"))
+    assert idx.assigned.count() == n0 + 40
+    orig = {r["vec_id"]: r["centroid"] for r in idx.assigned.where(F.col("vec_id") < 5000000).collect()}
+    added = {r["vec_id"] - 5000000: r["centroid"] for r in idx.assigned.where(F.col("vec_id") >= 5000000).collect()}
+    assert all(orig[k] == v for k, v in added.items())
+    # duplicate vectors can't disagree with their own nearest centroid
+    assert idx.drift() == 0.0
+
+    qrow = emb.where(F.col("vec_id") == 5).head()
+    top = IvfIndex.load(spark, str(tmp_path / "ivf")).probe(qrow["embedding"], k=2, nprobe=1).collect()
+    assert {r["vec_id"] for r in top} == {5, 5000005}  # self + its added copy

@@ -95,3 +95,22 @@ def test_tfidf_hand_computed(spark):
     assert rows[(1, "apple")] == (2, round(2 * idf_rare, 6))
     assert rows[(1, "banana")] == (1, round(1 * idf_common, 6))
     assert rows[(2, "cherry")] == (1, round(1 * idf_rare, 6))
+
+
+def test_bm25_ranks_multi_term_docs_first(spark):
+    from whatsapp_vectordb_spark.operators.textops import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data processing at scale with data pipelines"),
+            (2, "data only appears here"),
+            (3, "nothing relevant whatsoever"),
+            (4, "processing processing processing"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_search(docs, ["data", "processing", "scale"], top_n=10).collect()
+    ranked = [r["doc_id"] for r in got]
+    assert ranked[0] == 1  # covers all three terms
+    assert 3 not in ranked  # no query term -> no row
+    assert all(r["bm25"] > 0 for r in got)

@@ -1828,6 +1828,46 @@ def ann_lsh_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("data", "processing", "scale")
+
+# BM25 keyword retrieval over documents — the lexical twin of the vector
+# top-k, with the Lucene-smoothed RSJ idf. Same ranking discipline as
+# every top-k here: round before the cut, tie-break by id.
+_BM25_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens),
+postings AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings
+  WHERE term IN ('data', 'processing', 'scale') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT t.doc_id,
+       ROUND(SUM(
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * t.tf * 2.2
+         / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+       ), 6) AS bm25
+FROM tf t
+JOIN dfreq d ON d.term = t.term
+JOIN lens l ON l.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id ASC
+LIMIT 10
+"""
+
+
+@_register("text_search_bm25", _BM25_ORACLE)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k1=1.2, b=0.75, top_n=10
+    )
+
+
 # Sparse k-NN (types.SPARSE_VECTOR_SCHEMA, reference main.go:45-48): the
 # corpus is thresholded-sparsified embeddings; ranking uses the sparse
 # cosine over matching indices only. Candidates are restricted to vectors

@@ -494,6 +494,68 @@ class IvfIndex:
             assigned, np.asarray(meta["centroids"]), meta["id_col"], meta["vec_col"]
         )
 
+    def assign(self, df: DataFrame) -> DataFrame:
+        """Map-only nearest-centroid (Euclidean, matching the k-means
+        objective) assignment of NEW vectors against the FROZEN centroid
+        matrix — one Arrow-batched argmin per partition, no re-fit, no
+        shuffle. This is how an IVF index ingests a stream of additions at
+        scale: the coarse quantizer is immutable between rebuilds."""
+        import pandas as pd
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cent = np.asarray(self.centroids, dtype=np.float64)  # (C, dim)
+        cent_sq = (cent * cent).sum(axis=1)  # |c|^2, reused per batch
+        vec_col = self.vec_col
+        # NB: StructType.add mutates in place — never call it on df.schema
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField("centroid", IntegerType(), False)]
+        )
+
+        def nearest(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c); |v|^2 constant per row
+                d = cent_sq[None, :] - 2.0 * (v @ cent.T)
+                out = pdf.copy()
+                out["centroid"] = d.argmin(axis=1).astype("int32")
+                yield out
+
+        return df.mapInPandas(nearest, schema=out_schema)
+
+    def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfIndex":
+        """Incremental maintenance: assign a batch to the existing cells
+        and append it (to the in-memory table, and — when ``path`` is given
+        — to the saved index's ``cells`` directory, where dynamic append
+        touches only the assigned centroids' partitions). Centroids do NOT
+        move; monitor ``drift()`` and rebuild when it degrades."""
+        import os
+
+        assigned = self.assign(batch)
+        if path is not None:
+            assigned.write.partitionBy("centroid").mode("append").parquet(
+                os.path.join(path, "cells")
+            )
+        self.assigned = self.assigned.unionByName(assigned, allowMissingColumns=True)
+        return self
+
+    def drift(self) -> float:
+        """Fraction of stored vectors whose nearest centroid disagrees with
+        their stored cell — 0 right after a build, grows as incremental
+        adds shift the data distribution. One map + one aggregate over the
+        index (a maintenance-time scan, not a query-path cost); rebuild
+        when it crosses the pipeline's tolerance (a few percent)."""
+        stored = self.assigned.select(
+            F.col("centroid").alias("_stored"), F.col(self.vec_col)
+        )
+        re_assigned = self.assign(stored)
+        row = re_assigned.agg(
+            F.avg((F.col("centroid") != F.col("_stored")).cast("double")).alias("d")
+        ).head()
+        return float(row["d"] or 0.0)
+
     def probe_centroid_ids(self, query_vec, nprobe: int = 3) -> list[int]:
         """The ``nprobe`` centroid ids nearest the query by cosine — the
         driver-side coarse quantization step (centroid matrix is tiny)."""

@@ -162,3 +162,60 @@ def fingerprints(
         F.md5(normalize_text(text_col)).alias("exact_fp"),
         min_h.alias("content_fp"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``top_n`` docs for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene-smoothed
+    Robertson–Spärck Jones form, always ≥ 0).
+
+    Scale shape: the corpus is tokenized once; the explode is immediately
+    filtered to the query's terms (a tiny IN-list pushed below the
+    aggregate), so the shuffled postings are O(docs containing a query
+    term), never the full inverted index. Corpus stats (N, avgdl) and the
+    per-term document frequencies ride in as one-row / |terms|-row
+    broadcast frames — no driver-side collect. Ties break by id ascending;
+    scores round before the rank so the cut is engine-portable.
+    """
+    terms = [t.lower() for t in query_terms]
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    lens = toked.select(id_col, F.size("_tk").alias("_dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+    postings = toked.select(id_col, F.explode("_tk").alias("term")).where(
+        F.col("term").isin(terms)
+    )
+    tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = idf * F.col("_tf") * F.lit(k1 + 1.0) / norm
+    out = (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )
+    return out
