@@ -2049,3 +2049,36 @@ def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_cap(docs, "lang", "doc_id", n_per_group=50)
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_MIX_WEIGHTS_SQL = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS.items())
+
+
+@_register(
+    "sample_weighted_mix",
+    f"""
+WITH w(lang, wt) AS (VALUES {_MIX_WEIGHTS_SQL}),
+counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+gw AS (SELECT c.lang, c.n, w.wt FROM counts c JOIN w ON w.lang = c.lang),
+lam AS (SELECT MIN(n / wt) AS lam FROM gw),
+cuts AS (
+  SELECT lang,
+         CAST(round(LEAST(1.0, lam.lam * wt / n) * 10000) AS BIGINT) AS cut
+  FROM gw CROSS JOIN lam
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts ON cuts.lang = d.lang
+WHERE {_BUCKET_SQL.replace('doc_id', 'd.doc_id')} < cuts.cut
+""",
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing to target language proportions (40% en,
+    15% each of de/es/fr/zh): the scarcest group keeps everything, the
+    abundant ones hash-downsample to match — λ-scaled acceptance rates
+    computed in-plan, map-only membership."""
+    from whatsapp_vectordb_spark.operators.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return weighted_mix(docs, _MIX_WEIGHTS, group_col="lang", id_col="doc_id")

@@ -89,3 +89,52 @@ def stratified_cap(
         .where(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Rebalance a multi-group corpus to target mix proportions — the
+    training-mix curation step ("40% English, 15% each other language").
+
+    For each group g with n_g rows and target weight w_g, the acceptance
+    rate is ``min(1, λ·w_g/n_g)`` where ``λ = min_g(n_g/w_g)`` — the
+    largest total at which every group can still meet its share, so the
+    scarcest group keeps ALL its rows and abundant groups are hash-
+    downsampled to match. Membership is the same portable-hash bucket
+    cut as ``hash_sample``: deterministic per row, stable under appends.
+
+    Scale shape: one tiny per-group count aggregate; λ and the per-group
+    integer bucket cuts are computed *in the plan* (broadcast |groups|-row
+    frames, no driver collect); the filter itself is map-only. Groups
+    absent from ``weights`` are dropped (inner join) — a mix definition is
+    also a whitelist.
+    """
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()], f"{group_col} string, _w double"
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    gw = counts.join(F.broadcast(w_df), group_col)
+    lam = gw.agg(F.min(F.col("_n") / F.col("_w")).alias("_lam"))
+    cuts = (
+        gw.crossJoin(F.broadcast(lam))
+        .select(
+            group_col,
+            F.round(
+                F.least(F.lit(1.0), F.col("_lam") * F.col("_w") / F.col("_n"))
+                * SAMPLE_BUCKETS
+            )
+            .cast("long")
+            .alias("_cut"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .where(sample_bucket(id_col, seed) < F.col("_cut"))
+        .drop("_cut")
+    )
