@@ -645,6 +645,93 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# End-to-end scale-safe dedup: LSH-bucketed candidate pairs (never all-
+# pairs) -> connected components -> canonical keep/drop verdict. Because
+# the LSH is integer-portable, even the candidate graph is bit-exact in
+# SQL, so the WHOLE pipeline hash-checks — this is the query a 100 TB
+# corpus dedup actually runs.
+_DEDUP_COMPONENTS_LSH_ORACLE = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM corpus CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a AS a, c.id_b AS b
+  FROM cand c
+  JOIN corpus va ON va.vec_id = c.id_a
+  JOIN corpus vb ON vb.vec_id = c.id_b
+  WHERE ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) >= 0.95
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS id,
+       component AS canonical_id,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       CASE WHEN node = component THEN 1 ELSE 0 END AS is_canonical
+FROM comp
+"""
+
+
+@_register("dedup_components_lsh", _DEDUP_COMPONENTS_LSH_ORACLE)
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup pipeline in one query: LSH-bucketed candidate
+    pairs (band-key equi-joins, no cross join), exact-cosine verify,
+    hash-min connected components, min-id canonical election. The oracle
+    replays every stage — including the candidate graph — bit-exactly."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+    from whatsapp_vectordb_spark.operators.dedup import canonicalize_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = portable_lsh_join(
+        emb.unionByName(dupes),
+        threshold=0.95,
+        n_planes=16,
+        bands=4,
+        seed=0,
+        round_to=ROUND_SCORE,
+        impl="numpy",
+        dim=64,
+    )
+    return canonicalize_duplicates(pairs)
+
+
 @_register(
     "dedup_components",
     """
