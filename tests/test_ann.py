@@ -214,3 +214,34 @@ def test_ivf_incremental_add_and_drift(spark, embeddings, tmp_path):
     qrow = emb.where(F.col("vec_id") == 5).head()
     top = IvfIndex.load(spark, str(tmp_path / "ivf")).probe(qrow["embedding"], k=2, nprobe=1).collect()
     assert {r["vec_id"] for r in top} == {5, 5000005}  # self + its added copy
+
+
+def test_pq_adc_recall_and_codes(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    # plant exact duplicates: identical vectors must get identical codes,
+    # hence identical ADC scores — the invariant 32x compression keeps
+    dupes = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    idx = PqIndex.build(corpus, m=8, ksub=16, sample_rows=400, seed=0)
+    enc = idx.encode(corpus).cache()
+    row = enc.head()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+
+    qrow = emb.where(F.col("vec_id") == 0).head()
+    approx_rows = idx.adc_topk(enc, qrow["embedding"], k=10).collect()
+    approx = [r["vec_id"] for r in approx_rows]
+    scores = {r["vec_id"]: r["score"] for r in approx_rows}
+    # self and its planted copy share codes -> both in top-10, equal scores
+    assert 0 in approx and 1000000 in approx
+    assert scores[0] == scores[1000000]
+    assert approx[0] == 0  # id-ascending tiebreak on the equal pair
+    # the random fixture has no neighborhood structure, so tail recall is
+    # inherently weak; determinism is the other hard invariant
+    again = [r["vec_id"] for r in idx.adc_topk(enc, qrow["embedding"], k=10).collect()]
+    assert approx == again
+    enc.unpersist()

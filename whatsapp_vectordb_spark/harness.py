@@ -1199,6 +1199,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
 
 
+_PQ_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "pq_oracle",
+)
+
+# Product-quantization ADC probe: the k-means codebook build stays
+# unchecked (not SQL-expressible), but the QUERY path is bit-exact — the
+# integer-quantized lookup table makes every score an order-independent
+# int64 sum, which the oracle recomputes from the persisted codes + LUT.
+_ANN_PQ_ORACLE = f"""
+WITH codes AS (SELECT * FROM read_parquet('{_PQ_ORACLE_DIR}/codes/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_PQ_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_pq_topk", _ANN_PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    idx.save(_PQ_ORACLE_DIR, idx.encode(emb))
+    lut = idx.lut_int(qvec)
+    spark.createDataFrame(
+        [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
+        "j int, c int, w bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_PQ_ORACLE_DIR, "lut"))
+    loaded, codes = PqIndex.load(spark, _PQ_ORACLE_DIR)
+    return loaded.adc_topk(codes, qvec, k=10)
+
+
 @_register("embed_search_pipeline")  # deterministic embedder — rows-only (no SQL embedder)
 def embed_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full flagship pipeline (SURVEY.md §3.3 restated): embed corpus +

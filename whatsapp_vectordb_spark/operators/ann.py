@@ -580,6 +580,172 @@ class IvfIndex:
         )
 
 
+class PqIndex:
+    """Product quantization — the compressed-storage ANN tier.
+
+    The vector space is split into ``m`` subspaces of ``dim/m`` components;
+    each subspace gets its own ``ksub``-centroid codebook (Lloyd k-means on
+    a bounded driver-side sample — codebooks train on samples by design);
+    a vector encodes as ``m`` small integer codes: 64-dim float32 (256 B)
+    → 8 bytes at m=8, a 32× storage cut (Jégou et al., TPAMI'11).
+
+    Query scoring is asymmetric (ADC): the query stays full-precision; a
+    per-subspace lookup table ``lut[j][c] = <q_j, codebook_j[c]>`` turns
+    each stored vector's score into ``Σ_j lut[j][code_j]`` — m table reads
+    per row, no float vector ever touched at scan time. The LUT here is
+    **integer-quantized** (round(dot·10⁶)), so scores are exact integer
+    sums — order-independent and bit-reproducible in a SQL oracle over the
+    persisted codes, exactly like the portable LSH.
+
+    Inputs are L2-normalized at build/encode/query time, so the ADC dot
+    approximates cosine. Scale shape: encode is a map-only Arrow batch;
+    the scan shuffles nothing (TakeOrderedAndProject over an integer sum).
+    """
+
+    LUT_QUANT = 1_000_000
+
+    def __init__(self, codebooks: np.ndarray, id_col: str, vec_col: str):
+        self.codebooks = codebooks  # (m, ksub, dsub)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @staticmethod
+    def _normalize(x: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.where(n == 0, 1.0, n)
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 2048,
+        seed: int = 0,
+        iters: int = 10,
+    ) -> "PqIndex":
+        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
+        x = cls._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        dim = x.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        rng = np.random.default_rng(seed)
+        books = np.empty((m, ksub, dsub))
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+            for _ in range(iters):  # Lloyd: assign to nearest, move to mean
+                d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(ksub):
+                    pts = sub[a == c]
+                    if len(pts):
+                        cent[c] = pts.mean(axis=0)
+            books[j] = cent
+        return cls(books, id_col, vec_col)
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """``(id, codes ARRAY<INT>)`` — per-subspace nearest-centroid codes,
+        one Arrow-batched argmin per partition."""
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+        books = self.codebooks
+        m, dsub = self.m, self.dsub
+        id_col, vec_col = self.id_col, self.vec_col
+        out_schema = StructType(
+            [df.schema[id_col], StructField("codes", ArrayType(IntegerType()), False)]
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = PqIndex._normalize(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
+                codes = np.empty((len(v), m), dtype=np.int32)
+                for j in range(m):
+                    sub = v[:, j * dsub : (j + 1) * dsub]
+                    d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d.argmin(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+        return df.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+
+    def lut_int(self, query_vec) -> np.ndarray:
+        """Integer-quantized ADC lookup table: ``(m, ksub)`` int64 of
+        round(<q_j, codebook_j[c]> · 10⁶)."""
+        q = self._normalize(np.asarray(query_vec, dtype=np.float64))
+        luts = np.empty((self.m, self.codebooks.shape[1]))
+        for j in range(self.m):
+            luts[j] = self.codebooks[j] @ q[j * self.dsub : (j + 1) * self.dsub]
+        return np.round(luts * self.LUT_QUANT).astype(np.int64)
+
+    def adc_topk(self, encoded: DataFrame, query_vec, k: int = 10) -> DataFrame:
+        """Top-k over the codes table by exact-integer ADC score
+        ``Σ_j lut[j][code_j]`` — returns ``(id, score)`` with score the
+        int64 quantized dot. The scan never touches a float vector; the
+        top-k is TakeOrderedAndProject (no shuffle of the table)."""
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        lut = self.lut_int(query_vec)
+        id_col = self.id_col
+        out_schema = StructType(
+            [encoded.schema[id_col], StructField("score", LongType(), False)]
+        )
+        j_idx = np.arange(self.m)
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+                s = lut[j_idx[None, :], codes].sum(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "score": s})
+
+        scored = encoded.mapInPandas(score, schema=out_schema)
+        return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+    def save(self, path: str, encoded: DataFrame) -> "PqIndex":
+        """Persist codes (parquet) + codebooks (json) — the disk form a
+        100 TB deployment scans: 8 bytes/vector instead of 256."""
+        import json
+        import os
+
+        encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+        with open(os.path.join(path, "codebooks.json"), "w") as f:
+            json.dump(
+                {
+                    "codebooks": self.codebooks.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+        return self
+
+    @classmethod
+    def load(cls, spark, path: str) -> tuple["PqIndex", DataFrame]:
+        import json
+        import os
+
+        with open(os.path.join(path, "codebooks.json")) as f:
+            meta = json.load(f)
+        idx = cls(np.asarray(meta["codebooks"]), meta["id_col"], meta["vec_col"])
+        return idx, spark.read.parquet(os.path.join(path, "codes"))
+
+
 def mllib_lsh_topk(
     index_df: DataFrame,
     query_vec,
