@@ -245,3 +245,28 @@ def test_pq_adc_recall_and_codes(spark, embeddings):
     again = [r["vec_id"] for r in idx.adc_topk(enc, qrow["embedding"], k=10).collect()]
     assert approx == again
     enc.unpersist()
+
+
+def test_ivfpq_probe_prunes_cell_partitions(spark, embeddings, tmp_path):
+    """The saved IVF-PQ layout must answer probes with file-level
+    partition pruning (PartitionFilters on centroid) and return the
+    query's own quantized codes first."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, PqIndex, ivfpq_topk
+
+    emb = embeddings.select("vec_id", "embedding")
+    ivf = IvfIndex.build(emb, n_centroids=4)
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=300, seed=0)
+    cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
+    path = os.path.join(str(tmp_path), "cells")
+    cells.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    qrow = emb.where(F.col("vec_id") == 7).head()
+    out = ivfpq_topk(ivf, pq, stored, qrow["embedding"], k=5, nprobe=1)
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in p and "centroid" in p.split("PartitionFilters", 1)[1][:200]
+    assert out.collect()[0]["vec_id"] == 7

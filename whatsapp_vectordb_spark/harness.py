@@ -1241,6 +1241,61 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.adc_topk(codes, qvec, k=10)
 
 
+_IVFPQ_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "ivfpq_oracle",
+)
+
+# IVF-PQ probe: centroid pruning (file-level on the saved layout) +
+# integer ADC over 8-byte codes. Builds stay rows-only; the entire query
+# path — probed cells, LUT reads, int64 sums, top-k cut — is bit-exact.
+_ANN_IVFPQ_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVFPQ_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_IVFPQ_ORACLE_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_IVFPQ_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_topk", _ANN_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, PqIndex, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ivf = IvfIndex.build(emb, n_centroids=8)
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    # the deployed layout: codes + centroid, partitioned by centroid
+    cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
+    cells.write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(_IVFPQ_ORACLE_DIR, "cells")
+    )
+    probe_ids = ivf.probe_centroid_ids(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVFPQ_ORACLE_DIR, "probe"))
+    lut = pq.lut_int(qvec)
+    spark.createDataFrame(
+        [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
+        "j int, c int, w bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_IVFPQ_ORACLE_DIR, "lut"))
+    stored = spark.read.parquet(os.path.join(_IVFPQ_ORACLE_DIR, "cells"))
+    return ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=2)
+
+
 @_register("embed_search_pipeline")  # deterministic embedder — rows-only (no SQL embedder)
 def embed_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full flagship pipeline (SURVEY.md §3.3 restated): embed corpus +
