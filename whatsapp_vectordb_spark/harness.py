@@ -289,6 +289,34 @@ def parse_whatsapp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "parse_quarantine",
+    f"""
+WITH lines AS ({_CHAT_LINE_SQL}),
+flagged AS (
+  SELECT value,
+         regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) <> '' AS ok
+  FROM lines
+)
+SELECT value AS raw,
+       CASE WHEN length(trim(value)) = 0 THEN 'empty_line'
+            WHEN NOT regexp_matches(value, '^\\[') THEN 'no_timestamp_prefix'
+            WHEN NOT regexp_matches(value, '^\\[\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}}\\]') THEN 'bad_timestamp'
+            ELSE 'no_sender_separator'
+       END AS reason
+FROM flagged WHERE NOT ok
+""",
+)
+def parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 as a first-class query: the quarantine channel (raw line +
+    failure reason) over the synthesized chat corpus — the reference's
+    err.log (main.go:270-276) with typed, groupable reasons."""
+    from whatsapp_vectordb_spark.parse import parse_chat_lines, quarantine_failures
+
+    lines = _chat_lines_df(spark, sf_dir)
+    return quarantine_failures(parse_chat_lines(lines, value_col="value"))
+
+
+@_register(
     "parse_counters",
     f"""
 WITH lines AS ({_CHAT_LINE_SQL})
@@ -1037,6 +1065,52 @@ def events_sessionized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.events import sessionized_counts
 
     return sessionized_counts(_events(spark, sf_dir), gap_minutes=30)
+
+
+@_register(
+    "events_session_windows",
+    """
+WITH t AS (SELECT user_id, ts, event_id, value FROM events),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, 30-min gap): the
+    streaming-capable sessionizer — on a stream this exact expression runs
+    with watermark-evicted state; here the batch result is checked against
+    a gaps-and-islands oracle. Session end = last event + gap, and an
+    event landing exactly on the closing boundary opens a NEW session
+    (Spark's [start, end) contract — the oracle breaks on >= gap)."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    return agg.select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("w.end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
 
 
 # ==========================================================================
