@@ -114,3 +114,29 @@ def test_bm25_ranks_multi_term_docs_first(spark):
     assert ranked[0] == 1  # covers all three terms
     assert 3 not in ranked  # no query term -> no row
     assert all(r["bm25"] > 0 for r in got)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from whatsapp_vectordb_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io or see https://a.b/c?u=x@y.zz now"),
+            (2, "server 10.0.0.1 answered, call +44 20 7946 0958 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    r1 = rows[1]
+    # the URL-embedded address is consumed by the URL rule, not double-counted
+    assert r1["n_url"] == 1 and r1["n_email"] == 1
+    assert "<EMAIL>" in r1["redacted"] and "<URL>" in r1["redacted"]
+    assert "jo.doe" not in r1["redacted"] and "a.b/c" not in r1["redacted"]
+    r2 = rows[2]
+    assert r2["n_ip"] == 1 and r2["n_phone"] == 1
+    assert "<IP>" in r2["redacted"] and "<PHONE>" in r2["redacted"]
+    assert "7946" not in r2["redacted"]
+    r3 = rows[3]
+    assert r3["redacted"] == "nothing sensitive here"
+    assert r3["n_url"] == r3["n_email"] == r3["n_ip"] == r3["n_phone"] == 0

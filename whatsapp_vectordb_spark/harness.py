@@ -518,6 +518,33 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_near_duplicates(_augmented_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
 
 
+# Decontamination: benchmark set = every 37th document's text; 5-gram
+# overlap (the 13-gram GPT-3 rule scaled to the short synthetic docs —
+# the operator default is 13). Benchmark docs are in the corpus, so they
+# self-report contamination 1.0; clean docs report 0.
+@_register(
+    "dedup_benchmark_contamination",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+shl AS (SELECT doc_id, {_sh_sql(5)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 37 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1),
+hits AS (SELECT e.doc_id, COUNT(*) AS n_hits FROM ex e JOIN bench b ON e.s = b.s GROUP BY 1)
+SELECT z.doc_id, z.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0)::DOUBLE / z.n_shingles, 6) AS contamination
+FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+""",
+)
+def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return benchmark_contamination(docs, bench, shingle_n=5)
+
+
 def _simhash_sql(bits: int, source: str) -> str:
     bit_terms = " + ".join(
         f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
@@ -2083,6 +2110,75 @@ def ann_lsh_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_lsh_topk_batched(
         emb, query_ids=[0, 1, 2], k=5, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
         impl="numpy", dim=64,
+    )
+
+
+# PII scrub: the corpus gets deterministic synthetic PII (emails, phones,
+# URLs, IPs) appended in both engines, then the staged redact+count runs
+# identically: each rule counts on the previous rule's output, so an
+# email inside a URL is consumed (and counted) by the URL rule only.
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 11 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN ' call +1 555-0100-123' ELSE '' END
+       || CASE WHEN doc_id % 17 = 0 THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) || '?u=a@b.co' ELSE '' END
+       || CASE WHEN doc_id % 19 = 0 THEN ' host 192.168.10.1 up' ELSE '' END
+       AS text
+FROM documents
+"""
+
+_PII_STAGES_SQL = """
+s1 AS (SELECT doc_id, len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
+              regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t FROM aug),
+s2 AS (SELECT doc_id, n_url, len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+              regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_url, n_email, len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+              regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, n_url, n_email, n_ip, len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{7,}\\d')) AS n_phone,
+              regexp_replace(t, '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS t FROM s3)
+"""
+
+
+@_register(
+    "text_redact_pii",
+    f"""
+WITH aug AS ({_PII_AUG_SQL}),
+{_PII_STAGES_SQL}
+SELECT doc_id, md5(t) AS redacted_md5,
+       CAST(n_url AS INTEGER) AS n_url, CAST(n_email AS INTEGER) AS n_email,
+       CAST(n_ip AS INTEGER) AS n_ip, CAST(n_phone AS INTEGER) AS n_phone
+FROM s4
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import redact_pii
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" call +1 555-0100-123")).otherwise(F.lit("")),
+            F.when(
+                d % 17 == 0,
+                F.concat(F.lit(" see https://ex.org/d/"), d.cast("string"), F.lit("?u=a@b.co")),
+            ).otherwise(F.lit("")),
+            F.when(d % 19 == 0, F.lit(" host 192.168.10.1 up")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.col("n_url").cast("int").alias("n_url"),
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_phone").cast("int").alias("n_phone"),
     )
 
 

@@ -407,6 +407,49 @@ def embedding_near_duplicates(
     ).where(F.col("cos_sim") >= threshold)
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    round_to: int = 6,
+) -> DataFrame:
+    """Training-corpus decontamination: flag documents that share any
+    ``shingle_n``-gram with a held-out benchmark/eval set (the 13-gram
+    overlap rule used for GPT-3-style decontamination; Brown et al. 2020,
+    appendix C). Returns per-doc ``(doc_id, n_shingles, n_hits,
+    contamination)`` for every corpus document, hits ≥ 1 meaning "remove
+    or audit before training".
+
+    Scale shape: both sides reduce to 60-bit int64 shingle ids (one md5
+    per shingle, map-side); the benchmark side is distinct-ed and is tiny
+    relative to the corpus — the join shuffles 8-byte keys and the
+    benchmark side broadcasts when it fits. Documents shorter than
+    ``shingle_n`` tokens fall back to their full-text shingle, so short
+    benchmark strings still match verbatim copies.
+    """
+    d = _hashed_shingles(df, text_col, id_col, shingle_n)
+    b = (
+        _hashed_shingles(bench_df, text_col, id_col, shingle_n)
+        .select("_h")
+        .dropDuplicates(["_h"])
+    )
+    sizes = d.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = d.join(b, "_h").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles"), round_to
+            ).alias("contamination"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

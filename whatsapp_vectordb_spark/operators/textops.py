@@ -219,3 +219,36 @@ def bm25_search(
         .limit(top_n)
     )
     return out
+
+
+# PII scrub patterns — deliberately simple, RE2/Java-regex-portable
+# expressions (no lookarounds) so the SQL oracle applies the identical
+# automaton. Order matters: URLs are redacted before emails so an address
+# embedded in a URL is consumed by the URL rule in both engines.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII scrub: URLs, emails, IPv4s and phone-shaped digit
+    runs replaced by typed placeholders, with per-category match counts.
+    Map-only chained ``regexp_replace``/``regexp_count`` — JVM regex, no
+    Python, pushdown-friendly; at 100 TB this is a pure scan-transform.
+
+    Returns ``(id, redacted, n_url, n_email, n_ip, n_phone)``. Counts are
+    taken on the *pre-redaction* text stage for each rule in order, so a
+    URL-embedded email counts as URL only — matching the replacement
+    semantics exactly.
+    """
+    text = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        text = F.regexp_replace(text, pat, repl)
+    return df.select(F.col(id_col), text.alias("redacted"), *counts)
