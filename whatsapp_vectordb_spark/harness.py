@@ -1140,6 +1140,41 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_session_windows",
+    """
+WITH t AS (SELECT user_id, ts, event_id, value FROM events),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_session_windows run through the REAL streaming engine:
+    state-store session merging + watermark eviction, replayed bounded and
+    checked against the batch gaps-and-islands oracle."""
+    from whatsapp_vectordb_spark.streaming.ops import run_session_window_stream
+
+    return run_session_window_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 # ==========================================================================
 # ANN — the 100 TB scale path for similarity search (operators/ann.py).
 # ``ann_lsh_topk`` uses the *portable* integer-quantized sign-projection
