@@ -158,6 +158,37 @@ def main() -> None:
         queries = [(r["vec_id"], r["embedding"]) for r in qrows1536]
         topk_batched_twophase(emb1536, queries, k=10).count()
 
+    @timed("dedup_embedding_lsh")
+    def _():
+        from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+
+        # 32 planes / 4 bands = 8-bit chunks: at 2k+ vectors the 4-bit
+        # default floods the band join with random collisions (n²/16 per
+        # band); 8-bit chunks cost one extra signature matmul and cut the
+        # candidate volume 16× — measured 2.5× faster end-to-end here
+        portable_lsh_join(
+            emb.select("vec_id", "embedding"),
+            threshold=0.9,
+            n_planes=32,
+            bands=4,
+            impl="numpy",
+            dim=64,
+        ).count()
+
+    @timed("text_search_bm25")
+    def _():
+        from whatsapp_vectordb_spark.operators.textops import bm25_search
+
+        bm25_search(docs, ["data", "processing", "scale"], top_n=10).collect()
+
+    @timed("ann_pq_adc_topk")
+    def _():
+        from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+        pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=1000, seed=0)
+        enc = pq.encode(emb)
+        pq.adc_topk(enc, qvec, k=10).collect()
+
     @timed("events_asof_purchase")
     def _():
         from whatsapp_vectordb_spark.harness import events_asof_purchase
