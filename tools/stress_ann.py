@@ -76,6 +76,37 @@ def main() -> None:
     out["ivf_probe_s"] = round(time.perf_counter() - t0, 3)
     out["ivf_recall_at_10"] = len(set(exact) & set(ivf_hits)) / 10
 
+    from whatsapp_vectordb_spark.operators.ann import PqIndex, ivfpq_topk
+
+    t0 = time.perf_counter()
+    pq = PqIndex.build(index, m=8, ksub=16, sample_rows=4096, seed=0)
+    enc = pq.encode(index).cache()
+    enc.count()
+    out["pq_build_encode_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq_hits = [r["vec_id"] for r in pq.adc_topk(enc, qvec, k=10).collect()]
+    out["pq_adc_topk_s"] = round(time.perf_counter() - t0, 3)
+    out["pq_recall_at_10"] = len(set(exact) & set(pq_hits)) / 10
+
+    from whatsapp_vectordb_spark.operators.ann import pq_topk_rerank
+
+    t0 = time.perf_counter()
+    rr_hits = [
+        r["vec_id"]
+        for r in pq_topk_rerank(pq, enc, index, qvec, k=10, shortlist=100).collect()
+    ]
+    out["pq_rerank_topk_s"] = round(time.perf_counter() - t0, 3)
+    out["pq_rerank_recall_at_10"] = len(set(exact) & set(rr_hits)) / 10
+
+    cells = enc.join(ivf.assigned.select("vec_id", "centroid"), "vec_id").cache()
+    cells.count()
+    t0 = time.perf_counter()
+    ivfpq_hits = [
+        r["vec_id"] for r in ivfpq_topk(ivf, pq, cells, qvec, k=10, nprobe=8).collect()
+    ]
+    out["ivfpq_probe_s"] = round(time.perf_counter() - t0, 3)
+    out["ivfpq_recall_at_10"] = len(set(exact) & set(ivfpq_hits)) / 10
+
     print(json.dumps(out))
     spark.stop()
 

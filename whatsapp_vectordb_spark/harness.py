@@ -1140,6 +1140,62 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_M = 1024
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # identical literal in both engines
+
+# Engine-portable HyperLogLog: registers from the portable md5 hash, the
+# harmonic sum as an EXACT integer sum of 2^(W+1-rho_max) — bit-identical
+# across engines (unlike approx_count_distinct, whose registers are
+# engine-private). ltrim-of-bin gives the 1-based first-one-bit rank with
+# no float log2 in either engine.
+@_register(
+    "events_hll_users",
+    f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (SELECT h % {_HLL_M} AS bucket, (h >> 10) & ((1::BIGINT << 44) - 1) AS rest FROM h),
+rho AS (
+  SELECT bucket,
+         CASE WHEN rest = 0 THEN 45 ELSE 44 - length(ltrim(bin(rest), '0')) + 1 END AS rho
+  FROM r
+),
+maxes AS (SELECT bucket, MAX(rho) AS rho_max FROM rho GROUP BY bucket),
+filled AS (
+  SELECT b.b AS bucket, COALESCE(m.rho_max, 0) AS rho_max
+  FROM range(0, {_HLL_M}) b(b) LEFT JOIN maxes m ON m.bucket = b.b
+),
+agg AS (
+  SELECT SUM(1::BIGINT << (45 - rho_max)) AS s,
+         SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM filled
+),
+est AS (
+  SELECT CASE WHEN (CAST({(_HLL_ALPHA * _HLL_M * _HLL_M) * float(1 << 45)!r} AS DOUBLE) / s) <= CAST({2.5 * _HLL_M!r} AS DOUBLE)
+                   AND zeros > 0
+              THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE) / zeros)
+              ELSE CAST({(_HLL_ALPHA * _HLL_M * _HLL_M) * float(1 << 45)!r} AS DOUBLE) / s
+         END AS e
+  FROM agg
+)
+SELECT ROUND(e, 4) AS hll_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+FROM est
+""",
+)
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users via the portable HLL sketch, alongside
+    the exact count — the profiling aggregate a 100 TB corpus runs
+    per-partition and merges with MAX(register)."""
+    from whatsapp_vectordb_spark.operators.sketches import hll_distinct_estimate
+
+    ev = _events(spark, sf_dir)
+    est = hll_distinct_estimate(ev, "user_id", log2m=10)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 @_register(
     "streaming_session_windows",
     """

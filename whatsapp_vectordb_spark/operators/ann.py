@@ -746,6 +746,26 @@ class PqIndex:
         return idx, spark.read.parquet(os.path.join(path, "codes"))
 
 
+def pq_topk_rerank(
+    pq: "PqIndex",
+    encoded: DataFrame,
+    index_df: DataFrame,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The standard PQ deployment shape: the 8-byte-code ADC scan produces
+    a ``shortlist`` of candidates (coarse scores tie aggressively — PQ is
+    a *filter*, not a final ranking), then ONLY those rows' full vectors
+    are fetched and exactly re-ranked. At 100 TB the float vectors are
+    read for ``shortlist`` rows instead of N — the scan stays on codes."""
+    cand = pq.adc_topk(encoded, query_vec, k=shortlist).select(pq.id_col)
+    sub = index_df.join(cand, pq.id_col).select(pq.id_col, pq.vec_col)
+    return topk(
+        sub, query_vec, k=k, id_col=pq.id_col, vec_col=pq.vec_col, round_to=6
+    )
+
+
 def ivfpq_topk(
     ivf: IvfIndex,
     pq: PqIndex,

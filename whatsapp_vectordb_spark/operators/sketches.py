@@ -1,0 +1,101 @@
+"""Engine-portable cardinality sketches (green-field extension surface —
+profiling a 100 TB corpus needs approximate distinct counts, and unlike
+``approx_count_distinct`` (whose HLL++ registers are engine-private),
+this HyperLogLog is built on the portable md5 hash, so two engines —
+or two *runs* — produce bit-identical estimates. Determinism tricks:
+
+- register index and rank come from one 60-bit md5-derived integer;
+- the harmonic sum Σ 2^(-ρ_max) is computed as an INTEGER sum of
+  2^(W+1-ρ_max) (dyadic terms scaled to int64) — order-independent and
+  exact, unlike a float fold;
+- only the final α·m²/S division and the small-range ``ln`` touch
+  floating point, and the result is rounded before output.
+
+Flajolet et al. 2007 (HyperLogLog), small-range linear-counting
+correction per the original paper. Standard error ≈ 1.04/√m.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.text import portable_hash64
+
+# rank width: the 60-bit hash splits into log2m register bits + W rank bits
+HLL_W = 44
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_register_terms(
+    df: DataFrame, value_col: Column | str, log2m: int = 10, seed: int = 0
+) -> DataFrame:
+    """Per-register scaled harmonic terms ``(bucket, term)`` with
+    ``term = 2^(W+1-ρ_max)`` as int64 — the mergeable state. Empty
+    registers (ρ_max = 0) are filled in via a range join so the harmonic
+    sum always covers all m registers."""
+    m = 1 << log2m
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = portable_hash64(c.cast("string"), seed=seed)
+    bucket = F.pmod(h, F.lit(m))
+    rest = F.shiftright(h, log2m).bitwiseAND(F.lit((1 << HLL_W) - 1))
+    # ρ = position of the first 1-bit in the W-bit rest (1-based); W+1 if 0.
+    # bin() gives the minimal binary string, so ρ = W - len(bin(rest)) + 1 —
+    # pure integer/string ops, no float log2.
+    rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.bin(rest)) + 1
+    )
+    maxes = (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    spark = df.sparkSession
+    all_buckets = spark.range(m).select(F.col("id").alias("bucket"))
+    filled = all_buckets.join(maxes, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("rho_max"), F.lit(0)).alias("rho_max")
+    )
+    # 2^(W+1-ρ) via pow: exact in double for exponents ≤ 52, cast back to
+    # the int64 term (shiftleft needs a literal shift amount)
+    return filled.select(
+        "bucket",
+        F.pow(F.lit(2.0), F.lit(HLL_W + 1) - F.col("rho_max")).cast("long").alias("term"),
+    )
+
+
+def hll_distinct_estimate(
+    df: DataFrame, value_col: str, log2m: int = 10, seed: int = 0, round_to: int = 4
+) -> DataFrame:
+    """One-row ``(hll_estimate,)``: the HLL cardinality of ``value_col``
+    with small-range linear counting. One narrow shuffle (m-register max
+    aggregate); registers merge across partitions/days with MAX — the
+    sketch property that makes this free to maintain incrementally."""
+    m = 1 << log2m
+    terms = hll_register_terms(df, value_col, log2m, seed)
+    agg = terms.agg(
+        F.sum("term").alias("s"),
+        F.sum(F.when(F.col("term") == (1 << (HLL_W + 1)), 1).otherwise(0)).alias(
+            "zeros"
+        ),
+    )
+    alpha = _alpha(m)
+    # raw = α·m² / Σ2^(-ρ) = K / S with K folded to ONE double constant,
+    # associated identically in the SQL oracle (S is the exact integer sum)
+    k_const = (alpha * m * m) * float(1 << (HLL_W + 1))
+    raw = F.lit(k_const) / F.col("s")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0), small
+    ).otherwise(raw)
+    return agg.select(F.round(est, round_to).alias("hll_estimate"))
