@@ -1196,6 +1196,57 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+# Count-min sketch frequency estimates for the BM25 query terms over all
+# document tokens — integer counters on portable hashes, so the estimate
+# (an over-count bounded by eps*N) is bit-identical in both engines.
+@_register(
+    "text_cms_token_freq",
+    f"""
+WITH toks AS (SELECT unnest({_TOKS.format(c='text')}) AS tok FROM documents),
+cells AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS col
+  FROM toks CROSS JOIN range(0,4) r(r)
+),
+counters AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probes(p) AS (VALUES ('data'), ('processing'), ('scale')),
+pcells AS (
+  SELECT p, r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || p), 1, 15))::BIGINT % 1024 AS col
+  FROM probes CROSS JOIN range(0,4) r(r)
+),
+est AS (
+  SELECT pc.p, MIN(COALESCE(c.cnt, 0)) AS est_count
+  FROM pcells pc LEFT JOIN counters c ON c.row = pc.row AND c.col = pc.col
+  GROUP BY pc.p
+),
+tru AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY 1)
+SELECT e.p AS probe, e.est_count, COALESCE(t.true_count, 0) AS true_count
+FROM est e LEFT JOIN tru t ON t.tok = e.p
+""",
+)
+def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.sketches import cms_counters, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("_tk")).select(
+        F.explode("_tk").alias("tok")
+    )
+    counters = cms_counters(toks, "tok", width=1024)
+    probes = spark.createDataFrame([(t,) for t in _BM25_TERMS], "tok string")
+    est = cms_estimate(counters, probes, "tok", width=1024)
+    tru = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    return (
+        est.join(tru, est["probe"] == tru["tok"], "left")
+        .select(
+            "probe",
+            "est_count",
+            F.coalesce(F.col("true_count"), F.lit(0)).alias("true_count"),
+        )
+    )
+
+
 @_register(
     "streaming_session_windows",
     """

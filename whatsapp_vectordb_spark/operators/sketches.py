@@ -17,8 +17,6 @@ correction per the original paper. Standard error ≈ 1.04/√m.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -99,3 +97,66 @@ def hll_distinct_estimate(
         (raw <= 2.5 * m) & (F.col("zeros") > 0), small
     ).otherwise(raw)
     return agg.select(F.round(est, round_to).alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency twin of the HLL: d independent hash rows
+# × w counters; est(x) = min_r counter[r][h_r(x)]. Counters are integer
+# SUMs (order-independent, mergeable with +), hashes are portable md5, so
+# estimates are bit-identical across engines. Overestimates only:
+# est ≥ true, and est ≤ true + εN w.p. 1-δ with w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉
+# (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+
+
+def cms_counters(
+    df: DataFrame, value_col: Column | str, width: int = 1024
+) -> DataFrame:
+    """The sketch state: ``(row, col, cnt)`` for d=4 hash rows — one
+    explode to (row, col) pairs then a narrow integer count aggregate.
+    Merge two sketches by summing cnt on (row, col)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = [
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(portable_hash64(c.cast("string"), seed=r), F.lit(width)).alias("col"),
+        )
+        for r in range(CMS_D)
+    ]
+    return (
+        df.select(F.explode(F.array(*rows)).alias("rc"))
+        .select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, probes: DataFrame, value_col: str, width: int = 1024
+) -> DataFrame:
+    """Point-frequency estimates for the ``probes`` values: joins each
+    probe's d (row, col) cells against the counters and takes the min —
+    the probe side is tiny and broadcasts."""
+    c = F.col(value_col)
+    cells = [
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(portable_hash64(c.cast("string"), seed=r), F.lit(width)).alias("col"),
+        )
+        for r in range(CMS_D)
+    ]
+    probe_cells = probes.select(
+        c.alias("probe"), F.explode(F.array(*cells)).alias("rc")
+    ).select("probe", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    # LEFT join + zero-fill: a probe hashing to an empty cell has true
+    # estimate 0 (sparse sketches leave most cells empty when the
+    # vocabulary is smaller than d×w) — an inner join would silently drop
+    # the empty cells and overestimate absent values from the others
+    return (
+        probe_cells.join(counters, ["row", "col"], "left")
+        .select("probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy("probe")
+        .agg(F.min("cnt").alias("est_count"))
+    )
