@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_minhash_index_matches_batch_dedup(spark, documents, tmp_path):
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = documents.select("doc_id", "text").limit(120).cache()
+    batch1 = docs.where(F.col("doc_id") < 60)
+    # batch2: new docs + exact copies of two batch-1 docs + a batch-2-internal dup
+    copies = batch1.where(F.col("doc_id").isin(3, 7)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    b2_base = docs.where(F.col("doc_id") >= 60)
+    b2_dup = b2_base.limit(1).select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+    batch2 = b2_base.unionByName(copies).unionByName(b2_dup)
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_index"), threshold=0.5)
+    p1 = _pairs(idx.add_batch(batch1))
+    p2 = _pairs(idx.add_batch(batch2))
+
+    # cross-batch duplicates are found when the copy arrives
+    cross = {(a, b) for a, b, _ in p2}
+    assert (3, 1003) in cross and (7, 1007) in cross
+    # batch-2-internal duplicate found in the same pass
+    assert any(b >= 2000 for _, b in cross)
+
+    # incremental union == one-shot batch dedup over the full corpus
+    full = _pairs(minhash_near_duplicates(batch1.unionByName(batch2), threshold=0.5))
+    assert p1 | p2 == full
+
+    # a re-queried unrelated batch adds no phantom pairs
+    fresh = spark.createDataFrame(
+        [(9001, "completely unrelated nonsense tokens qqq www eee")],
+        "doc_id long, text string",
+    )
+    p3 = _pairs(idx.add_batch(fresh))
+    assert p3 == set()

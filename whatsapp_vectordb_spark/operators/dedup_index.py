@@ -1,0 +1,139 @@
+"""Persistent MinHash dedup index — incremental near-dup detection.
+
+Batch dedup (``minhash_near_duplicates``) recomputes the whole corpus
+per run; a 100 TB ingest pipeline instead keeps the corpus's dedup state
+on disk and checks each NEW batch against it:
+
+- ``signatures`` parquet: per-doc band keys (docs × bands rows, two
+  8-byte-ish columns) — the LSH candidate index;
+- ``shingles`` parquet: per-doc 60-bit hashed shingle ids — the exact
+  Jaccard verify input (the only per-token state, ~8 bytes/shingle).
+
+``add_batch`` computes the batch's keys/shingles once, finds candidate
+pairs batch↔corpus AND batch↔batch by band-key equi-join, verifies
+exact Jaccard on the stored shingle ids, then appends the batch's state
+— so the index grows by O(batch), never rescanning the corpus, and the
+scan side of the candidate join is the narrow band-key table, not
+documents. Exactly the same hash pipeline as the batch operator, so
+results match it bit-for-bit (asserted in tests/test_dedup_index.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.operators.dedup import (
+    _hashed_shingles,
+    _signatures_from_hashed,
+    _verify_jaccard,
+)
+
+
+class MinHashDedupIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+
+    @property
+    def _sig_path(self) -> str:
+        return os.path.join(self.path, "signatures")
+
+    @property
+    def _sh_path(self) -> str:
+        return os.path.join(self.path, "shingles")
+
+    def _banded(self, df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+        """(banded keys, hashed shingles) for a document frame."""
+        sh = _hashed_shingles(df, "text", id_col, self.shingle_n)
+        sig = _signatures_from_hashed(sh, id_col, self.num_hashes)
+        r = self.num_hashes // self.bands
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{i}").cast("string")
+                            for i in range(b * r, (b + 1) * r)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(self.bands)
+        ]
+        banded = sig.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        return banded, sh.select(F.col(id_col).alias("doc_id"), "_x1", "_x2", "_h")
+
+    def _stored(self, which: str) -> DataFrame | None:
+        p = self._sig_path if which == "signatures" else self._sh_path
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def add_batch(self, batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """Dedup-check ``batch`` against the stored corpus AND itself, then
+        fold it into the index. Returns verified near-dup pairs
+        ``(id_a, id_b, jaccard)`` where at least one side is a batch doc;
+        pairs order (id_a < id_b) regardless of which side is new."""
+        banded_new, sh_new = self._banded(batch, id_col)
+        banded_new = banded_new.cache()
+        sh_new = sh_new.cache()
+
+        stored_banded = self._stored("signatures")
+        stored_sh = self._stored("shingles")
+        all_banded = (
+            banded_new
+            if stored_banded is None
+            else stored_banded.unionByName(banded_new)
+        )
+        all_sh = sh_new if stored_sh is None else stored_sh.unionByName(sh_new)
+
+        a = banded_new.alias("a")  # new side drives the probe
+        b = all_banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_key") == F.col("b.band_key"),
+                    F.col("a.doc_id") != F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = _verify_jaccard(
+            cand, all_sh.select(F.col("doc_id"), "_h"), "doc_id", self.threshold, 6
+        )
+        # PIN the result before appending: the verify plan reads the stored
+        # parquet lazily, and the append below mutates that directory — a
+        # cache() is not enough (evicted partitions would recompute over
+        # the doubled state: inflated n_common, even zero denominators).
+        # localCheckpoint(eager) cuts the lineage at materialized blocks.
+        pairs = pairs.localCheckpoint(eager=True)
+        banded_new.write.mode("append").parquet(self._sig_path)
+        sh_new.write.mode("append").parquet(self._sh_path)
+        banded_new.unpersist()
+        sh_new.unpersist()
+        return pairs
