@@ -2578,3 +2578,91 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return weighted_mix(docs, _MIX_WEIGHTS, group_col="lang", id_col="doc_id")
+
+
+# The capstone: the WHOLE curation pipeline a training-data run executes
+# — quality gate → exact dedup (keep lowest id) → language-mix rebalance
+# → leak-proof split assignment — composed from the individual operators
+# and hash-checked end to end. The corpus is augmented with exact copies
+# so the dedup stage has real work.
+_CURATE_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (SELECT doc_id, text, {_TOKS.format(c='text')} AS tk FROM aug),
+q AS (
+  SELECT doc_id,
+         ROUND(
+           (CASE WHEN len(tk) >= 10 AND len(tk) <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+           + (CASE WHEN (CASE WHEN len(tk) > 0 THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END) >= 3.0
+                    AND (CASE WHEN len(tk) > 0 THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END) <= 12.0
+               THEN 1.0 ELSE 0.0 END) * 0.25
+           + LEAST((CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END) * 2.0, 1.0) * 0.25
+           + (CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END) * 0.25,
+         6) AS qs
+  FROM toks
+),
+kept AS (
+  SELECT a.doc_id, a.text, a.lang FROM aug a JOIN q ON q.doc_id = a.doc_id
+  WHERE q.qs >= 0.5
+),
+dd AS (
+  SELECT doc_id, lang,
+         MIN(doc_id) OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         ) AS keeper
+  FROM kept
+),
+base AS (SELECT doc_id, lang FROM dd WHERE doc_id = keeper),
+w(lang, wt) AS (VALUES {_MIX_WEIGHTS_SQL}),
+counts AS (SELECT lang, COUNT(*) AS n FROM base GROUP BY 1),
+gw AS (SELECT c.lang, c.n, w.wt FROM counts c JOIN w ON w.lang = c.lang),
+lam AS (SELECT MIN(n / wt) AS lam FROM gw),
+cuts AS (
+  SELECT lang, CAST(round(LEAST(1.0, lam.lam * wt / n) * 10000) AS BIGINT) AS cut
+  FROM gw CROSS JOIN lam
+),
+mixed AS (
+  SELECT b.doc_id, b.lang
+  FROM base b JOIN cuts ON cuts.lang = b.lang
+  WHERE {_BUCKET_SQL.replace('doc_id', 'b.doc_id')} < cuts.cut
+)
+SELECT CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
+            WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM mixed GROUP BY 1, 2
+"""
+
+
+@_register("pipeline_curate_corpus", _CURATE_ORACLE)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (composite score ≥ 0.5) → exact dedup keeping the
+    lowest id per normalized text → weighted language-mix rebalance →
+    deterministic train/val/test assignment; reports per-(split, lang)
+    counts. Every stage is an operator already oracle-checked on its own;
+    this query checks their COMPOSITION end to end."""
+    from pyspark.sql import Window
+
+    from whatsapp_vectordb_spark.functions.text import normalize_text
+    from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
+    from whatsapp_vectordb_spark.operators.textops import quality_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupes = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    aug = docs.unionByName(dupes)
+    q = quality_scores(aug).select("doc_id", "quality_score")
+    kept = aug.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
+    w = Window.partitionBy(F.md5(normalize_text("text")))
+    base = (
+        kept.withColumn("_keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "lang")
+    )
+    mixed = weighted_mix(base, _MIX_WEIGHTS, group_col="lang", id_col="doc_id")
+    assigned = assign_splits(mixed, "doc_id")
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
