@@ -484,6 +484,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("dedup_incremental_index", _minhash_pairs_sql(16, 4, 3, 0.5))
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent MinHash index fed the augmented corpus in TWO
+    batches (even doc_ids first, then odd + the synthetic copies); the
+    union of the two incremental pair sets must equal the one-shot batch
+    dedup — the oracle is literally ``dedup_minhash_lsh``'s SQL. This is
+    the ingest-time shape: each arriving batch probes the stored band
+    keys and appends only its own state."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "mh_incr_oracle",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = MinHashDedupIndex(
+        spark, path, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    p1 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 0))
+    p2 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 1))
+    return p1.unionByName(p2)
+
+
 @_register(
     "dedup_jaccard_exact",
     f"""
