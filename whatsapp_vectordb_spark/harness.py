@@ -2105,6 +2105,51 @@ def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust outlier detection: |value − median| > 3·1.4826·MAD (the MAD
+# z-score with the normal-consistency constant, folded to one literal
+# 4.4478 so both engines associate identically). Median/MAD resist the
+# very outliers they detect — the right data-quality gate for a corpus
+# where mean/stddev would be dragged by the tail.
+@_register(
+    "events_value_outliers",
+    """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+j AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS absdev
+  FROM e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM j GROUP BY 1)
+SELECT j.event_type,
+       COUNT(*) AS n_outliers,
+       ROUND(MIN(j.value), 4) AS min_outlier,
+       ROUND(MAX(j.value), 4) AS max_outlier
+FROM j JOIN mad ON mad.event_type = j.event_type
+WHERE j.absdev > 4.4478 * mad.mad
+GROUP BY 1
+""",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    j = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = j.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .where(F.col("absdev") > F.lit(4.4478) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.min("value"), 4).alias("min_outlier"),
+            F.round(F.max("value"), 4).alias("max_outlier"),
+        )
+    )
+
+
 @_register(
     "events_value_histogram",
     """
