@@ -1274,6 +1274,32 @@ def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch-accelerated EXACT heavy hitters: the Spark plan prefilters the
+# token stream with a driver-collected CMS grid (map-side literal-array
+# lookups — no false negatives since CMS never undercounts), then counts
+# only the candidates exactly. Result is identical to the plain
+# GROUP BY/HAVING the oracle runs — the sketch changes the PLAN, not the
+# answer.
+@_register(
+    "text_heavy_hitters",
+    f"""
+WITH toks AS (SELECT unnest({_TOKS.format(c='text')}) AS tok FROM documents)
+SELECT tok AS value, COUNT(*) AS n
+FROM toks GROUP BY tok HAVING COUNT(*) >= 300
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.sketches import heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(tokens("text").alias("_tk"))
+        .select(F.explode("_tk").alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", min_count=300, width=256)
+
+
 @_register(
     "streaming_session_windows",
     """

@@ -160,3 +160,44 @@ def cms_estimate(
         .groupBy("probe")
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    width: int = 256,
+) -> DataFrame:
+    """Sketch-accelerated EXACT heavy hitters: values occurring ≥
+    ``min_count`` times, with the same result as a plain
+    ``GROUP BY … HAVING`` — CMS never undercounts, so the sketch pass has
+    no false negatives, and the exact pass removes its false positives.
+
+    The pattern at 100 TB: pass 1 folds the corpus into the d×w counter
+    grid (tiny shuffle); the counters — bounded sketch state, ≤ d·w rows
+    BY DESIGN — come back to the driver and ride into pass 2 as literal
+    arrays, so the candidate check is a map-side expression and the exact
+    count shuffles ONLY candidate occurrences, not the full multiset.
+    """
+    from whatsapp_vectordb_spark.functions.text import portable_hash64
+
+    grid = [[0] * width for _ in range(CMS_D)]
+    for r in cms_counters(df, value_col, width=width).collect():
+        grid[r["row"]][r["col"]] = r["cnt"]
+    c = F.col(value_col)
+    ests = [
+        F.element_at(
+            F.array(*[F.lit(int(v)) for v in grid[r]]),
+            (F.pmod(portable_hash64(c.cast("string"), seed=r), F.lit(width)) + 1).cast(
+                "int"
+            ),
+        )
+        for r in range(CMS_D)
+    ]
+    candidate = F.least(*ests) >= min_count
+    return (
+        df.where(candidate)
+        .groupBy(c.alias("value"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
