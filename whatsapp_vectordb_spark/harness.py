@@ -2131,6 +2131,65 @@ def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordered funnel: first view → first click AFTER it → first purchase
+# AFTER that, per user; the sequential-pattern query every event
+# analytics stack needs. Three tiny per-user min-aggregates chained by
+# time inequality joins — each stage's frame is |users| rows, so the
+# chain broadcasts; timestamps compare as epoch micros (exact integers).
+@_register(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+  GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )
+
+
 # Robust outlier detection: |value − median| > 3·1.4826·MAD (the MAD
 # z-score with the normal-consistency constant, folded to one literal
 # 4.4478 so both engines associate identically). Median/MAD resist the
