@@ -270,3 +270,25 @@ def test_ivfpq_probe_prunes_cell_partitions(spark, embeddings, tmp_path):
     )
     assert "PartitionFilters" in p and "centroid" in p.split("PartitionFilters", 1)[1][:200]
     assert out.collect()[0]["vec_id"] == 7
+
+
+def test_ivfpq_residual_identical_vectors_tie_and_self_first(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.ann import IvfPqResidualIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    idx = IvfPqResidualIndex.build(corpus, n_centroids=4, m=8, ksub=16, sample_rows=300)
+    enc = idx.encode(corpus).cache()
+    qrow = emb.where(F.col("vec_id") == 0).head()
+    out = idx.probe(enc, qrow["embedding"], k=10, nprobe=4).collect()
+    got = [r["vec_id"] for r in out]
+    scores = {r["vec_id"]: r["score"] for r in out}
+    # identical vectors share cell + residual codes: both found, equal
+    # integer distances, id-ascending order between them
+    assert 0 in got and 1000000 in got
+    assert scores[0] == scores[1000000]
+    assert got[0] == 0  # self (and its copy) at minimal distance
+    enc.unpersist()

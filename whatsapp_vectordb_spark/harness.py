@@ -1592,6 +1592,64 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=2)
 
 
+_IVFPQR_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "ivfpq_residual_oracle",
+)
+
+# Residual IVF-PQ probe (the FAISS-style layout): distances are exact
+# int64 sums of the per-cell LUT entries, ascending; build stays
+# rows-only, the query path hash-checks over the persisted state.
+_ANN_IVFPQR_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVFPQR_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_IVFPQR_ORACLE_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_IVFPQR_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_residual_topk", _ANN_IVFPQR_ORACLE)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import IvfPqResidualIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = IvfPqResidualIndex.build(emb, n_centroids=8, m=8, ksub=16, sample_rows=500)
+    idx.encode(emb).write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(_IVFPQR_ORACLE_DIR, "cells")
+    )
+    cells = idx.probe_cells(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in cells], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVFPQR_ORACLE_DIR, "probe"))
+    luts = idx.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, k, int(luts[c][j, k]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for k in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(rows, "centroid bigint, j int, c int, w bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVFPQR_ORACLE_DIR, "lut"))
+    stored = spark.read.parquet(os.path.join(_IVFPQR_ORACLE_DIR, "cells"))
+    return idx.probe(stored, qvec, k=10, nprobe=2)
+
+
 @_register("embed_search_pipeline")  # deterministic embedder — rows-only (no SQL embedder)
 def embed_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full flagship pipeline (SURVEY.md §3.3 restated): embed corpus +

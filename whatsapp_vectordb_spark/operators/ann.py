@@ -580,6 +580,31 @@ class IvfIndex:
         )
 
 
+def _lloyd_codebooks(
+    x: np.ndarray, m: int, ksub: int, seed: int, iters: int
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a driver-side sample → (m, ksub,
+    dim/m) codebooks. Deterministic under a fixed seed and sample."""
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):  # Lloyd: assign to nearest, move to mean
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[a == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
 class PqIndex:
     """Product quantization — the compressed-storage ANN tier.
 
@@ -636,23 +661,7 @@ class PqIndex:
     ) -> "PqIndex":
         rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
         x = cls._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
-        dim = x.shape[1]
-        if dim % m:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
-        dsub = dim // m
-        rng = np.random.default_rng(seed)
-        books = np.empty((m, ksub, dsub))
-        for j in range(m):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
-            for _ in range(iters):  # Lloyd: assign to nearest, move to mean
-                d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                a = d.argmin(axis=1)
-                for c in range(ksub):
-                    pts = sub[a == c]
-                    if len(pts):
-                        cent[c] = pts.mean(axis=0)
-            books[j] = cent
+        books = _lloyd_codebooks(x, m, ksub, seed, iters)
         return cls(books, id_col, vec_col)
 
     def encode(self, df: DataFrame) -> DataFrame:
@@ -787,6 +796,169 @@ def ivfpq_topk(
     probe_ids = ivf.probe_centroid_ids(query_vec, nprobe)
     subset = codes_assigned.where(F.col("centroid").isin(probe_ids))
     return pq.adc_topk(subset, query_vec, k=k)
+
+
+class IvfPqResidualIndex:
+    """Residual IVF-PQ — the layout production vector stores (FAISS
+    ``IVFxx,PQyy``) actually deploy: vectors are L2-normalized, assigned
+    to a coarse centroid, and PQ encodes the RESIDUAL ``v − c`` instead of
+    the vector — residuals are small and centered, so the same byte
+    budget quantizes much finer than whole-vector PQ (Jégou et al.
+    TPAMI'11 §IV).
+
+    Query scoring is per-cell asymmetric L2: for each probed centroid c,
+    ``lut_c[j][k] = ||(q−c)_j − codebook_j[k]||²`` and a row's distance is
+    ``Σ_j lut_c[j][code_j]`` — on unit vectors the L2 ranking equals the
+    cosine ranking. LUTs are integer-quantized (round(d·10⁶)), so scores
+    are exact int64 sums, reproducible in a SQL oracle over persisted
+    codes + LUTs, exactly like the flat-PQ probe.
+    """
+
+    LUT_QUANT = 1_000_000
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.centroids = centroids  # (C, dim) — unit-normalized space
+        self.codebooks = codebooks  # (m, ksub, dim/m) — residual space
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 2048,
+        seed: int = 0,
+        iters: int = 10,
+    ) -> "IvfPqResidualIndex":
+        """Coarse centroids (Lloyd on the normalized sample) + residual
+        codebooks trained on the SAME sample's residuals — both stages on
+        a bounded driver-side sample, as codebook training always is."""
+        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
+        x = PqIndex._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        # coarse quantizer: one "subspace" spanning the full dim
+        cent = _lloyd_codebooks(x, 1, n_centroids, seed, iters)[0]  # (C, dim)
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        res = x - cent[d.argmin(axis=1)]
+        books = _lloyd_codebooks(res, m, ksub, seed + 1, iters)
+        return cls(cent, books, id_col, vec_col)
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """``(id, centroid, codes)``: one Arrow batch does normalize →
+        coarse assign → residual → per-subspace code — the whole ingest
+        map in a single pass, no shuffle."""
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        cent, books = self.centroids, self.codebooks
+        m, dsub = self.m, self.dsub
+        id_col, vec_col = self.id_col, self.vec_col
+        out_schema = StructType(
+            [
+                df.schema[id_col],
+                StructField("centroid", IntegerType(), False),
+                StructField("codes", ArrayType(IntegerType()), False),
+            ]
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = PqIndex._normalize(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
+                d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                cell = d.argmin(axis=1)
+                res = v - cent[cell]
+                codes = np.empty((len(v), m), dtype=np.int32)
+                for j in range(m):
+                    sub = res[:, j * dsub : (j + 1) * dsub]
+                    dj = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = dj.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "centroid": cell.astype("int32"),
+                        "codes": list(codes),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(enc, schema=out_schema)
+
+    def probe_cells(self, query_vec, nprobe: int) -> list[int]:
+        q = PqIndex._normalize(np.asarray(query_vec, dtype=np.float64))
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    def luts_int(self, query_vec, cells: list[int]) -> dict[int, np.ndarray]:
+        """Per-probed-cell integer LUT: (m, ksub) int64 of
+        round(||(q−c)_j − codebook_j[k]||² · 10⁶)."""
+        q = PqIndex._normalize(np.asarray(query_vec, dtype=np.float64))
+        out = {}
+        for c in cells:
+            r = q - self.centroids[c]
+            lut = np.empty((self.m, self.codebooks.shape[1]))
+            for j in range(self.m):
+                sub = r[j * self.dsub : (j + 1) * self.dsub]
+                lut[j] = ((self.codebooks[j] - sub) ** 2).sum(axis=1)
+            out[c] = np.round(lut * self.LUT_QUANT).astype(np.int64)
+        return out
+
+    def probe(
+        self, encoded: DataFrame, query_vec, k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """Top-k (ascending integer distance) over the probed cells'
+        codes — centroid filter prunes partitions on a saved layout, the
+        scan reads codes only, ties break by id."""
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        cells = self.probe_cells(query_vec, nprobe)
+        luts = self.luts_int(query_vec, cells)
+        id_col = self.id_col
+        m = self.m
+        out_schema = StructType(
+            [encoded.schema[id_col], StructField("score", LongType(), False)]
+        )
+        j_idx = np.arange(m)
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+                cellv = pdf["centroid"].to_numpy()
+                s = np.empty(len(pdf), dtype=np.int64)
+                for c in np.unique(cellv):
+                    mask = cellv == c
+                    s[mask] = luts[int(c)][j_idx[None, :], codes[mask]].sum(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "score": s})
+
+        subset = encoded.where(F.col("centroid").isin(cells))
+        scored = subset.mapInPandas(score, schema=out_schema)
+        return scored.orderBy(F.col("score").asc(), F.col(id_col).asc()).limit(k)
 
 
 def mllib_lsh_topk(
