@@ -1274,6 +1274,56 @@ def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unigram language-model scoring: avg log-likelihood of each document
+# under the corpus's own unigram distribution — the classic cheap
+# fluency/quality signal (gibberish and boilerplate sit in the tails).
+# Each token's logprob is quantized to an int64 (round(ln(tf/N)·10⁶))
+# BEFORE the per-doc sum, so the fold is order-independent and the oracle
+# reproduces it exactly; only the final avg division is float.
+@_register(
+    "text_unigram_loglik",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS tok FROM documents),
+tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+q AS (
+  SELECT t.doc_id,
+         CAST(round(ln(tf.cnt / n.total) * 1000000) AS BIGINT) AS lp
+  FROM toks t JOIN tf ON tf.tok = t.tok CROSS JOIN n
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(SUM(lp)::DOUBLE / COUNT(*) / 1000000, 6) AS avg_logprob
+FROM q GROUP BY doc_id
+""",
+)
+def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("_tk")).select(
+        "doc_id", F.explode("_tk").alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n = toks.agg(F.count("*").cast("double").alias("total"))
+    q = (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("total")) * 1000000)
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return q.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count("*") / 1000000, 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 # Sketch-accelerated EXACT heavy hitters: the Spark plan prefilters the
 # token stream with a driver-collected CMS grid (map-side literal-array
 # lookups — no false negatives since CMS never undercounts), then counts
