@@ -2239,6 +2239,56 @@ def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew-mitigation tools in the gate: both are result-identical to the
+# vanilla plan (the oracle runs the vanilla SQL) — salting changes HOW
+# the shuffle distributes hot keys, never WHAT comes out.
+@_register(
+    "rel_salted_join_counts",
+    """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def rel_salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact side gets a deterministic row salt, the dim side is
+    replicated S×, the join key becomes (key, salt) — a known-hot user id
+    spreads over S tasks instead of pinning one. Disable-broadcast is
+    forced so the salted shuffle path actually executes here."""
+    from whatsapp_vectordb_spark.functions.skew import salted_join
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("c_custkey"), "event_type"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(ev, cust, on="c_custkey", n_salts=8)
+        return joined.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n_events")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@_register(
+    "rel_salted_distinct_users",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY 1
+""",
+)
+def rel_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT) without a single reducer owning a
+    hot key: dedupe under (key, hash(value) % S), then sum the disjoint
+    per-salt partials."""
+    from whatsapp_vectordb_spark.functions.skew import salted_distinct_count
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return salted_distinct_count(ev, "event_type", "user_id", n_salts=8)
+
+
 # Ordered funnel: first view → first click AFTER it → first purchase
 # AFTER that, per user; the sequential-pattern query every event
 # analytics stack needs. Three tiny per-user min-aggregates chained by
