@@ -8,10 +8,11 @@ whole plan, not just job submission.
 Contention protocol: this box is a shared host with ±50% per-query swings
 under load, so each query runs $SPARK_GRAFT_BENCH_REPS times (default 3)
 and reports the MEDIAN; `value` is the sum of medians and `queries_all`
-carries the raw reps. Operator-internal caches persist across reps (same
-logical plan → same cache entry), so reps 2+ measure warm compute — the
-recorded BASELINE.md numbers use the identical protocol, keeping ratios
-comparable.
+carries the raw reps. Caches are cleared BETWEEN queries (each query
+starts from the pinned input frames only) but persist across a query's
+own reps (same logical plan → same cache entry), so reps 2+ measure warm
+compute — the recorded BASELINE.md numbers use the identical protocol,
+keeping ratios comparable.
 """
 
 from __future__ import annotations
@@ -55,10 +56,30 @@ def main() -> None:
     # query measures the engine, not an accidental 1-core layout (at real
     # scale inputs arrive in thousands of splits and this is a no-op)
     par = spark.sparkContext.defaultParallelism
-    emb = _t(spark, sf_dir, "embeddings").repartition(par).cache()
+
+    # frames every query may read; re-pinned after each cache reset so
+    # queries always see warm inputs, never each other's leftovers
+    pinned: list = []
+
+    def pin(df):
+        df = df.cache()
+        df.count()
+        pinned.append(df)
+        return df
+
+    def reset_caches() -> None:
+        # Operator-internal caches from one query must not linger into the
+        # next: 19 queries x 3 reps of accumulated blocks cause GC/eviction
+        # pressure that made late-running queries degrade monotonically
+        # (rel_nation_revenue 2.5s -> 9.5s across reps in round 2).
+        spark.catalog.clearCache()
+        for df in pinned:
+            df.cache()
+            df.count()
+
+    emb = pin(_t(spark, sf_dir, "embeddings").repartition(par))
     n_emb = emb.count()
-    docs = _t(spark, sf_dir, "documents").repartition(par).cache()
-    docs.count()
+    docs = pin(_t(spark, sf_dir, "documents").repartition(par))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
@@ -66,6 +87,9 @@ def main() -> None:
 
     def timed(name: str):
         def deco(fn):
+            # fresh cache state per query; reps 2+ still measure warm
+            # operator caches (same protocol as the recorded baseline)
+            reset_caches()
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -142,10 +166,9 @@ def main() -> None:
     # norms scale by the same factor), so these measure the engine at the
     # reference's real dimensionality. Corpus prep is cached outside the
     # timed region; the two entries record the expr-HOF vs numpy crossover.
-    emb1536 = emb.select(
-        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 24)).alias("embedding")
-    ).cache()
-    emb1536.count()
+    emb1536 = pin(
+        emb.select("vec_id", F.flatten(F.array_repeat(F.col("embedding"), 24)).alias("embedding"))
+    )
     q1536 = emb1536.where(F.col("vec_id") == 0).head()["embedding"]
     qrows1536 = emb1536.limit(16).select("vec_id", "embedding").collect()
 

@@ -1700,21 +1700,42 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.probe(stored, qvec, k=10, nprobe=2)
 
 
-@_register("embed_search_pipeline")  # deterministic embedder — rows-only (no SQL embedder)
+_FLAGSHIP_QUERY = "data processing at scale"
+
+
+def _flagship_oracle() -> str:
+    """The embedder is deterministic pure Python (embedder.py), so the
+    flagship query vector can be computed at registration time and inlined
+    into the oracle as a literal — making the end-to-end pipeline
+    hash-checked instead of rows-only (SURVEY.md §5.2)."""
+    from whatsapp_vectordb_spark.embedder import embed_text
+
+    qv = embed_text(_FLAGSHIP_QUERY, dim=64)
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+WITH q AS (SELECT {lit}::DOUBLE[] AS qv)
+SELECT e.vec_id AS id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e, q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, id ASC
+LIMIT 20
+"""
+
+
+@_register("embed_search_pipeline", _flagship_oracle())
 def embed_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full flagship pipeline (SURVEY.md §3.3 restated): embed corpus +
-    query text, exact top-20. Embeddings come from the Python embedder so
-    the oracle can't recompute them — covered by the rows-only check here
-    and exactly by tests/test_search.py at fixture scale."""
-    from whatsapp_vectordb_spark.embedder import with_embedding
+    """Full flagship pipeline (SURVEY.md §3.3, reference main.go:186-266):
+    embed the query string driver-side with the deterministic embedder,
+    exact top-20 against the stored index — the reference's real shape
+    (the index is populated by a prior ingest; the query-time embed is the
+    only embedding on the hot path). The corpus-side embed ingest (U1) is
+    exactly covered by tests/test_embedder.py and the embed_documents
+    bench entry."""
     from whatsapp_vectordb_spark.operators.search import search_text
 
-    docs = _t(spark, sf_dir, "documents")
-    index = with_embedding(docs, "text", "embedding").select(
-        F.col("doc_id").alias("id"), "embedding"
-    )
-    out = search_text(index, "data processing at scale", k=20, payload_cols=())
-    return out.select("id", F.round(F.col("score"), ROUND_SCORE).alias("score"))
+    index = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding")
+    return search_text(index, _FLAGSHIP_QUERY, k=20, payload_cols=(), round_to=ROUND_SCORE)
 
 
 # ==========================================================================

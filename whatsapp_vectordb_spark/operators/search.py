@@ -193,6 +193,7 @@ def search_text(
     id_col: str = "id",
     vec_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("text",),
+    round_to: int | None = None,
 ) -> DataFrame:
     """The reference's interactive query path (main.go:186-266): embed the
     query string driver-side (one string — no job needed), then exact
@@ -210,4 +211,5 @@ def search_text(
         id_col=id_col,
         vec_col=vec_col,
         payload_cols=payload_cols,
+        round_to=round_to,
     )
