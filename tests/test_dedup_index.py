@@ -42,3 +42,26 @@ def test_incremental_minhash_index_matches_batch_dedup(spark, documents, tmp_pat
     )
     p3 = _pairs(idx.add_batch(fresh))
     assert p3 == set()
+
+
+def test_add_batch_reingest_is_noop(spark, documents, tmp_path):
+    """Re-ingesting an already-indexed doc_id must not double-count its
+    shingles (which would corrupt Jaccard for every future pair) — the
+    batch is anti-joined against stored ids before any state is written."""
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = documents.select("doc_id", "text").limit(40).cache()
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_idx"), threshold=0.5)
+    idx.add_batch(docs)
+    sh_before = spark.read.parquet(str(tmp_path / "mh_idx" / "shingles")).count()
+
+    # the whole batch again: no pairs, no state growth
+    again = idx.add_batch(docs)
+    assert again.count() == 0
+    sh_after = spark.read.parquet(str(tmp_path / "mh_idx" / "shingles")).count()
+    assert sh_after == sh_before
+
+    # a genuine copy under a NEW id is still caught against the stored corpus
+    copy = docs.limit(1).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    pairs = idx.add_batch(copy).collect()
+    assert any(r["id_b"] >= 5000 for r in pairs)

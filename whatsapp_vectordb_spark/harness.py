@@ -49,6 +49,23 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _oracle_scratch(name: str) -> str:
+    """Scratch directory for persisted oracle state (parquet written by the
+    Spark query, re-read by the DuckDB oracle — both paths are baked into
+    the oracle SQL at registration time, so Spark and DuckDB must resolve
+    the SAME directory). Default is repo-relative ``spark-warehouse/<name>``
+    — stable even if the driver runs the two engines in separate processes.
+    Set ``SPARK_GRAFT_ORACLE_SCRATCH`` to point concurrent harness runs at
+    disjoint scratch roots (fixed shared paths race: overwrite-at-query-time
+    from two runs can corrupt each other's state)."""
+    base = os.environ.get("SPARK_GRAFT_ORACLE_SCRATCH")
+    if base is None:
+        base = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+        )
+    return os.path.join(base, name)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load `events` with its TIMESTAMP(NANOS) column normalized to a real
     timestamp. Spark can't read nanos-parquet natively; with
@@ -496,11 +513,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "mh_incr_oracle",
-    )
+    path = _oracle_scratch("mh_incr_oracle")
     shutil.rmtree(path, ignore_errors=True)
     aug = _augmented_docs(spark, sf_dir)
     idx = MinHashDedupIndex(
@@ -1498,11 +1511,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "spark-warehouse",
-    "ivf_oracle",
-)
+_IVF_ORACLE_DIR = _oracle_scratch("ivf_oracle")
 
 # The k-means build is not SQL-expressible, but the QUERY path is: the
 # harness persists the centroid assignment (partitionBy(centroid) parquet —
@@ -1545,11 +1554,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
 
 
-_PQ_ORACLE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "spark-warehouse",
-    "pq_oracle",
-)
+_PQ_ORACLE_DIR = _oracle_scratch("pq_oracle")
 
 # Product-quantization ADC probe: the k-means codebook build stays
 # unchecked (not SQL-expressible), but the QUERY path is bit-exact — the
@@ -1587,38 +1592,46 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.adc_topk(codes, qvec, k=10)
 
 
-_IVFPQ_ORACLE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "spark-warehouse",
-    "ivfpq_oracle",
-)
+_IVFPQ_ORACLE_DIR = _oracle_scratch("ivfpq_oracle")
 
-# IVF-PQ probe: centroid pruning (file-level on the saved layout) +
-# integer ADC over 8-byte codes. Builds stay rows-only; the entire query
-# path — probed cells, LUT reads, int64 sums, top-k cut — is bit-exact.
+# IVF-PQ probe, DEFAULT (reranked) path: centroid pruning (file-level on
+# the saved layout) + integer ADC over 8-byte codes to a 100-candidate
+# shortlist, then an exact cosine re-rank over only those rows' float
+# vectors (raw ADC order ties aggressively — recall@10 as low as 0.1
+# unreranked, BASELINE.md stress table). The shortlist cut is
+# deterministic (int64 ADC score, id tiebreak), so the whole query path
+# hash-checks; builds stay rows-only.
 _ANN_IVFPQ_ORACLE = f"""
 WITH cells AS (
   SELECT * FROM read_parquet('{_IVFPQ_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
 ),
 probes AS (SELECT centroid FROM read_parquet('{_IVFPQ_ORACLE_DIR}/probe/*.parquet')),
 lut AS (SELECT * FROM read_parquet('{_IVFPQ_ORACLE_DIR}/lut/*.parquet')),
-s AS (
-  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+adc AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS s
   FROM cells c
   JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
   CROSS JOIN range(0,8) j(j)
   JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
   GROUP BY 1
-)
-SELECT vec_id, score FROM s
-ORDER BY score DESC, vec_id ASC
+  ORDER BY s DESC, vec_id ASC
+  LIMIT 100
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN adc ON e.vec_id = adc.vec_id CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
 LIMIT 10
 """
 
 
-@_register("ann_ivfpq_topk", _ANN_IVFPQ_ORACLE)
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whatsapp_vectordb_spark.operators.ann import IvfIndex, PqIndex, ivfpq_topk
+def _build_ivfpq_state(spark: SparkSession, sf_dir: str, out_dir: str, nprobe: int):
+    """Build IVF+PQ over the fixture embeddings and persist the full query
+    state (cells partitioned by centroid, probe ids, integer LUT) so the
+    DuckDB oracle replays the identical probe over the same files. Returns
+    (emb, qvec, ivf, pq, stored-cells frame)."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, PqIndex
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
@@ -1627,26 +1640,100 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the deployed layout: codes + centroid, partitioned by centroid
     cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
     cells.write.partitionBy("centroid").mode("overwrite").parquet(
-        os.path.join(_IVFPQ_ORACLE_DIR, "cells")
+        os.path.join(out_dir, "cells")
     )
-    probe_ids = ivf.probe_centroid_ids(qvec, nprobe=2)
+    probe_ids = ivf.probe_centroid_ids(qvec, nprobe=nprobe)
     spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
         1
-    ).write.mode("overwrite").parquet(os.path.join(_IVFPQ_ORACLE_DIR, "probe"))
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "probe"))
     lut = pq.lut_int(qvec)
     spark.createDataFrame(
         [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
         "j int, c int, w bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_IVFPQ_ORACLE_DIR, "lut"))
-    stored = spark.read.parquet(os.path.join(_IVFPQ_ORACLE_DIR, "cells"))
-    return ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=2)
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "lut"))
+    stored = spark.read.parquet(os.path.join(out_dir, "cells"))
+    return emb, qvec, ivf, pq, stored
 
 
-_IVFPQR_ORACLE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "spark-warehouse",
-    "ivfpq_residual_oracle",
+@_register("ann_ivfpq_topk", _ANN_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import ivfpq_topk
+
+    emb, qvec, ivf, pq, stored = _build_ivfpq_state(
+        spark, sf_dir, _IVFPQ_ORACLE_DIR, nprobe=2
+    )
+    return ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=2, index_df=emb)
+
+
+_RECALL_ORACLE_DIR = _oracle_scratch("ivfpq_recall_oracle")
+
+# VERDICT r02 #3: the reference's entire product is k-NN answer quality
+# (reference main.go:89-184), so recall itself is oracle-gated: recall@10
+# of the default (reranked) IVF-PQ probe against the exact top-10 over the
+# SAME parquet — both sides deterministic, both engines replay the full
+# shortlist + re-rank + intersect.
+_ANN_RECALL_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_RECALL_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_RECALL_ORACLE_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_RECALL_ORACLE_DIR}/lut/*.parquet')),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS s
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+  ORDER BY s DESC, vec_id ASC
+  LIMIT 200
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ann AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN adc ON e.vec_id = adc.vec_id CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id ASC
+  LIMIT 10
 )
+SELECT CAST(10 AS BIGINT) AS k, ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+FROM ann JOIN exact ON ann.vec_id = exact.vec_id
+"""
+
+
+@_register("ann_recall_gate", _ANN_RECALL_ORACLE)
+def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the default IVF-PQ probe (nprobe=6 of 8 cells,
+    shortlist-200 exact re-rank) vs exact brute-force top-10 — a single
+    ``(k, recall)`` row, hash-checked. The gate expectation is ≥ 0.9."""
+    from whatsapp_vectordb_spark.operators.ann import ivfpq_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb, qvec, ivf, pq, stored = _build_ivfpq_state(
+        spark, sf_dir, _RECALL_ORACLE_DIR, nprobe=6
+    )
+    ann_ids = ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=6, index_df=emb, shortlist=200).select(
+        "vec_id"
+    )
+    exact_ids = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        ann_ids.join(exact_ids, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+_IVFPQR_ORACLE_DIR = _oracle_scratch("ivfpq_residual_oracle")
 
 # Residual IVF-PQ probe (the FAISS-style layout): distances are exact
 # int64 sums of the per-cell LUT entries, ascending; build stays

@@ -557,13 +557,16 @@ class IvfIndex:
         return float(row["d"] or 0.0)
 
     def probe_centroid_ids(self, query_vec, nprobe: int = 3) -> list[int]:
-        """The ``nprobe`` centroid ids nearest the query by cosine — the
-        driver-side coarse quantization step (centroid matrix is tiny)."""
+        """The ``nprobe`` centroid ids nearest the query by EUCLIDEAN
+        distance — the same metric the k-means build/assign uses, so the
+        probed cells are exactly those that would own the query. (Ranking
+        centroids by cosine while cells were cut by Euclidean k-means
+        silently probes the wrong cells on unnormalized data; the
+        normalized-layout variant is ``IvfPqResidualIndex``.) Driver-side:
+        the centroid matrix is tiny."""
         q = np.asarray(query_vec, dtype=np.float64)
-        qn = np.linalg.norm(q)
-        cn = np.linalg.norm(self.centroids, axis=1)
-        sims = (self.centroids @ q) / np.where(cn * qn == 0, 1.0, cn * qn)
-        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+        d = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
 
     def probe(self, query_vec, k: int = 10, nprobe: int = 3, round_to: int | None = None) -> DataFrame:
         """Top-k among vectors in the ``nprobe`` centroids nearest (by
@@ -782,6 +785,8 @@ def ivfpq_topk(
     query_vec,
     k: int = 10,
     nprobe: int = 3,
+    index_df: DataFrame | None = None,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """IVF-PQ — the canonical big-index ANN layout: the IVF coarse
     quantizer prunes the scan to ``nprobe`` cells (on a saved index,
@@ -790,12 +795,28 @@ def ivfpq_topk(
     touches a float vector column at scan time. ``codes_assigned`` is the
     encoded table carrying a ``centroid`` column (encode ⋈ assign).
 
+    When ``index_df`` (the full-vector table) is given — the DEFAULT
+    deployment shape — the ADC scan only produces a ``shortlist``
+    (``max(10·k, 100)`` unless set) of candidates whose float vectors are
+    then fetched and exactly re-ranked: ADC over 8-byte codes ties
+    aggressively (measured recall@10 as low as 0.1 raw vs 0.7-1.0
+    reranked — BASELINE.md stress table), so raw ADC order is a filter,
+    not an answer. Pass ``index_df=None`` explicitly to get the raw ADC
+    ranking (ties broken by id) for oracle/debug use.
+
     At 100 TB this is the compound win: I/O ∝ nprobe/n_centroids of the
     (already 32×-compressed) index, compute is m int64 table reads per
-    candidate, and the result is still a TakeOrderedAndProject."""
+    candidate, and the float vectors are read for ``shortlist`` rows, not
+    N. The result is still a TakeOrderedAndProject."""
     probe_ids = ivf.probe_centroid_ids(query_vec, nprobe)
     subset = codes_assigned.where(F.col("centroid").isin(probe_ids))
-    return pq.adc_topk(subset, query_vec, k=k)
+    if index_df is None:
+        return pq.adc_topk(subset, query_vec, k=k)
+    if shortlist is None:
+        shortlist = max(10 * k, 100)
+    cand = pq.adc_topk(subset, query_vec, k=shortlist).select(pq.id_col)
+    sub = index_df.join(cand, pq.id_col).select(pq.id_col, pq.vec_col)
+    return topk(sub, query_vec, k=k, id_col=pq.id_col, vec_col=pq.vec_col, round_to=6)
 
 
 class IvfPqResidualIndex:

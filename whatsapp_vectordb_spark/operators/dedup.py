@@ -474,6 +474,10 @@ def connected_components(
     are cached and the previous round unpersisted; convergence is one
     count() of changed labels per round.
     """
+    if max_iter < 1:
+        # changed is pre-initialized to 0, so a zero-iteration run would
+        # "converge" with every node its own component — wrong labels
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     und = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))

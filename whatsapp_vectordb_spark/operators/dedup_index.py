@@ -84,7 +84,9 @@ class MinHashDedupIndex:
 
     def _stored(self, which: str) -> DataFrame | None:
         p = self._sig_path if which == "signatures" else self._sh_path
-        if not os.path.exists(p):
+        if not os.path.exists(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
             return None
         return self.spark.read.parquet(p)
 
@@ -92,7 +94,24 @@ class MinHashDedupIndex:
         """Dedup-check ``batch`` against the stored corpus AND itself, then
         fold it into the index. Returns verified near-dup pairs
         ``(id_a, id_b, jaccard)`` where at least one side is a batch doc;
-        pairs order (id_a < id_b) regardless of which side is new."""
+        pairs order (id_a < id_b) regardless of which side is new.
+
+        Re-ingest-safe: doc_ids already in the index are anti-joined out of
+        the batch before anything is computed — without this, re-running a
+        failed/duplicate ingest would double-count the doc's shingles in
+        the Jaccard COUNT(*) sizes and silently corrupt every future pair
+        involving it. Crash-safe: both state appends are staged to a temp
+        dir and only file-renamed into the live index after BOTH writes
+        succeed, so a mid-append failure can't leave signatures without
+        their shingles (the rename window is two metadata-only loops, not
+        two distributed writes)."""
+        stored_ids = self._stored("signatures")
+        if stored_ids is not None:
+            batch = batch.join(
+                stored_ids.select(F.col("doc_id").alias(id_col)).dropDuplicates(),
+                id_col,
+                "left_anti",
+            )
         banded_new, sh_new = self._banded(batch, id_col)
         banded_new = banded_new.cache()
         sh_new = sh_new.cache()
@@ -132,8 +151,31 @@ class MinHashDedupIndex:
         # the doubled state: inflated n_common, even zero denominators).
         # localCheckpoint(eager) cuts the lineage at materialized blocks.
         pairs = pairs.localCheckpoint(eager=True)
-        banded_new.write.mode("append").parquet(self._sig_path)
-        sh_new.write.mode("append").parquet(self._sh_path)
+        self._commit_appends(banded_new, sh_new)
         banded_new.unpersist()
         sh_new.unpersist()
         return pairs
+
+    def _commit_appends(self, banded_new: DataFrame, sh_new: DataFrame) -> None:
+        """Stage both state writes, then rename part-files into the live
+        dirs — a failure before the rename loop leaves the index untouched.
+        Spark's part-file names carry a per-write UUID, so renames can't
+        collide with existing files."""
+        import shutil
+        import uuid
+
+        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        stage_sig = os.path.join(stage, "signatures")
+        stage_sh = os.path.join(stage, "shingles")
+        try:
+            banded_new.write.mode("overwrite").parquet(stage_sig)
+            sh_new.write.mode("overwrite").parquet(stage_sh)
+            for src_dir, live_dir in ((stage_sig, self._sig_path), (stage_sh, self._sh_path)):
+                os.makedirs(live_dir, exist_ok=True)
+                for fname in os.listdir(src_dir):
+                    if fname.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(src_dir, fname), os.path.join(live_dir, fname)
+                        )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)

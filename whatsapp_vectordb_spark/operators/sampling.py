@@ -115,9 +115,17 @@ def weighted_mix(
     also a whitelist.
     """
     spark = df.sparkSession
-    w_df = spark.createDataFrame(
-        [(g, float(w)) for g, w in weights.items()], f"{group_col} string, _w double"
+    # derive the group column's type from the input frame — a hardcoded
+    # string schema would break (or silently cast) integer group ids
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    w_schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("_w", DoubleType()),
+        ]
     )
+    w_df = spark.createDataFrame([(g, float(w)) for g, w in weights.items()], w_schema)
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     gw = counts.join(F.broadcast(w_df), group_col)
     lam = gw.agg(F.min(F.col("_n") / F.col("_w")).alias("_lam"))
