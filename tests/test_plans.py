@@ -185,3 +185,50 @@ def test_minhash_verify_joins_on_int64_keys(documents):
     assert "_h" in p
     # no join keyed on a raw shingle string survives in the plan
     assert "hashpartitioning(shingle" not in p
+
+
+def test_bm25_broadcasts_stats_and_dfreq(documents):
+    """BM25's per-term document frequencies and one-row corpus stats must
+    ride in as broadcasts; the postings side never shuffles through a
+    cartesian (VERDICT r02 plan-audit ask)."""
+    from whatsapp_vectordb_spark.operators.textops import bm25_search
+
+    p = plan(bm25_search(documents, ["data", "processing", "scale"]))
+    assert p.count("BroadcastExchange") >= 2  # dfreq join + stats crossJoin
+    assert "CartesianProduct" not in p
+    # the postings explode is filtered to the query's IN-list (so shuffled
+    # postings are O(docs with a query term), not the full inverted index)
+    filter_lines = [ln for ln in p.splitlines() if "Filter" in ln or "Condition" in ln]
+    assert any("data" in ln and "scale" in ln for ln in filter_lines), filter_lines
+
+
+def test_decontamination_broadcasts_benchmark_side(documents):
+    """The benchmark shingle set (tiny) must broadcast so corpus shingles
+    never shuffle for the hit join (VERDICT r02 plan-audit ask)."""
+    from whatsapp_vectordb_spark.operators.dedup import benchmark_contamination
+
+    bench = documents.limit(5).select("doc_id", "text")
+    p = plan(benchmark_contamination(documents.limit(200), bench))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_session_window_stream_plan_has_watermark(spark, sf_dir):
+    """The native streaming sessionizer must carry an event-time watermark
+    (state-store eviction depends on it) and a SessionWindow node."""
+    import os
+
+    from whatsapp_vectordb_spark.streaming.ops import session_window_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = session_window_agg(stream)
+    lp = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in lp
+    assert "session_window" in lp.lower()

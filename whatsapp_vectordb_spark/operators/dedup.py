@@ -436,7 +436,9 @@ def benchmark_contamination(
         .dropDuplicates(["_h"])
     )
     sizes = d.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = d.join(b, "_h").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    # the benchmark shingle set is tiny next to the corpus (eval suites are
+    # MBs); broadcast it explicitly so the corpus-side shingles never shuffle
+    hits = d.join(F.broadcast(b), "_h").groupBy(id_col).agg(F.count("*").alias("n_hits"))
     return (
         sizes.join(hits, id_col, "left")
         .select(
