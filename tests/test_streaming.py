@@ -127,3 +127,34 @@ def test_streaming_index_upsert_replaces_by_id(spark, tmp_path):
     assert "only in batch one" in texts and "only in batch two" in texts
     # embeddings present and at the index dimension
     assert all(len(r["embedding"]) == 64 for r in rows)
+
+
+def test_topk_maintenance_invariant_to_batch_split(spark, sf_dir, tmp_path):
+    """The foreachBatch top-k merge is a semilattice: replaying the events
+    as TWO micro-batches (two files, maxFilesPerTrigger=1) must produce
+    exactly the single-batch / batch-SQL answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.streaming.ops import run_topk_maintenance_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    split_dir = tmp_path / "ev_split"
+    split_dir.mkdir()
+    for name, pred in (("a", 0), ("b", 1)):
+        out = tmp_path / f"w_{name}"
+        ev.where(F.col("event_id") % 2 == pred).coalesce(1).write.parquet(str(out))
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        part.rename(split_dir / f"{name}.parquet")
+    # two flat files + maxFilesPerTrigger=1 -> exactly two micro-batches
+    got = run_topk_maintenance_stream(
+        spark, str(split_dir / "*.parquet"), str(tmp_path / "state"), k=10
+    )
+    expect = (
+        ev.select("event_id", "user_id", F.round(F.col("value"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("event_id").asc())
+        .limit(10)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))

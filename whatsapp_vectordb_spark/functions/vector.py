@@ -206,3 +206,66 @@ def dequantize_int8(qstruct: Column | str) -> Column:
     return F.transform(
         qstruct["values"], lambda v: v.cast("double") * qstruct["scale"]
     )
+
+
+def label_centroid_stats(
+    df,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**4,
+    round_to: int = 6,
+):
+    """Per-label cluster summary over an embedding column: member count,
+    centroid L2 norm, and mean member-to-centroid distance — the corpus-
+    curation view of an embedding space ("how tight is each class?").
+
+    Determinism: components quantize to integers (``round(x·quant)``), so
+    the per-(label, position) centroid sums and the per-vector residuals
+    ``q·n − S`` are exact int64 arithmetic — order-independent across
+    engines and partitionings; squared residuals stay < 2⁵³ at quant=10⁴.
+    Only the final per-label distance average is a float fold (rounded to
+    4 decimals — its value is O(1) over ≤ thousands of members).
+
+    Scale shape: one posexplode keyed by (label, position) — dim·N rows of
+    three small integers, partial-aggregated map-side; the residual join
+    broadcasts nothing bigger than labels × dim rows. At extreme N the
+    explode trades for a ``Summarizer``/pandas fold, but the shuffled
+    bytes here are already ≈ the vector data itself.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+    ).withColumn("_q", F.round(F.col("_val").cast("double") * quant).cast("long"))
+    cent = ex.groupBy(label_col, "_pos").agg(
+        F.sum("_q").alias("_S"), F.count("*").alias("_n")
+    )
+    norms = cent.groupBy(label_col).agg(
+        F.max("_n").alias("n_vectors"),
+        F.sum(F.col("_S") * F.col("_S")).alias("_SS"),
+    )
+    resid = (
+        ex.join(cent, [label_col, "_pos"])
+        .withColumn("_dq", F.col("_q") * F.col("_n") - F.col("_S"))
+        .groupBy(label_col, id_col)
+        .agg(F.sum(F.col("_dq") * F.col("_dq")).alias("_dq2"), F.max("_n").alias("_n"))
+        .select(
+            F.col(label_col),
+            (F.sqrt(F.col("_dq2").cast("double")) / (float(quant) * F.col("_n"))).alias(
+                "_dist"
+            ),
+        )
+    )
+    return (
+        norms.join(resid, label_col)
+        .groupBy(label_col)
+        .agg(
+            F.max("n_vectors").alias("n_vectors"),
+            F.round(
+                F.sqrt(F.max("_SS").cast("double")) / (float(quant) * F.max("n_vectors")),
+                round_to,
+            ).alias("centroid_norm"),
+            F.round(F.avg("_dist"), 4).alias("avg_dist"),
+        )
+    )

@@ -3089,3 +3089,108 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = weighted_mix(base, _MIX_WEIGHTS, group_col="lang", id_col="doc_id")
     assigned = assign_splits(mixed, "doc_id")
     return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+# ==========================================================================
+# Round 3: Gopher-style repetition filters (operators/textops.py
+# repetition_scores) — the public repetition rules every LLM corpus
+# pipeline applies (Rae et al. 2021 §A1.1). Trigrams reduce to 60-bit md5
+# ids in BOTH engines so counts group identically.
+# ==========================================================================
+
+
+@_register(
+    "text_repetition_scores",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, CASE WHEN len(tk) >= 3 THEN len(tk) - 1 ELSE 1 END),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS tri
+  FROM base
+),
+trih AS (SELECT doc_id, ('0x' || substr(md5(tri), 1, 15))::BIGINT AS h FROM tri),
+c AS (SELECT doc_id, h, COUNT(*) AS c FROM trih GROUP BY 1, 2),
+pd AS (SELECT doc_id, SUM(c) AS n_tri, MAX(c) AS mx, COUNT(*) AS nd FROM c GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(pd.n_tri, 0) AS INTEGER) AS n_trigrams,
+       ROUND(CASE WHEN COALESCE(pd.n_tri, 0) > 0 THEN pd.mx::DOUBLE / pd.n_tri ELSE 0.0 END, 6) AS top_trigram_frac,
+       ROUND(CASE WHEN COALESCE(pd.n_tri, 0) > 0 THEN (pd.n_tri - pd.nd)::DOUBLE / pd.n_tri ELSE 0.0 END, 6) AS dup_trigram_frac,
+       CAST(CASE WHEN ROUND(CASE WHEN COALESCE(pd.n_tri, 0) > 0 THEN pd.mx::DOUBLE / pd.n_tri ELSE 0.0 END, 6) > 0.18
+                   OR ROUND(CASE WHEN COALESCE(pd.n_tri, 0) > 0 THEN (pd.n_tri - pd.nd)::DOUBLE / pd.n_tri ELSE 0.0 END, 6) > 0.30
+            THEN 1 ELSE 0 END AS INTEGER) AS repetitive
+FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Round 3: per-label embedding cluster profile (functions/vector.py
+# label_centroid_stats) — integer-quantized centroid sums so both engines
+# agree bit-for-bit on everything except the final O(1) distance average.
+# ==========================================================================
+
+
+@_register(
+    "embeddings_label_centroids",
+    """
+WITH ex AS (
+  SELECT label, vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 10000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+),
+cent AS (SELECT label, pos, SUM(q) AS S, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+norms AS (SELECT label, MAX(n) AS n_vectors, SUM(S * S) AS SS FROM cent GROUP BY 1),
+d AS (
+  SELECT e.label, e.vec_id,
+         SUM((e.q * c.n - c.S) * (e.q * c.n - c.S)) AS dq2, MAX(c.n) AS n
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY 1, 2
+),
+dv AS (SELECT label, SQRT(dq2::DOUBLE) / (10000.0 * n) AS dist FROM d)
+SELECT nm.label,
+       CAST(nm.n_vectors AS BIGINT) AS n_vectors,
+       ROUND(SQRT(nm.SS::DOUBLE) / (10000.0 * nm.n_vectors), 6) AS centroid_norm,
+       ROUND(AVG(dv.dist), 4) AS avg_dist
+FROM norms nm JOIN dv ON nm.label = dv.label
+GROUP BY 1, 2, 3
+""",
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.vector import label_centroid_stats
+
+    return label_centroid_stats(_t(spark, sf_dir, "embeddings"))
+
+
+# ==========================================================================
+# Round 3: streaming top-k maintenance (streaming/ops.py
+# run_topk_maintenance_stream) — foreachBatch leaderboard materialization;
+# the merge is a semilattice so the replayed result equals the batch SQL.
+# ==========================================================================
+
+
+@_register(
+    "streaming_topk_events",
+    """
+SELECT event_id, user_id, ROUND(value, 6) AS score
+FROM events
+ORDER BY score DESC, event_id ASC
+LIMIT 10
+""",
+)
+def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from whatsapp_vectordb_spark.streaming.ops import run_topk_maintenance_stream
+
+    state_dir = tempfile.mkdtemp(prefix="wvs_topk_stream_")
+    return run_topk_maintenance_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), state_dir, k=10
+    )

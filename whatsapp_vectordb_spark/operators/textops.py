@@ -252,3 +252,67 @@ def redact_pii(
         counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
         text = F.regexp_replace(text, pat, repl)
     return df.select(F.col(id_col), text.alias("redacted"), *counts)
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_frac_threshold: float = 0.18,
+    dup_frac_threshold: float = 0.30,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1 — the
+    public repetition rules LLM corpus pipelines apply): per document, the
+    fraction of word-trigram occurrences taken by the single most frequent
+    trigram (``top_trigram_frac``) and the fraction that are repeats of an
+    earlier occurrence (``dup_trigram_frac``), plus a ``repetitive`` 0/1
+    verdict against the thresholds. Boilerplate, keyword-stuffed and
+    looping generations light up both ratios.
+
+    Scale shape: tokens are materialized once; trigrams immediately reduce
+    to 60-bit md5 ids (the same portable-hash trick as the shingle
+    pipeline), so both shuffles — (doc, trigram-id) count and the per-doc
+    rollup — move 8-byte keys, never trigram strings. Docs with fewer than
+    3 tokens produce no trigrams and score 0.0 via the left join.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    base = toked.select(id_col, F.size("_tk").alias("n_tokens"), "_tk")
+    tk = F.col("_tk")
+    tri = base.where(F.col("n_tokens") >= 3).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - 3),
+                lambda i: F.concat_ws(" ", tk[i], tk[i + 1], tk[i + 2]),
+            )
+        ).alias("_tri"),
+    )
+    md5 = F.md5(F.col("_tri"))
+    tri_h = tri.select(
+        F.col(id_col), F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("_h")
+    )
+    counts = tri_h.groupBy(id_col, "_h").agg(F.count("*").alias("_c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_n_tri"),
+        F.max("_c").alias("_max"),
+        F.count("*").alias("_nd"),
+    )
+    out = base.select(id_col, "n_tokens").join(per_doc, id_col, "left")
+    n_tri = F.coalesce(F.col("_n_tri"), F.lit(0))
+    top = F.round(
+        F.when(n_tri > 0, F.col("_max") / n_tri).otherwise(F.lit(0.0)), round_to
+    )
+    dup = F.round(
+        F.when(n_tri > 0, (n_tri - F.col("_nd")) / n_tri).otherwise(F.lit(0.0)), round_to
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        n_tri.cast("int").alias("n_trigrams"),
+        top.alias("top_trigram_frac"),
+        dup.alias("dup_trigram_frac"),
+        (
+            (top > F.lit(top_frac_threshold)) | (dup > F.lit(dup_frac_threshold))
+        ).cast("int").alias("repetitive"),
+    )

@@ -461,3 +461,50 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_topk_maintenance_stream(
+    spark, events_path: str, state_dir: str, k: int = 10
+) -> DataFrame:
+    """Incrementally-maintained top-k over a stream via ``foreachBatch``:
+    each micro-batch computes its own local top-k and merges it into a
+    k-row persisted state table — ``state ← top-k(state ∪ top-k(batch))``.
+    Ranking on (rounded score DESC, event_id ASC) is a total order, so the
+    merge is a semilattice: the final state is identical no matter how the
+    stream was micro-batched (asserted against the batch answer by the
+    oracle, and under a forced 2-batch split in tests).
+
+    Scale shape: per batch the stream side does one TakeOrderedAndProject
+    (no shuffle of the batch), and the state side reads/writes k rows —
+    maintenance cost is O(batch + k) regardless of history length. This is
+    the streaming materialization pattern for any "current leaderboard"
+    query (top sellers, hottest keys, worst latencies)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.dirname(events_path))
+    )
+    scored = stream.select(
+        "event_id", "user_id", F.round(F.col("value"), 6).alias("score")
+    )
+    state_path = os.path.join(state_dir, "topk_state")
+
+    def merge_topk(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        order = [F.col("score").desc(), F.col("event_id").asc()]
+        merged = batch_df.orderBy(*order).limit(k)
+        if os.path.exists(state_path):
+            merged = sp.read.parquet(state_path).unionByName(merged)
+        top = merged.orderBy(*order).limit(k)
+        # pin before overwriting the directory the plan may be reading
+        top = top.localCheckpoint(eager=True)
+        top.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    q = scored.writeStream.foreachBatch(merge_topk).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(state_path)
