@@ -3234,3 +3234,69 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_OPQ_ORACLE_DIR, "lut"))
     loaded, codes = OpqIndex.load(spark, _OPQ_ORACLE_DIR)
     return loaded.adc_topk(codes, qvec, k=10)
+
+
+# ==========================================================================
+# Round 3: explicit Bloom-pruned join (operators/bloom.py) — the runtime
+# row-level-filter primitive made engine-portable: md5-derived positions,
+# 32-bit words in int64, identical bitmap in both engines.
+# ==========================================================================
+
+
+@_register(
+    "rel_bloom_pruned_join",
+    """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS kk FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+pos AS (
+  SELECT kk, ('0x' || substr(md5(kk::VARCHAR), 1 + 4 * i.i, 4))::BIGINT % 32768 AS p
+  FROM keys CROSS JOIN range(0, 4) i(i)
+),
+bits AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+dkeys AS (SELECT DISTINCT l_orderkey AS lk FROM lineitem),
+ppos AS (
+  SELECT lk, ('0x' || substr(md5(lk::VARCHAR), 1 + 4 * i.i, 4))::BIGINT % 32768 AS p
+  FROM dkeys CROSS JOIN range(0, 4) i(i)
+),
+pass_keys AS (
+  SELECT pp.lk
+  FROM ppos pp JOIN bits b ON pp.p // 32 = b.word
+  WHERE (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INTEGER))) <> 0
+  GROUP BY pp.lk HAVING COUNT(*) = 4
+)
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem l JOIN pass_keys pk ON l.l_orderkey = pk.lk) AS n_passed,
+       (SELECT COUNT(*) FROM lineitem l JOIN keys k ON l.l_orderkey = k.kk) AS n_true
+""",
+)
+def rel_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side pruning with an explicit portable Bloom filter: build the
+    bitmap over urgent orders' keys (a KB-scale aggregate), inline it as a
+    literal, and count how many lineitem rows pass the map-only filter vs
+    how many truly join. The pass count is deterministic (md5 positions),
+    so the false-positive behavior itself is hash-checked."""
+    from whatsapp_vectordb_spark.operators.bloom import bloom_might_contain, bloom_words
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    words = [
+        (r["word"], r["bits"]) for r in bloom_words(urgent, "o_orderkey").collect()
+    ]
+    n_rows = li.agg(F.count("*").alias("n_rows"))
+    n_passed = (
+        li.where(bloom_might_contain(words, F.col("l_orderkey")))
+        .agg(F.count("*").alias("n_passed"))
+    )
+    n_true = (
+        li.join(
+            F.broadcast(urgent.select("o_orderkey").dropDuplicates()),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
+        ).agg(F.count("*").alias("n_true"))
+    )
+    return n_rows.crossJoin(n_passed).crossJoin(n_true)
