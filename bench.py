@@ -230,6 +230,18 @@ def main() -> None:
     def _():
         events_sessionized_counts(spark, sf_dir).count()
 
+    @timed("text_repetition")
+    def _():
+        from whatsapp_vectordb_spark.operators.textops import repetition_scores
+
+        repetition_scores(docs).select(F.sum("n_trigrams")).collect()
+
+    @timed("rel_bloom_pruned_join")
+    def _():
+        from whatsapp_vectordb_spark.harness import rel_bloom_pruned_join
+
+        rel_bloom_pruned_join(spark, sf_dir).collect()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -3300,3 +3300,97 @@ def rel_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count("*").alias("n_true"))
     )
     return n_rows.crossJoin(n_passed).crossJoin(n_true)
+
+
+# ==========================================================================
+# Round 3: corpus profile CUBE — the multi-dimensional curation dashboard
+# query ("docs / chars / dedup-relevant length stats by every combination
+# of lang and source"), exercising full CUBE grouping-set semantics.
+# ==========================================================================
+
+
+@_register(
+    "docs_profile_cube",
+    """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+)
+def docs_profile_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping sets in one pass: Spark plans a CUBE as a single
+    Expand + partial/final aggregate — one scan regardless of how many
+    dashboard facets ride on it (the at-scale alternative to N separate
+    GROUP BYs over the same 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ==========================================================================
+# Round 3: approximate kNN graph (operators/ann.py knn_graph_lsh) — the
+# density/diversity curation primitive; candidates from the bit-exact
+# portable LSH (32 planes / 8-bit chunks), per-node window top-5.
+# ==========================================================================
+
+
+@_register(
+    "ann_knn_graph",
+    """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,32) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 8 + 1, 8) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.src, c.nbr,
+         ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM cand c
+  JOIN embeddings va ON va.vec_id = c.src
+  JOIN embeddings vb ON vb.vec_id = c.nbr
+  WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) IS NOT NULL
+)
+SELECT src, nbr, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT src, nbr, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64)

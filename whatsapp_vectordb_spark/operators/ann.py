@@ -1241,3 +1241,55 @@ def portable_lsh_topk_batched(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 0,
+    round_to: int = 6,
+    impl: str = "numpy",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate kNN GRAPH over the whole corpus — for every vector, its
+    top-``k`` cosine neighbors among LSH bucket candidates. This is the
+    curation primitive behind density-based filtering, diversity sampling
+    and duplicate clustering (a kNN graph feeds connected components /
+    community detection the same way near-dup pairs do).
+
+    Scale shape: candidate generation is ``portable_lsh_join`` verbatim
+    (band-key equi-join — bucket collisions, never O(n²)); the only
+    addition is symmetrizing the edges and one window rank per source
+    node over its candidate edges, shuffled on the 8-byte node id.
+    Recall per edge follows the LSH S-curve, so distant nodes may have
+    < k edges — exactly the sparsity a density filter wants to see.
+    """
+    from pyspark.sql import Window
+
+    pairs = portable_lsh_join(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=-1.0,
+        n_planes=n_planes,
+        bands=bands,
+        seed=seed,
+        round_to=round_to,
+        impl=impl,
+        dim=dim,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cos_sim"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "nbr", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
