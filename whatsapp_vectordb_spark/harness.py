@@ -3394,3 +3394,65 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64)
+
+
+# ==========================================================================
+# Round 3: containment dedup (operators/dedup.py containment_near_duplicates)
+# — Broder's asymmetric |A∩B|/|A|, catching excerpt/quote/subset copies
+# that Jaccard misses. Corpus augmented with half-length excerpts so the
+# oracle has real containment structure to verify.
+# ==========================================================================
+
+_EXCERPT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 40 = 0
+"""
+
+
+@_register(
+    "dedup_containment",
+    f"""
+WITH corpus AS ({_EXCERPT_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 100),
+exf AS (SELECT e.doc_id, e.s FROM ex e LEFT JOIN hot h ON e.s = h.s WHERE h.s IS NULL),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_common::DOUBLE / na.n, 6) AS containment_a,
+       ROUND(i.n_common::DOUBLE / nb.n, 6) AS containment_b
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE GREATEST(ROUND(i.n_common::DOUBLE / na.n, 6),
+               ROUND(i.n_common::DOUBLE / nb.n, 6)) >= 0.6
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import containment_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))").alias("text"),
+    )
+    aug = docs.unionByName(excerpts)
+    return containment_near_duplicates(
+        aug, shingle_n=3, threshold=0.6, max_shingle_freq=100
+    )

@@ -542,3 +542,77 @@ def canonicalize_duplicates(
         .otherwise(F.lit(0))
         .alias("is_canonical"),
     )
+
+
+def containment_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    round_to: int = 6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    ``|A∩B| / |A|`` — the measure that catches a document that is an
+    excerpt/quote/subset of another (Broder's containment, the companion
+    to resemblance/Jaccard). Jaccard misses these: a paragraph inside a
+    book has tiny Jaccard but containment ≈ 1, and a training corpus
+    full of partial copies still memorizes.
+
+    Returns one row per unordered candidate pair with BOTH directions —
+    ``(id_a, id_b, containment_a, containment_b)`` where ``containment_a``
+    is the fraction of A's shingles found in B — filtered to pairs whose
+    larger direction clears ``threshold``.
+
+    Scale shape: identical to ``jaccard_near_duplicates`` — inverted-index
+    candidate join on 60-bit int64 shingle ids (hot shingles droppable
+    from candidate generation only; the containment itself is always over
+    full sets), per-pair counts shuffled on 8-byte keys.
+    """
+    full = _hashed_shingles(df, text_col, id_col, shingle_n).cache()
+    sh = full
+    if max_shingle_freq is not None:
+        hot = (
+            full.groupBy("_h")
+            .agg(F.count("*").alias("freq"))
+            .where(F.col("freq") > max_shingle_freq)
+            .select("_h")
+        )
+        sh = full.join(F.broadcast(hot), "_h", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
+    cand = (
+        a.join(b, "_h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = full.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = full.select(F.col(id_col).alias("id_a"), "_h")
+    sb = full.select(F.col(id_col).alias("_sb_id"), F.col("_h").alias("_h_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_sb_id")) & (F.col("_h") == F.col("_h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common").cast("double") / F.col("n_a"), round_to).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("n_b"), round_to).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return out.where(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )
