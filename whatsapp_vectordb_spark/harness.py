@@ -3456,3 +3456,46 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_near_duplicates(
         aug, shingle_n=3, threshold=0.6, max_shingle_freq=100
     )
+
+
+# ==========================================================================
+# Round 3: duplicate-span coverage (operators/dedup.py duplicate_spans) —
+# Lee et al. 2022 ExactSubstr at n-gram granularity: fraction of each
+# doc's POSITIONAL 10-token windows that occur verbatim in another doc.
+# Runs on the augmented corpus (exact + near-dup copies) so real
+# cross-document span structure exists at fixture scale.
+# ==========================================================================
+
+def _pos_sh_sql(n: int) -> str:
+    """DuckDB positional (non-distinct) n-gram windows over token list tk."""
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    gram = gram.replace("tk[i+0]", "tk[i]")
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(range(1, len(tk) - {n - 2}), i -> {gram}) "
+        f"ELSE [array_to_string(tk, ' ')] END"
+    )
+
+
+@_register(
+    "dedup_duplicate_spans",
+    f"""
+WITH corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+spans AS (SELECT doc_id, unnest({_pos_sh_sql(10)}) AS sp FROM toks),
+g AS (SELECT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM spans),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY 1),
+hits AS (SELECT g.doc_id, COUNT(*) AS n_dup_spans FROM g JOIN dup USING (h) GROUP BY 1)
+SELECT s.doc_id, s.n_spans,
+       COALESCE(h.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(COALESCE(h.n_dup_spans, 0)::DOUBLE / s.n_spans, 6) AS dup_fraction
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_augmented_docs(spark, sf_dir), span_n=10)

@@ -616,3 +616,69 @@ def containment_near_duplicates(
     return out.where(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document duplicated-span coverage, the ExactSubstr measure of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at n-gram granularity: a positional ``span_n``-token window is
+    *duplicated* when the identical window occurs in at least one OTHER
+    document. Returns ``(doc_id, n_spans, n_dup_spans, dup_fraction)``
+    where ``n_spans`` counts every position (NOT distinct — a window
+    repeated 5 times that is duplicated elsewhere contributes 5 to the
+    numerator, matching span coverage semantics), so ``dup_fraction`` is
+    the fraction of the doc's token windows that exist verbatim elsewhere.
+
+    This complements document-level dedup (MinHash/SimHash find mostly-
+    duplicate *documents*) by quantifying partial copying — boilerplate,
+    quoted passages, licence headers — which document-level Jaccard dilutes
+    away but which still drives memorization in training.
+
+    Scale shape: windows reduce map-side to 60-bit int64 ids (one md5
+    each); the cross-doc occurrence test is a distinct + groupBy on the
+    8-byte id (never the string), and the hit join shuffles only ids.
+    No pairwise expansion anywhere — cost is O(total tokens), the same
+    asymptotic shape as a suffix-array ExactSubstr pass but expressed as
+    two key-shuffles Catalyst/AQE can plan.
+    """
+    toked = df.repartition(F.col(id_col)).select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    )
+    md5 = F.md5(F.col("_sp"))
+    grams = (
+        toked.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_tk"), span_n)).alias("_sp"),
+        )
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("_h"),
+        )
+        .cache()
+    )
+    dup_ids = (
+        grams.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    hits = grams.join(dup_ids, "_h").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    return sizes.join(hits, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans"), round_to
+        ).alias("dup_fraction"),
+    )
