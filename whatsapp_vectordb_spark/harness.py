@@ -3499,3 +3499,37 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(_augmented_docs(spark, sf_dir), span_n=10)
+
+
+# ==========================================================================
+# Round 3: fuzzy join (operators/textops.py fuzzy_join) — SymSpell
+# deletion-neighborhood candidate join + exact levenshtein verify.
+# Probes are deterministically corrupted part names (3rd char → 'q');
+# the oracle is the NAIVE all-pairs edit-distance join, so a hash match
+# proves the neighborhood candidate generation loses no pairs.
+# ==========================================================================
+
+@_register(
+    "text_fuzzy_join",
+    """
+WITH probes AS (
+  SELECT p_partkey + 1000000 AS probe_id,
+         substr(p_name, 1, 2) || 'q' || substr(p_name, 4) AS name
+  FROM part WHERE p_partkey % 50 = 0
+)
+SELECT pr.probe_id, p.p_partkey,
+       levenshtein(pr.name, p.p_name) AS edit_dist
+FROM probes pr JOIN part p ON levenshtein(pr.name, p.p_name) <= 1
+""",
+)
+def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import fuzzy_join
+
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = parts.where(F.col("p_partkey") % 50 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.lit("q"), F.expr("substring(p_name, 4)")
+        ).alias("name"),
+    )
+    return fuzzy_join(probes, parts, "name", "p_name", "probe_id", "p_partkey", 1)

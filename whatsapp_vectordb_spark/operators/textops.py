@@ -316,3 +316,75 @@ def repetition_scores(
             (top > F.lit(top_frac_threshold)) | (dup > F.lit(dup_frac_threshold))
         ).cast("int").alias("repetitive"),
     )
+
+
+def _deletion_neighborhood(c) -> "F.Column":
+    """All strings obtainable by deleting ≤1 character (SymSpell k=1
+    neighborhood, Garbe 2012): two strings within Levenshtein distance 1
+    always share a member — a substitution at position i collapses to the
+    same string when i is deleted from both; an insertion/deletion pair
+    collapses to the shorter string. Distinct, includes the string itself.
+
+    Guarded so the empty string yields just itself (Spark's ``sequence``
+    would otherwise produce a DESCENDING [1,0] range — not empty)."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            F.substring(c, F.lit(1), i - 1),
+            F.substring(c, i + 1, F.length(c)),
+        ),
+    )
+    return F.when(
+        F.length(c) >= 1, F.array_distinct(F.concat(F.array(c), dels))
+    ).otherwise(F.array(c))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance record linkage — join rows whose strings are within
+    Levenshtein distance ``max_dist`` WITHOUT a cross product, the
+    operation behind entity resolution / canonical-name matching in a
+    curation pipeline (merge near-identical titles, authors, source names).
+
+    Candidate generation is a SymSpell deletion-neighborhood equi-join:
+    each side explodes its ≤``max_dist``-deletion variants (currently
+    max_dist=1 ⇒ len+1 variants/row), variants reduce map-side to 60-bit
+    md5 ids, and candidates are rows sharing a variant id. Exact
+    ``levenshtein`` then verifies survivors — candidate recall is total
+    (the shared-variant property is exact for distance ≤ 1), so the result
+    equals the naive all-pairs join, at inverted-index cost.
+
+    Scale shape: explode factor is ~avg_len per row, the join shuffles
+    8-byte keys, and verification runs only on colliding pairs. No
+    all-pairs anywhere; hot variants (very common short strings) behave
+    like hot shingles and can be capped upstream if a corpus needs it.
+    """
+    if max_dist != 1:
+        raise ValueError("fuzzy_join currently supports max_dist=1 only")
+    lv = left.select(
+        F.col(left_id), F.col(left_col).alias("_ls"),
+        F.explode(_deletion_neighborhood(F.col(left_col))).alias("_v"),
+    ).select(
+        left_id, "_ls",
+        F.conv(F.substring(F.md5("_v"), 1, 15), 16, 10).cast("long").alias("_h"),
+    )
+    rv = right.select(
+        F.col(right_id), F.col(right_col).alias("_rs"),
+        F.explode(_deletion_neighborhood(F.col(right_col))).alias("_v"),
+    ).select(
+        right_id, "_rs",
+        F.conv(F.substring(F.md5("_v"), 1, 15), 16, 10).cast("long").alias("_h"),
+    )
+    cand = lv.join(rv, "_h").select(left_id, right_id, "_ls", "_rs").distinct()
+    return cand.select(
+        left_id,
+        right_id,
+        F.levenshtein("_ls", "_rs").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= max_dist)
