@@ -105,3 +105,54 @@ def test_connected_components_chain_and_triangle(spark):
     assert verdict[12]["cluster_size"] == 3
     kept = {i for i, r in verdict.items() if r["is_canonical"] == 1}
     assert kept == {1, 10, 20}
+
+
+def test_duplicate_spans_counts_positional_windows(spark):
+    from whatsapp_vectordb_spark.operators.dedup import duplicate_spans
+
+    # doc 1 and doc 2 share their first 4 tokens ("a b c d") → with n=3,
+    # windows "a b c" and "b c d" are cross-doc duplicated; doc 3 is unique;
+    # doc 4 is shorter than n and falls back to its full text (unique).
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y"),
+        (3, "p q r s t u"),
+        (4, "hi there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_spans(df, span_n=3).collect()}
+    assert got[1]["n_spans"] == 4 and got[1]["n_dup_spans"] == 2
+    assert got[2]["n_spans"] == 4 and got[2]["n_dup_spans"] == 2
+    assert abs(got[1]["dup_fraction"] - 0.5) < 1e-9
+    assert got[3]["n_dup_spans"] == 0
+    assert got[4]["n_spans"] == 1 and got[4]["n_dup_spans"] == 0
+
+
+def test_duplicate_spans_within_doc_repeat_not_duplicated(spark):
+    from whatsapp_vectordb_spark.operators.dedup import duplicate_spans
+
+    # "a b c" repeats WITHIN doc 1 only → cross-doc rule says not duplicated
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "z z z z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(df, span_n=3).collect()}
+    assert got[1]["n_dup_spans"] == 0
+    assert got[2]["n_dup_spans"] == 0
+
+
+def test_containment_excerpt_detected(spark):
+    from whatsapp_vectordb_spark.operators.dedup import containment_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    excerpt = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, base), (2, excerpt), (3, "completely different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_near_duplicates(df, shingle_n=3, threshold=0.6).collect()
+    }
+    assert (1, 2) in out
+    ca, cb = out[(1, 2)]
+    # every shingle of the excerpt is inside the base doc → containment_b = 1
+    assert abs(cb - 1.0) < 1e-9 and ca < 1.0
+    assert all(k == (1, 2) for k in out)

@@ -140,3 +140,47 @@ def test_redact_pii_replaces_and_counts(spark):
     r3 = rows[3]
     assert r3["redacted"] == "nothing sensitive here"
     assert r3["n_url"] == r3["n_email"] == r3["n_ip"] == r3["n_phone"] == 0
+
+
+def test_deletion_neighborhood_symmetric_property(spark):
+    from pyspark.sql import functions as F
+    from whatsapp_vectordb_spark.operators.textops import _deletion_neighborhood
+
+    df = spark.createDataFrame([("abc",), ("",), ("a",)], "s string").select(
+        "s", _deletion_neighborhood(F.col("s")).alias("nb")
+    )
+    got = {r["s"]: set(r["nb"]) for r in df.collect()}
+    assert got["abc"] == {"abc", "bc", "ac", "ab"}
+    assert got[""] == {""}
+    assert got["a"] == {"a", ""}
+
+
+def test_fuzzy_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+    from whatsapp_vectordb_spark.operators.textops import fuzzy_join
+
+    names = ["small ring", "small rings", "smol ring", "red widget", "blue bolt"]
+    left = spark.createDataFrame(
+        [(100, "small ring"), (101, "red wodget"), (102, "green gear")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        list(enumerate(names)), "rid long, rname string"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["edit_dist"]
+        for r in fuzzy_join(left, right, "lname", "rname", "lid", "rid", 1).collect()
+    }
+    # naive ground truth computed in-Spark
+    naive = {
+        (r["lid"], r["rid"]): r["d"]
+        for r in left.crossJoin(right)
+        .select("lid", "rid", F.levenshtein("lname", "rname").alias("d"))
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == naive
+    assert (100, 0) in got and got[(100, 0)] == 0
+    assert (100, 1) in got and got[(100, 1)] == 1  # insertion
+    assert (101, 3) in got  # substitution
+    assert all(lid != 102 for (lid, _r) in got)
