@@ -3533,3 +3533,56 @@ def text_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
     )
     return fuzzy_join(probes, parts, "name", "p_name", "probe_id", "p_partkey", 1)
+
+
+# ==========================================================================
+# Round 3: integer-exact PageRank over the approximate kNN graph
+# (operators/graph.py pagerank) — the centrality/density curation signal.
+# The oracle nests the bit-exact kNN-graph SQL (ORACLES["ann_knn_graph"])
+# as the edge list and unrolls the fixed iterations as chained CTEs (no
+# aggregation inside a recursive term needed), all arithmetic BIGINT.
+# ==========================================================================
+
+def _pagerank_oracle_sql(iters: int, scale: int, num: int, den: int) -> str:
+    base = scale * (den - num) // den
+    steps = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""r{t} AS (
+  SELECT n.node,
+         CAST({base} + ({num} * COALESCE(s.inc, 0)) // {den} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, SUM(r.r // e.outdeg) AS inc
+    FROM e2 e JOIN {prev} r ON r.node = e.s
+    GROUP BY 1
+  ) s ON s.node = n.node
+)"""
+        )
+        prev = f"r{t}"
+    return f"""
+WITH knn AS ({ORACLES['ann_knn_graph']}),
+edges AS (SELECT src AS s, nbr AS d FROM knn),
+deg AS (SELECT s, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+e2 AS (SELECT e.s, e.d, g.outdeg FROM edges e JOIN deg g ON g.s = e.s),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM edges UNION ALL SELECT d AS node FROM edges
+  )
+),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node, r AS rank_scaled FROM {prev}
+"""
+
+
+@_register("graph_pagerank_knn", _pagerank_oracle_sql(3, 1_000_000, 85, 100))
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
+    from whatsapp_vectordb_spark.operators.graph import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64).select(
+        "src", F.col("nbr").alias("dst")
+    )
+    return pagerank(edges, iters=3, scale=1_000_000, damping_num=85, damping_den=100)
