@@ -158,3 +158,54 @@ def test_topk_maintenance_invariant_to_batch_split(spark, sf_dir, tmp_path):
         .limit(10)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_assign_cells_quantized_tiebreak_and_exactness(spark):
+    from whatsapp_vectordb_spark.operators.ann import assign_cells_quantized
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "centroid bigint, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9])], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["centroid"] for r in assign_cells_quantized(vecs, cents).collect()}
+    # centroids 0 and 1 are identical -> tie broken by LOWER centroid id
+    assert got == {10: 0, 11: 2}
+
+
+def test_ivf_maintenance_invariant_to_batch_split(spark, sf_dir, tmp_path):
+    """Streaming per-batch assignment + append must equal a from-scratch
+    quantized assignment of the full corpus, even replayed as TWO
+    micro-batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import assign_cells_quantized
+    from whatsapp_vectordb_spark.streaming.ops import run_ivf_maintenance_stream
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    split_dir = tmp_path / "emb_split"
+    split_dir.mkdir()
+    for name, pred in (("a", 0), ("b", 1)):
+        out = tmp_path / f"w_{name}"
+        emb.where((F.col("vec_id") % 4 < 2) == (pred == 0)).coalesce(1).write.parquet(
+            str(out)
+        )
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        part.rename(split_dir / f"{name}.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    got = run_ivf_maintenance_stream(
+        spark, str(split_dir / "*.parquet"), idx, n_centroids=4
+    )
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    expect = (
+        assign_cells_quantized(emb, cents)
+        .groupBy("centroid")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))

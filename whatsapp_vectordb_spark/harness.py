@@ -3586,3 +3586,53 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.col("nbr").alias("dst")
     )
     return pagerank(edges, iters=3, scale=1_000_000, damping_num=85, damping_den=100)
+
+
+# ==========================================================================
+# Round 3: streaming IVF maintenance (streaming/ops.py
+# run_ivf_maintenance_stream) — bootstrap quantizer on history, stream the
+# rest through foreachBatch with INTEGER-exact nearest-cell assignment.
+# The oracle recomputes every assignment from the PERSISTED centroids with
+# the same quantized integer L2 (ties → lower centroid id), proving the
+# incremental stream state equals a from-scratch build.
+# ==========================================================================
+
+_IVF_STREAM_DIR = _oracle_scratch("ivf_stream_oracle")
+
+_IVF_STREAM_ORACLE = f"""
+WITH cents AS (
+  SELECT centroid, cvec FROM read_parquet('{_IVF_STREAM_DIR}/centroids/*.parquet')
+),
+qv AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+qc AS (
+  SELECT centroid, i.i AS pos,
+         CAST(round(cvec[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM cents CROSS JOIN range(0,64) i(i)
+),
+d AS (
+  SELECT v.vec_id, c.centroid, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+  FROM qv v JOIN qc c ON v.pos = c.pos GROUP BY 1, 2
+),
+a AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT CAST(centroid AS BIGINT) AS centroid, COUNT(*) AS n_vectors
+FROM a GROUP BY 1
+"""
+
+
+@_register("streaming_ivf_maintenance", _IVF_STREAM_ORACLE)
+def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_ivf_maintenance_stream
+
+    return run_ivf_maintenance_stream(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), _IVF_STREAM_DIR
+    )

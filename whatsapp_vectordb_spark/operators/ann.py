@@ -1293,3 +1293,51 @@ def knn_graph_lsh(
         .where(F.col("rank") <= k)
         .select("src", "nbr", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def assign_cells_quantized(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid",
+    centroid_vec_col: str = "cvec",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid assignment with INTEGER-exact arithmetic: vectors
+    and centroids are quantized to ``round(x·scale)`` BIGINTs and ranked by
+    integer squared-L2 (ties broken by centroid id). Integer sums are
+    associative, so the argmin is bit-identical in any engine and under
+    any partitioning — the property that lets incremental/streaming index
+    maintenance be oracle-checked against a full recompute (float argmin
+    can flip near-ties between engines; quantization error at 1e-6 is far
+    below any meaningful cell boundary).
+
+    Scale shape: the centroid table is tiny (k rows) and broadcast; the
+    per-row work is a k-way integer distance fold inside codegen — a
+    map-only operator with no shuffle (the row_number window partitions by
+    the unique row id over k candidate rows, which AQE plans as a local
+    sort within the broadcast-join output).
+
+    Returns ``df``'s columns plus ``centroid``.
+    """
+    from pyspark.sql import Window
+
+    q = lambda c: F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    left = df.withColumn("_qv", q(F.col(vec_col)))
+    cents = centroids_df.select(
+        F.col(centroid_id_col).alias("_cid"), q(F.col(centroid_vec_col)).alias("_qc")
+    )
+    dist = F.aggregate(
+        F.zip_with("_qv", "_qc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_dist").asc(), F.col("_cid").asc())
+    return (
+        left.join(F.broadcast(cents))
+        .withColumn("_dist", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*df.columns, F.col("_cid").alias("centroid"))
+    )

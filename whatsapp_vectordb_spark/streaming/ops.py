@@ -508,3 +508,75 @@ def run_topk_maintenance_stream(
     q = scored.writeStream.foreachBatch(merge_topk).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(state_path)
+
+
+def run_ivf_maintenance_stream(
+    spark,
+    emb_path: str,
+    index_dir: str,
+    n_centroids: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming IVF index maintenance: bootstrap a coarse quantizer on the
+    history (even ``vec_id``s stand in for "vectors indexed before the
+    stream started"), then ingest the live stream (odd ``vec_id``s) through
+    ``foreachBatch`` — each micro-batch is assigned to its nearest cell via
+    the integer-exact quantized assigner and APPENDED to the persisted
+    cells table, exactly how a production IVF stays queryable while data
+    arrives (centroids frozen; ``IvfIndex.drift`` decides rebuilds).
+
+    Because per-row assignment is deterministic and appends are
+    row-independent, the final cells table is invariant to how the stream
+    was micro-batched, and equals a from-scratch assignment of the full
+    corpus — which is what the oracle recomputes from the SAME persisted
+    centroids. Returns the final per-cell occupancy ``(centroid,
+    n_vectors)`` — the index's load-balance/health view.
+
+    Scale shape: the stream side is map-only per batch (broadcast k-row
+    centroid table + codegen integer fold); appends touch only the
+    arriving rows; the occupancy read is one count-groupBy on the cell id.
+    """
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, assign_cells_quantized
+
+    emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    bootstrap = emb.where(F.col("vec_id") % 2 == 0)
+
+    built = IvfIndex.build(bootstrap, n_centroids=n_centroids)
+    cents_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
+        "centroid bigint, cvec array<double>",
+    )
+    cents_path = os.path.join(index_dir, "centroids")
+    cells_path = os.path.join(index_dir, "cells")
+    cents_df.coalesce(1).write.mode("overwrite").parquet(cents_path)
+    cents = spark.read.parquet(cents_path)  # assign from the PERSISTED floats
+
+    assign_cells_quantized(bootstrap, cents, scale=scale).select(
+        "vec_id", "centroid"
+    ).write.mode("overwrite").parquet(cells_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(emb_path).schema)
+        .option("pathGlobFilter", os.path.basename(emb_path))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.dirname(emb_path))
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") % 2 == 1)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        assign_cells_quantized(batch_df, cents, scale=scale).select(
+            "vec_id", "centroid"
+        ).write.mode("append").parquet(cells_path)
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(cells_path)
+        .groupBy("centroid")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(F.col("centroid").cast("long").alias("centroid"), "n_vectors")
+    )
