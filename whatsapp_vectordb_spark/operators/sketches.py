@@ -201,3 +201,58 @@ def heavy_hitters(
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    percents: tuple[int, ...] = (50, 90, 99),
+    bin_scale: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed quantiles via a fixed-width histogram sketch: values
+    bin to ``floor(v·bin_scale)``, the per-group bin counts form a
+    mergeable sketch, and the p-th percentile is the upper edge of the
+    first bin whose cumulative count reaches ``ceil(p%·total)`` — error
+    bounded by the bin width ``1/bin_scale``, *rank* selection exact.
+
+    Percents are INTEGERS and the target rank is computed with integer
+    arithmetic (``(p·total + 99) DIV 100``), so the chosen bin — and hence
+    the result — is bit-identical in any engine; no floating ceil at a
+    rank boundary can disagree. This is the engine-portable answer to
+    `percentile_approx`, whose interpolation is implementation-defined.
+
+    Scale shape: one count-groupBy on (group, bin) — thousands of cells
+    regardless of row count, with map-side partial aggregation — then a
+    per-group running sum over the bounded bin list. The sketch merges by
+    addition, so it composes with streaming/foreachBatch maintenance the
+    same way the top-k leaderboard does.
+    """
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(group_col),
+        F.floor(F.col(value_col).cast("double") * bin_scale).cast("long").alias("_bin"),
+    )
+    counts = b.groupBy(group_col, "_bin").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_total"))
+    pcts = df.sparkSession.createDataFrame([(int(p),) for p in percents], "pct int")
+    hit = (
+        cum.join(totals, group_col)
+        .join(F.broadcast(pcts))
+        .where(F.col("_cum") >= F.expr("(pct * _total + 99) div 100"))
+        .groupBy(group_col, "pct")
+        .agg(F.min("_bin").alias("_qbin"))
+    )
+    return hit.select(
+        group_col,
+        "pct",
+        F.round((F.col("_qbin") + 1) / F.lit(bin_scale), round_to).alias("quantile_est"),
+    )
