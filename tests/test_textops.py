@@ -184,3 +184,22 @@ def test_fuzzy_join_matches_naive(spark):
     assert (100, 1) in got and got[(100, 1)] == 1  # insertion
     assert (101, 3) in got  # substitution
     assert all(lid != 102 for (lid, _r) in got)
+
+
+def test_tfidf_cosine_pairs_exact_copy_is_one(spark):
+    from whatsapp_vectordb_spark.operators.textops import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),        # exact copy of 1
+        (3, "alpha beta gamma delta zeta"),            # near
+        (4, "totally unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(df, threshold=0.3).collect()
+    }
+    assert abs(got[(1, 2)] - 1.0) < 1e-9
+    assert got[(1, 3)] < 1.0 and got[(1, 3)] > 0.3
+    assert all(4 not in pair for pair in got)

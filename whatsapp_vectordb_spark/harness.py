@@ -3679,3 +3679,57 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         _t(spark, sf_dir, "events"), value_col="value", group_col="event_type"
     )
+
+
+# ==========================================================================
+# Round 3: sparse TF-IDF cosine similarity join (operators/textops.py
+# tfidf_cosine_pairs) — inverted-index candidate join + integer-exact
+# scoring (IDF quantized per term, weights BIGINT). Augmented corpus so
+# real above-threshold pairs exist at fixture scale.
+# ==========================================================================
+
+@_register(
+    "text_tfidf_cosine_pairs",
+    f"""
+WITH corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+t AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n_docs FROM corpus),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+iqt AS (
+  SELECT term, df,
+         CAST(round((ln((nd.n_docs + 1.0) / (df + 1)) + 1.0) * 10000) AS BIGINT) AS iq
+  FROM dfreq, nd
+),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * i.iq AS w, i.df
+  FROM tf JOIN iqt i ON tf.term = i.term
+),
+rare AS (SELECT doc_id, term FROM w WHERE df <= 100),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+num AS (
+  SELECT c.id_a, c.id_b, SUM(wa.w * wb.w) AS num
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT u.id_a, u.id_b,
+       ROUND(u.num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos_sim
+FROM num u
+JOIN norms na ON na.doc_id = u.id_a
+JOIN norms nb ON nb.doc_id = u.id_b
+WHERE ROUND(u.num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.6
+""",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.textops import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _augmented_docs(spark, sf_dir), threshold=0.6, max_df_candidates=100
+    )

@@ -388,3 +388,83 @@ def fuzzy_join(
         right_id,
         F.levenshtein("_ls", "_rs").alias("edit_dist"),
     ).where(F.col("edit_dist") <= max_dist)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df_candidates: int = 100,
+    idf_scale: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse-vector similarity join: all document pairs whose TF-IDF
+    cosine similarity clears ``threshold``, via an inverted-index join —
+    the similarity-search primitive for HIGH-dimensional sparse vectors
+    (vocabulary-sized), complementing the dense-embedding ANN tiers.
+
+    Determinism: IDF is quantized ONCE per term to an integer
+    (``round((ln((N+1)/(df+1))+1)·idf_scale)``), so every per-(doc,term)
+    weight ``tf·iq`` is a BIGINT and the pair dot products / norms are
+    integer sums — associative, engine-exact. The only float ops are one
+    ln per vocabulary term and the final ``num/(√na·√nb)``, both on
+    identical inputs in any engine.
+
+    Candidate generation joins the inverted index only on terms with
+    document frequency ≤ ``max_df_candidates`` (stop-phrase guard — the
+    same quadratic-blowup control as ``max_shingle_freq`` in the dedup
+    family); candidate pairs are then scored over ALL their shared terms,
+    so scores are exact — only pairs sharing nothing but stopwords can be
+    missed, and those sit far below any useful threshold anyway.
+
+    Scale shape: tf/df aggregates shuffle on (doc, term) / term; the
+    candidate join and the scoring joins shuffle on the term string's
+    doc pairs and 8-byte doc ids. No all-pairs product anywhere.
+    """
+    toks = _with_tokens(df, text_col, id_col).select(
+        F.col(id_col), F.explode("_tk").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    iq = F.round(
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0) * idf_scale
+    ).cast("long")
+    w = tf.join(F.broadcast(dfreq.withColumn("_iq", iq)), "term").select(
+        F.col(id_col), "term", (F.col("tf") * F.col("_iq")).alias("_w"), "df"
+    ).cache()
+
+    rare = w.where(F.col("df") <= max_df_candidates)
+    cand = (
+        rare.select(F.col(id_col).alias("id_a"), "term")
+        .join(rare.select(F.col(id_col).alias("id_b"), "term"), "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norms = w.groupBy(id_col).agg(F.sum(F.col("_w") * F.col("_w")).alias("_n2"))
+    wa = w.select(F.col(id_col).alias("id_a"), "term", F.col("_w").alias("_wa"))
+    wb = w.select(F.col(id_col).alias("id_b"), "term", F.col("_w").alias("_wb"))
+    num = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_num"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("_n2").alias("_nb"))
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_num")
+                / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+                round_to,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
