@@ -3733,3 +3733,48 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         _augmented_docs(spark, sf_dir), threshold=0.6, max_df_candidates=100
     )
+
+
+# ==========================================================================
+# Round 3: Z-order layout planning (operators/layout.py) — Morton-key
+# clustering + deterministic ntile file assignment; the output is the
+# per-file min/max envelope (the parquet-footer stats a 2-D predicate
+# would prune with). Pure integer bit math — bit-identical in SQL.
+# ==========================================================================
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@_register(
+    "events_zorder_layout",
+    f"""
+WITH keyed AS (
+  SELECT user_id AS x, CAST(floor(value::DOUBLE * 10) AS BIGINT) AS y, event_id,
+         {_morton_sql('user_id', 'CAST(floor(value::DOUBLE * 10) AS BIGINT)')} AS z
+  FROM events
+),
+assigned AS (
+  SELECT x, y, NTILE(16) OVER (ORDER BY z ASC, event_id ASC) AS file_id
+  FROM keyed
+)
+SELECT CAST(file_id AS INTEGER) AS file_id, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM assigned GROUP BY 1
+""",
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.layout import zorder_file_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value").cast("double") * 10).cast("long").alias("vbin"),
+    )
+    return zorder_file_stats(
+        ev, x_col="user_id", y_col="vbin", order_id_col="event_id", n_files=16
+    )
