@@ -78,3 +78,23 @@ def test_histogram_quantiles_merge_by_addition(spark):
     half = df.where(F.rand(3) < 2)  # no-op filter keeping plan distinct
     again = histogram_quantiles(half, "v", "g").collect()
     assert sorted(map(tuple, whole)) == sorted(map(tuple, again))
+
+
+def test_population_stability_zero_for_identical(spark):
+    from whatsapp_vectordb_spark.operators.sketches import population_stability
+
+    rows = [("a", float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = population_stability(df, df, value_col="v", group_col="g").collect()
+    assert len(got) == 1 and abs(got[0]["psi"]) < 1e-9
+
+
+def test_population_stability_detects_shift(spark):
+    from pyspark.sql import functions as F
+    from whatsapp_vectordb_spark.operators.sketches import population_stability
+
+    rows = [("a", float(v % 50)) for v in range(1000)]
+    ref = spark.createDataFrame(rows, "g string, v double")
+    cur = ref.withColumn("v", F.col("v") + 25.0)  # hard location shift
+    got = population_stability(ref, cur, value_col="v", group_col="g").collect()
+    assert got[0]["psi"] > 0.25  # "investigate" territory

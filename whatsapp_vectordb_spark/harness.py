@@ -3778,3 +3778,53 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_file_stats(
         ev, x_col="user_id", y_col="vbin", order_id_col="event_id", n_files=16
     )
+
+
+# ==========================================================================
+# Round 3: PSI drift detection (operators/sketches.py population_stability)
+# — per-type drift between the "last snapshot" (user_id < 750) and a
+# deterministically drifted current population (value × 1.25 for the
+# rest). Bin PSI terms are integer-quantized before summation, so the
+# cross-bin sum is associative and engine-exact.
+# ==========================================================================
+
+@_register(
+    "events_value_drift",
+    """
+WITH ref AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 10) AS BIGINT) AS bin
+  FROM events WHERE user_id < 750
+),
+cur AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 1.25 * 10) AS BIGINT) AS bin
+  FROM events WHERE user_id >= 750
+),
+br AS (SELECT event_type AS g, bin, COUNT(*) AS c_r FROM ref GROUP BY 1, 2),
+bc AS (SELECT event_type AS g, bin, COUNT(*) AS c_c FROM cur GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(br.g, bc.g) AS g, COALESCE(br.bin, bc.bin) AS bin,
+         COALESCE(c_r, 0) AS c_r, COALESCE(c_c, 0) AS c_c
+  FROM br FULL OUTER JOIN bc ON br.g = bc.g AND br.bin = bc.bin
+),
+t AS (SELECT g, SUM(c_r) AS t_r, SUM(c_c) AS t_c, COUNT(*) AS n_bins FROM j GROUP BY 1),
+terms AS (
+  SELECT j.g, t.n_bins,
+         CAST(round(
+           ((c_c + 1.0) / (t_c + n_bins) - (c_r + 1.0) / (t_r + n_bins))
+           * ln(((c_c + 1.0) / (t_c + n_bins)) / ((c_r + 1.0) / (t_r + n_bins)))
+           * 1000000000) AS BIGINT) AS tq
+  FROM j JOIN t ON j.g = t.g
+)
+SELECT g AS event_type, n_bins, ROUND(SUM(tq) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY 1, 2
+""",
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.sketches import population_stability
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") < 750)
+    cur = ev.where(F.col("user_id") >= 750).withColumn(
+        "value", F.col("value").cast("double") * 1.25
+    )
+    return population_stability(ref, cur, value_col="value", group_col="event_type")

@@ -256,3 +256,70 @@ def histogram_quantiles(
         "pct",
         F.round((F.col("_qbin") + 1) / F.lit(bin_scale), round_to).alias("quantile_est"),
     )
+
+
+def population_stability(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    bin_scale: int = 10,
+    term_scale: int = 1_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    population, per group — the standard drift alarm for a training-data
+    pipeline (did this source's value distribution shift since the last
+    snapshot?). ``PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref)`` over
+    the fixed-width histogram bins, with add-one smoothing so bins present
+    on only one side contribute finitely. Rule of thumb: <0.1 stable,
+    0.1–0.25 drifting, >0.25 investigate.
+
+    Determinism: proportions are exact integer ratios (smoothed count over
+    smoothed total), each bin's PSI term is quantized to an integer at
+    ``term_scale`` BEFORE summation, and the cross-bin sum is therefore
+    associative — engine- and partitioning-exact (a raw float Σ would
+    depend on reduction order).
+
+    Scale shape: two count-groupBys on (group, bin) — histogram sketches,
+    mergeable, thousands of cells regardless of row count — one outer join
+    of the two sketches on (group, bin), one sum per group.
+    """
+
+    def _bins(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(group_col).alias("g"),
+                F.floor(F.col(value_col).cast("double") * bin_scale)
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy("g", "bin")
+            .agg(F.count("*").alias(f"c_{side}"))
+        )
+
+    joined = (
+        _bins(df_ref, "r")
+        .join(_bins(df_cur, "c"), ["g", "bin"], "full_outer")
+        .select(
+            "g",
+            "bin",
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+            F.coalesce("c_c", F.lit(0)).alias("c_c"),
+        )
+    )
+    tot = joined.groupBy("g").agg(
+        F.sum("c_r").alias("t_r"),
+        F.sum("c_c").alias("t_c"),
+        F.count("*").alias("n_bins"),
+    )
+    p_r = (F.col("c_r") + 1) / (F.col("t_r") + F.col("n_bins"))
+    p_c = (F.col("c_c") + 1) / (F.col("t_c") + F.col("n_bins"))
+    term_q = F.round((p_c - p_r) * F.log(p_c / p_r) * term_scale).cast("long")
+    return (
+        joined.join(tot, "g")
+        .select("g", "n_bins", term_q.alias("_tq"))
+        .groupBy("g", "n_bins")
+        .agg(F.round(F.sum("_tq") / term_scale, round_to).alias("psi"))
+        .select(F.col("g").alias(group_col), "n_bins", "psi")
+    )
