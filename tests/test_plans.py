@@ -232,3 +232,58 @@ def test_session_window_stream_plan_has_watermark(spark, sf_dir):
     lp = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in lp
     assert "session_window" in lp.lower()
+
+
+def test_duplicate_spans_no_cartesian_and_int64_keys(documents):
+    """Span-dedup's cross-doc occurrence test must be a key join on the
+    60-bit window ids, never a pairwise product."""
+    from whatsapp_vectordb_spark.operators.dedup import duplicate_spans
+
+    p = plan(duplicate_spans(documents.limit(100), span_n=10))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "_h" in p
+
+
+def test_fuzzy_join_is_equi_join_on_variant_ids(documents):
+    """The deletion-neighborhood join must be an equi-join on hashed
+    variants — the naive plan would be a levenshtein theta-join."""
+    from whatsapp_vectordb_spark.operators.textops import fuzzy_join
+
+    left = documents.limit(50).select(F.col("doc_id").alias("lid"), F.col("text").alias("ls"))
+    right = documents.limit(80).select(F.col("doc_id").alias("rid"), F.col("text").alias("rs"))
+    p = plan(fuzzy_join(left, right, "ls", "rs", "lid", "rid", 1))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_cosine_pairs_broadcasts_dfreq_no_cartesian(documents):
+    from whatsapp_vectordb_spark.operators.textops import tfidf_cosine_pairs
+
+    p = plan(tfidf_cosine_pairs(documents.limit(150)))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # per-term IDF table rides broadcast
+
+
+def test_quantized_cell_assignment_broadcasts_centroids(spark, embeddings):
+    """Streaming IVF maintenance's per-batch assignment must broadcast the
+    k-row centroid table — a shuffle here would serialize every batch."""
+    from whatsapp_vectordb_spark.operators.ann import assign_cells_quantized
+
+    cents = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(8)], "centroid bigint, cvec array<double>"
+    )
+    p = plan(assign_cells_quantized(embeddings.limit(100), cents))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagerank_iteration_is_key_join_no_cartesian(spark):
+    from whatsapp_vectordb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "src long, dst long"
+    )
+    p = plan(pagerank(edges, iters=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
