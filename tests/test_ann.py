@@ -310,3 +310,34 @@ def test_opq_rotation_not_worse_than_pq(spark, embeddings):
     # rotation is orthogonal
     r = opq.rotation
     assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8)
+
+
+def test_opq_ivfpq_composition_self_probe(spark, embeddings):
+    """The rotated residual index must behave like an ANN index: probing
+    with a stored vector's own embedding puts that vector at/near the top
+    of the probed cells' ranking, and scores are deterministic int64."""
+    from whatsapp_vectordb_spark.operators.ann import OpqIvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = OpqIvfPqIndex.build(
+        emb, n_centroids=4, m=8, ksub=16, sample_rows=200, opq_iters=2
+    )
+    encoded = idx.encode(emb).cache()
+    qvec = emb.where("vec_id = 3").head()["embedding"]
+    top = idx.probe(encoded, qvec, k=5, nprobe=2).collect()
+    assert 3 in [r["vec_id"] for r in top]
+    again = idx.probe(encoded, qvec, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_opq_rotation_is_orthogonal(spark, embeddings):
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.ann import OpqIvfPqIndex
+
+    idx = OpqIvfPqIndex.build(
+        embeddings.select("vec_id", "embedding"),
+        n_centroids=4, m=8, ksub=16, sample_rows=200, opq_iters=2,
+    )
+    r = idx.rotation
+    assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8)

@@ -3828,3 +3828,64 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value").cast("double") * 1.25
     )
     return population_stability(ref, cur, value_col="value", group_col="event_type")
+
+
+# ==========================================================================
+# Round 3: OPQ + residual IVF-PQ composition (operators/ann.py
+# OpqIvfPqIndex) — the FAISS "OPQm,IVFc,PQm" recipe: learned rotation,
+# then coarse cells + residual codes in rotated space. The probe is the
+# identical integer-LUT ADC scan, replayed by the oracle over persisted
+# cells + LUTs.
+# ==========================================================================
+
+_OPQ_IVFPQ_DIR = _oracle_scratch("opq_ivfpq_oracle")
+
+_ANN_OPQ_IVFPQ_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_OPQ_IVFPQ_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_OPQ_IVFPQ_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_OPQ_IVFPQ_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_opq_ivfpq_topk", _ANN_OPQ_IVFPQ_ORACLE)
+def ann_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import OpqIvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = OpqIvfPqIndex.build(
+        emb, n_centroids=8, m=8, ksub=16, sample_rows=500, opq_iters=4
+    )
+    idx.encode(emb).write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(_OPQ_IVFPQ_DIR, "cells")
+    )
+    cells = idx.probe_cells(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in cells], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "probe"))
+    luts = idx.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, k, int(luts[c][j, k]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for k in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(rows, "centroid bigint, j int, c int, w bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "lut"))
+    stored = spark.read.parquet(os.path.join(_OPQ_IVFPQ_DIR, "cells"))
+    return idx.probe(stored, qvec, k=10, nprobe=2)

@@ -1341,3 +1341,98 @@ def assign_cells_quantized(
         .where(F.col("_rn") == 1)
         .select(*df.columns, F.col("_cid").alias("centroid"))
     )
+
+
+class OpqIvfPqIndex:
+    """OPQ + residual IVF-PQ composed — FAISS's ``OPQm,IVFc,PQm`` recipe:
+    a learned orthogonal rotation decorrelates the subspaces FIRST, then
+    the rotated space gets the coarse quantizer and residual codebooks.
+    Rotation preserves norms and inner products, so cosine/L2 rankings in
+    rotated space equal those in the original space — the rotation only
+    changes how well the product codebooks fit (Ge et al. CVPR 2013 §5
+    train OPQ independently of the coarse quantizer; we do the same).
+
+    Composition, not reimplementation: the inner index IS an
+    ``IvfPqResidualIndex`` living entirely in rotated space; build/encode/
+    probe rotate at the boundary and delegate, so the probe stays the
+    integer-LUT ADC scan the SQL oracle already replays bit-for-bit.
+    """
+
+    def __init__(self, rotation: np.ndarray, inner: IvfPqResidualIndex):
+        self.rotation = rotation
+        self.inner = inner
+
+    def _rotate_df(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+        rot = self.rotation
+        id_col, vec_col = self.inner.id_col, self.inner.vec_col
+        out_schema = StructType(
+            [df.schema[id_col], StructField(vec_col, ArrayType(DoubleType()), False)]
+        )
+
+        def rr(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = PqIndex._normalize(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
+                yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(v @ rot)})
+
+        return df.select(id_col, vec_col).mapInPandas(rr, schema=out_schema)
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 2048,
+        seed: int = 0,
+        iters: int = 10,
+        opq_iters: int = 8,
+    ) -> "OpqIvfPqIndex":
+        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
+        x = PqIndex._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        dim = x.shape[1]
+        r = np.eye(dim)
+        for _ in range(opq_iters):
+            xr = x @ r
+            books = _lloyd_codebooks(xr, m, ksub, seed, iters)
+            recon = OpqIndex._reconstruct(xr, books)
+            u, _, vt = np.linalg.svd(x.T @ recon)
+            r = u @ vt
+        shell = cls(r, IvfPqResidualIndex(np.empty((0, dim)), np.empty((m, ksub, dim // m)), id_col, vec_col))
+        inner = IvfPqResidualIndex.build(
+            shell._rotate_df(df),
+            n_centroids=n_centroids,
+            m=m,
+            ksub=ksub,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_rows=sample_rows,
+            seed=seed,
+            iters=iters,
+        )
+        return cls(r, inner)
+
+    def _rotate_query(self, query_vec) -> np.ndarray:
+        q = PqIndex._normalize(np.asarray(query_vec, dtype=np.float64))
+        return q @ self.rotation
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        return self.inner.encode(self._rotate_df(df))
+
+    def probe_cells(self, query_vec, nprobe: int) -> list[int]:
+        return self.inner.probe_cells(self._rotate_query(query_vec), nprobe)
+
+    def luts_int(self, query_vec, cells: list[int]):
+        return self.inner.luts_int(self._rotate_query(query_vec), cells)
+
+    def probe(
+        self, encoded: DataFrame, query_vec, k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        return self.inner.probe(encoded, self._rotate_query(query_vec), k=k, nprobe=nprobe)
