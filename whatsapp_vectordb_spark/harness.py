@@ -3889,3 +3889,72 @@ def ann_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "lut"))
     stored = spark.read.parquet(os.path.join(_OPQ_IVFPQ_DIR, "cells"))
     return idx.probe(stored, qvec, k=10, nprobe=2)
+
+
+# ==========================================================================
+# Round 3: diversity sampling (assign_cells_quantized + stratified_cap
+# composed) — uniform coverage of embedding space instead of density-
+# proportional sampling: cap each quantizer cell at 40 hash-ranked rows.
+# The oracle replays the integer-exact assignment from the persisted
+# centroids, then the same hash-ranked cap.
+# ==========================================================================
+
+_DIVERSE_DIR = _oracle_scratch("diverse_sample_oracle")
+
+_DIVERSE_ORACLE = f"""
+WITH cents AS (
+  SELECT centroid, cvec FROM read_parquet('{_DIVERSE_DIR}/centroids/*.parquet')
+),
+qv AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+qc AS (
+  SELECT centroid, i.i AS pos,
+         CAST(round(cvec[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM cents CROSS JOIN range(0,64) i(i)
+),
+d AS (
+  SELECT v.vec_id, c.centroid, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+  FROM qv v JOIN qc c ON v.pos = c.pos GROUP BY 1, 2
+),
+a AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, centroid,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid
+           ORDER BY ('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+                    vec_id
+         ) AS rk
+  FROM a
+)
+SELECT vec_id, CAST(centroid AS BIGINT) AS centroid FROM r WHERE rk <= 40
+"""
+
+
+@_register("sample_diverse_embeddings", _DIVERSE_ORACLE)
+def sample_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: uniform coverage across quantizer cells (cap 40
+    per cell, hash-ranked) — keeps rare regions of embedding space that a
+    uniform-random sample would starve. Map-only assignment (broadcast
+    centroids) + one window per cell."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, assign_cells_quantized
+    from whatsapp_vectordb_spark.operators.sampling import stratified_cap
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    built = IvfIndex.build(emb, n_centroids=8)
+    cents_path = os.path.join(_DIVERSE_DIR, "centroids")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
+        "centroid bigint, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cents_path)
+    cents = spark.read.parquet(cents_path)
+    assigned = assign_cells_quantized(emb, cents).select("vec_id", "centroid")
+    return stratified_cap(assigned, "centroid", "vec_id", n_per_group=40)
