@@ -41,34 +41,84 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _driver_checked_names() -> set[str]:
-    """Names that already have a row in any driver CORRECTNESS snapshot."""
+# Queries repaired since their last driver row — pinned to the very front
+# so the driver's ~50-row sample re-verifies them this round (round-3 NTZ
+# breakage + the two historical FAILs).
+_FRONTLOAD = [
+    "embed_search_pipeline",
+    "multimodal_cross_search",
+    "events_funnel",
+    "events_range_join",
+    "events_sessionized_counts",
+    "streaming_sessionized",
+    "streaming_hourly_windows",
+    "streaming_session_windows",
+    "streaming_distinct_keys",
+    "streaming_stream_stream_join",
+]
+
+
+def _driver_status() -> dict[str, tuple[int, bool]]:
+    """name → (latest round with a driver row, did that row pass)."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            passed = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, passed)
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, ordered so queries the driver has never snapshotted come
-    first: the driver caps each round's CORRECTNESS file at ~50 rows, so
-    front-loading unchecked names guarantees every query eventually gets a
-    driver-visible row (previously-green rows keep local-gate coverage via
-    tools/check_correctness.py)."""
+    """Registry, ordered for the driver's ~50-row-per-round sample cap:
+
+    1. ``_FRONTLOAD`` — queries fixed since their last driver row;
+    2. never-snapshotted names (no driver row at all);
+    3. names whose LATEST driver row is a FAIL;
+    4. green names, stalest round first (oldest green gets re-verified
+       soonest — a green row from round 1 says nothing about today);
+    5. freshest greens last.
+
+    tools/check_correctness.py keeps full-surface local coverage either way.
+    """
     from whatsapp_vectordb_spark.harness import QUERIES
 
-    seen = _driver_checked_names()
-    ordered = [n for n in QUERIES if n not in seen] + [n for n in QUERIES if n in seen]
-    return {n: QUERIES[n] for n in ordered}
+    status = _driver_status()
+    front = {n: i for i, n in enumerate(_FRONTLOAD)}
+
+    def key(item: tuple[int, str]) -> tuple:
+        idx, name = item
+        if name in front:
+            return (0, front[name])
+        if name not in status:
+            return (1, idx)
+        rnd, passed = status[name]
+        if not passed:
+            return (2, idx)
+        return (3, rnd, idx)
+
+    ordered = sorted(((i, n) for i, n in enumerate(QUERIES)), key=key)
+    return {n: QUERIES[n] for _, n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

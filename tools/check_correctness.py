@@ -52,9 +52,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from whatsapp_vectordb_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="correctness-check")
+    # DRIVER-FAITHFUL session: the driver's gate runs a vanilla
+    # SparkSession — no nanosAsLong, no pinned timezone, default shuffle
+    # partitions. Any config a query NEEDS must be set by the query itself
+    # (e.g. harness._events sets nanosAsLong at runtime). Round-3 lesson:
+    # a tuned local session here masked an environment break that failed
+    # at the driver.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.appName("correctness-check")
+        .master(f"local[{cpus}]")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -67,15 +67,15 @@ def _oracle_scratch(name: str) -> str:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load `events` with its TIMESTAMP(NANOS) column normalized to a real
-    timestamp. Spark can't read nanos-parquet natively; with
-    ``nanosAsLong`` the column arrives as LONG nanos and integer ``DIV
-    1000`` matches DuckDB's truncating nanos→micros conversion exactly."""
+    """Load `events` with its ``ts`` column normalized to plain TIMESTAMP
+    regardless of which parquet encoding this testdata generation used —
+    LONG nanos (legacy ``nanosAsLong`` reads), TIMESTAMP_NTZ (current
+    testdata: ``timestamp[us]`` with ``isAdjustedToUTC=false``), or plain
+    TIMESTAMP. See ``operators.events.normalize_event_ts``."""
+    from whatsapp_vectordb_spark.operators.events import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return ev
+    return normalize_event_ts(_t(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
@@ -2261,12 +2261,45 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_media_plan(_media_df(spark, sf_dir), chunk_ms=2000, modality="audio")
 
 
-@_register("multimodal_cross_search")  # fake-codec embeddings — rows-only by design
+_XMODAL_DIR = _oracle_scratch("xmodal_oracle")
+_XMODAL_QUERY = "large scale data processing"
+
+
+def _xmodal_oracle() -> str:
+    """Neither the text embedder nor the fake-codec extractor is
+    SQL-expressible, but both are deterministic — so (a) the query vector
+    is computed at registration time and inlined as a literal (the
+    ``_flagship_oracle`` template), and (b) the unioned cross-modal index
+    is persisted by the Spark query and replayed by the oracle from the
+    very same parquet (the IVF persisted-state template, harness
+    ``_ANN_IVF_ORACLE``). The union + scoring + top-k — the cross-modal
+    part — is then fully hash-checked."""
+    from whatsapp_vectordb_spark.embedder import embed_text
+
+    qv = embed_text(_XMODAL_QUERY, dim=64)
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+WITH idx AS (
+  SELECT * FROM read_parquet('{_XMODAL_DIR}/index/*.parquet')
+),
+q AS (SELECT {lit}::DOUBLE[] AS qv)
+SELECT i.item_id, i.modality,
+       ROUND(list_cosine_similarity(i.embedding::DOUBLE[], q.qv), 6) AS score
+FROM idx i CROSS JOIN q
+WHERE list_cosine_similarity(i.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, i.item_id ASC
+LIMIT 25
+"""
+
+
+@_register("multimodal_cross_search", _xmodal_oracle())
 def multimodal_cross_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union scoring across modalities (SURVEY.md §7.2 step 5): text docs
     and media rows share one embedding space/table shape; a single top-k
     ranks both. Text side embeds with the deterministic embedder, media
-    side with the fake-codec extractor — same dim, one unioned index."""
+    side with the fake-codec extractor — same dim, one unioned index.
+    The index is persisted and the top-k probes the PERSISTED parquet, so
+    the oracle replays the identical float32 data (see _xmodal_oracle)."""
     from whatsapp_vectordb_spark.embedder import embed_text, with_embedding
     from whatsapp_vectordb_spark.multimodal import extract_media_features
     from whatsapp_vectordb_spark.operators.search import topk
@@ -2282,10 +2315,11 @@ def multimodal_cross_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "embedding",
     )
-    index = text_side.unionByName(media_side)
-    qvec = embed_text("large scale data processing")
-    out = topk(index, qvec, k=25, id_col="item_id", payload_cols=("modality",), round_to=6)
-    return out
+    index_path = os.path.join(_XMODAL_DIR, "index")
+    text_side.unionByName(media_side).write.mode("overwrite").parquet(index_path)
+    index = spark.read.parquet(index_path)
+    qvec = embed_text(_XMODAL_QUERY, dim=64)
+    return topk(index, qvec, k=25, id_col="item_id", payload_cols=("modality",), round_to=6)
 
 
 # ==========================================================================

@@ -583,6 +583,43 @@ class IvfIndex:
         )
 
 
+def _train_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int,
+    oversample: int = 8,
+) -> np.ndarray:
+    """Deterministic, UNBIASED bounded sample for codebook training.
+
+    ``orderBy(id).limit(n)`` trains on the lowest-id rows — on real corpora
+    id correlates with ingest time, so codebooks would train on the oldest
+    data and drift immediately. Ranking on ``xxhash64(id)`` instead is a
+    uniform pseudo-random draw over the whole corpus, still fully
+    deterministic and reproducible (id tiebreak makes the order total).
+
+    Scale shape: when the corpus is much larger than the sample, a
+    hash-bucket pre-filter (``xxhash64(id) % denom = 0``) prunes the
+    TakeOrderedAndProject input to ~``oversample × sample_rows`` expected
+    rows, so the heap never ranks the full index — at 100 TB the scan is
+    still one pass over ids+vectors, but the sort side is tiny. (The
+    ``count()`` sizing pass is column-pruned and runs once per build.)
+    """
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    n = df.count()
+    cand = df
+    denom = int(n // (sample_rows * oversample))
+    if denom > 1:
+        cand = df.where(F.pmod(h, F.lit(denom)) == 0)
+    rows = (
+        cand.select(F.col(vec_col).alias("_v"), h.alias("_h"), F.col(id_col).alias("_id"))
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    return np.asarray([r["_v"] for r in rows], dtype=np.float64)
+
+
 def _lloyd_codebooks(
     x: np.ndarray, m: int, ksub: int, seed: int, iters: int
 ) -> np.ndarray:
@@ -662,8 +699,7 @@ class PqIndex:
         seed: int = 0,
         iters: int = 10,
     ) -> "PqIndex":
-        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
-        x = cls._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        x = cls._normalize(_train_sample(df, id_col, vec_col, sample_rows))
         books = _lloyd_codebooks(x, m, ksub, seed, iters)
         return cls(books, id_col, vec_col)
 
@@ -697,10 +733,7 @@ class PqIndex:
     def quantization_mse(self, df: DataFrame, sample_rows: int = 2048) -> float:
         """Mean squared reconstruction error on a bounded sample (the
         OPQ-vs-PQ comparison metric; lower is better)."""
-        rows = (
-            df.select(self.vec_col).orderBy(F.col(self.id_col)).limit(sample_rows).collect()
-        )
-        x = self._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        x = self._normalize(_train_sample(df, self.id_col, self.vec_col, sample_rows))
         recon = OpqIndex._reconstruct(x, self.codebooks)
         return float(((x - recon) ** 2).sum(axis=1).mean())
 
@@ -810,8 +843,7 @@ class OpqIndex(PqIndex):
         iters: int = 10,
         opq_iters: int = 8,
     ) -> "OpqIndex":
-        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
-        x = cls._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        x = cls._normalize(_train_sample(df, id_col, vec_col, sample_rows))
         dim = x.shape[1]
         r = np.eye(dim)
         for _ in range(opq_iters):
@@ -895,10 +927,7 @@ class OpqIndex(PqIndex):
         """Mean squared reconstruction error on a bounded sample — the
         quantity OPQ training minimizes; compare against PqIndex to verify
         the rotation helps (tests/test_ann.py)."""
-        rows = (
-            df.select(self.vec_col).orderBy(F.col(self.id_col)).limit(sample_rows).collect()
-        )
-        x = self._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        x = self._normalize(_train_sample(df, self.id_col, self.vec_col, sample_rows))
         xr = x @ self.rotation
         return float(((xr - self._reconstruct(xr, self.codebooks)) ** 2).sum(axis=1).mean())
 
@@ -1018,8 +1047,7 @@ class IvfPqResidualIndex:
         """Coarse centroids (Lloyd on the normalized sample) + residual
         codebooks trained on the SAME sample's residuals — both stages on
         a bounded driver-side sample, as codebook training always is."""
-        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
-        x = PqIndex._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        x = PqIndex._normalize(_train_sample(df, id_col, vec_col, sample_rows))
         # coarse quantizer: one "subspace" spanning the full dim
         cent = _lloyd_codebooks(x, 1, n_centroids, seed, iters)[0]  # (C, dim)
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -1395,8 +1423,7 @@ class OpqIvfPqIndex:
         iters: int = 10,
         opq_iters: int = 8,
     ) -> "OpqIvfPqIndex":
-        rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_rows).collect()
-        x = PqIndex._normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+        x = PqIndex._normalize(_train_sample(df, id_col, vec_col, sample_rows))
         dim = x.shape[1]
         r = np.eye(dim)
         for _ in range(opq_iters):

@@ -17,6 +17,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP across the three
+    encodings the parquet testdata has shipped as:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong``; truncating integer ``DIV
+      1000`` matches DuckDB's nanos→micros conversion exactly.
+    - ``timestamp_ntz`` — parquet ``timestamp[us]`` with
+      ``isAdjustedToUTC=false`` (pyarrow's default); the wall-clock fields
+      are interpreted as UTC (``to_utc_timestamp(ts, 'UTC')``), which makes
+      ``unix_micros`` agree exactly with DuckDB's ``epoch_us`` under a UTC
+      session, and ``date_format`` renderings agree under ANY session tz.
+    - ``timestamp`` — already what every downstream operator
+      (``unix_micros``, ``withWatermark``, ``window``) expects; unchanged.
+
+    Works on batch and streaming frames alike (pure column expression).
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
+        return df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    return df
+
+
 def sessionized_counts(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whatsapp_vectordb_spark.operators.events import normalize_event_ts
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -82,8 +84,7 @@ def run_events_hourly_stream(spark, events_path: str, watermark: str = "2 hours"
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = normalize_event_ts(stream)
     agg = windowed_event_counts(stream, "1 hour", watermark).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.col("event_type"),
@@ -163,9 +164,11 @@ def run_sessionized_stream(spark, events_path: str, gap_minutes: int = 30) -> Da
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    # ts arrives as LONG nanos (nanosAsLong); integer DIV keeps micros exact
-    # (double division would round above 2^53)
-    src = stream.select("user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    # normalize any ts encoding to TIMESTAMP, then take exact integer epoch
+    # micros (unix_micros — no double rounding above 2^53)
+    src = normalize_event_ts(stream).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
     out = sessionize_with_state(src, gap_minutes)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     # each shuffle partition becomes a state-store partition with its own
@@ -216,8 +219,7 @@ def run_streaming_distinct(spark, events_path: str, watermark: str = "1 day") ->
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = normalize_event_ts(stream)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -304,9 +306,7 @@ def run_stream_stream_join(
             .option("pathGlobFilter", os.path.basename(events_path))
             .parquet(os.path.dirname(events_path))
         )
-        if dict(s.dtypes)["ts"] == "bigint":
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return s
+        return normalize_event_ts(s)
 
     clicks = (
         src()
@@ -360,8 +360,7 @@ def session_window_agg(
     (possibly streaming) events frame — factored out of
     ``run_session_window_stream`` so plan audits can assert the
     EventTimeWatermark + SessionWindow nodes without running a stream."""
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = normalize_event_ts(stream)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
