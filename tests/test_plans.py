@@ -287,3 +287,58 @@ def test_pagerank_iteration_is_key_join_no_cartesian(spark):
     p = plan(pagerank(edges, iters=2))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_prefix_sum_has_no_single_partition_exchange(spark):
+    """The packing prefix sum must be the two-phase distributed scan — a
+    global Window.orderBy would funnel every row through ONE task
+    (Exchange SinglePartition), the classic scale cliff."""
+    from whatsapp_vectordb_spark.operators.curate import ordered_prefix_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.pmod(F.col("id"), F.lit(7)) + 1).alias("v")
+    )
+    p = plan(ordered_prefix_sum(df, "id", "v", n_parts=8))
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p.lower()  # the order-preserving spread
+
+
+def test_line_dedup_shuffles_hashes_not_lines(documents):
+    """The recurring-line count groups on the 32-char md5, and the join
+    back to lines is an equi-join on that hash — no sort of full text, no
+    cartesian."""
+    from whatsapp_vectordb_spark.operators.curate import duplicate_line_removal
+
+    lines = documents.select(
+        F.col("doc_id"),
+        F.lit(0).cast("long").alias("line_no"),
+        F.col("text").alias("line"),
+    )
+    p = plan(duplicate_line_removal(lines, min_docs=2))
+    assert "CartesianProduct" not in p
+    assert "_lh" in p  # hash key drives the join
+
+
+def test_dataset_diff_joins_on_hash_not_content(documents):
+    from whatsapp_vectordb_spark.operators.curate import dataset_diff
+
+    old = documents.select("doc_id", "text")
+    new = documents.select("doc_id", "text")
+    p = plan(dataset_diff(old, new, "doc_id", ["text"]))
+    assert "CartesianProduct" not in p
+    # id-keyed shuffle join, and the shuffled projections carry the md5
+    # fingerprints (_h_old/_h_new), never the raw text
+    assert "hashpartitioning(doc_id" in p
+    assert "_h_old" in p and "_h_new" in p
+
+
+def test_hard_negative_queries_are_broadcast(spark, embeddings):
+    """The query side must broadcast (BroadcastNestedLoopJoin — the
+    intended batched-scoring shape, same as topk_batched); the index side
+    is scanned once with no shuffle before ranking."""
+    from whatsapp_vectordb_spark.operators.curate import hard_negative_mine
+
+    queries = embeddings.where(F.col("vec_id") < 3)
+    p = plan(hard_negative_mine(embeddings, queries, k=4))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

@@ -3284,7 +3284,7 @@ WITH keys AS (
   SELECT DISTINCT o_orderkey AS kk FROM orders WHERE o_orderpriority = '1-URGENT'
 ),
 pos AS (
-  SELECT kk, ('0x' || substr(md5(kk::VARCHAR), 1 + 4 * i.i, 4))::BIGINT % 32768 AS p
+  SELECT kk, (('0x' || substr(md5(kk::VARCHAR), 1, 15))::BIGINT >> (15 * i.i)) % 32768 AS p
   FROM keys CROSS JOIN range(0, 4) i(i)
 ),
 bits AS (
@@ -3293,7 +3293,7 @@ bits AS (
 ),
 dkeys AS (SELECT DISTINCT l_orderkey AS lk FROM lineitem),
 ppos AS (
-  SELECT lk, ('0x' || substr(md5(lk::VARCHAR), 1 + 4 * i.i, 4))::BIGINT % 32768 AS p
+  SELECT lk, (('0x' || substr(md5(lk::VARCHAR), 1, 15))::BIGINT >> (15 * i.i)) % 32768 AS p
   FROM dkeys CROSS JOIN range(0, 4) i(i)
 ),
 pass_keys AS (
@@ -3315,25 +3315,35 @@ def rel_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the false-positive behavior itself is hash-checked."""
     from whatsapp_vectordb_spark.operators.bloom import bloom_might_contain, bloom_words
 
-    li = _t(spark, sf_dir, "lineitem")
+    # ONE pass over the fact side: the bloom predicate rides as a PROJECTED
+    # flag (a filter would be pushed below the spreading repartition and
+    # evaluate in the single scan task of a one-row-group file — measured
+    # 4× slower), the true-join flag as a broadcast left join, and all
+    # three counts fold into a single aggregate — no crossJoins, no
+    # re-scans. (At real scale inputs arrive in thousands of splits and
+    # the spread is moot; the one-pass shape still wins.)
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     orders = _t(spark, sf_dir, "orders")
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     words = [
         (r["word"], r["bits"]) for r in bloom_words(urgent, "o_orderkey").collect()
     ]
-    n_rows = li.agg(F.count("*").alias("n_rows"))
-    n_passed = (
-        li.where(bloom_might_contain(words, F.col("l_orderkey")))
-        .agg(F.count("*").alias("n_passed"))
+    truekeys = urgent.select("o_orderkey").dropDuplicates().withColumn(
+        "_true", F.lit(1)
     )
-    n_true = (
-        li.join(
-            F.broadcast(urgent.select("o_orderkey").dropDuplicates()),
-            li["l_orderkey"] == F.col("o_orderkey"),
-            "left_semi",
-        ).agg(F.count("*").alias("n_true"))
+    flagged = li.join(
+        F.broadcast(truekeys), li["l_orderkey"] == truekeys["o_orderkey"], "left"
+    ).select(
+        bloom_might_contain(words, F.col("l_orderkey")).alias("_pass"),
+        F.col("_true"),
     )
-    return n_rows.crossJoin(n_passed).crossJoin(n_true)
+    return flagged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("_pass"), 1).otherwise(0)).alias("n_passed"),
+        F.count(F.col("_true")).alias("n_true"),
+    )
 
 
 # ==========================================================================
@@ -3992,3 +4002,230 @@ def sample_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.read.parquet(cents_path)
     assigned = assign_cells_quantized(emb, cents).select("vec_id", "centroid")
     return stratified_cap(assigned, "centroid", "vec_id", n_per_group=40)
+
+
+# ==========================================================================
+# Round 4: corpus-curation operators (operators/curate.py) — the standard
+# pretraining-pipeline stages: boilerplate line removal (CCNet/C4),
+# concat-and-chunk sequence packing (distributed prefix sum), snapshot
+# diff, SCD2 versioned merge, hard-negative mining.
+# ==========================================================================
+
+# Documents have no newlines, so "lines" are synthesized deterministically
+# as 8-token chunks — the operator is generic over any (doc, line_no,
+# line) frame; the fixture mirrors _media_df's synthesis pattern.
+_LINE_TOKS = 8
+
+_LINE_SQL = f"""
+  SELECT doc_id, CAST(i.i AS BIGINT) AS line_no,
+         array_to_string(tk[1 + {_LINE_TOKS} * i.i : {_LINE_TOKS} + {_LINE_TOKS} * i.i], ' ') AS line
+  FROM (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents) t
+  CROSS JOIN range(0, 100) i(i)
+  WHERE {_LINE_TOKS} * i.i < len(tk)
+"""
+
+
+def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.text import tokens
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("_tk"))
+        # token-less docs have no lines (F.sequence(0, -1) would DESCEND);
+        # the oracle's `8*i < len(tk)` filter drops them identically
+        .where(F.size("_tk") > 0)
+    )
+    n_lines = F.ceil(F.size("_tk") / F.lit(_LINE_TOKS)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_tk"), i * _LINE_TOKS + 1, _LINE_TOKS), " "
+                ),
+            )
+        ).alias("line_no", "line"),
+    ).select("doc_id", F.col("line_no").cast("long").alias("line_no"), "line")
+
+
+@_register(
+    "text_line_dedup",
+    f"""
+WITH lines AS ({_LINE_SQL}),
+h AS (SELECT doc_id, line_no, line, md5(trim(lower(line))) AS lh FROM lines),
+rec AS (
+  SELECT lh FROM h GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+fl AS (
+  SELECT h.doc_id, h.line_no, h.line, (rec.lh IS NOT NULL) AS dup
+  FROM h LEFT JOIN rec ON h.lh = rec.lh
+)
+SELECT doc_id,
+       COUNT(*) FILTER (WHERE NOT dup) AS n_lines_kept,
+       COUNT(*) FILTER (WHERE dup) AS n_lines_dropped,
+       COALESCE(string_agg(CASE WHEN NOT dup THEN line END, ' ' ORDER BY line_no), '')
+         AS cleaned_text
+FROM fl GROUP BY doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate removal: drop lines recurring across ≥2
+    distinct docs, reassemble the rest in order. One hash-count shuffle +
+    one hash join + one reassembly groupBy — linear in corpus lines."""
+    from whatsapp_vectordb_spark.operators.curate import duplicate_line_removal
+
+    return duplicate_line_removal(_doc_lines(spark, sf_dir), min_docs=2)
+
+
+@_register(
+    "pack_sequences_blocks",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // 128 AS start_block,
+       (cum_before + n_tokens - 1) // 128 AS end_block,
+       ((cum_before + n_tokens - 1) // 128) - (cum_before // 128) + 1 AS n_blocks
+FROM c
+""".format(toks=_TOKS.format(c="text")),
+)
+def pack_sequences_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan (seq_len=128): per-doc
+    block spans from a two-phase DISTRIBUTED prefix sum — no global
+    single-partition window (operators/curate.py ordered_prefix_sum)."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.curate import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=128)
+
+
+@_register(
+    "docs_snapshot_diff",
+    """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 5
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+),
+o AS (SELECT doc_id, md5(text) AS h FROM old),
+n AS (SELECT doc_id, md5(text) AS h FROM new)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'same' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: old/new versions synthesized deterministically
+    from `documents` (identically in both engines), statuses from one
+    hash-only full-outer join (operators/curate.py dataset_diff)."""
+    from whatsapp_vectordb_spark.operators.curate import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 19 != 5).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dataset_diff(old, new, "doc_id", ["text"])
+
+
+@_register(
+    "customer_scd2_versions",
+    """
+WITH chg AS (
+  SELECT c_custkey, 'SEG_A' AS c_mktsegment, 1 AS eff_seq
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 'SEG_B', 2 FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'SEG_B', 3 FROM customer WHERE c_custkey % 20 = 0
+),
+v AS (
+  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS eff_seq FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, CAST(eff_seq AS BIGINT) FROM chg
+),
+d AS (
+  SELECT *, lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY eff_seq) AS prev
+  FROM v
+),
+kept AS (
+  SELECT c_custkey, c_mktsegment, eff_seq FROM d
+  WHERE prev IS NULL OR prev <> c_mktsegment
+)
+SELECT c_custkey, c_mktsegment,
+       eff_seq AS valid_from_seq,
+       lead(eff_seq) OVER (PARTITION BY c_custkey ORDER BY eff_seq) AS valid_to_seq
+FROM kept
+""",
+)
+def customer_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge: fold a 3-step deterministic change batch into a
+    validity-interval history of customer segments. No-op changes collapse
+    (seq-3 re-asserts seq-2's value → no new version). One shuffle by key
+    (operators/curate.py scd2_apply)."""
+    from whatsapp_vectordb_spark.operators.curate import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    k = F.col("c_custkey")
+    changes = (
+        cust.where(k % 5 == 0).select(k.alias("c_custkey"), F.lit("SEG_A").alias("c_mktsegment"), F.lit(1).alias("eff_seq"))
+        .unionByName(cust.where(k % 10 == 0).select(k.alias("c_custkey"), F.lit("SEG_B").alias("c_mktsegment"), F.lit(2).alias("eff_seq")))
+        .unionByName(cust.where(k % 20 == 0).select(k.alias("c_custkey"), F.lit("SEG_B").alias("c_mktsegment"), F.lit(3).alias("eff_seq")))
+    )
+    return scd2_apply(cust, changes, "c_custkey", ["c_mktsegment"])
+
+
+@_register(
+    "embed_hard_negatives",
+    """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.q_label
+    AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+)
+SELECT q_id, neg_id, neg_label, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neg_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+""",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query (vec_id < 5), the top-5
+    most-similar embeddings with a DIFFERENT label — broadcast queries,
+    one index scan, rank on (rounded score, id)
+    (operators/curate.py hard_negative_mine)."""
+    from whatsapp_vectordb_spark.operators.curate import hard_negative_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return hard_negative_mine(emb, queries, k=5)

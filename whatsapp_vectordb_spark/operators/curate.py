@@ -1,0 +1,274 @@
+"""Corpus-curation operators for LLM training-data pipelines (extension
+surface — the reference, Pisush/whatsapp-vectorDB, has no curation ops;
+these are the standard pretraining-pipeline stages expressed Spark-first).
+
+- ``duplicate_line_removal`` — CCNet/C4-style boilerplate stripping:
+  drop lines that recur across ≥ N distinct documents, keep line order.
+- ``ordered_prefix_sum`` / ``pack_sequences`` — GPT-style concat-and-chunk
+  packing: exclusive prefix sum of token counts in id order → fixed-length
+  training-block spans, via a two-phase DISTRIBUTED prefix sum (a global
+  ``Window.orderBy`` collapses to one partition — the classic scale trap).
+- ``dataset_diff`` — snapshot compare by id + content hash: added /
+  removed / changed / same, the audit step between corpus versions.
+- ``scd2_apply`` — slowly-changing-dimension type-2 merge: fold a change
+  batch into a validity-interval (``valid_from_seq``/``valid_to_seq``)
+  history table. The temporal sibling of the last-writer-wins upsert
+  (operators/upsert.py — reference upsert/upsert.go:113-215).
+- ``hard_negative_mine`` — contrastive-training pair mining: per query,
+  top-k most-similar items with a DIFFERENT label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_line_removal(
+    lines: DataFrame,
+    doc_col: str = "doc_id",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+    min_docs: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """Remove lines that occur (normalized-exact) in ≥ ``min_docs``
+    distinct documents, then reassemble each document's remaining lines in
+    order: ``(doc_id, n_lines_kept, n_lines_dropped, cleaned_text)``.
+
+    This is the CCNet/C4 boilerplate-removal stage (headers, nav bars,
+    cookie banners recur across pages; prose doesn't).
+
+    Scale shape: one shuffle to count distinct docs per line hash (the
+    md5 keeps wide lines out of the shuffle — 16 bytes/row), one join of
+    lines against the recurring-hash set (hash-keyed, and the recurring
+    set is typically tiny → broadcastable by AQE), one groupBy(doc) to
+    reassemble. No all-pairs anything; cost is linear in corpus lines.
+    """
+    h = F.md5(F.trim(F.lower(F.col(line_col))))
+    with_h = lines.select(
+        F.col(doc_col), F.col(line_no_col), F.col(line_col), h.alias("_lh")
+    )
+    recurring = (
+        with_h.groupBy("_lh")
+        .agg(F.count_distinct(F.col(doc_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_lh", F.lit(True).alias("_dup"))
+    )
+    flagged = with_h.join(recurring, "_lh", "left")
+    kept_struct = F.when(
+        F.col("_dup").isNull(),
+        F.struct(F.col(line_no_col).alias("n"), F.col(line_col).alias("l")),
+    )
+    return flagged.groupBy(doc_col).agg(
+        F.count(F.when(F.col("_dup").isNull(), 1)).alias("n_lines_kept"),
+        F.count(F.when(F.col("_dup").isNotNull(), 1)).alias("n_lines_dropped"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["l"]
+            ),
+        ).alias("cleaned_text"),
+    )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` in ``order_col`` order,
+    computed scalably: ``Window.orderBy`` with no partitionBy funnels the
+    whole table through ONE task; instead this range-partitions on the
+    order key, cumsums within each partition, and adds per-partition base
+    offsets (computed from ≤ n_parts subtotal rows on the driver) — the
+    textbook two-phase parallel scan, O(rows/partition) per task.
+
+    ``order_col`` must be unique (a key); the sum is exact for integers.
+    """
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("_local_before", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+    totals = (
+        part.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_tot"), F.min(order_col).alias("_min_key"))
+        .orderBy("_min_key")
+        .collect()
+    )
+    base, offsets = 0, {}
+    for r in totals:
+        offsets[r["_pid"]] = base
+        base += int(r["_tot"])
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    return local.withColumn(out_col, (F.col("_local_before") + off).cast("long")).drop(
+        "_pid", "_local_before"
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: concatenate all documents'
+    tokens in ``id_col`` order, cut into fixed ``seq_len`` training blocks,
+    and report each document's span: ``(doc_id, n_tokens, cum_before,
+    start_block, end_block, n_blocks)``.
+
+    This is the packing scheme real pretraining uses (no padding waste, no
+    bin-packing search) and — unlike first-fit — it is order-deterministic
+    and embarrassingly parallel: everything after the prefix sum is a
+    map-only projection.
+    """
+    cum = ordered_prefix_sum(docs, id_col, n_tokens_col)
+    start = F.floor(F.col("cum_before") / seq_len)
+    end = F.floor((F.col("cum_before") + F.col(n_tokens_col) - 1) / seq_len)
+    return cum.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.col("cum_before"),
+        start.cast("long").alias("start_block"),
+        end.cast("long").alias("end_block"),
+        (end - start + 1).cast("long").alias("n_blocks"),
+    )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff by id + content hash: one row per id with status
+    ``added`` / ``removed`` / ``changed`` / ``same`` — the audit operator
+    between two corpus versions (what changed since the last crawl?).
+
+    Scale shape: content collapses to one md5 per row BEFORE the join, so
+    the full-outer join shuffles (id, 32-char hash) pairs only — never the
+    documents themselves.
+    """
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])).alias(
+                "_h"
+            ),
+        )
+
+    o = fingerprint(old).withColumnRenamed("_h", "_h_old")
+    n = fingerprint(new).withColumnRenamed("_h", "_h_new")
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    attr_cols: list[str],
+    seq_col: str = "eff_seq",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: fold a batch of attribute
+    changes into a validity-interval history. Output one row per version:
+    ``(id, attrs..., valid_from_seq, valid_to_seq)`` with ``valid_to_seq
+    NULL`` on the current version — consecutive same-attribute changes
+    collapse (no zero-width or duplicate versions).
+
+    ``current`` rows are treated as the seq-0 opening version; ``changes``
+    carry ``seq_col`` (monotone ingest sequence — micro-batch id, CDC
+    LSN). Deterministic: ties on (id, seq) are invalid input by contract.
+
+    Scale shape: one shuffle by id, per-id window scans (history per key
+    is small); no driver-side state. The temporal generalization of the
+    replace-by-id upsert (operators/upsert.py).
+    """
+    opening = current.select(
+        F.col(id_col), *[F.col(c) for c in attr_cols], F.lit(0).cast("long").alias(seq_col)
+    )
+    versions = opening.unionByName(
+        changes.select(
+            F.col(id_col), *[F.col(c) for c in attr_cols], F.col(seq_col).cast("long")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).asc())
+    attr_struct = F.struct(*[F.col(c) for c in attr_cols])
+    dedup = versions.withColumn("_prev_attrs", F.lag(attr_struct).over(w)).where(
+        F.col("_prev_attrs").isNull() | (F.col("_prev_attrs") != attr_struct)
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col(seq_col).asc())
+    return (
+        dedup.withColumn("_next_seq", F.lead(F.col(seq_col)).over(w2))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in attr_cols],
+            F.col(seq_col).alias("valid_from_seq"),
+            F.col("_next_seq").alias("valid_to_seq"),
+        )
+    )
+
+
+def hard_negative_mine(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query row, the top-k
+    most-cosine-similar index rows with a DIFFERENT label — the negatives
+    that actually teach an embedding model (random negatives are too easy).
+
+    ``queries`` is a small frame (``(id, vec, label)``) — it broadcasts;
+    the index side is scanned once with a per-task heap (the same
+    no-shuffle shape as batched k-NN). Ranks on (rounded score, id) for
+    engine-exact ordering.
+    """
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    scored = (
+        index.alias("i")
+        .crossJoin(F.broadcast(q))
+        .where(F.col(label_col) != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("q_vec")), round_to).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neg_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
