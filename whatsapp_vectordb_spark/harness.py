@@ -4229,3 +4229,133 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return hard_negative_mine(emb, queries, k=5)
+
+
+# ==========================================================================
+# Round 4: dimensionality reduction (operators/projection.py) — JL random
+# projection (stateless, md5-derived ±1 signs, integer-exact in both
+# engines) and sample-trained exact PCA (persisted-components oracle).
+# ==========================================================================
+
+_JL_SEED, _JL_IN, _JL_OUT = 7, 64, 16
+
+
+@_register(
+    "ann_jl_topk",
+    f"""
+WITH px AS (
+  SELECT e.vec_id, j.j AS j,
+         SUM(CAST(round(e.embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) *
+             CASE WHEN ('0x' || substr(md5('{_JL_SEED}_' || i.i || '_' || j.j), 1, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END) AS p
+  FROM embeddings e
+  CROSS JOIN range(0, {_JL_IN}) i(i)
+  CROSS JOIN range(0, {_JL_OUT}) j(j)
+  GROUP BY 1, 2
+),
+q AS (SELECT j, p AS qp FROM px WHERE vec_id = 0),
+sc AS (
+  SELECT px.vec_id,
+         SUM(px.p * q.qp) AS dot,
+         SUM(px.p * px.p) AS nv,
+         SUM(q.qp * q.qp) AS nq
+  FROM px JOIN q ON px.j = q.j
+  GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (sqrt(nv) * sqrt(nq)), 6) AS score
+FROM sc WHERE nv > 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss pre-filter tier: 64→16-dim ±1 projection
+    (integer-exact), exact cosine top-10 in the PROJECTED space. Stateless
+    — the sign matrix is a pure function of (seed, i, j), so the oracle
+    regenerates it instead of replaying persisted state. Map-only
+    projection; top-k is the usual no-shuffle TakeOrderedAndProject."""
+    from whatsapp_vectordb_spark.operators.projection import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = jl_project(emb, _JL_IN, _JL_OUT, seed=_JL_SEED)
+    qproj = [int(v) for v in proj.where(F.col("vec_id") == 0).head()["proj"]]
+    nq = sum(v * v for v in qproj)
+    qcol = F.lit(qproj).cast("array<long>")
+    dot = F.aggregate(
+        F.zip_with(F.col("proj"), qcol, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(
+        F.zip_with(F.col("proj"), F.col("proj"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = proj.select(
+        "vec_id",
+        F.round(
+            dot.cast("double") / (F.sqrt(nv.cast("double")) * F.sqrt(F.lit(float(nq)))),
+            6,
+        ).alias("score"),
+        nv.alias("_nv"),
+    ).where(F.col("_nv") > 0)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "score")
+    )
+
+
+_PCA_DIR = _oracle_scratch("pca_oracle")
+
+
+def _pca_oracle() -> str:
+    """PCA training (eigh) is not SQL-expressible; the PROJECTION is. The
+    Spark query persists (comp_id, comp, offset) and the oracle recomputes
+    every coordinate as ``list_dot_product(embedding, comp) − offset`` over
+    the very same parquet — the IVF persisted-state template. Float-fold
+    parity: list_dot_product's left-to-right order matches F.aggregate
+    (the contract every knn query already relies on)."""
+    return f"""
+WITH comps AS (
+  SELECT comp_id, comp, "offset" AS off
+  FROM read_parquet('{_PCA_DIR}/components/*.parquet')
+)
+SELECT e.vec_id, c.comp_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], c.comp) - c.off, 6) AS coord
+FROM embeddings e CROSS JOIN comps c
+"""
+
+
+@_register("embed_pca_project", _pca_oracle())
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PCA (8 components) trained on the unbiased hash-ranked sample
+    (the codebook-training draw), components persisted, every embedding
+    projected in one map-only pass — the classic decorrelation/compression
+    stage before ANN indexing. Eigenvector signs are canonicalized so the
+    persisted components are platform-deterministic."""
+    from whatsapp_vectordb_spark.operators.projection import (
+        pca_project_long,
+        pca_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mean, comps = pca_train(emb, n_components=8)
+    import numpy as np
+
+    rows = [
+        (int(cid), [float(v) for v in comps[cid]], float(np.dot(mean, comps[cid])))
+        for cid in range(comps.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "comp_id bigint, comp array<double>, offset double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_PCA_DIR, "components"))
+    # project with the PERSISTED floats (identical bytes to what the oracle
+    # reads; float64 round-trips parquet exactly, so the recomputed
+    # offsets equal the persisted ones bit-for-bit)
+    persisted = sorted(
+        spark.read.parquet(os.path.join(_PCA_DIR, "components")).collect(),
+        key=lambda r: r["comp_id"],
+    )
+    comps_p = np.array([r["comp"] for r in persisted])
+    return pca_project_long(emb, mean, comps_p)
