@@ -242,6 +242,24 @@ def main() -> None:
 
         rel_bloom_pruned_join(spark, sf_dir).collect()
 
+    @timed("text_line_dedup")
+    def _():
+        from whatsapp_vectordb_spark.harness import text_line_dedup
+
+        text_line_dedup(spark, sf_dir).count()
+
+    @timed("text_maxsim_topk")
+    def _():
+        from whatsapp_vectordb_spark.harness import text_maxsim_topk
+
+        text_maxsim_topk(spark, sf_dir).collect()
+
+    @timed("ann_jl_topk")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_jl_topk
+
+        ann_jl_topk(spark, sf_dir).collect()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -205,3 +205,58 @@ def test_compact_merges_accumulated_upsert_files(spark, tmp_path, embeddings):
     assert max_files() == 1
     assert idx.read().count() == before  # content preserved (incl. appended rows)
     assert idx.fetch(["v3"]).head()["text"] == "gen2"
+
+
+def test_bucketed_delete_rewrites_only_touched_buckets(spark, embeddings, tmp_path):
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "del-bounded", dimension=64, num_id_buckets=8
+    )
+    records = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+    # choose victims that all live in ONE bucket so 7 buckets stay untouched
+    b = idx._bucket_of(F.col("id"), 8)
+    with_b = records.select("id", b.alias("_b"))
+    target = with_b.where(F.col("_b") == 3).limit(5).collect()
+    assert target
+    import os, time
+    mtimes = {}
+    for d in os.listdir(idx.path):
+        if d.startswith("_bucket="):
+            p = os.path.join(idx.path, d)
+            mtimes[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+    time.sleep(1.1)
+    n = idx.delete([r["id"] for r in target])
+    assert n == len(target)
+    for d in os.listdir(idx.path):
+        if d.startswith("_bucket=") and d != "_bucket=3":
+            p = os.path.join(idx.path, d)
+            mt = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+            assert mt == mtimes[d], f"{d} was rewritten"
+    # deleted ids are gone; everything else survived
+    remaining = {r["id"] for r in idx.read().select("id").collect()}
+    assert not ({r["id"] for r in target} & remaining)
+    assert len(remaining) == records.count() - n
+
+
+def test_bucketed_delete_removes_emptied_bucket(spark, embeddings, tmp_path):
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "del-empty", dimension=64, num_id_buckets=4
+    )
+    records = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+    b = idx._bucket_of(F.col("id"), 4)
+    bucket0 = [r["id"] for r in records.select("id", b.alias("_b")).where(F.col("_b") == 0).collect()]
+    assert bucket0
+    n = idx.delete(bucket0)
+    assert n == len(bucket0)
+    import os
+    assert not os.path.exists(os.path.join(idx.path, "_bucket=0"))
+    assert idx.read().count() == records.count() - n

@@ -342,3 +342,12 @@ def test_hard_negative_queries_are_broadcast(spark, embeddings):
     p = plan(hard_negative_mine(embeddings, queries, k=4))
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_filtered_knn_pushes_predicate(embeddings):
+    """Metadata-filtered kNN must filter BEFORE scoring: the label
+    predicate reaches the parquet scan (PushedFilters) and the heap only
+    ranks matching rows."""
+    p = plan(topk(embeddings.where(F.col("label") == 3), [0.1] * 64, k=10))
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in p
+    assert "TakeOrderedAndProject" in p

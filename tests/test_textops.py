@@ -203,3 +203,35 @@ def test_tfidf_cosine_pairs_exact_copy_is_one(spark):
     assert abs(got[(1, 2)] - 1.0) < 1e-9
     assert got[(1, 3)] < 1.0 and got[(1, 3)] > 0.3
     assert all(4 not in pair for pair in got)
+
+
+def test_maxsim_rewards_facet_coverage_not_repetition(spark):
+    """Late-interaction semantics: a doc covering EVERY query facet beats
+    a doc repeating one facet many times — the property single-vector
+    averaging loses."""
+    from whatsapp_vectordb_spark.operators.textops import maxsim_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # covers all three facets
+            (2, "alpha alpha alpha alpha"),   # one facet, repeated
+            (3, "delta epsilon zeta"),        # none
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in maxsim_search(docs, "alpha beta gamma", k=3).collect()}
+    # full coverage dominates (each facet contributes its self-dot); the
+    # relative order of partial/no coverage depends on random cross-dots
+    assert out[1] > out[2] and out[1] > out[3]
+    assert out[1] == 6474264 + 5228567 + 3709903  # Σ of the three self-dots
+
+
+def test_maxsim_is_deterministic_across_partitionings(spark, documents):
+    from whatsapp_vectordb_spark.operators.textops import maxsim_search
+
+    a = [(r["doc_id"], r["score"]) for r in maxsim_search(documents, "spark join", k=5).collect()]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in maxsim_search(documents.repartition(11), "spark join", k=5).collect()
+    ]
+    assert a == b

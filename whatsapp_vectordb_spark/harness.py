@@ -4359,3 +4359,315 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps_p = np.array([r["comp"] for r in persisted])
     return pca_project_long(emb, mean, comps_p)
+
+
+# ==========================================================================
+# Round 4: delete-by-id lifecycle (index.VectorIndex.delete) — the
+# Pinecone vectors/delete verb, bounded-rewrite on the bucketed layout.
+# ==========================================================================
+
+
+@_register(
+    "index_delete",
+    """
+SELECT COUNT(*) AS n_remaining,
+       SUM(vec_id) AS id_checksum,
+       (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0) AS n_deleted
+FROM embeddings WHERE vec_id % 7 <> 0
+""",
+)
+def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert the embeddings corpus into a BUCKETED index, delete every
+    vec_id % 7 == 0, and report what remains — the delete path rewrites
+    only the touched hash buckets (same bounded-rewrite contract as
+    upsert; emptied buckets are removed explicitly)."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding")
+    )
+    root = tempfile.mkdtemp(prefix="wvs_del_")
+    try:
+        idx = VectorIndex.create_or_get(
+            spark, root, "delete-idx", dimension=64, num_id_buckets=8
+        )
+        idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+        doomed = [
+            r["id"]
+            for r in records.where(F.col("id").cast("long") % 7 == 0)
+            .select("id")
+            .collect()
+        ]
+        n_deleted = idx.delete(doomed)
+        remaining = idx.read().select(F.col("id").cast("long").alias("vid"))
+        out = remaining.agg(
+            F.count("*").alias("n_remaining"),
+            F.sum("vid").alias("id_checksum"),
+            F.lit(n_deleted).cast("long").alias("n_deleted"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "n_remaining bigint, id_checksum bigint, n_deleted bigint"
+    )
+
+
+# ==========================================================================
+# Round 4: late-interaction (ColBERT MaxSim) retrieval — per-token integer
+# vectors, score = Σ_q max_t <q,t>, exact BIGINT end to end.
+# ==========================================================================
+
+_MAXSIM_QUERY = "spark window join"
+_MAXSIM_DIM, _MAXSIM_SEED = 16, 11
+
+
+def _maxsim_oracle() -> str:
+    qtoks = []
+    for t in _MAXSIM_QUERY.lower().split():
+        t = "".join(ch for ch in t if ch.isalnum())
+        if t and t not in qtoks:
+            qtoks.append(t)
+    qvals = ", ".join(f"('{t}')" for t in qtoks)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS.format(c='text')}) AS tok FROM documents
+),
+qt AS (SELECT * FROM (VALUES {qvals}) q(qtok)),
+dots AS (
+  SELECT p.doc_id, p.tok, q.qtok,
+         SUM(
+           ((('0x' || substr(md5('{_MAXSIM_SEED}:' || p.tok || ':' || d.d), 1, 4))::BIGINT % 2001) - 1000)
+           *
+           ((('0x' || substr(md5('{_MAXSIM_SEED}:' || q.qtok || ':' || d.d), 1, 4))::BIGINT % 2001) - 1000)
+         ) AS dot
+  FROM pairs p CROSS JOIN qt q CROSS JOIN range(0, {_MAXSIM_DIM}) d(d)
+  GROUP BY 1, 2, 3
+),
+mx AS (SELECT doc_id, qtok, MAX(dot) AS m FROM dots GROUP BY 1, 2)
+SELECT doc_id, SUM(m) AS score
+FROM mx GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@_register("text_maxsim_topk", _maxsim_oracle())
+def text_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (operators/textops.py maxsim_search):
+    each token is its own vector; a doc scores by covering EVERY query
+    facet (Σ of per-query-token maxes), not by its average direction.
+    Integer token embeddings make the whole pipeline BIGINT-exact."""
+    from whatsapp_vectordb_spark.operators.textops import maxsim_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return maxsim_search(
+        docs, _MAXSIM_QUERY, k=10, dim=_MAXSIM_DIM, seed=_MAXSIM_SEED
+    )
+
+
+# ==========================================================================
+# Round 4: streaming drift monitor — per-batch histogram sketches appended
+# via foreachBatch, merged by sum (mergeable), PSI vs the batch reference.
+# Oracle = the SAME SQL as the batch events_value_drift: a sum-mergeable
+# sketch makes stream accumulation ≡ one-shot computation.
+# ==========================================================================
+
+
+@_register(
+    "streaming_drift_monitor",
+    """
+WITH ref AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 10) AS BIGINT) AS bin
+  FROM events WHERE user_id < 750
+),
+cur AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 1.25 * 10) AS BIGINT) AS bin
+  FROM events WHERE user_id >= 750
+),
+br AS (SELECT event_type AS g, bin, COUNT(*) AS c_r FROM ref GROUP BY 1, 2),
+bc AS (SELECT event_type AS g, bin, COUNT(*) AS c_c FROM cur GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(br.g, bc.g) AS g, COALESCE(br.bin, bc.bin) AS bin,
+         COALESCE(c_r, 0) AS c_r, COALESCE(c_c, 0) AS c_c
+  FROM br FULL OUTER JOIN bc ON br.g = bc.g AND br.bin = bc.bin
+),
+t AS (SELECT g, SUM(c_r) AS t_r, SUM(c_c) AS t_c, COUNT(*) AS n_bins FROM j GROUP BY 1),
+terms AS (
+  SELECT j.g, t.n_bins,
+         CAST(round(
+           ((c_c + 1.0) / (t_c + n_bins) - (c_r + 1.0) / (t_r + n_bins))
+           * ln(((c_c + 1.0) / (t_c + n_bins)) / ((c_r + 1.0) / (t_r + n_bins)))
+           * 1000000000) AS BIGINT) AS tq
+  FROM j JOIN t ON j.g = t.g
+)
+SELECT g AS event_type, n_bins, ROUND(SUM(tq) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY 1, 2
+""",
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring as a STREAM: the current population's histogram
+    cells accumulate per micro-batch (foreachBatch append), the merged
+    sketch is a sum-groupBy, and the final PSI equals the one-shot batch
+    answer exactly — sum-mergeable sketches make micro-batching invisible
+    (streaming/ops.py run_drift_monitor_stream)."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.streaming.ops import run_drift_monitor_stream
+
+    state = tempfile.mkdtemp(prefix="wvs_drift_")
+    try:
+        out = run_drift_monitor_stream(
+            spark, os.path.join(sf_dir, "events.parquet"), state
+        ).collect()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(out, "event_type string, n_bins bigint, psi double")
+
+
+# ==========================================================================
+# Round 4: metadata-filtered kNN (the Pinecone `filter=` query parameter —
+# modeled by the reference's metadata map, main.go:41-55) and the JL
+# two-stage recall gate.
+# ==========================================================================
+
+
+@_register(
+    "knn_topk_filtered",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e, q
+WHERE e.label = 3
+  AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered kNN — Pinecone's `filter=` parameter: the
+    predicate applies BEFORE scoring, so the filter pushes down to the
+    parquet scan and the top-k heap only ever sees matching rows (the
+    wrong plan — score-then-filter — would rank the whole index first).
+    Asserted by tests/test_plans.py::test_filtered_knn_pushes_predicate."""
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return topk(
+        emb.where(F.col("label") == 3),
+        qvec,
+        k=10,
+        round_to=ROUND_SCORE,
+        payload_cols=("label",),
+    )
+
+
+_JLR_DIM, _JLR_SHORTLIST = 32, 200
+
+
+@_register(
+    "ann_jl_recall_gate",
+    f"""
+WITH px AS (
+  SELECT e.vec_id, j.j AS j,
+         SUM(CAST(round(e.embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) *
+             CASE WHEN ('0x' || substr(md5('{_JL_SEED}_' || i.i || '_' || j.j), 1, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END) AS p
+  FROM embeddings e
+  CROSS JOIN range(0, {_JL_IN}) i(i)
+  CROSS JOIN range(0, {_JLR_DIM}) j(j)
+  GROUP BY 1, 2
+),
+q AS (SELECT j, p AS qp FROM px WHERE vec_id = 0),
+jsc AS (
+  SELECT px.vec_id,
+         ROUND(SUM(px.p * q.qp) / (sqrt(SUM(px.p * px.p)) * sqrt(SUM(q.qp * q.qp))), 6) AS jscore
+  FROM px JOIN q ON px.j = q.j
+  GROUP BY 1
+  HAVING SUM(px.p * px.p) > 0
+),
+short AS (
+  SELECT vec_id FROM jsc ORDER BY jscore DESC, vec_id ASC LIMIT {_JLR_SHORTLIST}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS score
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM rer JOIN exact ON rer.vec_id = exact.vec_id
+""",
+)
+def ann_jl_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage JL retrieval quality gate: 32-dim projected shortlist-200
+    → exact cosine re-rank top-10, recall vs brute-force top-10 (0.9 at
+    sf0.01 — the recall number itself is hash-checked; answer quality is
+    part of the contract, not a claim). The shortlist stage halves
+    bytes-per-row; the re-rank touches 200 rows. Near-tied corpora want
+    wider projections/shortlists — the dim-16/50 sweep measured 0.4."""
+    from whatsapp_vectordb_spark.operators.projection import jl_project
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = jl_project(emb, _JL_IN, _JLR_DIM, seed=_JL_SEED)
+    qrow = proj.where(F.col("vec_id") == 0).head()
+    qproj = [int(v) for v in qrow["proj"]]
+    nq = sum(v * v for v in qproj)
+    qcol = F.lit(qproj).cast("array<long>")
+    dot = F.aggregate(
+        F.zip_with(F.col("proj"), qcol, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(
+        F.zip_with(F.col("proj"), F.col("proj"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        proj.select(
+            "vec_id",
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(nv.cast("double")) * F.sqrt(F.lit(float(nq)))),
+                6,
+            ).alias("jscore"),
+            nv.alias("_nv"),
+        )
+        .where(F.col("_nv") > 0)
+        .orderBy(F.col("jscore").desc(), F.col("vec_id").asc())
+        .limit(_JLR_SHORTLIST)
+        .select("vec_id")
+    )
+    qvec = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).head()[
+        "embedding"
+    ]
+    rer = topk(
+        emb.join(F.broadcast(short), "vec_id"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    exact = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        rer.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )

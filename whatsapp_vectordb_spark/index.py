@@ -228,6 +228,70 @@ class VectorIndex:
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    def delete(self, ids: list[str]) -> int:
+        """Delete vectors by id (the Pinecone ``vectors/delete`` verb — the
+        lifecycle complement of the K3 upsert; the reference's curl admin
+        surface stops at fetch/stats, debug-commands.txt:1-19). Returns the
+        number of rows removed.
+
+        Bucketed layout: prunes to the ids' hash buckets, rewrites ONLY
+        those buckets minus the ids (dynamic partition overwrite) — same
+        O(touched buckets) bound as upsert. A bucket emptied entirely is
+        removed explicitly (dynamic overwrite only replaces partitions
+        PRESENT in the output, so an all-deleted bucket would otherwise
+        keep its stale files — the classic dynamic-overwrite pitfall).
+        Unbucketed layout: full merge-and-swap, O(table) like its upsert.
+        """
+        if not ids:
+            return 0
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        raw = self._read_raw()
+        if "_bucket" in raw.columns:
+            b = self._bucket_of(F.col("id"), self.num_id_buckets)
+            touched = [
+                r["_b"]
+                for r in ids_df.select(b.alias("_b")).distinct().collect()
+            ]
+            pruned = raw.where(F.col("_bucket").isin(touched))
+            n_before = pruned.count()
+            keep = pruned.join(F.broadcast(ids_df), "id", "left_anti")
+            keep = keep.localCheckpoint(eager=True)  # pin before overwrite
+            n_after = keep.count()
+            kept_buckets = {
+                r["_bucket"] for r in keep.select("_bucket").distinct().collect()
+            }
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                if n_after:
+                    keep.repartition(F.col("_bucket")).write.partitionBy(
+                        "_bucket"
+                    ).mode("overwrite").parquet(self.path)
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            for bkt in set(touched) - kept_buckets:  # emptied buckets
+                d = os.path.join(self.path, f"_bucket={bkt}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            return n_before - n_after
+        existing = self.read()
+        n_before = existing.count()
+        keep = existing.join(F.broadcast(ids_df), "id", "left_anti")
+        keep = keep.withColumn(
+            "namespace", F.coalesce(F.col("namespace"), F.lit(""))
+        ).localCheckpoint(eager=True)
+        n_after = keep.count()
+        tmp = self.path + ".staging"
+        keep.repartition(F.col("namespace")).write.partitionBy("namespace").mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        return n_before - n_after
+
     def fetch(self, ids: list[str]) -> DataFrame:
         """S3: point fetch by id (reference main.go:141-180) — an IN filter
         that parquet pushes down to row-group/dictionary pruning; on a

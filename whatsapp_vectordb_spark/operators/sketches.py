@@ -298,15 +298,32 @@ def population_stability(
             .agg(F.count("*").alias(f"c_{side}"))
         )
 
-    joined = (
-        _bins(df_ref, "r")
-        .join(_bins(df_cur, "c"), ["g", "bin"], "full_outer")
-        .select(
-            "g",
-            "bin",
-            F.coalesce("c_r", F.lit(0)).alias("c_r"),
-            F.coalesce("c_c", F.lit(0)).alias("c_c"),
-        )
+    return population_stability_from_sketches(
+        _bins(df_ref, "r"),
+        _bins(df_cur, "c"),
+        group_col=group_col,
+        term_scale=term_scale,
+        round_to=round_to,
+    )
+
+
+def population_stability_from_sketches(
+    ref_bins: DataFrame,
+    cur_bins: DataFrame,
+    group_col: str = "event_type",
+    term_scale: int = 1_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI from two PRE-BINNED histogram sketches ``(g, bin, c_r)`` /
+    ``(g, bin, c_c)`` — the mergeable form a streaming monitor accumulates
+    (per-batch counts append; the merged sketch is a sum-groupBy, so
+    batch-split order can't change the result). Same math, smoothing, and
+    integer-quantized terms as ``population_stability``."""
+    joined = ref_bins.join(cur_bins, ["g", "bin"], "full_outer").select(
+        "g",
+        "bin",
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        F.coalesce("c_c", F.lit(0)).alias("c_c"),
     )
     tot = joined.groupBy("g").agg(
         F.sum("c_r").alias("t_r"),

@@ -468,3 +468,86 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _token_vec_int(tok, dim: int, seed: int) -> "F.Column":
+    """Deterministic integer token embedding for late-interaction scoring:
+    component d = (('0x'+md5('{seed}:{token}:{d}')[:4]) % 2001) − 1000,
+    an int in [−1000, 1000] — reproducible verbatim in any engine with
+    md5 (the portable-LSH recipe applied to per-TOKEN vectors)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), tok, F.lit(str(d)))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+            for d in range(dim)
+        ]
+    )
+
+
+def maxsim_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    dim: int = 16,
+    seed: int = 11,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: every token is
+    its own vector; ``score(doc) = Σ_{q ∈ query tokens} max_{t ∈ doc
+    tokens} ⟨q, t⟩``. Unlike single-vector cosine, a document matches if
+    it covers EACH query facet somewhere, not if its average does.
+
+    Token vectors here are the deterministic integer embeddings
+    (``_token_vec_int``) so every dot and max is an exact BIGINT — the
+    full pipeline is hash-reproducible in a SQL oracle. Swapping in real
+    learned token vectors changes one column expression, not the plan.
+
+    Scale shape: distinct doc tokens get their vectors once (a token
+    dimension table, typically ≪ corpus size) and broadcast back to the
+    (doc, token) pairs; per query token the dot is a codegen'd fold; one
+    shuffle by doc for the max/Σ aggregate; top-k is the no-shuffle
+    TakeOrderedAndProject. Query cost grows with |query tokens| only.
+    """
+    from whatsapp_vectordb_spark.functions.text import tokens
+
+    qtoks = []
+    for t in query.lower().split():
+        t = "".join(ch for ch in t if ch.isalnum())
+        if t and t not in qtoks:
+            qtoks.append(t)
+    if not qtoks:
+        raise ValueError("query has no tokens")
+
+    pairs = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+    )
+    vocab = pairs.select("tok").distinct().withColumn(
+        "tv", _token_vec_int(F.col("tok"), dim, seed)
+    )
+    with_v = pairs.join(F.broadcast(vocab), "tok")
+
+    # one literal query-token vector per query token; spark computes the
+    # SAME md5-derived ints the oracle does, so no Python-side hashing
+    maxes = []
+    for qi, qt in enumerate(qtoks):
+        qv = _token_vec_int(F.lit(qt), dim, seed)
+        dot = F.aggregate(
+            F.zip_with(F.col("tv"), qv, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        maxes.append(F.max(dot).alias(f"_m{qi}"))
+    scored = with_v.groupBy(id_col).agg(*maxes)
+    total = sum((F.col(f"_m{qi}") for qi in range(1, len(qtoks))), F.col("_m0"))
+    return (
+        scored.select(F.col(id_col), total.cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -579,3 +579,69 @@ def run_ivf_maintenance_stream(
         .agg(F.count("*").alias("n_vectors"))
         .select(F.col("centroid").cast("long").alias("centroid"), "n_vectors")
     )
+
+
+def run_drift_monitor_stream(
+    spark,
+    events_path: str,
+    state_dir: str,
+    bin_scale: int = 10,
+) -> DataFrame:
+    """Streaming drift monitor: the CURRENT population's histogram sketch
+    is accumulated incrementally — each micro-batch appends its own
+    (group, bin, count) rows via ``foreachBatch``, and the merged sketch
+    is a sum-groupBy over the appended rows. Because histogram sketches
+    are sum-mergeable, the final PSI is invariant to how the stream was
+    micro-batched and equals the batch computation exactly (the oracle).
+
+    Population split mirrors the batch ``events_value_drift`` query:
+    reference = ``user_id < 750`` (batch-computed once, the "last
+    snapshot"), current = ``user_id >= 750`` with ``value × 1.25`` (the
+    drifted live stream).
+
+    Scale shape: per batch one count-groupBy over the batch's rows into
+    ~thousands of (group, bin) cells; state grows by cells-per-batch, not
+    rows; the final merge + PSI join touches sketch cells only.
+    """
+    import os
+
+    from whatsapp_vectordb_spark.operators.sketches import (
+        population_stability_from_sketches,
+    )
+
+    events = spark.read.parquet(events_path)
+    ref = events.where(F.col("user_id") < 750).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value").cast("double") * bin_scale).cast("long").alias("bin"),
+    ).groupBy("g", "bin").agg(F.count("*").alias("c_r"))
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.dirname(events_path))
+        .where(F.col("user_id") >= 750)
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value").cast("double") * 1.25 * bin_scale)
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    cells_path = os.path.join(state_dir, "drift_cells")
+
+    def accumulate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy("g", "bin").agg(F.count("*").alias("c")).write.mode(
+            "append"
+        ).parquet(cells_path)
+
+    q = stream.writeStream.foreachBatch(accumulate).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    cur = (
+        spark.read.parquet(cells_path)
+        .groupBy("g", "bin")
+        .agg(F.sum("c").alias("c_c"))
+    )
+    return population_stability_from_sketches(ref, cur)
