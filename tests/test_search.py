@@ -97,3 +97,51 @@ def test_1536_dim_expr_and_numpy_paths_agree(spark, embeddings):
         ).collect()
     ]
     assert [v for v, _ in base] == [v for v, _ in exact]
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    """Plant near-duplicates of the best hit: plain top-k returns the
+    clones; MMR (λ=0.7) must skip them for diverse alternatives."""
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.search import mmr_rerank, topk
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = []
+    # ids 0-2: the best direction + two near-clones
+    for i in range(3):
+        v = base + rng.standard_normal(16) * 0.01
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # ids 3-9: distinct directions, mildly related to the query
+    for i in range(3, 10):
+        v = 0.3 * base + rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    plain = [r["vec_id"] for r in topk(emb, q, k=3).collect()]
+    assert set(plain) == {0, 1, 2}  # clones crowd out everything
+
+    # λ=0.4: a perfect clone scores 4·1 − 6·1 = −2 once its twin is
+    # selected, while a diverse item with rel≈sim≈r scores ≈ −2r > −2 —
+    # diversity wins. (At λ≥0.5 keeping a rel≈1.0 clone is the
+    # mathematically correct MMR answer on this geometry: rel−sim ≈ 0 for
+    # every candidate when the query coincides with the top hit.)
+    mmr = [
+        r["vec_id"]
+        for r in mmr_rerank(emb, q, k=3, shortlist=10, lam_tenths=4).collect()
+    ]
+    assert mmr[0] == 0  # most relevant still first
+    assert len(set(mmr) & {1, 2}) <= 1  # clones mostly displaced
+    assert len(set(mmr) - {0, 1, 2}) >= 1  # a diverse pick made it in
+
+
+def test_mmr_rank_one_is_plain_argmax(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.search import mmr_rerank, topk
+
+    q = embeddings.where("vec_id = 0").head()["embedding"]
+    mmr = mmr_rerank(embeddings, q, k=5, shortlist=20).collect()
+    top1 = topk(embeddings, q, k=1).head()["vec_id"]
+    assert mmr[0]["rank"] == 1 and mmr[0]["vec_id"] == top1
+    assert [r["rank"] for r in mmr] == [1, 2, 3, 4, 5]

@@ -4671,3 +4671,121 @@ def ann_jl_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
         )
     )
+
+
+# ==========================================================================
+# Round 4: keyset-paginated scan (the Pinecone vectors/list verb).
+# ==========================================================================
+
+
+@_register(
+    "index_scan_pages",
+    """
+WITH ordered AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id,
+         row_number() OVER (ORDER BY CAST(vec_id AS VARCHAR) ASC) AS rn
+  FROM embeddings
+)
+SELECT CAST((rn - 1) // 50 AS BIGINT) AS page, id
+FROM ordered WHERE rn <= 150
+""",
+)
+def index_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three keyset-paginated 50-row scans chained by cursor (last id of
+    each page). Ids are STRINGS (the index contract), so order is
+    lexicographic — identical in both engines. Each page is a pushed-down
+    range filter + TakeOrderedAndProject: O(page), not OFFSET's
+    O(everything before)."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(F.col("vec_id").cast("string").alias("id"), "embedding")
+    root = tempfile.mkdtemp(prefix="wvs_scan_")
+    pages = []
+    try:
+        idx = VectorIndex.create_or_get(
+            spark, root, "scan-idx", dimension=64, num_id_buckets=8
+        )
+        idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+        cursor = None
+        for page_no in range(3):
+            rows = idx.scan_page(after_id=cursor, page_size=50).collect()
+            if not rows:
+                break
+            pages.extend((page_no, r["id"]) for r in rows)
+            cursor = rows[-1]["id"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pages, "page bigint, id string")
+
+
+# ==========================================================================
+# Round 4: MMR diversity re-rank (operators/search.py mmr_rerank) — greedy
+# λ-tradeoff selection over an integer-quantized shortlist; the oracle
+# unrolls the k greedy steps as chained CTEs (each step = one argmax).
+# ==========================================================================
+
+
+def _mmr_oracle(k: int = 5, shortlist: int = 20, lam: int = 7) -> str:
+    steps = []
+    for n in range(1, k + 1):
+        prev = [f"p{m}" for m in range(1, n)]
+        if prev:
+            gmax = "GREATEST(" + ", ".join(
+                f"(SELECT s FROM sim WHERE ia = c.vec_id AND ib = {p}.vec_id)"
+                for p in prev
+            ) + ")" if len(prev) > 1 else (
+                f"(SELECT s FROM sim WHERE ia = c.vec_id AND ib = p1.vec_id)"
+            )
+            notin = " AND ".join(f"c.vec_id <> {p}.vec_id" for p in prev)
+            steps.append(f"""
+p{n} AS (
+  SELECT c.vec_id, {lam} * c.rel - {10 - lam} * {gmax} AS score
+  FROM cand c, {", ".join(prev)}
+  WHERE {notin}
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+)""")
+        else:
+            steps.append(f"""
+p1 AS (
+  SELECT vec_id, {lam} * rel AS score
+  FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {n} AS rank, vec_id, score AS mmr_score10 FROM p{n}"
+        for n in range(1, k + 1)
+    )
+    step_ctes = ",\n".join(s.lstrip() for s in steps)
+    return f"""
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v) * 1000000) AS BIGINT) AS rel
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY rel DESC, e.vec_id ASC LIMIT {shortlist}
+),
+sim AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS s
+  FROM cand a CROSS JOIN cand b
+),
+{step_ctes}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, mmr_score10 FROM ({selects})
+"""
+
+
+@_register("knn_mmr_rerank", _mmr_oracle())
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-5 via MMR (λ=0.7) over the exact top-20
+    shortlist — the redundancy filter plain cosine top-k lacks. Integer
+    micro-unit scores make the greedy engine-exact; the oracle replays
+    each greedy step as an unrolled argmax CTE."""
+    from whatsapp_vectordb_spark.operators.search import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return mmr_rerank(emb, qvec, k=5, shortlist=20, lam_tenths=7)

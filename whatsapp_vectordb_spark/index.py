@@ -315,6 +315,18 @@ class VectorIndex:
             )
         return self.read().where(F.col("id").isin(ids))
 
+    def scan_page(self, after_id: str | None = None, page_size: int = 100) -> DataFrame:
+        """Keyset-paginated scan (the Pinecone ``vectors/list`` verb): the
+        next ``page_size`` ids strictly after ``after_id`` in id order.
+        Keyset beats OFFSET at scale — each page is a pushed-down range
+        filter + TakeOrderedAndProject, O(page) not O(pages_seen); OFFSET
+        re-scans and discards everything before it. The caller passes the
+        last id of one page as the cursor for the next."""
+        df = self.read().select("id")
+        if after_id is not None:
+            df = df.where(F.col("id") > after_id)
+        return df.orderBy(F.col("id").asc()).limit(page_size)
+
     def compact(self, max_files_per_partition: int = 1) -> int:
         """Maintenance: rewrite partitions that have accumulated more than
         ``max_files_per_partition`` parquet files (repeated bounded-rewrite

@@ -213,3 +213,65 @@ def search_text(
         payload_cols=payload_cols,
         round_to=round_to,
     )
+
+
+def mmr_rerank(
+    index: DataFrame,
+    query_vec,
+    k: int = 5,
+    shortlist: int = 20,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein '98): greedily pick k of a `shortlist`-sized exact-top
+    candidate set maximizing ``λ·relevance − (1−λ)·max-sim-to-selected``
+    — the standard redundancy filter for retrieval results (top-k cosine
+    alone returns near-duplicates of one good hit).
+
+    Exactness contract: relevance and pairwise similarities are quantized
+    to integer micro-units (round(cos·10⁶)) and λ to tenths, so the greedy
+    argmax (ties → lowest id) is integer arithmetic — engine-exact and
+    replayable by a step-unrolled SQL oracle. Selection itself runs
+    driver-side over the collected shortlist (k·shortlist comparisons on
+    ≤`shortlist` rows — sequential by nature, bounded by construction);
+    the heavy work (scan + top-`shortlist` + pairwise sims) is all
+    cluster-side. Returns ``(rank, id, mmr_score10)`` rows.
+    """
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    spark = index.sparkSession
+    qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    rel6 = F.round(cosine_similarity(F.col(vec_col), qcol) * 1_000_000).cast("long")
+    cand = (
+        index.select(F.col(id_col), F.col(vec_col), rel6.alias("rel"))
+        .where(F.col("rel").isNotNull())
+        .orderBy(F.col("rel").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    a = cand.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = cand.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    sim6 = F.round(cosine_similarity(F.col("va"), F.col("vb")) * 1_000_000).cast("long")
+    sims = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in a.crossJoin(F.broadcast(b)).select("ia", "ib", sim6.alias("s")).collect()
+    }
+    rels = {r[id_col]: r["rel"] for r in cand.select(id_col, "rel").collect()}
+
+    selected: list = []
+    out = []
+    remaining = set(rels)
+    for rank in range(1, min(k, len(rels)) + 1):
+        best = None
+        for i in sorted(remaining):  # sorted → lowest-id tie-break
+            max_s = max((sims[(i, j)] for j in selected), default=0)
+            score = lam_tenths * rels[i] - (10 - lam_tenths) * max_s
+            if best is None or score > best[1]:
+                best = (i, score)
+        selected.append(best[0])
+        remaining.discard(best[0])
+        out.append((rank, best[0], int(best[1])))
+    return spark.createDataFrame(out, f"rank bigint, {id_col} long, mmr_score10 bigint")
