@@ -76,3 +76,12 @@ def test_pca_projection_centers_data(spark, embeddings):
         by_comp.setdefault(r["comp_id"], []).append(r["coord"])
     for cid, coords in by_comp.items():
         assert abs(float(np.mean(coords))) < 0.02, cid
+
+
+def test_jl_numpy_and_expr_impls_are_bit_identical(spark, embeddings):
+    from whatsapp_vectordb_spark.operators.projection import jl_project
+
+    emb = embeddings.select("vec_id", "embedding")
+    a = {r["vec_id"]: list(r["proj"]) for r in jl_project(emb, 64, 8, seed=3, impl="numpy").collect()}
+    b = {r["vec_id"]: list(r["proj"]) for r in jl_project(emb, 64, 8, seed=3, impl="expr").collect()}
+    assert a == b

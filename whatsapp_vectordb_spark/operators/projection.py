@@ -45,6 +45,7 @@ def jl_project(
     seed: int = 7,
     vec_col: str = "embedding",
     out_col: str = "proj",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Append ``out_col``: ``ARRAY<BIGINT>`` of length ``out_dim`` where
     ``proj[j] = Σ_i sign(seed,i,j) · round(vec[i]·10⁶)`` — an exact
@@ -52,12 +53,38 @@ def jl_project(
     rank purposes and is left to the caller).
 
     The per-coordinate sums are integers, so results are identical across
-    engines and partitionings; cosine on the projected integers
-    approximates cosine on the originals with the JL guarantee.
+    engines, partitionings, AND implementations — which is why two impls
+    can coexist: ``"numpy"`` (default) does one int64 matmul per Arrow
+    batch (the hot path; out_dim HOF folds are JVM-interpreted and ~3×
+    slower), ``"expr"`` stays pure-Catalyst for plan-audit/debug use.
+    Both produce bit-identical output; tests assert it.
     """
     signs = [
         [_jl_sign(seed, i, j) for i in range(in_dim)] for j in range(out_dim)
     ]
+    if impl == "numpy":
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        smat = np.asarray(signs, dtype=np.int64)  # (out_dim, in_dim)
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
+        )
+
+        def project(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                # np.rint = round-half-even differs from Spark/DuckDB
+                # round-half-away at exact .5 — use floor(|x|+0.5) sign-fixed
+                q = (np.sign(x) * np.floor(np.abs(x) * QUANT + 0.5)).astype(np.int64)
+                proj = q @ smat.T  # exact int64
+                out = pdf.copy()
+                out[out_col] = list(proj)
+                yield out
+
+        return df.mapInPandas(project, schema=out_schema)
     q = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT).cast("long")
     )
