@@ -4789,3 +4789,51 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     return mmr_rerank(emb, qvec, k=5, shortlist=20, lam_tenths=7)
+
+
+# ==========================================================================
+# Round 4: grouped (per-label) kNN — partitioned vector search: top-3 per
+# label in ONE pass (window rank within label), not one query per label.
+# ==========================================================================
+
+
+@_register(
+    "knn_topk_per_label",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT label, vec_id, score
+FROM (
+  SELECT e.label, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+)
+WHERE rk <= 3
+""",
+)
+def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector search: the 3 nearest neighbors WITHIN each label in
+    one pass — score map-side, one shuffle by label, per-partition rank.
+    The shape for 'best matches per tenant/namespace/category' that would
+    otherwise be |labels| separate queries."""
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qcol = F.lit([float(x) for x in qvec]).cast("array<double>")
+    scored = emb.select(
+        "label",
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("score"),
+    ).where(F.col("score").isNotNull())
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select("label", "vec_id", "score")
+    )
