@@ -44,3 +44,25 @@ def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     got = [(r["media_id"], r["frame_ts_ms"]) for r in frames]
     assert got == [("m4", 0), ("m4", 1000), ("m4", 2000), ("m4", 3000)]
+
+
+def test_chunk_features_match_plan_and_are_deterministic(spark, documents):
+    from whatsapp_vectordb_spark.harness import _media_df
+    from whatsapp_vectordb_spark.multimodal import chunk_media_plan, extract_chunk_features
+
+    media = _media_df(spark, "/root/testdata/sf0.001")
+    plan_n = chunk_media_plan(media, chunk_ms=2000, modality="audio").count()
+    feats = extract_chunk_features(media, chunk_ms=2000, modality="audio")
+    rows = feats.collect()
+    assert len(rows) == plan_n  # one embedding per planned chunk
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # chunk offset is part of the seed: chunks of the same item differ
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(tuple(r["embedding"][:4]))
+    multi = [v for v in by_media.values() if len(v) > 1]
+    assert multi and all(len(set(v)) == len(v) for v in multi)
+    # deterministic across recompute
+    again = {(r["media_id"], r["chunk_start_ms"]): tuple(r["embedding"]) for r in feats.collect()}
+    first = {(r["media_id"], r["chunk_start_ms"]): tuple(r["embedding"]) for r in rows}
+    assert again == first

@@ -4837,3 +4837,79 @@ def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") <= 3)
         .select("label", "vec_id", "score")
     )
+
+
+# ==========================================================================
+# Round 4: chunk-level media search — per-chunk embeddings (fake codec),
+# media ranked by BEST chunk (max-pool), persisted-state oracle.
+# ==========================================================================
+
+_CHUNK_DIR = _oracle_scratch("chunk_search_oracle")
+_CHUNK_QUERY = "stream batch processing"
+
+
+def _chunk_oracle() -> str:
+    from whatsapp_vectordb_spark.embedder import embed_text
+
+    qv = embed_text(_CHUNK_QUERY, dim=64)
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+WITH idx AS (
+  SELECT * FROM read_parquet('{_CHUNK_DIR}/index/*.parquet')
+),
+q AS (SELECT {lit}::DOUBLE[] AS qv),
+sc AS (
+  SELECT i.media_id, i.chunk_start_ms,
+         ROUND(list_cosine_similarity(i.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM idx i CROSS JOIN q
+  WHERE list_cosine_similarity(i.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+best AS (
+  SELECT media_id, chunk_start_ms, score,
+         row_number() OVER (
+           PARTITION BY media_id ORDER BY score DESC, chunk_start_ms ASC
+         ) AS rk
+  FROM sc
+)
+SELECT media_id, chunk_start_ms AS best_chunk_start_ms, score
+FROM best WHERE rk = 1
+ORDER BY score DESC, media_id ASC
+LIMIT 10
+"""
+
+
+@_register("multimodal_chunk_search", _chunk_oracle())
+def multimodal_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular media retrieval: every 2-second audio chunk gets its
+    own embedding; media rank by their BEST chunk (max-pooling), so a
+    short match inside a long item still surfaces it. The chunk index is
+    persisted and both engines score the identical float32 parquet
+    (the persisted-state oracle template)."""
+    from whatsapp_vectordb_spark.embedder import embed_text
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+    from whatsapp_vectordb_spark.multimodal import extract_chunk_features
+
+    chunks = extract_chunk_features(
+        _media_df(spark, sf_dir), chunk_ms=2000, dim=64, modality="audio"
+    )
+    index_path = os.path.join(_CHUNK_DIR, "index")
+    chunks.select("media_id", "chunk_start_ms", "embedding").write.mode(
+        "overwrite"
+    ).parquet(index_path)
+    idx = spark.read.parquet(index_path)
+    qvec = embed_text(_CHUNK_QUERY, dim=64)
+    qcol = F.lit([float(x) for x in qvec]).cast("array<double>")
+    sc = idx.select(
+        "media_id",
+        "chunk_start_ms",
+        F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("score"),
+    ).where(F.col("score").isNotNull())
+    w = Window.partitionBy("media_id").orderBy(
+        F.col("score").desc(), F.col("chunk_start_ms").asc()
+    )
+    best = (
+        sc.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("media_id", F.col("chunk_start_ms").alias("best_chunk_start_ms"), "score")
+    )
+    return best.orderBy(F.col("score").desc(), F.col("media_id").asc()).limit(10)

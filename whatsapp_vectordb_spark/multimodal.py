@@ -177,3 +177,78 @@ def frame_sample_plan(
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def extract_chunk_features(
+    media: DataFrame,
+    chunk_ms: int = 2000,
+    dim: int = 64,
+    modality: str = "audio",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Chunk-LEVEL feature extraction: one embedding per ``chunk_ms``
+    window of each audio/video item — the retrieval granularity real
+    media search needs (a 3-second match inside an hour of audio should
+    surface that hour). Output: ``(media_id, chunk_start_ms,
+    chunk_end_ms, embedding)``.
+
+    The chunk fan-out happens JVM-side (sequence-explode with the binary
+    payload carried through — no join back to content), then ONE
+    mapInPandas hop embeds every chunk in the batch. The codec is the
+    deterministic fake (bytes + chunk offset → seeded unit vector); a real
+    decoder slots into the same per-chunk signature.
+    """
+    fan = (
+        media.where(F.col("modality") == modality)
+        .where(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            "content",
+            "duration_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("duration_ms") - 1, F.lit(chunk_ms)
+                )
+            ).alias("chunk_start_ms"),
+        )
+        .select(
+            "media_id",
+            "content",
+            "chunk_start_ms",
+            F.least(
+                F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")
+            ).alias("chunk_end_ms"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("chunk_start_ms", LongType(), False),
+            StructField("chunk_end_ms", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def embed_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise DecodeUnavailable(
+                    "media codecs not available; install a decoder or use deterministic_fake"
+                )
+            embs = [
+                _fake_decode_embed(
+                    (bytes(c) + int(s).to_bytes(8, "big")) if c is not None else None,
+                    dim,
+                )
+                for c, s in zip(pdf["content"], pdf["chunk_start_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "chunk_start_ms": pdf["chunk_start_ms"].astype("int64"),
+                    "chunk_end_ms": pdf["chunk_end_ms"].astype("int64"),
+                    "embedding": embs,
+                }
+            )
+
+    return fan.mapInPandas(embed_chunks, schema=out_schema)
