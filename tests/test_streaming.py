@@ -209,3 +209,91 @@ def test_ivf_maintenance_invariant_to_batch_split(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n_vectors"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_foreachbatch_upsert_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once emulation: foreachBatch may REPLAY a batch after a
+    failure (same batch_id). The index upsert keyed on (_ingest_seq =
+    batch_id) is replace-by-id, so re-applying an identical batch must be
+    a no-op — the correctness contract that makes the sink safe under
+    at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "replay-idx", dimension=4, num_id_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [(f"v{i}", [float(i)] * 4) for i in range(20)], "id string, embedding array<float>"
+    )
+    idx.upsert(batch.withColumn("_ingest_seq", F.lit(7)))
+    first = sorted(map(tuple, idx.read().select("id").collect()))
+    idx.upsert(batch.withColumn("_ingest_seq", F.lit(7)))  # replayed batch
+    again = sorted(map(tuple, idx.read().select("id").collect()))
+    assert first == again
+    assert idx.read().count() == 20
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """REAL late-data behavior, which single-batch replays can't exercise.
+
+    Measured engine semantics (Spark 4.1, and the reason this test is
+    shaped the way it is): the watermark advanced by batch N takes effect
+    as the FILTER for batch N+2, not N+1 — a late row arriving exactly one
+    batch after the watermark-setting data is still accepted (and, its
+    window being already closed, immediately emitted). Two batches after,
+    it is dropped (`numRowsDroppedByWatermark`). So: three files +
+    maxFilesPerTrigger=1 → the 9-days-late row in batch 2 must be dropped
+    and must not appear in append output."""
+    import time as _time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+            "event_id", F.to_timestamp("ts_s").alias("ts")
+        )
+        out = tmp_path / f"w_{name}"
+        df.coalesce(1).write.parquet(str(out))
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        part.rename(src / f"{name}.parquet")
+
+    write_file([(i, f"2024-01-10 12:00:{i:02d}") for i in range(10)], "a")
+    _time.sleep(1.1)  # mtime order = batch order
+    write_file([(50, "2024-01-10 13:00:00")], "b")
+    _time.sleep(1.1)
+    write_file([(99, "2024-01-01 00:00:00")], "c")  # 9 days late, batch 2
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .select(F.col("w.start").cast("string").alias("ws"), "count")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # the late row, and only it
+    out = {r["ws"] for r in spark.table(name).collect()}
+    assert "2024-01-01 00:00:00" not in out  # its window never materialized

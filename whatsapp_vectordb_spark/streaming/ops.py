@@ -6,6 +6,16 @@ Design: every transformation here is also valid on a batch DataFrame —
 the functions take any DataFrame (streaming or not) so the same logic is
 oracle-checkable in batch and deployable as ``readStream → writeStream``.
 Watermarks bound state; output modes are chosen per sink semantics.
+
+Measured watermark-propagation caveat (Spark 4.1, asserted by
+tests/test_streaming.py::test_watermark_drops_late_rows_across_batches):
+the watermark advanced by batch N becomes the LATE-ROW FILTER only in
+batch N+2. A row arriving one batch after the data that advanced the
+watermark past it is still accepted — and, its window being already
+closed, is emitted immediately in append mode. Pipelines that need a hard
+lateness cutoff must therefore not assume the very next batch filters;
+bounded replays here are unaffected (single or ordered batches, oracle
+compares final state).
 """
 
 from __future__ import annotations
