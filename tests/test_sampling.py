@@ -36,3 +36,25 @@ def test_weighted_mix_drops_unlisted_groups(spark, documents):
     assert langs == {"en"}
     # sole group with weight 1 -> keeps everything (rate 1.0)
     assert out.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_temperature_mix_flattens_toward_small_groups(spark, documents):
+    from whatsapp_vectordb_spark.operators.sampling import temperature_mix
+
+    docs = documents.select("doc_id", "lang")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = temperature_mix(docs, group_col="lang", id_col="doc_id")
+    after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    nmin = min(before.values())
+    smallest = min(before, key=before.get)
+    # scarcest group keeps everything
+    assert after[smallest] == before[smallest]
+    for g, n in before.items():
+        # expected survivors ~ n * sqrt(nmin/n) = sqrt(nmin * n); hash
+        # sampling is binomial around it
+        import math
+        expect = math.sqrt(nmin * n)
+        assert abs(after[g] - expect) <= max(6, 0.35 * expect), (g, after[g], expect)
+    # ratios flattened: biggest/smallest ratio strictly shrinks
+    big = max(before, key=before.get)
+    assert after[big] / after[smallest] < before[big] / before[smallest]

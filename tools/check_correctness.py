@@ -64,6 +64,9 @@ def main() -> int:
     spark = (
         SparkSession.builder.appName("correctness-check")
         .master(f"local[{cpus}]")
+        # UI nicety only (keeps \r progress bars out of piped gate output);
+        # not a query-semantics conf, so driver parity is unaffected
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     con = duckdb.connect()

@@ -4913,3 +4913,34 @@ def multimodal_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.col("chunk_start_ms").alias("best_chunk_start_ms"), "score")
     )
     return best.orderBy(F.col("score").desc(), F.col("media_id").asc()).limit(10)
+
+
+# ==========================================================================
+# Round 4: temperature mix rebalancing (mC4/XLM-R q ∝ n^α at α=0.5) —
+# no weight table; sqrt is IEEE-correctly-rounded so cuts are engine-exact.
+# ==========================================================================
+
+
+@_register(
+    "sample_temperature_mix",
+    """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+nm AS (SELECT MIN(n) AS nmin FROM counts),
+cuts AS (
+  SELECT c.lang,
+         CAST(round(LEAST(1.0, sqrt(nm.nmin::DOUBLE) / sqrt(c.n::DOUBLE)) * 10000) AS BIGINT) AS cut
+  FROM counts c CROSS JOIN nm
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts ON d.lang = cuts.lang
+WHERE ('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < cuts.cut
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix flattening without a weight table: α=0.5 temperature
+    sampling keeps every row of the scarcest language and hash-downsamples
+    the rest by sqrt-ratio (operators/sampling.py temperature_mix)."""
+    from whatsapp_vectordb_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, group_col="lang", id_col="doc_id")

@@ -146,3 +146,50 @@ def weighted_mix(
         .where(sample_bucket(id_col, seed) < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mix rebalancing at α = 0.5 — the mC4/XLM-R recipe
+    ``q_g ∝ n_g^α``: high-resource groups are flattened toward the
+    low-resource ones without any hand-written weight table (α=1 keeps the
+    natural mix; α→0 approaches uniform).
+
+    With α = 0.5 the acceptance rate reduces to
+    ``min(1, sqrt(n_min) / sqrt(n_g))`` — the smallest group keeps all its
+    rows, a group 4× larger keeps half. α is fixed at 0.5 here because
+    IEEE sqrt is correctly rounded (bit-identical in every engine) while
+    generic ``pow`` is not — the determinism contract the oracle needs.
+    Membership is the usual portable-hash bucket cut: per-row, stable
+    under appends and repartitioning.
+
+    Scale shape: one |groups|-row count aggregate, cuts computed in-plan
+    (broadcast), then a map-only filter — identical to ``weighted_mix``.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    cuts = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.col("_nmin").cast("double"))
+                    / F.sqrt(F.col("_n").cast("double")),
+                )
+                * SAMPLE_BUCKETS
+            )
+            .cast("long")
+            .alias("_cut"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .where(sample_bucket(id_col, seed) < F.col("_cut"))
+        .drop("_cut")
+    )
