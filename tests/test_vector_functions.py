@@ -140,3 +140,25 @@ def test_sparse_roundtrip_and_cosine_matches_dense(spark, embeddings):
         "b struct<indices:array<int>,values:array<float>>",
     )
     assert two.select(sparse_dot("a", "b").alias("d")).head()["d"] == 0.0
+
+
+def test_centroid_outliers_flag_planted_outlier(spark):
+    import numpy as np
+
+    from whatsapp_vectordb_spark.functions.vector import centroid_distance_outliers
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for label in (0, 1):
+        center = rng.standard_normal(8)
+        for i in range(20):
+            v = center + rng.standard_normal(8) * 0.05
+            rows.append((label, label * 100 + i, [float(x) for x in v]))
+        # the planted corrupt vector, far from its label's cluster
+        rows.append((label, label * 100 + 99, [float(x) for x in center + 5.0]))
+    emb = spark.createDataFrame(rows, "label int, vec_id long, embedding array<float>")
+    out = centroid_distance_outliers(emb, top_n=1)
+    flagged = {(r["label"], r["vec_id"]) for r in out.collect()}
+    assert flagged == {(0, 99), (1, 199)}
+    for r in out.collect():
+        assert r["dist"] > 3 * r["med_dist"]

@@ -269,3 +269,70 @@ def label_centroid_stats(
             F.round(F.avg("_dist"), 4).alias("avg_dist"),
         )
     )
+
+
+def centroid_distance_outliers(
+    df,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**4,
+    factor: float | None = None,
+    top_n: int | None = 3,
+    round_to: int = 6,
+):
+    """Embedding-space outlier gate: the members FARTHEST from their
+    label's centroid — the curation filter for corrupt/mislabeled
+    embeddings. Two decision rules:
+
+    - ``top_n`` (default): the n most atypical members per label, ranked
+      by exact integer squared residual (a concentrated corpus still
+      yields a review queue — a multiplicative gate can flag nothing);
+    - ``factor``: members with ``dist > factor × label-median dist``
+      (median resists the outliers it detects, like the MAD value gate).
+
+    Exactness: per-vector squared residuals ``Σ_pos (q·n − S)²`` are pure
+    int64 (the ``label_centroid_stats`` trick); ranking/medians operate on
+    those integers; no square roots on the decision path. Output:
+    ``(label, vec_id, dist, med_dist)``.
+
+    Scale shape: same one posexplode + (label, pos) partial-agg as the
+    centroid stats; the median is a per-label percentile over one integer
+    per member; top-n is a per-label window rank on the integer.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+    ).withColumn("_q", F.round(F.col("_val").cast("double") * quant).cast("long"))
+    cent = ex.groupBy(label_col, "_pos").agg(
+        F.sum("_q").alias("_S"), F.count("*").alias("_n")
+    )
+    dq2 = (
+        ex.join(cent, [label_col, "_pos"])
+        .withColumn("_dq", F.col("_q") * F.col("_n") - F.col("_S"))
+        .groupBy(label_col, id_col)
+        .agg(F.sum(F.col("_dq") * F.col("_dq")).alias("_dq2"), F.max("_n").alias("_n"))
+    )
+    med = dq2.groupBy(label_col).agg(F.expr("percentile(_dq2, 0.5)").alias("_med"))
+    scale = F.lit(float(quant)) * F.col("_n")
+    joined = dq2.join(F.broadcast(med), label_col)
+    if factor is not None:
+        flagged = joined.where(F.col("_dq2") > F.lit(float(factor) ** 2) * F.col("_med"))
+    else:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(label_col).orderBy(
+            F.col("_dq2").desc(), F.col(id_col).asc()
+        )
+        flagged = (
+            joined.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= int(top_n))
+            .drop("_rk")
+        )
+    return flagged.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.round(F.sqrt(F.col("_dq2").cast("double")) / scale, round_to).alias("dist"),
+        F.round(F.sqrt(F.col("_med")) / scale, round_to).alias("med_dist"),
+    )

@@ -4944,3 +4944,47 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return temperature_mix(docs, group_col="lang", id_col="doc_id")
+
+
+# ==========================================================================
+# Round 4: embedding-space outlier gate — distance-to-centroid > 1.5× the
+# label median; exact integer residuals, median on integers, no sqrt on
+# the decision path (functions/vector.py centroid_distance_outliers).
+# ==========================================================================
+
+
+@_register(
+    "embed_centroid_outliers",
+    """
+WITH ex AS (
+  SELECT label, vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 10000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+),
+cent AS (SELECT label, pos, SUM(q) AS S, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+dq2 AS (
+  SELECT e.label, e.vec_id,
+         SUM((e.q * c.n - c.S) * (e.q * c.n - c.S)) AS dq2, MAX(c.n) AS n
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY 1, 2
+),
+med AS (SELECT label, quantile_cont(dq2, 0.5) AS m FROM dq2 GROUP BY 1),
+rk AS (
+  SELECT d.label, d.vec_id, d.dq2, d.n, m.m,
+         row_number() OVER (PARTITION BY d.label ORDER BY d.dq2 DESC, d.vec_id ASC) AS r
+  FROM dq2 d JOIN med m ON d.label = m.label
+)
+SELECT label, vec_id,
+       ROUND(sqrt(dq2) / (10000.0 * n), 6) AS dist,
+       ROUND(sqrt(m) / (10000.0 * n), 6) AS med_dist
+FROM rk WHERE r <= 3
+""",
+)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 most atypical members of each label (farthest from the label
+    centroid, exact-integer ranked) — the corrupt/mislabeled-vector review
+    queue. Integer residual arithmetic end to end; the sole floats are
+    the two reported (rounded) distances."""
+    from whatsapp_vectordb_spark.functions.vector import centroid_distance_outliers
+
+    return centroid_distance_outliers(_t(spark, sf_dir, "embeddings"))
