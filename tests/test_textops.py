@@ -235,3 +235,16 @@ def test_maxsim_is_deterministic_across_partitionings(spark, documents):
         for r in maxsim_search(documents.repartition(11), "spark join", k=5).collect()
     ]
     assert a == b
+
+
+def test_bigram_loglik_scores_fluency(spark):
+    """A doc made of corpus-frequent bigrams must outscore a doc of
+    never-repeated bigrams (the backoff floor)."""
+    from whatsapp_vectordb_spark.operators.textops import bigram_loglik
+
+    rows = [(i, "the quick fox jumps") for i in range(10)]  # frequent bigrams
+    rows.append((99, "zeta quick alpha jumps"))  # unseen transitions
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_loglik(docs).collect()}
+    assert out[0] > out[99]
+    assert all(out[i] == out[0] for i in range(10))

@@ -4988,3 +4988,49 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.functions.vector import centroid_distance_outliers
 
     return centroid_distance_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+# ==========================================================================
+# Round 4: interpolated bigram LM scoring (operators/textops.py
+# bigram_loglik) — the fluency signal one order above text_unigram_loglik.
+# ==========================================================================
+
+
+@_register(
+    "text_bigram_loglik",
+    f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents
+),
+eligible AS (SELECT * FROM base WHERE len(tk) >= 2),
+pairs AS (
+  SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
+  FROM eligible CROSS JOIN range(1, 200) i(i)
+  WHERE i.i + 1 <= len(tk)
+),
+toks AS (SELECT unnest(tk) AS tok FROM eligible),
+uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM toks),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+lp AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln(0.75 * b.c2 / u1.c1 + 0.25 * u2.c1 / t.N) * 1000000) AS BIGINT) AS lp
+  FROM big b
+  JOIN uni u1 ON b.w1 = u1.tok
+  JOIN uni u2 ON b.w2 = u2.tok
+  CROSS JOIN tot t
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(SUM(l.lp) / COUNT(*) / 1000000.0, 6) AS avg_logprob
+FROM pairs p JOIN lp l ON p.w1 = l.w1 AND p.w2 = l.w2
+GROUP BY 1
+""",
+)
+def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average interpolated bigram log-probability (λ=0.75
+    bigram, 0.25 unigram backoff) — low scores mark disfluent/garbled
+    text. Integer-quantized per-TYPE logprobs make doc sums exact."""
+    from whatsapp_vectordb_spark.operators.textops import bigram_loglik
+
+    return bigram_loglik(_t(spark, sf_dir, "documents"))

@@ -551,3 +551,77 @@ def maxsim_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bigram_loglik(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    CCNet/KenLM-style fluency signal one order up from the unigram:
+    ``p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N`` (fixed-weight
+    interpolation — the simplest smoothing whose arithmetic is identical
+    in any engine), scored as the per-doc average log-probability over its
+    bigrams.
+
+    Determinism: each bigram TYPE's logprob quantizes once to an integer
+    (``round(ln(p)·quant)``) in the stats table — the per-doc sum of
+    integers is order-exact; only the final per-doc average divides.
+
+    Scale shape: bigram extraction is a map-only zip of two array slices;
+    corpus stats are two count-groupBys over narrow token keys; scoring
+    joins bigram rows to the type-level stats (vocab²-bounded, usually
+    broadcastable) and aggregates by doc. Docs with < 2 tokens have no
+    bigrams and are absent (same as the SQL twin).
+    """
+    from whatsapp_vectordb_spark.functions.text import tokens
+
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_tk")).where(
+        F.size("_tk") >= 2
+    )
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_tk, 1, size(_tk) - 1)").alias("w1"),
+                F.expr("slice(_tk, 2, size(_tk) - 1)").alias("w2"),
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    toks = base.select(F.explode("_tk").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    total = toks.agg(F.count("*").cast("double").alias("N"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    lp = (
+        big.join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(lam) * F.col("c2") / F.col("c1w1")
+                    + F.lit(1.0 - lam) * F.col("c1w2") / F.col("N")
+                )
+                * quant
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lp").cast("double") / F.count("*") / quant, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
