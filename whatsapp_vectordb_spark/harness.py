@@ -5034,3 +5034,103 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.textops import bigram_loglik
 
     return bigram_loglik(_t(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Round 4: hybrid search — BM25 keyword list + vector cosine list fused by
+# Reciprocal Rank Fusion (Cormack et al. '09): score = Σ 1/(60+rank),
+# integer-quantized per (list, rank) so the fuse is BIGINT-exact.
+# ==========================================================================
+
+_RRF_K = 60
+_RRF_QUANT = 1_000_000_000
+
+
+@_register(
+    "hybrid_search_rrf",
+    f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens),
+postings AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings
+  WHERE term IN ('data', 'processing', 'scale') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT t.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * t.tf * 2.2
+           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf t
+  JOIN dfreq d ON d.term = t.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+kw AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e, q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM vs ORDER BY score DESC, doc_id ASC LIMIT 20
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(CAST(round({_RRF_QUANT}.0 / ({_RRF_K} + kw.r)) AS BIGINT), 0)
+         + COALESCE(CAST(round({_RRF_QUANT}.0 / ({_RRF_K} + vec.r)) AS BIGINT), 0) AS rrf_q
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, ROUND(rrf_q / {_RRF_QUANT}.0, 6) AS rrf
+FROM fused
+ORDER BY rrf_q DESC, doc_id ASC
+LIMIT 10
+""".format(toks=_TOKS.format(c="text")),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 keyword top-20 and the vector cosine
+    top-20 fused by Reciprocal Rank Fusion — the standard keyword+vector
+    combination (ids align across `documents` and `embeddings`). Each
+    list's contribution quantizes to round(10⁹/(60+rank)) so the fused
+    ordering is exact integer arithmetic."""
+    from whatsapp_vectordb_spark.operators.search import topk
+    from whatsapp_vectordb_spark.operators.textops import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+
+    kw = bm25_search(docs, list(_BM25_TERMS), k1=1.2, b=0.75, top_n=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r_kw"),
+    )
+    vec = topk(emb, qvec, k=20, round_to=ROUND_SCORE).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+        .alias("r_vec"),
+    )
+    rrf_of = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(float(_RRF_QUANT)) / (F.lit(_RRF_K) + r)).cast("long"), F.lit(0)
+    )
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id", (rrf_of(F.col("r_kw")) + rrf_of(F.col("r_vec"))).alias("rrf_q")
+    )
+    return (
+        fused.orderBy(F.col("rrf_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round(F.col("rrf_q") / _RRF_QUANT, 6).alias("rrf"))
+    )
