@@ -42,19 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries repaired since their last driver row — pinned to the very front
-# so the driver's ~50-row sample re-verifies them this round (round-3 NTZ
-# breakage + the two historical FAILs).
+# so the driver's ~50-row sample re-verifies them next round. Round-5:
+# the three round-4 hash-fails, fixed by CASTing the oracles' HUGEINT
+# final columns to BIGINT (values were already equal). Remove entries once
+# their green row lands; an empty list just falls through to the
+# stalest-green-first ordering below.
 _FRONTLOAD = [
-    "embed_search_pipeline",
-    "multimodal_cross_search",
-    "events_funnel",
-    "events_range_join",
-    "events_sessionized_counts",
-    "streaming_sessionized",
-    "streaming_hourly_windows",
-    "streaming_session_windows",
-    "streaming_distinct_keys",
-    "streaming_stream_stream_join",
+    "pack_sequences_blocks",
+    "index_delete",
+    "text_maxsim_topk",
 ]
 
 

@@ -37,6 +37,32 @@ def _norm_cell(v):
     return v
 
 
+def _type_problems(scols, sschema, ocols, otypes):
+    """Round-4 lesson: the driver's value-hash is TYPE-sensitive (it goes
+    through Arrow), while this gate's Python-value compare is type-blind.
+    Three oracles whose final projection returned DuckDB HUGEINT (un-CAST
+    SUM of integers / ``//`` results) passed here and hash-failed at the
+    driver. Flag any final oracle column whose DuckDB type can't land in
+    the same Arrow type as the Spark column: HUGEINT/UHUGEINT always,
+    DECIMAL unless Spark is decimal, and int-vs-float family mismatches.
+    """
+    spark_types = {f.name: f.dataType.simpleString() for f in sschema.fields}
+    INT = {"tinyint", "smallint", "int", "bigint"}
+    problems = []
+    for c, t in zip(ocols, otypes):
+        ot = str(t).upper()
+        st = spark_types.get(c, "")
+        if ot in ("HUGEINT", "UHUGEINT"):
+            problems.append(f"{c}: oracle {ot} (add CAST(... AS BIGINT))")
+        elif ot.startswith("DECIMAL") and not st.startswith("decimal"):
+            problems.append(f"{c}: oracle {ot} vs spark {st}")
+        elif ot in ("DOUBLE", "FLOAT", "REAL") and st in INT:
+            problems.append(f"{c}: oracle {ot} vs spark {st}")
+        elif ot in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") and st == "double":
+            problems.append(f"{c}: oracle {ot} vs spark {st}")
+    return problems
+
+
 def _multiset(rows, cols):
     out = []
     for r in rows:
@@ -84,6 +110,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = sdf.collect()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -95,12 +122,17 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            otypes = list(rel.types)
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
         ok = True
+        tp = _type_problems(scols, sschema, ocols, otypes)
+        if tp:
+            print(f"FAIL {name}: driver-hash-unsafe oracle types: {tp}")
+            ok = False
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             ok = False

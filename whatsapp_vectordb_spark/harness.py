@@ -4087,15 +4087,17 @@ WITH d AS (
   FROM documents
 ),
 c AS (
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; the driver's value-hash is
+  -- type-sensitive and Spark emits BIGINT, so pin every derived column.
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
   FROM d
 )
 SELECT doc_id, n_tokens, cum_before,
-       cum_before // 128 AS start_block,
-       (cum_before + n_tokens - 1) // 128 AS end_block,
-       ((cum_before + n_tokens - 1) // 128) - (cum_before // 128) + 1 AS n_blocks
+       CAST(cum_before // 128 AS BIGINT) AS start_block,
+       CAST((cum_before + n_tokens - 1) // 128 AS BIGINT) AS end_block,
+       CAST(((cum_before + n_tokens - 1) // 128) - (cum_before // 128) + 1 AS BIGINT) AS n_blocks
 FROM c
 """.format(toks=_TOKS.format(c="text")),
 )
@@ -4371,7 +4373,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index_delete",
     """
 SELECT COUNT(*) AS n_remaining,
-       SUM(vec_id) AS id_checksum,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
        (SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0) AS n_deleted
 FROM embeddings WHERE vec_id % 7 <> 0
 """,
@@ -4448,7 +4450,7 @@ dots AS (
   GROUP BY 1, 2, 3
 ),
 mx AS (SELECT doc_id, qtok, MAX(dot) AS m FROM dots GROUP BY 1, 2)
-SELECT doc_id, SUM(m) AS score
+SELECT doc_id, CAST(SUM(m) AS BIGINT) AS score
 FROM mx GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
