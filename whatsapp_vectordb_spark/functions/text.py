@@ -36,6 +36,21 @@ def tokens(c: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+def py_tokens(s: str, unique: bool = False) -> list[str]:
+    """Driver-side twin of :func:`tokens` for literal query strings — the
+    SAME split regex, so a punctuated query like ``state-of-the-art``
+    yields the matchable tokens ``state, of, the, art`` instead of the
+    unmatchable ``stateoftheart`` an isalnum-strip tokenizer produces.
+    ``unique=True`` keeps first occurrence order (query-facet semantics)."""
+    import re
+
+    out = [t for t in re.split(TOKEN_SPLIT_RE, s.lower()) if t]
+    if unique:
+        seen: set[str] = set()
+        out = [t for t in out if not (t in seen or seen.add(t))]
+    return out
+
+
 def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
     """n-word shingles (space-joined) from an ALREADY-MATERIALIZED token
     array column. Prefer this two-step form (project tokens, then shingle)

@@ -4016,12 +4016,14 @@ def sample_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # line) frame; the fixture mirrors _media_df's synthesis pattern.
 _LINE_TOKS = 8
 
+# Per-row LATERAL range bound (ceil(len/8)) instead of a fixed CROSS JOIN
+# cap: exact for ANY document length, so regenerated testdata with longer
+# docs can't silently diverge from the unbounded Spark operator.
 _LINE_SQL = f"""
   SELECT doc_id, CAST(i.i AS BIGINT) AS line_no,
          array_to_string(tk[1 + {_LINE_TOKS} * i.i : {_LINE_TOKS} + {_LINE_TOKS} * i.i], ' ') AS line
-  FROM (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents) t
-  CROSS JOIN range(0, 100) i(i)
-  WHERE {_LINE_TOKS} * i.i < len(tk)
+  FROM (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents) t,
+       LATERAL unnest(range(0, CAST(ceil(len(tk) / {_LINE_TOKS}.0) AS BIGINT))) i(i)
 """
 
 
@@ -4428,11 +4430,10 @@ _MAXSIM_DIM, _MAXSIM_SEED = 16, 11
 
 
 def _maxsim_oracle() -> str:
-    qtoks = []
-    for t in _MAXSIM_QUERY.lower().split():
-        t = "".join(ch for ch in t if ch.isalnum())
-        if t and t not in qtoks:
-            qtoks.append(t)
+    from whatsapp_vectordb_spark.functions.text import py_tokens
+
+    # MUST mirror maxsim_search's query tokenization (shared py_tokens)
+    qtoks = py_tokens(_MAXSIM_QUERY, unique=True)
     qvals = ", ".join(f"('{t}')" for t in qtoks)
     return f"""
 WITH pairs AS (
@@ -5006,9 +5007,10 @@ WITH base AS (
 ),
 eligible AS (SELECT * FROM base WHERE len(tk) >= 2),
 pairs AS (
+  -- per-row LATERAL bound (len(tk)-1 positions): exact for any doc length,
+  -- unlike a fixed CROSS JOIN cap that silently truncates longer docs
   SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
-  FROM eligible CROSS JOIN range(1, 200) i(i)
-  WHERE i.i + 1 <= len(tk)
+  FROM eligible, LATERAL unnest(range(1, len(tk))) i(i)
 ),
 toks AS (SELECT unnest(tk) AS tok FROM eligible),
 uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY 1),

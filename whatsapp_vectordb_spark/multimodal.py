@@ -147,7 +147,8 @@ def chunk_media_plan(
     ).alias("chunk_start_ms")
     return (
         media.where(F.col("modality") == modality)
-        .where(F.col("duration_ms").isNotNull())
+        # > 0: duration_ms <= 0 would make sequence(0, -1, step) throw
+        .where(F.col("duration_ms") > 0)
         .select("media_id", "duration_ms", start)
         .select(
             "media_id",
@@ -169,7 +170,8 @@ def frame_sample_plan(
     any Python stage and partitions stay balanced by frame count."""
     return (
         media.where(F.col("modality") == "video")
-        .where(F.col("duration_ms").isNotNull())
+        # > 0: duration_ms <= 0 would make sequence(0, -1, step) throw
+        .where(F.col("duration_ms") > 0)
         .select(
             "media_id",
             F.explode(
@@ -200,7 +202,9 @@ def extract_chunk_features(
     """
     fan = (
         media.where(F.col("modality") == modality)
-        .where(F.col("duration_ms").isNotNull())
+        # > 0, not just NOT NULL: duration_ms <= 0 makes sequence(0, -1, step)
+        # throw "Illegal sequence boundaries" and fail the whole job
+        .where(F.col("duration_ms") > 0)
         .select(
             "media_id",
             "content",

@@ -87,10 +87,19 @@ def ordered_prefix_sum(
     textbook two-phase parallel scan, O(rows/partition) per task.
 
     ``order_col`` must be unique (a key); the sum is exact for integers.
+
+    The two phases (per-partition window pass, driver-collected subtotal
+    pass) are separate Spark jobs that must see IDENTICAL partition
+    boundaries and ``_pid`` assignment. ``localCheckpoint`` materializes
+    the range-partitioned frame once so both jobs read the same blocks —
+    without it, a nondeterministic input (``df.sample``, a changed
+    upstream file set between jobs) would silently produce wrong offsets.
     """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")

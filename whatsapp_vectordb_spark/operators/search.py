@@ -243,6 +243,14 @@ def mmr_rerank(
 
     from whatsapp_vectordb_spark.functions.vector import cosine_similarity
 
+    # the driver collects a shortlist×shortlist similarity matrix; cap it
+    # so a careless shortlist=10_000 (100M cells) can't OOM the driver
+    if shortlist > 1024:
+        raise ValueError(
+            f"shortlist={shortlist} exceeds 1024: the MMR greedy step "
+            "collects a shortlist^2 similarity matrix to the driver. "
+            "Re-rank a smaller exact-top shortlist, or raise k-NN k instead."
+        )
     spark = index.sparkSession
     qcol = F.lit([float(x) for x in query_vec]).cast("array<double>")
     rel6 = F.round(cosine_similarity(F.col(vec_col), qcol) * 1_000_000).cast("long")

@@ -514,13 +514,11 @@ def maxsim_search(
     shuffle by doc for the max/Σ aggregate; top-k is the no-shuffle
     TakeOrderedAndProject. Query cost grows with |query tokens| only.
     """
-    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.functions.text import py_tokens, tokens
 
-    qtoks = []
-    for t in query.lower().split():
-        t = "".join(ch for ch in t if ch.isalnum())
-        if t and t not in qtoks:
-            qtoks.append(t)
+    # same regex as tokens(): query and doc tokenization must agree or a
+    # punctuated query contributes facets that can never match any doc token
+    qtoks = py_tokens(query, unique=True)
     if not qtoks:
         raise ValueError("query has no tokens")
 

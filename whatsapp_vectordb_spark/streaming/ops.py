@@ -642,15 +642,29 @@ def run_drift_monitor_stream(
     cells_path = os.path.join(state_dir, "drift_cells")
 
     def accumulate(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.groupBy("g", "bin").agg(F.count("*").alias("c")).write.mode(
-            "append"
-        ).parquet(cells_path)
+        # foreachBatch is at-least-once: key every cell by batch_id and
+        # overwrite ONLY that batch's partition (dynamic partitionOverwrite),
+        # so a retried micro-batch replaces its cells instead of
+        # double-counting, and a reused state_dir can't leak stale cells
+        # into a different batch's id space.
+        (
+            batch_df.groupBy("g", "bin")
+            .agg(F.count("*").alias("c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_path)
+        )
 
     q = stream.writeStream.foreachBatch(accumulate).trigger(availableNow=True).start()
     q.awaitTermination()
 
+    # explicit schema: an all-empty stream writes no partition files at all
+    # (partitioned empty writes carry no footer), so inference would fail
     cur = (
-        spark.read.parquet(cells_path)
+        spark.read.schema("g string, bin long, c long, batch_id long")
+        .parquet(cells_path)
         .groupBy("g", "bin")
         .agg(F.sum("c").alias("c_c"))
     )
