@@ -5138,3 +5138,237 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round(F.col("rrf_q") / _RRF_QUANT, 6).alias("rrf"))
     )
+
+
+# ==========================================================================
+# Round 5: training-data curation tier II — DSIR importance weights,
+# token-budget corpus selection, content-defined chunk dedup, SemDeDup
+# cluster-scoped semantic dedup, k-NN weak labeling.
+# ==========================================================================
+
+_DSIR_B = 4096
+_DSIR_SEED = 3
+
+
+@_register(
+    "curate_dsir_weights",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS.format(c='text')} AS tk FROM documents),
+uni AS (SELECT doc_id, lang, unnest(tk) AS feat FROM t),
+bi AS (
+  SELECT doc_id, lang, tk[i.i] || ' ' || tk[i.i + 1] AS feat
+  FROM t, LATERAL unnest(range(1, len(tk))) i(i)
+),
+feats AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         {_phash_sql('feat', _DSIR_SEED)} % {_DSIR_B} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE is_t GROUP BY 1),
+src AS (SELECT b, COUNT(*) AS cs FROM feats GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM feats WHERE is_t),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM feats),
+lp AS (
+  SELECT f.doc_id,
+         CAST(round((ln((COALESCE(tgt.ct, 0) + 1) / (nt.nt + {_DSIR_B}))
+                   - ln((COALESCE(src.cs, 0) + 1) / (ns.ns + {_DSIR_B}))) * 1000000)
+              AS BIGINT) AS lr
+  FROM feats f
+  LEFT JOIN tgt ON tgt.b = f.b
+  LEFT JOIN src ON src.b = f.b
+  CROSS JOIN nt CROSS JOIN ns
+)
+SELECT doc_id, COUNT(*) AS n_feats,
+       ROUND(SUM(lr)::DOUBLE / 1000000, 6) AS log_weight
+FROM lp GROUP BY doc_id
+""",
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log p_target − log
+    p_source under hashed-unigram+bigram models; target = lang='en'
+    documents, source = the whole corpus. Both models are ≤4096-row
+    broadcast count tables; per-feature log-ratios quantize to micro-units
+    before the per-doc sum (operators/curate.py dsir_log_weights)."""
+    from whatsapp_vectordb_spark.operators.curate import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B, seed=_DSIR_SEED
+    )
+
+
+_BUDGET_TOKENS = 10_000
+
+
+@_register(
+    "curate_token_budget",
+    f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS.format(c='text')} AS tk FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END AS mwl,
+         CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END AS sr,
+         CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END AS dv
+  FROM toks
+),
+q AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(round(ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+           + LEAST(sr * 2.0, 1.0) * 0.25
+           + dv * 0.25, 6) * 1000000) AS BIGINT) AS q_micro
+  FROM feats
+),
+c AS (
+  SELECT doc_id, q_micro, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM q
+)
+SELECT doc_id, q_micro, n_tokens, cum_before
+FROM c WHERE cum_before + n_tokens <= {_BUDGET_TOKENS}
+""",
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection: rank docs by quality score
+    (micro-unit integer), take while the running token total fits the
+    budget — running total via the two-phase DISTRIBUTED prefix sum, no
+    global single-partition window (operators/curate.py
+    token_budget_select)."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.curate import token_budget_select
+    from whatsapp_vectordb_spark.operators.textops import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_scores(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q_micro"),
+    )
+    return token_budget_select(scored, budget=_BUDGET_TOKENS)
+
+
+_CDC_MOD = 8
+_CDC_SEED = 5
+
+
+@_register(
+    "text_cdc_chunk_dedup",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, i.i AS pos, tk[i.i] AS tok
+  FROM t, LATERAL unnest(range(1, len(tk) + 1)) i(i)
+),
+fl AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN {_phash_sql('tok', _CDC_SEED)} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS cut
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, pos, tok,
+         CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_no
+  FROM fl
+),
+chunks AS (
+  SELECT doc_id, chunk_no, COUNT(*) AS n_toks,
+         string_agg(tok, ' ' ORDER BY pos) AS ctext
+  FROM ch GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id, chunk_no, n_toks, {_phash_sql('ctext', _CDC_SEED + 1, 15)} AS chunk_hash
+  FROM chunks
+)
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM hashed GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (FastCDC/rsync applied to token
+    streams): hash-boundary chunks are shift-robust, so re-crawled pages
+    with small edits still share chunk hashes — the 100 TB chunk-dedup
+    shape. Reports chunks recurring across ≥2 docs
+    (operators/curate.py cdc_chunks / cdc_duplicate_chunks)."""
+    from whatsapp_vectordb_spark.operators.curate import cdc_duplicate_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_duplicate_chunks(
+        docs, min_docs=2, boundary_mod=_CDC_MOD, seed=_CDC_SEED
+    )
+
+
+@_register(
+    "dedup_semdedup",
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS keeper,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id ASC) AS rk
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+)
+SELECT vec_id, keeper, cos_sim FROM pairs WHERE rk = 1
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to clusters
+    (here the label column stands in for k-means cell ids) — quadratic
+    pair generation confined per cluster, lowest-id member survives.
+    Planted clones (every 100th vector) are the ground-truth duplicates
+    (operators/dedup.py semantic_dedup)."""
+    from whatsapp_vectordb_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    clones = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return semantic_dedup(emb.unionByName(clones), "label", threshold=0.95)
+
+
+@_register(
+    "knn_label_propagation",
+    """
+WITH u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+l AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+scored AS (
+  SELECT u.vec_id, l.vec_id AS lid, l.label,
+         CAST(round(list_cosine_similarity(u.embedding::DOUBLE[], l.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cos6
+  FROM u CROSS JOIN l
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, lid ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+v AS (SELECT vec_id, label, COUNT(*) AS votes FROM top GROUP BY 1, 2)
+SELECT vec_id, label AS pred_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, label ASC) AS vr
+  FROM v
+) WHERE vr = 1
+""",
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote weak labeling: every 5th vector plays unlabeled,
+    the rest are the broadcast labeled seed; k=5 neighbors by micro-unit
+    cosine, deterministic rank and vote tiebreaks
+    (operators/search.py knn_label_propagation)."""
+    from whatsapp_vectordb_spark.operators.search import knn_label_propagation as _klp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unl = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    lab = emb.where(F.col("vec_id") % 5 != 0).select("vec_id", "embedding", "label")
+    return _klp(unl, lab, k=5)

@@ -281,3 +281,211 @@ def hard_negative_mine(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_filter,
+    buckets: int = 4096,
+    seed: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by ``log p_target(x) − log p_source(x)`` under two bag-of-hashed-ngram
+    unigram models — the cheap, trainable-free way to surface documents
+    that look like a target domain. Select-by-top-weight replaces DSIR's
+    Gumbel sampling step with a deterministic rank (oracle-replayable).
+
+    Features are hashed unigrams AND bigrams (``portable_hash % buckets``,
+    engine-portable md5); both models use add-one smoothing over the same
+    ``buckets`` space, so every bucket has a finite log-ratio.
+
+    Scale shape: each model is a ≤``buckets``-row count table (one partial
+    agg over the feature stream), broadcast back onto the feature stream
+    for map-side scoring — no shuffle beyond the two bounded aggregations
+    and the final per-doc sum. Per-feature log-ratios are quantized to
+    integer micro-units BEFORE summation so the fold order can't change
+    the result (oracle-parity pattern).
+    """
+    from whatsapp_vectordb_spark.functions.text import portable_hash, tokens
+
+    t = F.col("_tk")
+    bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        docs.select(
+            F.col(id_col), tokens(text_col).alias("_tk"), target_filter.alias("_is_t")
+        )
+        .select(F.col(id_col), F.explode(F.concat(t, bg)).alias("feat"), "_is_t")
+        .select(
+            F.col(id_col),
+            (portable_hash(F.col("feat"), seed=seed) % buckets).alias("b"),
+            "_is_t",
+        )
+    )
+    tgt = feats.where(F.col("_is_t")).groupBy("b").agg(F.count("*").alias("ct"))
+    src = feats.groupBy("b").agg(F.count("*").alias("cs"))
+    nt = feats.where(F.col("_is_t")).agg(F.count("*").cast("double").alias("nt"))
+    ns = feats.agg(F.count("*").cast("double").alias("ns"))
+    lp = (
+        feats.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(src), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col(id_col),
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + buckets))
+                    - F.log((F.coalesce(F.col("cs"), F.lit(0)) + 1) / (F.col("ns") + buckets))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"),
+        F.round(F.sum("lr").cast("double") / 1_000_000, round_to).alias("log_weight"),
+    )
+
+
+def token_budget_select(
+    docs_scored: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    quality_micro_col: str = "q_micro",
+) -> DataFrame:
+    """Quality-ordered corpus selection under a token budget: take
+    documents in (quality desc, id asc) order while the running token
+    total still fits ``budget`` — the deterministic version of the
+    "fill the training mix from the top of the quality ranking" step.
+
+    ``quality_micro_col`` must be an integer quality score in [0, 1e6]
+    (micro-units) and ``id_col`` a non-negative key < 1e10; the two fold
+    into ONE unique BIGINT sort key so the distributed
+    :func:`ordered_prefix_sum` (no global single-partition window) drives
+    the running total. Selection keeps a doc iff its whole token count
+    fits: ``cum_before + n_tokens <= budget``.
+    """
+    keyed = docs_scored.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.col(quality_micro_col).cast("long").alias("q_micro"),
+        ((F.lit(1_000_000) - F.col(quality_micro_col)) * F.lit(10_000_000_000)
+         + F.col(id_col)).cast("long").alias("_sort_key"),
+    )
+    cum = ordered_prefix_sum(keyed, "_sort_key", "n_tokens")
+    return (
+        cum.where(F.col("cum_before") + F.col("n_tokens") <= budget)
+        .select(F.col(id_col), "q_micro", "n_tokens", "cum_before")
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    boundary_mod: int = 8,
+    seed: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over token streams (the FastCDC/rsync idea
+    applied to text): cut AFTER any token whose portable hash ≡ 0 mod
+    ``boundary_mod``, so chunk boundaries move WITH the content — an
+    insertion near the top of a document shifts every fixed-width block
+    but leaves all content-defined chunks after the next boundary intact.
+    This is what makes chunk-level dedup robust at 100 TB: re-crawled
+    pages with small edits still share almost all their chunk hashes.
+
+    Output: one row per chunk — ``(doc_id, chunk_no, n_tokens,
+    chunk_hash)`` with ``chunk_hash`` the engine-portable 63-bit hash of
+    the space-joined chunk text.
+
+    Scale shape: posexplode fans out JVM-side; the running boundary count
+    is a per-document window (shuffle keyed by doc — bounded partitions,
+    no global ordering); chunk reassembly is one groupBy on
+    ``(doc, chunk_no)``. Expected chunk length is ``boundary_mod`` tokens.
+    """
+    from whatsapp_vectordb_spark.functions.text import (
+        portable_hash,
+        portable_hash64,
+        tokens,
+    )
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    flagged = toks.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        (portable_hash(F.col("tok"), seed=seed) % boundary_mod == 0)
+        .cast("int")
+        .alias("cut"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_no", F.coalesce(F.sum("cut").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_no")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_chunk_text"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_no",
+            "n_tokens",
+            portable_hash64(F.col("_chunk_text"), seed=seed + 1).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    min_docs: int = 2,
+    boundary_mod: int = 8,
+    seed: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-chunk report over :func:`cdc_chunks`:
+    chunks (by content hash) appearing in ≥ ``min_docs`` distinct
+    documents, with occurrence counts — the candidate set a chunk-level
+    deduplicator would strip. One hash-keyed aggregation over the chunk
+    stream; candidate volume is bounded by recurring content, not corpus
+    size."""
+    ch = cdc_chunks(
+        docs, boundary_mod=boundary_mod, seed=seed, text_col=text_col, id_col=id_col
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

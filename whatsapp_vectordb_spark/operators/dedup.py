@@ -682,3 +682,62 @@ def duplicate_spans(
             F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans"), round_to
         ).alias("dup_fraction"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cluster_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
+    clusters — drop any item that has a LOWER-id neighbor in the same
+    cluster with cosine ≥ ``threshold``; the lowest-id member of each
+    near-duplicate group survives. Output: one row per dropped item,
+    ``(vec_id, keeper, cos_sim)`` with ``keeper`` its lowest-id
+    above-threshold neighbor (deterministic, oracle-replayable).
+
+    This is the scale path for embedding-level dedup: the quadratic pair
+    generation is confined to each cluster (shuffle keyed by
+    ``cluster_col``; cost Σ|cluster|², not N²). Clusters come from any
+    assignment — k-means cells, LSH buckets, or an existing label. Pair a
+    hot-cluster guard (cap or re-split oversized clusters) in ingest when
+    cluster sizes are unbounded; similarity is rounded BEFORE the
+    threshold so both engines make identical keep/drop calls.
+    """
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    a = emb.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = emb.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "_c")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("_idb").orderBy(F.col("_ida").asc())
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_idb").alias(id_col),
+            F.col("_ida").alias("keeper"),
+            "cos_sim",
+        )
+    )

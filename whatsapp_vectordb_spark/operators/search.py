@@ -283,3 +283,62 @@ def mmr_rerank(
         remaining.discard(best[0])
         out.append((rank, best[0], int(best[1])))
     return spark.createDataFrame(out, f"rank bigint, {id_col} long, mmr_score10 bigint")
+
+
+def knn_label_propagation(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote weak labeling: predict each unlabeled item's
+    label as the majority among its ``k`` nearest LABELED neighbors by
+    cosine — the standard semi-supervised bootstrap for growing a labeled
+    training set from a small seed.
+
+    Determinism contract: similarity is quantized to integer micro-units,
+    neighbor rank ties break on labeled id, vote ties break on (count
+    desc, label asc) — every step oracle-replayable. Output:
+    ``(vec_id, pred_label, votes)``.
+
+    Scale shape: the labeled SEED set is broadcast (weak labeling starts
+    from a small curated seed by definition — for seed sets past broadcast
+    size, swap the candidate step for the bucketed ANN join); the
+    unlabeled side stays fully distributed, then two aggregations keyed by
+    the unlabeled id (rank, then vote). No global sort, no driver loop.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    lab = labeled.select(
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lvec"),
+        F.col(label_col).alias("_llabel"),
+    )
+    scored = unlabeled.select(
+        F.col(id_col), F.col(vec_col).alias("_uvec")
+    ).crossJoin(F.broadcast(lab)).select(
+        F.col(id_col),
+        "_lid",
+        "_llabel",
+        F.round(cosine_similarity(F.col("_uvec"), F.col("_lvec")) * 1_000_000)
+        .cast("long")
+        .alias("_cos6"),
+    )
+    wk = Window.partitionBy(id_col).orderBy(
+        F.col("_cos6").desc(), F.col("_lid").asc()
+    )
+    top = scored.withColumn("_rk", F.row_number().over(wk)).where(F.col("_rk") <= k)
+    votes = top.groupBy(id_col, "_llabel").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy(id_col).orderBy(
+        F.col("votes").desc(), F.col("_llabel").asc()
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .where(F.col("_vr") == 1)
+        .select(F.col(id_col), F.col("_llabel").alias("pred_label"), "votes")
+    )
