@@ -159,3 +159,85 @@ class TestKnnLabelPropagation:
         )
         out = knn_label_propagation(unlabeled, labeled, k=5).collect()
         assert {r["vec_id"]: r["pred_label"] for r in out} == {1: 1, 2: 1}
+
+
+class TestGroupedPrefixSum:
+    def test_matches_naive_window(self, spark):
+        from pyspark.sql import Window
+        from whatsapp_vectordb_spark.operators.curate import grouped_prefix_sum
+
+        rows = [(g, i, (i * 7 + ord(g)) % 13) for g in ["a", "b", "c"] for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, k long, v long")
+        got = {
+            (r["g"], r["k"]): r["cum_before"]
+            for r in grouped_prefix_sum(df, "g", "k", "v", n_parts=7).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = {
+            (r["g"], r["k"]): r["c"]
+            for r in df.withColumn(
+                "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want
+
+    def test_single_row_groups(self, spark):
+        from whatsapp_vectordb_spark.operators.curate import grouped_prefix_sum
+
+        df = spark.createDataFrame(
+            [("x", 1, 5), ("y", 2, 9)], "g string, k long, v long"
+        )
+        out = grouped_prefix_sum(df, "g", "k", "v").collect()
+        assert all(r["cum_before"] == 0 for r in out)
+
+
+class TestPerplexityBuckets:
+    def test_tercile_edges_and_counts(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import perplexity_buckets
+
+        # 9 docs in one lang, distinct texts of >=2 tokens
+        rows = [
+            (i, " ".join(f"w{i}t{j}" for j in range(3 + i % 4)) + " common token", "en")
+            for i in range(9)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = perplexity_buckets(docs).collect()
+        assert len(out) == 9
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["bucket"], []).append(r["rank"])
+        assert sorted(by_bucket["head"]) == [1, 2, 3]
+        assert sorted(by_bucket["middle"]) == [4, 5, 6]
+        assert sorted(by_bucket["tail"]) == [7, 8, 9]
+
+
+class TestMrl:
+    def test_truncate_slices_prefix(self, spark):
+        from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+        )
+        out = mrl_truncate(df, 2).head()
+        assert out["mrl_vec"] == [1.0, 2.0]
+
+    def test_prefix_topk_recall_bounds(self, spark, embeddings):
+        from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+        from whatsapp_vectordb_spark.operators.search import topk
+
+        emb = embeddings.select("vec_id", "embedding")
+        q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+        trunc = mrl_truncate(emb, 16)
+        short = topk(trunc, q[:16], k=50, round_to=6, vec_col="mrl_vec").select(
+            "vec_id"
+        )
+        rer = topk(emb.join(F.broadcast(short), "vec_id"), q, k=10, round_to=6)
+        exact = topk(emb, q, k=10, round_to=6)
+        hits = rer.select("vec_id").join(exact.select("vec_id"), "vec_id").count()
+        assert 0 <= hits <= 10
+        # the query vector itself always survives both stages
+        assert rer.where(F.col("vec_id") == 0).count() == 1

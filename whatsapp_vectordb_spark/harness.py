@@ -5372,3 +5372,231 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unl = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
     lab = emb.where(F.col("vec_id") % 5 != 0).select("vec_id", "embedding", "label")
     return _klp(unl, lab, k=5)
+
+
+# ==========================================================================
+# Round 5 (batch 2): Matryoshka prefix retrieval + recall gate, CCNet
+# perplexity buckets over the grouped distributed prefix sum, index
+# compaction as an oracle-checked lifecycle query.
+# ==========================================================================
+
+_MRL_DIM = 16
+_MRL_SHORT = 50
+
+
+@_register(
+    "ann_mrl_topk",
+    f"""
+WITH q AS (SELECT embedding[1:{_MRL_DIM}]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-cosine top-10 (first 16 of 64 dims): the
+    zero-cost dimensionality reduction — a slice, no projection matrix —
+    that MRL-trained embedders are built for. Map-only scoring +
+    TakeOrderedAndProject, 4× fewer multiply-adds per row
+    (operators/projection.py mrl_truncate)."""
+    from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trunc = mrl_truncate(emb, _MRL_DIM)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"][:_MRL_DIM]
+    return topk(trunc, qvec, k=10, round_to=ROUND_SCORE, vec_col="mrl_vec")
+
+
+@_register(
+    "ann_mrl_recall_gate",
+    f"""
+WITH q16 AS (SELECT embedding[1:{_MRL_DIM}]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q16
+  WHERE list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q16.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q16.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT {_MRL_SHORT}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM rer JOIN exact ON rer.vec_id = exact.vec_id
+""",
+)
+def ann_mrl_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka gate: prefix-16 shortlist-50 → exact full-dim
+    re-rank top-10, recall vs brute force — measures what the prefix
+    truncation costs on THIS corpus (synthetic, not MRL-trained, so the
+    gate is the honest contract, same as the JL gate)."""
+    from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trunc = mrl_truncate(emb, _MRL_DIM)
+    qfull = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    short = topk(
+        trunc, qfull[:_MRL_DIM], k=_MRL_SHORT, round_to=ROUND_SCORE, vec_col="mrl_vec"
+    ).select("vec_id")
+    rer = topk(
+        emb.join(F.broadcast(short), "vec_id"), qfull, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    exact = topk(emb, qfull, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        rer.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+@_register(
+    "text_perplexity_buckets",
+    f"""
+WITH base AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+eligible AS (SELECT * FROM base WHERE len(tk) >= 2),
+pairs AS (
+  SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
+  FROM eligible, LATERAL unnest(range(1, len(tk))) i(i)
+),
+toks AS (SELECT unnest(tk) AS tok FROM eligible),
+uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM toks),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+lp AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln(0.75 * b.c2 / u1.c1 + 0.25 * u2.c1 / t.N) * 1000000) AS BIGINT) AS lp
+  FROM big b
+  JOIN uni u1 ON b.w1 = u1.tok
+  JOIN uni u2 ON b.w2 = u2.tok
+  CROSS JOIN tot t
+),
+doc_sc AS (
+  SELECT p.doc_id,
+         CAST(round(ROUND(SUM(l.lp) / COUNT(*) / 1000000.0, 6) * 1000000) AS BIGINT) AS sm
+  FROM pairs p JOIN lp l ON p.w1 = l.w1 AND p.w2 = l.w2
+  GROUP BY 1
+),
+ranked AS (
+  SELECT s.doc_id, d.lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY s.sm DESC, s.doc_id ASC) AS BIGINT) AS rank,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM doc_sc s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, rank,
+       CASE WHEN rank * 3 <= n THEN 'head'
+            WHEN rank * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+""",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    head/middle/tail terciles by bigram-LM fluency. The per-language rank
+    runs on the GROUPED two-phase distributed prefix sum — no language
+    funnels through one task at 100 TB, unlike a naive
+    Window.partitionBy(lang) (operators/textops.py perplexity_buckets,
+    operators/curate.py grouped_prefix_sum)."""
+    from whatsapp_vectordb_spark.operators.textops import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "index_compact",
+    """
+WITH corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+       CAST(1 AS BIGINT) AS max_files_per_bucket
+FROM corpus
+""",
+)
+def index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance (index.VectorIndex.compact): build a
+    bucketed index, simulate an append-mode streaming ingest leaving extra
+    file generations in their correct hash buckets, compact, and report
+    content invariance (count + id checksum) plus the structural
+    invariant (≤1 parquet file per bucket). Only crowded buckets are
+    rewritten — the same bounded-rewrite contract as upsert/delete."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding")
+    )
+    clones = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).cast("string").alias("id"), F.col("embedding")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="wvs_compact_")
+    try:
+        idx = VectorIndex.create_or_get(
+            spark, root, "compact-idx", dimension=64, num_id_buckets=8
+        )
+        idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+        # append-mode micro-batches: each clone lands in its CORRECT hash
+        # bucket dir as an extra file generation (what a streaming append
+        # sink leaves behind; upsert itself always rewrites to 1 file)
+        tagged = clones.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col("id")), F.lit(8))
+        ).localCheckpoint(eager=True)
+        for b in [r["_b"] for r in tagged.select("_b").distinct().collect()]:
+            tagged.where(F.col("_b") == b).drop("_b").withColumn(
+                "_ingest_seq", F.lit(2)
+            ).write.mode("append").parquet(_os.path.join(idx.path, f"_bucket={b}"))
+        idx.compact(max_files_per_partition=1)
+        max_files = max(
+            sum(
+                1
+                for f in _os.listdir(_os.path.join(idx.path, d))
+                if f.endswith(".parquet")
+            )
+            for d in _os.listdir(idx.path)
+            if d.startswith("_bucket=")
+        )
+        out = (
+            idx.read()
+            .select(F.col("id").cast("long").alias("vid"))
+            .agg(
+                F.count("*").alias("n_vectors"),
+                F.sum("vid").alias("id_checksum"),
+                F.lit(max_files).cast("long").alias("max_files_per_bucket"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "n_vectors bigint, id_checksum bigint, max_files_per_bucket bigint"
+    )

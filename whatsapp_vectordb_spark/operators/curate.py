@@ -489,3 +489,62 @@ def cdc_duplicate_chunks(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exclusive prefix sum of ``value_col`` in ``order_col``
+    order — the grouped sibling of :func:`ordered_prefix_sum`, for ranks
+    and running totals *within* a partition key (per-language perplexity
+    ranks, per-domain token budgets) without funnelling each group through
+    one task.
+
+    Range-partitions on ``(group, order)`` so a group's rows are
+    contiguous across partitions and each partition only sorts its slice;
+    per-``(partition, group)`` subtotals (≤ ``n_parts + groups`` rows — a
+    group spans a partition boundary at most once per boundary) are
+    collected once and broadcast-joined back as base offsets.
+    ``order_col`` must be unique within its group. localCheckpoint for the
+    same two-job determinism reason as :func:`ordered_prefix_sum`.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_parts, F.col(group_col), F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "_local_before", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    totals = (
+        part.groupBy("_pid", group_col)
+        .agg(F.sum(value_col).alias("_tot"))
+        .collect()
+    )
+    running: dict = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        g = r[group_col]
+        rows.append((r["_pid"], g, running.get(g, 0)))
+        running[g] = running.get(g, 0) + int(r["_tot"])
+    gtype = dict(part.dtypes)[group_col]
+    off = spark.createDataFrame(
+        rows, f"_pid int, {group_col} {gtype}, _off long"
+    )
+    return (
+        local.join(F.broadcast(off), ["_pid", group_col])
+        .withColumn(out_col, (F.col("_local_before") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local_before", "_off")
+    )

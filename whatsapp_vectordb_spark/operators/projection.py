@@ -177,3 +177,22 @@ def pca_project_long(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*dots)).alias("comp_id", "coord")
     ).select(F.col(id_col), F.col("comp_id").cast("long").alias("comp_id"), "coord")
+
+
+def mrl_truncate(
+    df: DataFrame,
+    prefix_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "mrl_vec",
+) -> DataFrame:
+    """Matryoshka prefix truncation (Kusupati et al. 2022, MRL): keep the
+    first ``prefix_dim`` coordinates of an MRL-trained embedding — the
+    cheapest dimensionality reduction there is (a slice; no projection
+    matrix, no training, no shuffle). MRL-trained models pack coarse
+    similarity into the prefix, so a prefix-cosine shortlist + full-dim
+    re-rank is the standard two-stage scale path; the recall gate
+    measures exactly what the truncation costs on THIS corpus (ours is
+    synthetic, not MRL-trained — the gate, not the slice, is the
+    contract).
+    """
+    return df.withColumn(out_col, F.slice(F.col(vec_col), 1, prefix_dim))

@@ -623,3 +623,62 @@ def bigram_loglik(
             ),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    language, rank documents by LM fluency (:func:`bigram_loglik`) and
+    split into *head* / *middle* / *tail* terciles — the standard quality
+    stratification pretraining mixes sample from (head kept, tail dropped
+    or down-weighted).
+
+    Determinism: ranks order on (micro-unit score desc, id asc); bucket
+    edges are integer arithmetic (``rank·3 ≤ n`` → head, ``≤ 2n`` →
+    middle), so tie handling and edges are engine-exact.
+
+    Scale shape: the per-language rank comes from the grouped two-phase
+    prefix sum (operators/curate.py grouped_prefix_sum) — no language ever
+    funnels through a single task, unlike a naive
+    ``Window.partitionBy(lang).orderBy(score)`` whose biggest language
+    dominates one partition at 100 TB. Per-language doc counts are a
+    broadcast join.
+    """
+    from whatsapp_vectordb_spark.operators.curate import grouped_prefix_sum
+
+    scored = bigram_loglik(docs, text_col=text_col, id_col=id_col, lam=lam).select(
+        F.col(id_col),
+        F.round(F.col("avg_logprob") * 1_000_000).cast("long").alias("_sm"),
+    )
+    with_lang = scored.join(
+        docs.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    )
+    # unique ASC order key encoding (score desc, id asc): scores are
+    # micro-unit log-probs in (-1e8, 0]; ids < 1e10
+    keyed = with_lang.withColumn(
+        "_key",
+        ((F.lit(100_000_000) - F.col("_sm")) * F.lit(10_000_000_000) + F.col(id_col)).cast(
+            "long"
+        ),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = grouped_prefix_sum(keyed, "lang", "_key", "_one", out_col="_rb").withColumn(
+        "rank", (F.col("_rb") + 1).cast("long")
+    )
+    n_by_lang = with_lang.groupBy("lang").agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_by_lang), "lang")
+        .select(
+            F.col(id_col),
+            "lang",
+            "rank",
+            F.when(F.col("rank") * 3 <= F.col("_n"), F.lit("head"))
+            .when(F.col("rank") * 3 <= F.col("_n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
