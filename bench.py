@@ -260,6 +260,24 @@ def main() -> None:
 
         ann_jl_topk(spark, sf_dir).collect()
 
+    @timed("text_cdc_chunk_dedup")
+    def _():
+        from whatsapp_vectordb_spark.harness import text_cdc_chunk_dedup
+
+        text_cdc_chunk_dedup(spark, sf_dir).count()
+
+    @timed("curate_dsir_weights")
+    def _():
+        from whatsapp_vectordb_spark.harness import curate_dsir_weights
+
+        curate_dsir_weights(spark, sf_dir).count()
+
+    @timed("ann_mrl_topk")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_mrl_topk
+
+        ann_mrl_topk(spark, sf_dir).collect()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -241,3 +241,51 @@ class TestMrl:
         assert 0 <= hits <= 10
         # the query vector itself always survives both stages
         assert rer.where(F.col("vec_id") == 0).count() == 1
+
+
+class TestQualityPercentile:
+    def test_percentiles_within_source(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import (
+            quality_percentile_by_source,
+        )
+
+        rows = [
+            (i, " ".join(f"tok{i}w{j}" for j in range(12)), "en", "a") for i in range(4)
+        ] + [(10 + i, "short text here", "en", "b") for i in range(2)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        out = quality_percentile_by_source(docs).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert sorted(r["rank"] for r in by_src["a"]) == [1, 2, 3, 4]
+        assert max(r["pct"] for r in by_src["a"]) == 1.0
+        assert sorted(r["rank"] for r in by_src["b"]) == [1, 2]
+        # percentiles are per-source: both sources top out at 1.0
+        assert max(r["pct"] for r in by_src["b"]) == 1.0
+
+
+class TestSplitLeakage:
+    def test_cross_split_pairs_flagged(self, spark):
+        from whatsapp_vectordb_spark.operators.sampling import assign_splits
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.9), (3, 4, 0.8)], "id_a long, id_b long, jaccard double"
+        )
+        both = assign_splits(
+            assign_splits(pairs, "id_a", split_col="split_a"),
+            "id_b",
+            split_col="split_b",
+        )
+        rows = both.collect()
+        # split assignment is a pure function of the id: applying it to
+        # pair columns equals applying it to the id table
+        singles = assign_splits(
+            spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long"),
+            "doc_id",
+        ).collect()
+        want = {r["doc_id"]: r["split"] for r in singles}
+        for r in rows:
+            assert r["split_a"] == want[r["id_a"]]
+            assert r["split_b"] == want[r["id_b"]]

@@ -5600,3 +5600,90 @@ def index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "n_vectors bigint, id_checksum bigint, max_files_per_bucket bigint"
     )
+
+
+# ==========================================================================
+# Round 5 (batch 3): split-leakage audit and per-source quality
+# calibration.
+# ==========================================================================
+
+_SPLIT_OF = (
+    "CASE WHEN ('0x' || substr(md5('0:' || CAST({id} AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train' "
+    "WHEN ('0x' || substr(md5('0:' || CAST({id} AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@_register(
+    "sample_split_leakage",
+    f"""
+WITH p AS ({_minhash_pairs_sql(16, 4, 3, 0.5)})
+SELECT id_a, id_b, jaccard,
+       {_SPLIT_OF.format(id='id_a')} AS split_a,
+       {_SPLIT_OF.format(id='id_b')} AS split_b
+FROM p
+WHERE {_SPLIT_OF.format(id='id_a')} <> {_SPLIT_OF.format(id='id_b')}
+""",
+)
+def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: MinHash near-dup pairs whose two sides
+    land in DIFFERENT hash-assigned splits — the contamination a
+    train/val/test split inherits when dedup runs after splitting. This
+    is the audit run before training; the fix is canonicalizing
+    duplicates BEFORE split assignment (dedup_components). Composition of
+    two oracle-checked stages: the LSH pair pipeline + the pure-function
+    split assignment (map-only on the pair ids — no extra join)."""
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+    from whatsapp_vectordb_spark.operators.sampling import assign_splits
+
+    pairs = minhash_near_duplicates(
+        _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    both = assign_splits(
+        assign_splits(pairs, "id_a", split_col="split_a"), "id_b", split_col="split_b"
+    )
+    return both.where(F.col("split_a") != F.col("split_b")).select(
+        "id_a", "id_b", "jaccard", "split_a", "split_b"
+    )
+
+
+@_register(
+    "text_quality_calibrated",
+    f"""
+WITH toks AS (SELECT doc_id, text, source, {_TOKS.format(c='text')} AS tk FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END AS mwl,
+         CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END AS sr,
+         CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END AS dv
+  FROM toks
+),
+q AS (
+  SELECT doc_id, source,
+         CAST(round(ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+           + LEAST(sr * 2.0, 1.0) * 0.25
+           + dv * 0.25, 6) * 1000000) AS BIGINT) AS q_micro
+  FROM feats
+),
+r AS (
+  SELECT doc_id, source, q_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_micro DESC, doc_id ASC) AS BIGINT) AS rank,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT doc_id, source, q_micro, rank, ROUND(rank / CAST(n AS DOUBLE), 6) AS pct
+FROM r
+""",
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile (rank calibration): raw heuristic
+    scores aren't comparable across sources; the percentile within each
+    source is — the per-domain analogue of CCNet buckets, ranked via the
+    grouped distributed prefix sum (operators/textops.py
+    quality_percentile_by_source)."""
+    from whatsapp_vectordb_spark.operators.textops import quality_percentile_by_source
+
+    return quality_percentile_by_source(_t(spark, sf_dir, "documents"))

@@ -682,3 +682,53 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def quality_percentile_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quality-score calibration: each document's quality as a
+    PERCENTILE within its own source (rank/n). Raw heuristic scores are
+    not comparable across sources (a clean-wiki 0.6 ≠ a web-crawl 0.6);
+    rank calibration is the standard fix before a single global quality
+    cut — the per-domain analogue of CCNet's per-language buckets.
+
+    Determinism: ranks on (micro-unit score desc, id asc); percentile is
+    ``round(rank/n, 6)``. Scale shape: the per-source rank runs on the
+    grouped two-phase distributed prefix sum — a 50-billion-doc web
+    source never funnels through one task — and per-source counts are a
+    broadcast join.
+    """
+    from whatsapp_vectordb_spark.operators.curate import grouped_prefix_sum
+
+    scored = quality_scores(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q_micro"),
+    )
+    with_src = scored.join(
+        docs.select(F.col(id_col), F.col(source_col).alias("source")), id_col
+    )
+    keyed = with_src.withColumn(
+        "_key",
+        (
+            (F.lit(1_000_000) - F.col("q_micro")) * F.lit(10_000_000_000)
+            + F.col(id_col)
+        ).cast("long"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = grouped_prefix_sum(
+        keyed, "source", "_key", "_one", out_col="_rb"
+    ).withColumn("rank", (F.col("_rb") + 1).cast("long"))
+    n_by_src = with_src.groupBy("source").agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_by_src), "source")
+        .select(
+            F.col(id_col),
+            "source",
+            "q_micro",
+            "rank",
+            F.round(F.col("rank") / F.col("_n"), 6).alias("pct"),
+        )
+    )
