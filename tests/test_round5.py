@@ -289,3 +289,31 @@ class TestSplitLeakage:
         for r in rows:
             assert r["split_a"] == want[r["id_a"]]
             assert r["split_b"] == want[r["id_b"]]
+
+
+class TestBinaryQuantization:
+    def test_signature_bits(self, spark):
+        from whatsapp_vectordb_spark.operators.ann import binary_signature
+
+        vec = [0.0] * 64
+        vec[0] = 1.0   # bit 0 of lo
+        vec[5] = 2.0   # bit 5 of lo
+        vec[32] = 1.0  # bit 0 of hi
+        vec[63] = 0.5  # bit 31 of hi
+        df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+        lo, hi = binary_signature("embedding", 64)
+        row = df.select(lo.alias("lo"), hi.alias("hi")).head()
+        assert row["lo"] == (1 << 0) + (1 << 5)
+        assert row["hi"] == (1 << 0) + (1 << 31)
+
+    def test_hamming_identity_and_order(self, spark):
+        from whatsapp_vectordb_spark.operators.ann import binary_hamming_topk
+
+        q = [1.0] * 32 + [-1.0] * 32
+        near = [1.0] * 31 + [-1.0] * 33   # 1 bit flipped
+        far = [-1.0] * 64                  # 32 bits differ (lo word only)
+        df = spark.createDataFrame(
+            [(0, q), (1, near), (2, far)], "vec_id long, embedding array<double>"
+        )
+        out = binary_hamming_topk(df, q, k=3, dim=64).collect()
+        assert [(r["vec_id"], r["hamming"]) for r in out] == [(0, 0), (1, 1), (2, 32)]

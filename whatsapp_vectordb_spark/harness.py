@@ -5687,3 +5687,99 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.textops import quality_percentile_by_source
 
     return quality_percentile_by_source(_t(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Round 5 (batch 4): sign-bit binary quantization (BQ) — 1-bit/dim
+# signatures, XOR+popcount Hamming scan, exact re-rank recall gate.
+# ==========================================================================
+
+_BQ_SHORT = 64
+
+_BQ_SIGS = """
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN i.i < 32 AND embedding[i.i + 1] > 0
+                       THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN i.i >= 32 AND embedding[i.i + 1] > 0
+                       THEN (1::BIGINT << (i.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+  GROUP BY 1
+),
+qsig AS (SELECT lo AS qlo, hi AS qhi FROM sigs WHERE vec_id = 0),
+ham AS (
+  SELECT s.vec_id,
+         CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS BIGINT) AS hamming
+  FROM sigs s CROSS JOIN qsig q
+)
+"""
+
+
+@_register(
+    "ann_binary_topk",
+    f"""
+WITH {_BQ_SIGS}
+SELECT vec_id, hamming FROM ham
+ORDER BY hamming ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization top-10: sign-bit signatures (8 bytes/vector,
+    32× smaller than float32), distance = two XOR+popcount — the
+    cheapest first-stage vector scan there is, integer-exact in both
+    engines (operators/ann.py binary_hamming_topk)."""
+    from whatsapp_vectordb_spark.operators.ann import binary_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return binary_hamming_topk(emb, qvec, k=10, dim=64)
+
+
+@_register(
+    "ann_binary_recall_gate",
+    f"""
+WITH {_BQ_SIGS},
+short AS (SELECT vec_id FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT {_BQ_SHORT}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM rer JOIN exact ON rer.vec_id = exact.vec_id
+""",
+)
+def ann_binary_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ two-stage gate: Hamming shortlist-64 over 8-byte signatures →
+    exact cosine re-rank top-10, recall vs brute force hash-checked —
+    the scan reads 32× fewer bytes; the gate prices what the 1-bit
+    compression costs on THIS corpus."""
+    from whatsapp_vectordb_spark.operators.ann import binary_hamming_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    short = binary_hamming_topk(emb, qvec, k=_BQ_SHORT, dim=64).select("vec_id")
+    rer = topk(
+        emb.join(F.broadcast(short), "vec_id"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    exact = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        rer.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
