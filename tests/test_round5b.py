@@ -1,0 +1,246 @@
+"""Round-5 batch-5 operators: overlapping chunking, phrase search,
+distinct-n diversity, retention cohorts, Markov transitions, balanced
+shard assignment.
+
+Exactness against DuckDB oracles is the gate's job; these cover the
+operator semantics and edges the oracles can't express (empty docs,
+overlapping matches, repeated query tokens, shard-balance bounds,
+permutation determinism).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkOverlap:
+    def test_windows_and_md5(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import chunk_overlap
+
+        toks = [f"w{i}" for i in range(10)]
+        out = chunk_overlap(
+            _docs(spark, [(1, " ".join(toks))]), size=4, stride=3
+        ).collect()
+        # starts: 0,3,6,9 — last window is the 1-token tail
+        assert [(r["chunk_id"], r["start_tok"], r["n_chunk_tokens"]) for r in out] == [
+            (0, 0, 4),
+            (1, 3, 4),
+            (2, 6, 4),
+            (3, 9, 1),
+        ]
+        import hashlib
+
+        want = hashlib.md5(" ".join(toks[3:7]).encode()).hexdigest()
+        assert out[1]["chunk_md5"] == want
+
+    def test_empty_and_exact_multiple(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import chunk_overlap
+
+        out = chunk_overlap(
+            _docs(spark, [(1, ""), (2, "a b c d e f")]), size=3, stride=3
+        ).collect()
+        assert {r["doc_id"] for r in out} == {2}
+        assert [(r["start_tok"], r["n_chunk_tokens"]) for r in out] == [(0, 3), (3, 3)]
+
+    def test_tokens_covered_exactly_once_when_stride_equals_size(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import chunk_overlap
+
+        n = 50
+        out = chunk_overlap(
+            _docs(spark, [(7, " ".join(f"t{i}" for i in range(n)))]),
+            size=8,
+            stride=8,
+        ).collect()
+        assert sum(r["n_chunk_tokens"] for r in out) == n
+
+
+class TestPhraseSearch:
+    def test_counts_occurrences(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import phrase_search
+
+        df = _docs(
+            spark,
+            [
+                (1, "sort merge join beats hash join after a sort merge pass"),
+                (2, "merge sort is not sort merge"),  # one match, reversed miss
+                (3, "no phrase here"),
+                (4, "sort then merge"),  # adjacency required
+            ],
+        )
+        out = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(df, "sort merge").collect()
+        }
+        assert out == {1: 2, 2: 1}
+
+    def test_repeated_query_token(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import phrase_search
+
+        df = _docs(spark, [(1, "go go go stop"), (2, "go stop go")])
+        # "go go" overlaps: positions 0 and 1 in doc 1
+        out = {
+            r["doc_id"]: r["n_matches"] for r in phrase_search(df, "go go").collect()
+        }
+        assert out == {1: 2}
+
+    def test_query_tokenized_like_documents(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import phrase_search
+
+        df = _docs(spark, [(1, "state of the art results")])
+        out = phrase_search(df, "state-of-the-art").collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+
+class TestDistinctNgrams:
+    def test_known_ratios(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import (
+            distinct_ngram_diversity,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b", "s1"), (2, "a a a a", "s1")],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r["n"]: r
+            for r in distinct_ngram_diversity(df, ns=(1, 2)).collect()
+        }
+        # unigrams: 8 total, {a,b} distinct
+        assert rows[1]["n_total"] == 8 and rows[1]["n_distinct"] == 2
+        # bigrams: 6 total ("a b","b a","a b" + "a a"×3), {a b, b a, a a}
+        assert rows[2]["n_total"] == 6 and rows[2]["n_distinct"] == 3
+        assert rows[2]["distinct_ratio"] == 0.5
+
+    def test_short_docs_skip_higher_orders(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import (
+            distinct_ngram_diversity,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "solo", "s")], "doc_id long, text string, source string"
+        )
+        rows = distinct_ngram_diversity(df, ns=(1, 2, 3)).collect()
+        assert {r["n"] for r in rows} == {1}
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+class TestRetentionCohorts:
+    def test_cohort_and_offsets(self, spark):
+        from whatsapp_vectordb_spark.operators.events import retention_cohorts
+
+        d = datetime.datetime
+        rows = [
+            # user 1: first event Tue 2024-01-02 → cohort week Mon 2024-01-01
+            (1, 1, d(2024, 1, 2), "click"),
+            (2, 1, d(2024, 1, 10), "click"),  # week offset 1
+            (3, 1, d(2024, 1, 16), "buy"),  # week offset 2
+            # user 2: first event in week of 2024-01-08
+            (4, 2, d(2024, 1, 8), "click"),
+            (5, 2, d(2024, 1, 9), "click"),  # same week, offset 0
+        ]
+        out = {
+            (r["cohort_week"], r["week_offset"]): (r["n_active_users"], r["n_events"])
+            for r in retention_cohorts(_events_df(spark, rows)).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): (1, 1),
+            ("2024-01-01", 1): (1, 1),
+            ("2024-01-01", 2): (1, 1),
+            ("2024-01-08", 0): (1, 2),
+        }
+
+
+class TestMarkovTransitions:
+    def test_probabilities(self, spark):
+        from whatsapp_vectordb_spark.operators.events import markov_transitions
+
+        d = datetime.datetime
+        rows = [
+            (1, 1, d(2024, 1, 1, 0), "a"),
+            (2, 1, d(2024, 1, 1, 1), "b"),
+            (3, 1, d(2024, 1, 1, 2), "a"),
+            (4, 1, d(2024, 1, 1, 3), "c"),
+            (5, 2, d(2024, 1, 1, 0), "a"),
+            (6, 2, d(2024, 1, 1, 1), "b"),
+        ]
+        out = {
+            (r["src"], r["dst"]): (r["n_transitions"], r["p"])
+            for r in markov_transitions(_events_df(spark, rows)).collect()
+        }
+        # from a: b,b,c → p(b|a)=2/3; across users, no cross-user pair
+        assert out[("a", "b")] == (2, round(2 / 3, 6))
+        assert out[("a", "c")] == (1, round(1 / 3, 6))
+        assert out[("b", "a")] == (1, 1.0)
+        assert ("c", "a") not in out  # sequence ends per user
+
+    def test_simultaneous_events_tiebreak_on_id(self, spark):
+        from whatsapp_vectordb_spark.operators.events import markov_transitions
+
+        d = datetime.datetime
+        t = d(2024, 1, 1)
+        rows = [(2, 1, t, "y"), (1, 1, t, "x")]  # same ts: order by event_id
+        out = {
+            (r["src"], r["dst"]) for r in markov_transitions(_events_df(spark, rows)).collect()
+        }
+        assert out == {("x", "y")}
+
+
+class TestShardAssign:
+    def test_balance_and_conservation(self, spark):
+        from whatsapp_vectordb_spark.operators.curate import shard_assign
+
+        docs = spark.createDataFrame(
+            [(i, 10 + (i * 13) % 90) for i in range(300)], "doc_id long, n_tokens long"
+        )
+        target = 500
+        out = shard_assign(docs, shard_tokens=target).collect()
+        assert len(out) == 300  # every doc assigned
+        total = sum(r["n_tokens"] for r in out)
+        by_shard: dict[int, int] = {}
+        for r in out:
+            by_shard[r["shard_id"]] = by_shard.get(r["shard_id"], 0) + r["n_tokens"]
+        # shard ids are the contiguous range 0..ceil(total/target)-1
+        assert set(by_shard) == set(range(max(by_shard) + 1))
+        # every shard's FIRST doc starts before the shard's token budget is
+        # exhausted, so a shard overshoots by at most one document (<100
+        # tokens here); all but the last shard hold ≥ target - max_doc + 1
+        max_doc = 10 + 89
+        for sid, tok in by_shard.items():
+            if sid != max(by_shard):
+                assert tok >= target - max_doc + 1
+            assert tok <= target + max_doc - 1
+
+        # deterministic permutation: same seed → identical assignment
+        again = {
+            r["doc_id"]: r["shard_id"]
+            for r in shard_assign(docs, shard_tokens=target).collect()
+        }
+        assert again == {r["doc_id"]: r["shard_id"] for r in out}
+        assert total == sum(10 + (i * 13) % 90 for i in range(300))
+
+    def test_seed_changes_permutation(self, spark):
+        from whatsapp_vectordb_spark.operators.curate import shard_assign
+
+        docs = spark.createDataFrame(
+            [(i, 50) for i in range(100)], "doc_id long, n_tokens long"
+        )
+        a = {
+            r["doc_id"]: r["perm_key"]
+            for r in shard_assign(docs, shard_tokens=500, seed=1).collect()
+        }
+        b = {
+            r["doc_id"]: r["perm_key"]
+            for r in shard_assign(docs, shard_tokens=500, seed=2).collect()
+        }
+        assert a != b

@@ -5783,3 +5783,223 @@ def ann_binary_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
         )
     )
+
+
+# ==========================================================================
+# Round 5 (batch 5): retrieval corpus prep (overlapping chunking, phrase
+# search over a positional index), corpus diversity (distinct-n), event
+# sequence mining (retention cohorts, Markov transitions), and balanced
+# shard assignment over the deterministic hash permutation.
+# ==========================================================================
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 32
+
+
+@_register(
+    "text_chunk_overlap",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+st AS (
+  SELECT doc_id, tk, CAST(s.s AS BIGINT) AS start_tok
+  FROM toks, LATERAL unnest(range(0, len(tk), {_CHUNK_STRIDE})) s(s)
+  WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       start_tok,
+       CAST(LEAST({_CHUNK_SIZE}, len(tk) - start_tok) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(tk[start_tok + 1 : start_tok + {_CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM st
+""",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking: 64-token windows every 32 tokens,
+    md5 per chunk (operators/textops.py chunk_overlap). Map-only — no
+    shuffle; chunking 100 TB runs at scan speed."""
+    from whatsapp_vectordb_spark.operators.textops import chunk_overlap
+
+    return chunk_overlap(
+        _t(spark, sf_dir, "documents"), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_PHRASE = "sort merge"
+
+
+@_register(
+    "text_phrase_search",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+q(tok, qi) AS (VALUES ('sort', 0), ('merge', 1)),
+pos AS (
+  SELECT t.doc_id, CAST(i.i - 1 AS BIGINT) AS pos, t.tk[i.i] AS tok
+  FROM toks t, LATERAL unnest(range(1, len(t.tk) + 1)) i(i)
+  WHERE t.tk[i.i] IN ('sort', 'merge')
+),
+anch AS (
+  SELECT p.doc_id, p.pos - q.qi AS anchor, q.qi
+  FROM pos p JOIN q ON p.tok = q.tok
+  WHERE p.pos - q.qi >= 0
+),
+hit AS (
+  SELECT doc_id, anchor FROM anch
+  GROUP BY doc_id, anchor
+  HAVING COUNT(DISTINCT qi) = 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM hit GROUP BY doc_id
+""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("sort merge") via positional postings +
+    anchor alignment (operators/textops.py phrase_search): postings are
+    filtered to the query's tokens BEFORE the shuffle, so cost follows
+    the posting list, not the corpus."""
+    from whatsapp_vectordb_spark.operators.textops import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
+@_register(
+    "text_distinct_ngrams",
+    f"""
+WITH toks AS (
+  SELECT source, {_TOKS.format(c='text')} AS tk FROM documents
+),
+nz AS (SELECT source, tk FROM toks WHERE len(tk) > 0),
+g AS (
+  SELECT source, 1 AS n, unnest(tk) AS g FROM nz
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM nz WHERE len(tk) >= 2
+  UNION ALL
+  SELECT source, 3 AS n,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+  FROM nz WHERE len(tk) >= 3
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       ROUND(COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+FROM g
+GROUP BY source, n
+""",
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 corpus diversity per source (Li et al. 2016) —
+    the degenerate-source detector for pretraining mixes
+    (operators/textops.py distinct_ngram_diversity)."""
+    from whatsapp_vectordb_spark.operators.textops import distinct_ngram_diversity
+
+    return distinct_ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "events_retention_cohorts",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+),
+c AS (
+  SELECT user_id,
+         strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', date_trunc('week', first_ts), date_trunc('week', ts)) // 7
+              AS BIGINT) AS week_offset
+  FROM e
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM c GROUP BY cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/events.py
+    retention_cohorts): one user-keyed shuffle for the first-event
+    window, then a weeks²-sized aggregate."""
+    from whatsapp_vectordb_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+@_register(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+FROM c
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type Markov chain per user sequence, tie-broken
+    on (ts, event_id) in both engines (operators/events.py
+    markov_transitions)."""
+    from whatsapp_vectordb_spark.operators.events import markov_transitions
+
+    return markov_transitions(_events(spark, sf_dir))
+
+
+_SHARD_TOKENS = 4096
+_SHARD_SEED = 7
+
+
+@_register(
+    "pack_shard_assign",
+    f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS nt FROM documents
+),
+h AS (
+  SELECT doc_id, nt,
+         ('0x' || substr(md5('{_SHARD_SEED}:' || doc_id), 1, 15))::BIGINT AS hkey
+  FROM toks
+),
+c AS (
+  SELECT doc_id, nt,
+         COALESCE(CAST(SUM(nt) OVER (ORDER BY hkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS cum_before
+  FROM h
+),
+s AS (
+  SELECT doc_id, nt, CAST(cum_before // {_SHARD_TOKENS} AS BIGINT) AS shard_id FROM c
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+FROM s GROUP BY shard_id
+""",
+)
+def pack_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-permutation shuffle + token-balanced shard cuts
+    (operators/curate.py shard_assign over the two-phase prefix sum);
+    per-shard doc/token counts and an id checksum prove both engines
+    assign identically."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.curate import shard_assign
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    assigned = shard_assign(
+        docs, shard_tokens=_SHARD_TOKENS, seed=_SHARD_SEED, tokens_col="n_tokens"
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+    )

@@ -88,3 +88,71 @@ def tumbling_window_agg(
             "sum_value",
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are assigned to the cohort of
+    the ISO week (Monday-aligned ``date_trunc('week')``) of their FIRST
+    event; each cell ``(cohort_week, week_offset)`` counts the cohort's
+    users still active that many weeks later, plus their event volume —
+    the standard product-analytics retention triangle.
+
+    Scale shape: the per-user first-event timestamp is a window min (one
+    shuffle keyed by user — the same key a sessionization already uses,
+    so AQE can reuse the exchange), then a single global aggregate over
+    ``(cohort, offset)`` whose cardinality is weeks², tiny regardless of
+    corpus size. ``count_distinct(user)`` in the cell aggregate is exact;
+    at 100 TB swap in HLL sketches (operators/sketches.py) if ±2% is
+    acceptable.
+    """
+    w = Window.partitionBy(user_col)
+    cohort = F.date_trunc("week", F.min(ts_col).over(w))
+    week = F.date_trunc("week", F.col(ts_col))
+    return (
+        events.select(
+            F.col(user_col),
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(week, cohort) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count_distinct(user_col).cast("long").alias("n_active_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over each
+    user's time-ordered event sequence: ``p(dst | src)`` estimated from
+    consecutive pairs — sequence mining for funnels/next-event prediction.
+
+    Determinism: sequences order by ``(ts, event_id)`` so simultaneous
+    events tie-break identically in every engine. Scale shape: ONE
+    shuffle keyed by user for the lead() window; the transition aggregate
+    is |event types|² rows, and the per-src normalizing window runs over
+    that tiny aggregate, not the raw events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("_n"))
+    per_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        F.col("_n").cast("long").alias("n_transitions"),
+        F.round(F.col("_n") / F.sum("_n").over(per_src), 6).alias("p"),
+    )

@@ -732,3 +732,142 @@ def quality_percentile_by_source(
             F.round(F.col("rank") / F.col("_n"), 6).alias("pct"),
         )
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: cut each document's token stream
+    into windows of ``size`` tokens every ``stride`` tokens (overlapping
+    when ``stride < size``), the standard passage unit for retrieval
+    corpora. Output: ``(id, chunk_id, start_tok, n_chunk_tokens,
+    chunk_md5)`` — the md5 of the space-joined window stands in for the
+    chunk text so results stay hashable and compact.
+
+    Scale shape: map-only (tokenize → explode window starts → slice), no
+    shuffle at all; a 100 TB corpus chunks at scan speed and the output
+    inherits the input partitioning. Token-less documents produce no
+    chunks (the window-start sequence needs ≥1 token).
+    """
+    t = _with_tokens(df, text_col, id_col)
+    # explode(when(empty, NULL)) emits no rows for token-less docs — unlike
+    # a .where(size>0), which Catalyst pushes into the scan and thereby
+    # re-evaluates the tokenize split a second time per row
+    starts = F.when(
+        F.size("_tk") > 0, F.sequence(F.lit(0), F.size("_tk") - 1, F.lit(stride))
+    )
+    return (
+        t.select(
+            F.col(id_col),
+            F.size("_tk").alias("_n"),
+            F.col("_tk"),
+            F.explode(starts).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.col("_start").cast("long").alias("start_tok"),
+            F.least(F.lit(size), F.col("_n") - F.col("_start"))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice(F.col("_tk"), F.col("_start") + 1, size), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search over a positional inverted index: tokenize,
+    posexplode into ``(doc, pos, token)`` postings, keep only postings for
+    the query's tokens (the selective filter runs BEFORE any shuffle — at
+    scale this is the difference between shuffling a corpus and shuffling
+    a posting list), broadcast-join the tiny ``(token, offset)`` query
+    table, and count anchors where every query offset aligns:
+    ``anchor = pos - offset`` groups with ``count(distinct offset) == m``
+    are exact phrase occurrences. Output: ``(id, n_matches)`` per
+    matching document.
+
+    The query is tokenized with the SAME regex as documents
+    (``py_tokens``), so punctuation in the phrase can't silently produce
+    unmatchable tokens. Repeated query tokens are handled by counting
+    DISTINCT offsets. One shuffle, keyed by ``(doc, anchor)`` — cost
+    scales with postings of the query's tokens, not corpus size.
+    """
+    from whatsapp_vectordb_spark.functions.text import py_tokens
+
+    qtoks = py_tokens(phrase)
+    if not qtoks:
+        raise ValueError(f"phrase {phrase!r} has no tokens")
+    m = len(qtoks)
+    qdf = df.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(qtoks)], "tok string, qi int"
+    )
+    postings = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).where(F.col("tok").isin(*set(qtoks)))
+    anchors = (
+        postings.join(F.broadcast(qdf), "tok")
+        .select(F.col(id_col), (F.col("pos") - F.col("qi")).alias("anchor"), "qi")
+        .where(F.col("anchor") >= 0)
+        .groupBy(id_col, "anchor")
+        .agg(F.count_distinct("qi").alias("_nq"))
+        .where(F.col("_nq") == m)
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus diversity metrics: per ``by`` group and n-gram order, the
+    distinct-n ratio ``|unique n-grams| / |n-grams|`` (Li et al. 2016's
+    distinct-1/distinct-2) — the standard detector for degenerate or
+    templated text sources (a low distinct-2 source is boilerplate or
+    model-generated loops) when triaging pretraining mixes.
+
+    N-grams are contiguous and NON-deduplicated within documents (the
+    total must count repeats, that's the point of the metric). Shuffle is
+    keyed by ``(group, n, gram)`` for the distinct count with map-side
+    partial aggregation; documents shorter than n contribute nothing at
+    that order.
+    """
+    t = df.select(F.col(by), tokens(text_col).alias("_tk")).where(F.size("_tk") > 0)
+    per_n = []
+    for n in ns:
+        if n == 1:
+            grams = F.col("_tk")
+        else:
+            grams = F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - n),
+                lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, n), " "),
+            )
+        per_n.append(
+            t.where(F.size("_tk") >= n).select(
+                F.col(by),
+                F.lit(n).cast("int").alias("n"),
+                F.explode(grams).alias("_g"),
+            )
+        )
+    allg = per_n[0]
+    for other in per_n[1:]:
+        allg = allg.unionByName(other)
+    return allg.groupBy(by, "n").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count_distinct("_g").cast("long").alias("n_distinct"),
+        F.round(F.count_distinct("_g") / F.count("*"), 6).alias("distinct_ratio"),
+    )
