@@ -278,6 +278,24 @@ def main() -> None:
 
         ann_mrl_topk(spark, sf_dir).collect()
 
+    @timed("text_chunk_overlap")
+    def _():
+        from whatsapp_vectordb_spark.harness import text_chunk_overlap
+
+        text_chunk_overlap(spark, sf_dir).count()
+
+    @timed("text_phrase_search")
+    def _():
+        from whatsapp_vectordb_spark.harness import text_phrase_search
+
+        text_phrase_search(spark, sf_dir).count()
+
+    @timed("pack_shard_assign")
+    def _():
+        from whatsapp_vectordb_spark.harness import pack_shard_assign
+
+        pack_shard_assign(spark, sf_dir).count()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

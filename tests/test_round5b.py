@@ -244,3 +244,79 @@ class TestShardAssign:
             for r in shard_assign(docs, shard_tokens=500, seed=2).collect()
         }
         assert a != b
+
+
+class TestSceneCuts:
+    def test_cut_detection_and_checksum(self, spark):
+        from whatsapp_vectordb_spark.multimodal import scene_cut_stats
+
+        rows = [
+            # asset A: orthogonal flip at 1000 and 2000, similar at 3000
+            ("a", 0, [1.0, 0.0]),
+            ("a", 1000, [0.0, 1.0]),   # sim 0 → cut
+            ("a", 2000, [1.0, 0.0]),   # sim 0 → cut
+            ("a", 3000, [0.9, 0.1]),   # sim ~0.994 → no cut
+            # asset B: single chunk, never a cut
+            ("b", 0, [0.5, 0.5]),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id string, chunk_start_ms long, embedding array<float>"
+        )
+        out = {r["media_id"]: r for r in scene_cut_stats(df, threshold=0.5).collect()}
+        assert (out["a"]["n_chunks"], out["a"]["n_cuts"]) == (4, 2)
+        assert out["a"]["cut_ms_checksum"] == 3000  # 1000 + 2000
+        assert (out["b"]["n_chunks"], out["b"]["n_cuts"], out["b"]["cut_ms_checksum"]) == (1, 0, 0)
+
+
+class TestEpochWaterfill:
+    def _invariants(self, spark, rows, budget, max_epochs=4):
+        from whatsapp_vectordb_spark.operators.curate import epoch_waterfill
+
+        df = spark.createDataFrame(rows, "source string, n_tokens long, weight long")
+        out = epoch_waterfill(df, budget=budget, max_epochs=max_epochs).collect()
+        got = {r["source"]: r for r in out}
+        total_alloc = sum(r["alloc_tokens"] for r in out)
+        # never exceeds budget; floor rounding loses < |sources| tokens
+        assert total_alloc <= budget
+        for r in out:
+            assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+            assert r["cap_tokens"] == max_epochs * r["n_tokens"]
+        # uncapped sources share the leftover proportionally to weight
+        uncapped = [r for r in out if r["alloc_tokens"] < r["cap_tokens"]]
+        if len(uncapped) >= 2:
+            lam = [r["alloc_tokens"] / r["weight"] for r in uncapped]
+            assert max(lam) - min(lam) < 1.0  # same water level, floor jitter
+        return got, total_alloc
+
+    def test_all_capped_when_budget_huge(self, spark):
+        rows = [("a", 100, 50), ("b", 200, 10)]
+        got, _ = self._invariants(spark, rows, budget=10_000)
+        assert got["a"]["alloc_tokens"] == 400 and got["b"]["alloc_tokens"] == 800
+        assert got["a"]["epochs_micro"] == 4_000_000
+
+    def test_quality_weighted_split(self, spark):
+        # equal sizes, 3:1 weight → allocation 3:1 until cap
+        rows = [("hi", 1000, 300), ("lo", 1000, 100)]
+        got, total = self._invariants(spark, rows, budget=4000)
+        assert got["hi"]["alloc_tokens"] == 3000
+        assert got["lo"]["alloc_tokens"] == 1000
+        assert got["hi"]["epochs_micro"] == 3_000_000
+
+    def test_cap_overflow_reflows(self, spark):
+        # "hi" would get 6000 > cap 4000; excess reflows to "lo"
+        rows = [("hi", 1000, 300), ("lo", 1000, 100)]
+        got, total = self._invariants(spark, rows, budget=8000)
+        assert got["hi"]["alloc_tokens"] == 4000  # capped
+        assert got["lo"]["alloc_tokens"] == 4000  # absorbs the reflow, hits own cap
+
+    def test_zero_weight_dropped_and_random_invariants(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (f"s{i}", rng.randrange(100, 5000), rng.randrange(0, 2000))
+            for i in range(12)
+        ]
+        budget = 2 * sum(n for _, n, _ in rows)
+        got, _ = self._invariants(spark, rows, budget=budget)
+        assert set(got) == {s for s, _, w in rows if w > 0}

@@ -6003,3 +6003,142 @@ def pack_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.sum("doc_id").cast("long").alias("doc_id_checksum"),
     )
+
+
+# ==========================================================================
+# Round 5 (batch 6): shot-boundary detection over persisted chunk features,
+# and cap-constrained water-filling epoch allocation (data-constrained
+# scaling) — both integer/rounded-exact across engines.
+# ==========================================================================
+
+_SCENE_DIR = _oracle_scratch("scene_cuts_oracle")
+_SCENE_THRESHOLD = 0.1
+
+
+@_register(
+    "multimodal_scene_cuts",
+    f"""
+WITH idx AS (
+  SELECT media_id, chunk_start_ms, embedding::DOUBLE[] AS e
+  FROM read_parquet('{_SCENE_DIR}/chunks/*.parquet')
+),
+s AS (
+  SELECT media_id, chunk_start_ms,
+         ROUND(list_cosine_similarity(
+             e, LAG(e) OVER (PARTITION BY media_id ORDER BY chunk_start_ms)), 6) AS sim
+  FROM idx
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN sim < {_SCENE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(SUM(CASE WHEN sim < {_SCENE_THRESHOLD} THEN chunk_start_ms ELSE 0 END)
+            AS BIGINT) AS cut_ms_checksum
+FROM s GROUP BY media_id
+""",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based shot detection: 500 ms video chunks → per-chunk
+    features (stubbed codec, real Spark plumbing) → a cut wherever
+    consecutive-chunk cosine drops below 0.1 (multimodal.py
+    scene_cut_stats). Both engines score the identical persisted float32
+    chunk index; similarity rounds before the threshold compare."""
+    from whatsapp_vectordb_spark.multimodal import extract_chunk_features, scene_cut_stats
+
+    chunks = extract_chunk_features(
+        _media_df(spark, sf_dir), chunk_ms=500, dim=64, modality="video"
+    )
+    path = os.path.join(_SCENE_DIR, "chunks")
+    chunks.select("media_id", "chunk_start_ms", "embedding").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return scene_cut_stats(spark.read.parquet(path), threshold=_SCENE_THRESHOLD)
+
+
+_EPOCH_MAX = 4
+_EPOCH_BUDGET_X = 2  # budget = 2× the corpus's total token count
+
+
+@_register(
+    "curate_epoch_waterfill",
+    f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(tk) AS BIGINT) AS nt,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+  FROM (SELECT source, {_TOKS.format(c='text')} AS tk FROM documents)
+),
+agg AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS n, CAST(SUM(nd) AS BIGINT) AS w
+  FROM per GROUP BY source HAVING SUM(nd) > 0
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS ntot, CAST(SUM(w) AS BIGINT) AS wtot FROM agg
+),
+ord AS (
+  SELECT a.*, {_EPOCH_MAX} * a.n AS cap,
+         ROW_NUMBER() OVER (ORDER BY ({_EPOCH_MAX}.0 * a.n) / a.w ASC, a.source ASC) AS p
+  FROM agg a
+),
+pre AS (
+  SELECT o.*, t.wtot, {_EPOCH_BUDGET_X} * t.ntot AS b,
+         CAST(SUM(o.cap) OVER (ORDER BY o.p) AS BIGINT) AS c_k,
+         CAST(SUM(o.w) OVER (ORDER BY o.p) AS BIGINT) AS w_k
+  FROM ord o CROSS JOIN tot t
+),
+cond AS (
+  SELECT *,
+         CASE WHEN CAST(b - c_k AS HUGEINT) * w >= CAST(cap AS HUGEINT) * (wtot - w_k)
+              THEN p END AS capped_p
+  FROM pre
+),
+kstar AS (
+  SELECT COALESCE(MAX(capped_p), 0) AS k,
+         COALESCE(MAX(CASE WHEN capped_p IS NOT NULL THEN c_k END)
+                  FILTER (WHERE p = (SELECT COALESCE(MAX(capped_p), 0) FROM cond)), 0) AS ck,
+         COALESCE(MAX(CASE WHEN capped_p IS NOT NULL THEN w_k END)
+                  FILTER (WHERE p = (SELECT COALESCE(MAX(capped_p), 0) FROM cond)), 0) AS wk
+  FROM cond
+),
+alloc AS (
+  SELECT c.source, c.n, c.w, c.cap,
+         CASE WHEN c.p <= k.k THEN CAST(c.cap AS HUGEINT)
+              ELSE CAST(c.b - k.ck AS HUGEINT) * c.w // NULLIF(c.wtot - k.wk, 0)
+         END AS a
+  FROM cond c CROSS JOIN kstar k
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(w AS BIGINT) AS weight,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       CAST(a AS BIGINT) AS alloc_tokens,
+       CAST((2 * 1000000 * a + n) // (2 * n) AS BIGINT) AS epochs_micro
+FROM alloc
+""",
+)
+def curate_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch scheduling: distribute a 2×-corpus token budget
+    across sources proportional to lexical-diversity weight (Σ distinct
+    tokens per doc), each source capped at 4 epochs, leftovers re-flowing
+    — closed-form integer water-filling (operators/curate.py
+    epoch_waterfill). The corpus-scale per-source aggregate is the
+    distributed part; the allocation runs on |sources| rows."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.curate import epoch_waterfill
+
+    docs = _t(spark, sf_dir, "documents").select("source", tokens("text").alias("_tk"))
+    per_source = (
+        docs.select(
+            "source",
+            F.size("_tk").cast("long").alias("_nt"),
+            F.size(F.array_distinct("_tk")).cast("long").alias("_nd"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nd").cast("long").alias("weight"),
+        )
+    )
+    ntot = per_source.agg(F.sum("n_tokens")).head()[0]
+    return epoch_waterfill(
+        per_source, budget=_EPOCH_BUDGET_X * int(ntot), max_epochs=_EPOCH_MAX
+    )

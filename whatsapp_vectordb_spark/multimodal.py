@@ -256,3 +256,46 @@ def extract_chunk_features(
             )
 
     return fan.mapInPandas(embed_chunks, schema=out_schema)
+
+
+def scene_cut_stats(
+    chunks: DataFrame,
+    threshold: float = 0.1,
+    id_col: str = "media_id",
+    order_col: str = "chunk_start_ms",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over per-chunk features: a cut
+    is a chunk whose cosine similarity to the PREVIOUS chunk of the same
+    asset falls below ``threshold`` — the classic content-based shot
+    detector, run on whatever the (stubbed) codec extracted per chunk.
+    Output per asset: ``(id, n_chunks, n_cuts, cut_ms_checksum)`` where
+    the checksum sums the cut chunks' start offsets, pinning WHICH chunks
+    cut, not just how many.
+
+    Determinism: similarity rounds to 6 decimals BEFORE the threshold
+    compare, so boundary chunks classify identically in every engine.
+    Scale shape: one shuffle keyed by asset for the lag() window (an
+    asset's chunks are a bounded sequence — hours of video at 500 ms
+    chunks is ~10⁴ rows per task, never corpus-scale), then a per-asset
+    aggregate on the same key, which reuses the exchange.
+    """
+    from pyspark.sql import Window
+
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), F.lag(vec_col).over(w)), 6
+    )
+    scored = chunks.select(
+        F.col(id_col), F.col(order_col).alias("_ms"), sim.alias("_sim")
+    )
+    is_cut = F.col("_sim") < threshold  # NULL (first chunk) → not a cut
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(is_cut, 1).otherwise(0)).cast("long").alias("n_cuts"),
+        F.sum(F.when(is_cut, F.col("_ms")).otherwise(0))
+        .cast("long")
+        .alias("cut_ms_checksum"),
+    )

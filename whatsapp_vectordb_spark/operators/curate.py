@@ -590,3 +590,72 @@ def shard_assign(
         F.col("cum_before"),
         F.expr(f"cum_before div {int(shard_tokens)}").cast("long").alias("shard_id"),
     )
+
+
+def epoch_waterfill(
+    per_source: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Data-constrained epoch scheduling (in the spirit of Muennighoff et
+    al. 2023): split a total token ``budget`` across sources proportional
+    to integer ``weight``, capping every source at ``max_epochs`` passes
+    over its own tokens, with capped sources' leftover re-flowing to the
+    rest — exact cap-constrained water-filling, solved in closed form.
+
+    Sources sort by ratio ``cap/weight`` ascending (the order in which
+    the water level λ reaches each cap); with inclusive prefix sums C_k
+    (caps) and W_k (weights), source k is capped iff
+    ``(budget − C_k)·w_k ≥ cap_k·(W_total − W_k)`` — the cap set is the
+    maximal satisfying prefix. Uncapped sources get
+    ``(budget − C_k*)·w_s // (W_total − W_k*)``.
+
+    ALL arithmetic is integer (Python bigint here, HUGEINT in the SQL
+    twin), including the reported ``epochs_micro = round(1e6·alloc/n)``
+    via ``(2·10⁶·alloc + n) // (2n)`` — no float ever touches the
+    result, so engines agree bit-for-bit. The ratio sort key is one IEEE
+    double division, identical in every engine, tie-broken by source.
+
+    Scale shape: ``per_source`` is the OUTPUT of a corpus-scale
+    aggregate; this step runs on |sources| rows (tens), collected to the
+    driver by construction — the distributed work is upstream.
+    Zero-weight sources are dropped (they'd divide by zero in the ratio
+    and can't absorb budget anyway).
+    """
+    spark = per_source.sparkSession
+    rows = (
+        per_source.select(
+            F.col(source_col).alias("source"),
+            F.col(tokens_col).cast("long").alias("n"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .collect()
+    )
+    wtot = sum(r["w"] for r in rows)
+    order = sorted(rows, key=lambda r: (max_epochs * r["n"] / r["w"], r["source"]))
+    ck = wk = 0
+    kstar, ckstar, wkstar = 0, 0, 0
+    for p, r in enumerate(order, 1):
+        cap = max_epochs * r["n"]
+        ck += cap
+        wk += r["w"]
+        if (budget - ck) * r["w"] >= cap * (wtot - wk):
+            kstar, ckstar, wkstar = p, ck, wk
+    out = []
+    for p, r in enumerate(order, 1):
+        cap = max_epochs * r["n"]
+        if p <= kstar:
+            alloc = cap
+        else:
+            alloc = (budget - ckstar) * r["w"] // (wtot - wkstar)
+        epochs_micro = (2 * 1_000_000 * alloc + r["n"]) // (2 * r["n"])
+        out.append((r["source"], r["n"], r["w"], cap, alloc, epochs_micro))
+    return spark.createDataFrame(
+        out,
+        "source string, n_tokens long, weight long, cap_tokens long, "
+        "alloc_tokens long, epochs_micro long",
+    )
