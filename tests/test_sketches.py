@@ -98,3 +98,42 @@ def test_population_stability_detects_shift(spark):
     cur = ref.withColumn("v", F.col("v") + 25.0)  # hard location shift
     got = population_stability(ref, cur, value_col="v", group_col="g").collect()
     assert got[0]["psi"] > 0.25  # "investigate" territory
+
+
+class TestHllGroupedRollup:
+    def test_merged_sparse_registers_equal_direct_estimate(self, spark):
+        """MAX-merging per-group sparse registers must reproduce the
+        direct whole-dataset estimate exactly — the associativity that
+        makes sketch rollup tables answer coarse grains without rescans."""
+        from pyspark.sql import functions as F
+
+        from whatsapp_vectordb_spark.operators.sketches import (
+            hll_distinct_estimate,
+            hll_estimate_from_sparse,
+            hll_grouped_registers,
+        )
+
+        df = spark.range(0, 5000).select(
+            (F.col("id") % 7).alias("g"), (F.col("id") % 1900).alias("v")
+        )
+        direct = hll_distinct_estimate(df, "v", log2m=10).head()["hll_estimate"]
+        regs = hll_grouped_registers(df, "v", ["g"], log2m=10)
+        merged = regs.groupBy("bucket").agg(F.max("rho_max").alias("rho_max"))
+        got = (
+            hll_estimate_from_sparse(merged.withColumn("all", F.lit(1)), ["all"], log2m=10)
+            .head()["hll_estimate"]
+        )
+        assert got == direct
+        # and the estimate is in the right ballpark for 1900 distincts
+        assert 1700 < got < 2100
+
+    def test_sparse_groups_cost_rows_proportional_to_cardinality(self, spark):
+        from pyspark.sql import functions as F
+
+        from whatsapp_vectordb_spark.operators.sketches import hll_grouped_registers
+
+        df = spark.range(0, 1000).select(
+            F.lit("small").alias("g"), (F.col("id") % 3).alias("v")
+        )
+        regs = hll_grouped_registers(df, "v", ["g"], log2m=10).collect()
+        assert len(regs) == 3  # sparse: 3 distincts → ≤3 register rows, not 1024

@@ -6142,3 +6142,154 @@ def curate_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_waterfill(
         per_source, budget=_EPOCH_BUDGET_X * int(ntot), max_epochs=_EPOCH_MAX
     )
+
+
+# ==========================================================================
+# Round 5 (batch 7): sketch rollup tables — persisted per-day HLL registers
+# MAX-merged to weekly estimates without rescanning raw events (the 100 TB
+# pre-aggregation pattern), checked against exact weekly distincts.
+# ==========================================================================
+
+_HLL_ROLLUP_DIR = _oracle_scratch("hll_rollup_oracle")
+
+
+@_register(
+    "events_hll_daily_rollup",
+    f"""
+WITH regs AS (
+  SELECT day, bucket, rho_max
+  FROM read_parquet('{_HLL_ROLLUP_DIR}/daily/*.parquet')
+),
+wk AS (
+  SELECT strftime(date_trunc('week', CAST(day AS DATE)), '%Y-%m-%d') AS week,
+         bucket, MAX(rho_max) AS rho
+  FROM regs GROUP BY 1, 2
+),
+agg AS (
+  SELECT week,
+         CAST(SUM(1::BIGINT << (45 - rho)) AS BIGINT) AS s_ne,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM wk GROUP BY week
+),
+est AS (
+  SELECT week,
+         s_ne + ({_HLL_M} - cnt) * (1::BIGINT << 45) AS s,
+         {_HLL_M} - cnt AS zeros
+  FROM agg
+),
+e2 AS (
+  SELECT week,
+         CASE WHEN (CAST({(_HLL_ALPHA * _HLL_M * _HLL_M) * float(1 << 45)!r} AS DOUBLE) / s)
+                   <= CAST({2.5 * _HLL_M!r} AS DOUBLE) AND zeros > 0
+              THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE) / zeros)
+              ELSE CAST({(_HLL_ALPHA * _HLL_M * _HLL_M) * float(1 << 45)!r} AS DOUBLE) / s
+         END AS e
+  FROM est
+),
+ex AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e2.week, ROUND(e2.e, 4) AS hll_estimate, ex.exact_distinct
+FROM e2 JOIN ex ON e2.week = ex.week
+""",
+)
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup table: per-DAY sparse HLL registers are persisted
+    once (the tiny pre-aggregate a 100 TB pipeline stores instead of raw
+    ids), then WEEKLY distinct-user estimates are answered purely by
+    MAX-merging the stored registers — the raw events are only touched
+    for the exact-count comparison column. Register merge is associative,
+    so day→week→month rollups all read sketch rows, never data
+    (operators/sketches.py hll_grouped_registers /
+    hll_estimate_from_sparse)."""
+    from whatsapp_vectordb_spark.operators.sketches import (
+        hll_estimate_from_sparse,
+        hll_grouped_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = hll_grouped_registers(
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")),
+        "user_id",
+        ["day"],
+        log2m=10,
+    )
+    path = os.path.join(_HLL_ROLLUP_DIR, "daily")
+    daily.write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    weekly = (
+        stored.withColumn(
+            "week", F.date_format(F.date_trunc("week", F.to_date("day")), "yyyy-MM-dd")
+        )
+        .groupBy("week", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    est = hll_estimate_from_sparse(weekly, ["week"], log2m=10)
+    exact = (
+        ev.select(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "week")
+
+
+@_register(
+    "text_tokenizer_fertility",
+    f"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(tk) AS BIGINT) AS nt,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS np,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM (SELECT lang, text, {_TOKS.format(c='text')} AS tk FROM documents)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(np) AS BIGINT) AS n_pieces,
+       ROUND(SUM(np) / CAST(NULLIF(SUM(nt), 0) AS DOUBLE), 6) AS fertility,
+       ROUND(SUM(nc) / CAST(NULLIF(SUM(nt), 0) AS DOUBLE), 6) AS chars_per_token
+FROM per GROUP BY lang
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword pieces per word token)
+    and chars-per-token — the standard multilingual tokenizer-cost audit
+    (a high-fertility language pays more sequence length per word).
+    Ratio-of-sums over the corpus, one tiny per-language aggregate; the
+    BPE-ish piece regex is the shared deterministic proxy from
+    operators/textops.py."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.textops import BPE_PIECE_RE
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("_nt"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECE_RE), 0))
+        .cast("long")
+        .alias("_np"),
+        F.length("text").cast("long").alias("_nc"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_np").cast("long").alias("n_pieces"),
+        F.sum("_nc").cast("long").alias("_nc_sum"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_pieces",
+        F.round(
+            F.col("n_pieces") / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("_nc_sum") / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"), 6
+        ).alias("chars_per_token"),
+    )

@@ -340,3 +340,59 @@ def population_stability_from_sketches(
         .agg(F.round(F.sum("_tq") / term_scale, round_to).alias("psi"))
         .select(F.col("g").alias(group_col), "n_bins", "psi")
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: list[str],
+    log2m: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """SPARSE per-group HLL registers ``(*group_cols, bucket, rho_max)``
+    — the storable/mergeable sketch state for rollup tables: keep one
+    ≤m-row register set per (day, dimension) cell and answer any
+    coarser-grain distinct-count by MAX-merging registers, never
+    rescanning the raw data. Sparse (empty registers omitted) so a
+    low-cardinality cell costs rows ∝ its distinct count, not m.
+    """
+    m = 1 << log2m
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = portable_hash64(c.cast("string"), seed=seed)
+    bucket = F.pmod(h, F.lit(m))
+    rest = F.shiftright(h, log2m).bitwiseAND(F.lit((1 << HLL_W) - 1))
+    rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate_from_sparse(
+    registers: DataFrame,
+    group_cols: list[str],
+    log2m: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Cardinality estimate per group from SPARSE registers (as produced
+    by :func:`hll_grouped_registers`, possibly MAX-merged across finer
+    groups first). Missing registers count as ρ=0 via
+    ``zeros = m − |present|`` and the harmonic sum gets
+    ``zeros · 2^(W+1)`` added — integer-exact, so both engines divide
+    the same constant by the same integer.
+    """
+    m = 1 << log2m
+    term = F.pow(F.lit(2.0), F.lit(HLL_W + 1) - F.col("rho_max")).cast("long")
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("_s_ne"), F.count("*").alias("_cnt")
+    )
+    zeros = F.lit(m) - F.col("_cnt")
+    s = F.col("_s_ne") + zeros * F.lit(1 << (HLL_W + 1))
+    k_const = (_alpha(m) * m * m) * float(1 << (HLL_W + 1))
+    raw = F.lit(k_const) / s
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, round_to).alias("hll_estimate"))
