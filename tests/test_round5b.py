@@ -320,3 +320,83 @@ class TestEpochWaterfill:
         budget = 2 * sum(n for _, n, _ in rows)
         got, _ = self._invariants(spark, rows, budget=budget)
         assert set(got) == {s for s, _, w in rows if w > 0}
+
+
+class TestRakeKeywords:
+    def test_degree_over_frequency_scoring(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import rake_keywords
+
+        # stopwords 'the'/'and' split candidates:
+        # "quick brown fox" (len 3, each word deg 3/freq 1 → 3e6; sum 9e6)
+        # "lazy dog"        (len 2, 2e6 each; sum 4e6)
+        df = _docs(spark, [(1, "the quick brown fox and the lazy dog")])
+        out = rake_keywords(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["phrase"] == "quick brown fox"
+        assert r["score_micro"] == 9_000_000
+        assert r["phrase_pos"] == 1
+
+    def test_shared_word_degree_and_tiebreak(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import rake_keywords
+
+        # "red fish" and "red cat": red freq=2 deg=4 → 2e6; fish/cat 2e6
+        # both phrases score 4e6 → earliest position wins
+        df = _docs(spark, [(1, "red fish and red cat")])
+        r = rake_keywords(df).collect()[0]
+        assert r["phrase"] == "red fish"
+        assert r["score_micro"] == 4_000_000
+
+    def test_all_stopword_doc_absent(self, spark):
+        from whatsapp_vectordb_spark.operators.textops import rake_keywords
+
+        df = _docs(spark, [(1, "the and of to"), (2, "alpha beta")])
+        out = {r["doc_id"]: r["phrase"] for r in rake_keywords(df).collect()}
+        assert out == {2: "alpha beta"}
+
+
+class TestBinaryNearDup:
+    def test_identical_and_near_vectors_pair_up(self, spark):
+        from whatsapp_vectordb_spark.operators.dedup import binary_near_dup_pairs
+
+        base = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+        near = list(base)
+        near[5] = -near[5]  # 1 bit differs
+        far = [-x for x in base]  # all 64 bits differ
+        df = spark.createDataFrame(
+            [("a", base), ("b", list(base)), ("c", near), ("d", far)],
+            "doc_id string, embedding array<float>",
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in binary_near_dup_pairs(df, id_col="doc_id").collect()
+        }
+        assert out[("a", "b")] == 0
+        assert out[("a", "c")] == 1 and out[("b", "c")] == 1
+        assert not any("d" in p for p in out)
+
+    def test_pigeonhole_recall_at_threshold(self, spark):
+        """Exactly max_hamming=3 differing bits spread across 3 bands must
+        still be found (some 4th band matches exactly)."""
+        from whatsapp_vectordb_spark.operators.dedup import binary_near_dup_pairs
+
+        base = [1.0] * 64
+        v3 = list(base)
+        for i in (0, 16, 32):  # one flip in each of bands 0,1,2 — band 3 intact
+            v3[i] = -1.0
+        df = spark.createDataFrame(
+            [("a", base), ("b", v3)], "doc_id string, embedding array<float>"
+        )
+        out = binary_near_dup_pairs(df, id_col="doc_id").collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [("a", "b", 3)]
+
+    def test_max_hamming_must_stay_below_band_count(self, spark):
+        import pytest
+
+        from whatsapp_vectordb_spark.operators.dedup import binary_near_dup_pairs
+
+        df = spark.createDataFrame(
+            [("a", [1.0] * 64)], "doc_id string, embedding array<float>"
+        )
+        with pytest.raises(ValueError):
+            binary_near_dup_pairs(df, id_col="doc_id", max_hamming=4)

@@ -6293,3 +6293,223 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_nc_sum") / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"), 6
         ).alias("chars_per_token"),
     )
+
+
+@_register(
+    "text_rake_keywords",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+pos AS (
+  SELECT t.doc_id, CAST(i.i - 1 AS BIGINT) AS pos, t.tk[i.i] AS tok
+  FROM toks t, LATERAL unnest(range(1, len(t.tk) + 1)) i(i)
+),
+ns AS (SELECT * FROM pos WHERE NOT list_contains({_STOP_SQL}, tok)),
+runs AS (
+  SELECT doc_id, pos, tok,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM ns
+),
+phr AS (
+  SELECT doc_id, island, COUNT(*) AS phrase_len, MIN(pos) AS phrase_pos
+  FROM runs GROUP BY doc_id, island
+),
+occ AS (
+  SELECT r.doc_id, r.pos, r.tok, r.island, p.phrase_len, p.phrase_pos
+  FROM runs r JOIN phr p ON r.doc_id = p.doc_id AND r.island = p.island
+),
+ws AS (
+  SELECT doc_id, tok, COUNT(*) AS freq, CAST(SUM(phrase_len) AS BIGINT) AS deg
+  FROM occ GROUP BY doc_id, tok
+),
+sw AS (
+  SELECT doc_id, tok, CAST((2000000 * deg + freq) // (2 * freq) AS BIGINT) AS w_micro
+  FROM ws
+),
+psc AS (
+  SELECT o.doc_id, o.island,
+         CAST(SUM(s.w_micro) AS BIGINT) AS score_micro,
+         MIN(o.phrase_pos) AS phrase_pos
+  FROM occ o JOIN sw s ON o.doc_id = s.doc_id AND o.tok = s.tok
+  GROUP BY o.doc_id, o.island
+),
+ptxt AS (
+  SELECT doc_id, island, string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM occ GROUP BY doc_id, island
+),
+ranked AS (
+  SELECT p.doc_id, t.phrase, p.score_micro, p.phrase_pos,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.doc_id ORDER BY p.score_micro DESC, p.phrase_pos ASC
+         ) AS rk
+  FROM psc p JOIN ptxt t ON p.doc_id = t.doc_id AND p.island = t.island
+)
+SELECT doc_id, phrase, score_micro, CAST(phrase_pos AS BIGINT) AS phrase_pos
+FROM ranked WHERE rk = 1
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE top keyphrase per document (Rose et al. 2010): stopword-split
+    candidate runs, word score = degree/frequency integer-quantized
+    BEFORE the phrase sum so totals are order-independent BIGINTs
+    (operators/textops.py rake_keywords). All shuffles doc-keyed."""
+    from whatsapp_vectordb_spark.operators.textops import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"))
+
+
+_PHASH_DIR = _oracle_scratch("phash_near_dup_oracle")
+
+
+@_register(
+    "multimodal_phash_near_dup",
+    f"""
+WITH f AS (
+  SELECT media_id, embedding
+  FROM read_parquet('{_PHASH_DIR}/features/*.parquet')
+),
+sigs AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN i.i < 32 AND embedding[i.i + 1] > 0
+                       THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN i.i >= 32 AND embedding[i.i + 1] > 0
+                       THEN (1::BIGINT << (i.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM f CROSS JOIN range(0, 64) i(i)
+  GROUP BY 1
+),
+banded AS (
+  SELECT media_id, lo, hi, b.b AS band,
+         CASE WHEN b.b < 2 THEN (lo >> (16 * b.b)) & 65535
+              ELSE (hi >> (16 * (b.b - 2))) & 65535 END AS bval
+  FROM sigs CROSS JOIN range(0, 4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, x.media_id AS id_b,
+                  a.lo AS la, a.hi AS ha, x.lo AS lb, x.hi AS hb
+  FROM banded a
+  JOIN banded x ON a.band = x.band AND a.bval = x.bval AND a.media_id < x.media_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+""",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup dedup, pHash style: persisted 64-d media features →
+    sign-bit signatures → 4×16-bit band candidates → Hamming ≤ 3 verify
+    (operators/dedup.py binary_near_dup_pairs). Banding recall is exact
+    by pigeonhole (3 < 4 bands); both engines read the identical
+    persisted float32 features."""
+    from whatsapp_vectordb_spark.multimodal import extract_media_features
+    from whatsapp_vectordb_spark.operators.dedup import binary_near_dup_pairs
+
+    feats = (
+        extract_media_features(_media_df(spark, sf_dir), dim=64)
+        .where(F.col("embedding").isNotNull())
+        .select("media_id", "embedding")
+    )
+    # the synthetic corpus has no byte-identical assets, so near-dup pairs
+    # would be vacuously empty; add a deterministic "re-encode" variant of
+    # every 25th asset (two feature coordinates sign-flipped → Hamming ≤ 2)
+    # so the detector demonstrably FINDS the planted near-dups
+    variants = feats.where(
+        F.regexp_extract("media_id", r"^m(\d+)$", 1).cast("long") % 25 == 0
+    ).select(
+        F.concat(F.col("media_id"), F.lit("_v2")).alias("media_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i < 2, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    path = os.path.join(_PHASH_DIR, "features")
+    feats.unionByName(variants).write.mode("overwrite").parquet(path)
+    return binary_near_dup_pairs(
+        spark.read.parquet(path), id_col="media_id", dim=64
+    )
+
+
+_IVF_SWEEP_DIR = _oracle_scratch("ivf_sweep_oracle")
+
+
+@_register(
+    "ann_ivf_nprobe_sweep",
+    f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVF_SWEEP_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT nprobe, centroid FROM read_parquet('{_IVF_SWEEP_DIR}/probe/*.parquet')
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT p.nprobe, c.vec_id,
+         ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN q
+  WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+ranked AS (
+  SELECT nprobe, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY nprobe ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+),
+approx AS (SELECT nprobe, vec_id FROM ranked WHERE rk <= 10),
+exact AS (
+  SELECT c.vec_id
+  FROM cells c CROSS JOIN q
+  WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) DESC,
+           c.vec_id ASC
+  LIMIT 10
+)
+SELECT a.nprobe,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(e.vec_id) * 100000 AS BIGINT) AS recall_micro
+FROM approx a LEFT JOIN exact e ON a.vec_id = e.vec_id
+GROUP BY a.nprobe
+""",
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost tradeoff curve for the IVF index: probe the SAME
+    persisted partition-pruned index at nprobe ∈ {{1, 2, 4}} and report
+    recall@10 vs the exact scan per setting — the evaluation every ANN
+    deployment runs before picking its operating point. Probed centroid
+    ids persist alongside the index so the oracle replays the identical
+    sweep; recall is an integer (hits × 100000)."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    IvfIndex.build(emb, n_centroids=8).save(_IVF_SWEEP_DIR)
+    loaded = IvfIndex.load(spark, _IVF_SWEEP_DIR)
+
+    sweep = (1, 2, 4)
+    probe_rows = [
+        (np_, int(c))
+        for np_ in sweep
+        for c in loaded.probe_centroid_ids(qvec, nprobe=np_)
+    ]
+    spark.createDataFrame(probe_rows, "nprobe bigint, centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVF_SWEEP_DIR, "probe"))
+
+    approx = None
+    for np_ in sweep:
+        t = (
+            loaded.probe(qvec, k=10, nprobe=np_, round_to=ROUND_SCORE)
+            .select(F.lit(np_).cast("long").alias("nprobe"), "vec_id")
+        )
+        approx = t if approx is None else approx.unionByName(t)
+    exact = topk(
+        loaded.assigned.select("vec_id", "embedding"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    return (
+        approx.join(F.broadcast(exact).withColumn("_hit", F.lit(1)), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "nprobe",
+            "hits",
+            (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
+        )
+    )

@@ -741,3 +741,88 @@ def semantic_dedup(
             "cos_sim",
         )
     )
+
+
+def binary_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash-style near-dup pairs over sign-bit signatures:
+    quantize each vector to 64 bits (``ann.binary_signature``), split the
+    signature into ``64/band_bits`` bands, equi-join on any exact band
+    match, then verify Hamming ≤ ``max_hamming`` with XOR+popcount. The
+    media analogue of pHash dedup: two assets whose features nearly agree
+    share a signature within a few bits.
+
+    Recall is GUARANTEED, not probabilistic: with ``max_hamming <
+    n_bands``, ≤ max_hamming differing bits cannot touch every band
+    (pigeonhole), so every qualifying pair shares at least one exact
+    band and survives candidate generation.
+
+    Scale shape: candidates come from an equi-join on (band, 16-bit
+    value) — never all-pairs; the verify reads the two 8-byte signatures
+    already carried through the join (no join back to vectors). Large
+    exact-duplicate groups make their band value hot with O(group²)
+    candidate pairs — the same bound any pairwise dedup output has.
+    """
+    from whatsapp_vectordb_spark.operators.ann import binary_signature
+
+    n_bands = dim // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < n_bands={n_bands} for "
+            "guaranteed banding recall"
+        )
+    lo, hi = binary_signature(vec_col, dim)
+    sigs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), lo.alias("lo"), hi.alias("hi")
+    )
+    per_band = []
+    for b in range(n_bands):
+        src = F.col("lo") if b * band_bits < 32 else F.col("hi")
+        shift = (b * band_bits) % 32
+        per_band.append(
+            sigs.select(
+                "id",
+                "lo",
+                "hi",
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(src, shift)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bval"),
+            )
+        )
+    banded = per_band[0]
+    for other in per_band[1:]:
+        banded = banded.unionByName(other)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.lo").alias("la"),
+            F.col("a.hi").alias("ha"),
+            F.col("b.lo").alias("lb"),
+            F.col("b.hi").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -14,7 +14,7 @@ feature expression.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.text import (
@@ -870,4 +870,68 @@ def distinct_ngram_diversity(
         F.count("*").cast("long").alias("n_total"),
         F.count_distinct("_g").cast("long").alias("n_distinct"),
         F.round(F.count_distinct("_g") / F.count("*"), 6).alias("distinct_ratio"),
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of consecutive NON-stopword tokens; each word scores
+    ``degree/frequency`` within its document (degree = Σ length of the
+    phrases it appears in, frequency = its occurrence count among
+    candidates); a phrase scores the sum of its words' scores; the top
+    phrase per document wins. The standard zero-model keyphrase baseline.
+
+    Determinism: per-word scores integer-quantize to micro-units with
+    half-away rounding ``(2·10⁶·deg + freq) // (2·freq)`` BEFORE the
+    phrase sum, so the total is an order-independent integer in every
+    engine. Ties rank by earliest phrase position.
+
+    Scale shape: phrase runs come from one gaps-and-islands window
+    (``pos − row_number`` over non-stopword tokens), and every
+    subsequent join/aggregate is keyed by document (or doc+word) — the
+    shuffles all reuse the same doc-hash exchange; nothing is
+    corpus-global.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).where(~F.col("tok").isin(*EN_STOPWORDS))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = toks.withColumn("island", F.col("pos") - F.row_number().over(w))
+    phrases = runs.groupBy(id_col, "island").agg(
+        F.count("*").alias("phrase_len"), F.min("pos").alias("phrase_pos")
+    )
+    occ = runs.join(phrases, [id_col, "island"])
+    word_stats = occ.groupBy(id_col, "tok").agg(
+        F.count("*").alias("freq"), F.sum("phrase_len").alias("deg")
+    )
+    scored_words = word_stats.select(
+        F.col(id_col),
+        "tok",
+        F.expr("(2000000 * deg + freq) div (2 * freq)").cast("long").alias("w_micro"),
+    )
+    phrase_scores = (
+        occ.join(scored_words, [id_col, "tok"])
+        .groupBy(id_col, "island")
+        .agg(
+            F.sum("w_micro").cast("long").alias("score_micro"),
+            F.min("phrase_pos").alias("phrase_pos"),
+        )
+    )
+    phrase_text = occ.groupBy(id_col, "island").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ").alias(
+            "phrase"
+        )
+    )
+    rk = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("phrase_pos").asc()
+    )
+    return (
+        phrase_scores.join(phrase_text, [id_col, "island"])
+        .withColumn("_rk", F.row_number().over(rk))
+        .where(F.col("_rk") == 1)
+        .select(F.col(id_col), "phrase", "score_micro", F.col("phrase_pos").cast("long").alias("phrase_pos"))
     )
