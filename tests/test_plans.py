@@ -356,3 +356,37 @@ def test_filtered_knn_pushes_predicate(embeddings):
     p = plan(topk(embeddings.where(F.col("label") == 3), [0.1] * 64, k=10))
     assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_phrase_search_filters_postings_before_shuffle(documents):
+    """The posting explode must be filtered to the query's tokens BEFORE
+    any exchange — the difference between shuffling a posting list and
+    shuffling the corpus."""
+    from whatsapp_vectordb_spark.operators.textops import phrase_search
+
+    p = plan(phrase_search(documents, "sort merge"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # tiny (token, offset) query table
+    # the IN-filter sits below the generate output, before any aggregate
+    assert "IN (merge,sort)" in p or "IN (sort,merge)" in p
+
+
+def test_binary_near_dup_is_banded_equi_join(embeddings):
+    """Candidates must come from the band equi-join, never an all-pairs
+    product; the verify reads signatures carried through the join."""
+    from whatsapp_vectordb_spark.operators.dedup import binary_near_dup_pairs
+
+    p = plan(binary_near_dup_pairs(embeddings.limit(200), id_col="vec_id"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "band" in p and "bval" in p
+
+
+def test_rake_windows_partition_by_doc(documents):
+    """Every RAKE window/aggregate keys by document — no global window."""
+    from whatsapp_vectordb_spark.operators.textops import rake_keywords
+
+    # filter, not limit: GlobalLimit itself plans a SinglePartition exchange
+    p = plan(rake_keywords(documents.where(F.col("doc_id") < 100)))
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
