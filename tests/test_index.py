@@ -260,3 +260,56 @@ def test_bucketed_delete_removes_emptied_bucket(spark, embeddings, tmp_path):
     import os
     assert not os.path.exists(os.path.join(idx.path, "_bucket=0"))
     assert idx.read().count() == records.count() - n
+
+
+class TestDeleteWhere:
+    def test_filtered_delete_keeps_null_predicate_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from whatsapp_vectordb_spark.index import VectorIndex
+
+        idx = VectorIndex.create_or_get(
+            spark, str(tmp_path), "ttl", dimension=4, num_id_buckets=4
+        )
+        rows = [
+            (str(i), [float(i)] * 4, None, {"ttl": str(i % 3)} if i % 5 else None, "")
+            for i in range(40)
+        ]
+        batch = spark.createDataFrame(
+            rows, "id string, embedding array<float>, text string, metadata map<string,string>, namespace string"
+        )
+        idx.upsert(batch)
+        n = idx.delete_where(F.element_at("metadata", "ttl").cast("int") == 2)
+        # i%5==0 rows have NULL metadata → predicate NULL → KEPT
+        doomed = {i for i in range(40) if i % 5 != 0 and i % 3 == 2}
+        assert n == len(doomed)
+        left = {int(r["id"]) for r in idx.read().select("id").collect()}
+        assert left == set(range(40)) - doomed
+
+    def test_no_match_rewrites_nothing(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from whatsapp_vectordb_spark.index import VectorIndex
+
+        idx = VectorIndex.create_or_get(
+            spark, str(tmp_path), "ttl2", dimension=4, num_id_buckets=4
+        )
+        batch = spark.createDataFrame(
+            [(str(i), [0.0] * 4, None, {"k": "v"}, "") for i in range(10)],
+            "id string, embedding array<float>, text string, metadata map<string,string>, namespace string",
+        )
+        idx.upsert(batch)
+        mtimes = {
+            d: os.path.getmtime(os.path.join(idx.path, d))
+            for d in os.listdir(idx.path)
+            if d.startswith("_bucket=")
+        }
+        assert idx.delete_where(F.element_at("metadata", "k") == "absent") == 0
+        after = {
+            d: os.path.getmtime(os.path.join(idx.path, d))
+            for d in os.listdir(idx.path)
+            if d.startswith("_bucket=")
+        }
+        assert after == mtimes  # zero matches → zero rewrites

@@ -6513,3 +6513,51 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
         )
     )
+
+
+@_register(
+    "index_ttl_delete",
+    """
+SELECT COUNT(*) AS n_remaining,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+       (SELECT COUNT(*) FROM embeddings WHERE label % 5 = 3) AS n_deleted
+FROM embeddings WHERE label % 5 <> 3
+""",
+)
+def index_ttl_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-metadata-filter (the Pinecone ``vectors/delete``
+    ``filter=`` form / TTL expiry): upsert the corpus with a label
+    metadata column into a bucketed index, purge ``label % 5 == 3`` with
+    ONE discovery scan + a rewrite of only the buckets containing
+    matches (index.py delete_where), and report what remains."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        "embedding",
+        F.create_map(F.lit("label"), F.col("label").cast("string")).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="wvs_ttl_")
+    try:
+        idx = VectorIndex.create_or_get(
+            spark, root, "ttl-idx", dimension=64, num_id_buckets=8
+        )
+        idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
+        n_deleted = idx.delete_where(
+            F.element_at("metadata", "label").cast("int") % 5 == 3
+        )
+        remaining = idx.read().select(F.col("id").cast("long").alias("vid"))
+        out = remaining.agg(
+            F.count("*").alias("n_remaining"),
+            F.sum("vid").alias("id_checksum"),
+            F.lit(n_deleted).cast("long").alias("n_deleted"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "n_remaining bigint, id_checksum bigint, n_deleted bigint"
+    )

@@ -255,30 +255,72 @@ class VectorIndex:
             pruned = raw.where(F.col("_bucket").isin(touched))
             n_before = pruned.count()
             keep = pruned.join(F.broadcast(ids_df), "id", "left_anti")
-            keep = keep.localCheckpoint(eager=True)  # pin before overwrite
-            n_after = keep.count()
-            kept_buckets = {
-                r["_bucket"] for r in keep.select("_bucket").distinct().collect()
-            }
-            prev = self.spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                if n_after:
-                    keep.repartition(F.col("_bucket")).write.partitionBy(
-                        "_bucket"
-                    ).mode("overwrite").parquet(self.path)
-            finally:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            for bkt in set(touched) - kept_buckets:  # emptied buckets
-                d = os.path.join(self.path, f"_bucket={bkt}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
-            return n_before - n_after
+            return self._rewrite_touched_buckets(touched, keep, n_before)
         existing = self.read()
         n_before = existing.count()
         keep = existing.join(F.broadcast(ids_df), "id", "left_anti")
+        return self._swap_full(keep, n_before)
+
+    def delete_where(self, condition) -> int:
+        """Delete by metadata predicate (the Pinecone ``vectors/delete``
+        ``filter=`` form — TTL expiry, tenant offboarding, label purges).
+        Returns the number of rows removed.
+
+        Unlike delete-by-id, a metadata predicate can't prune buckets
+        up front; ONE scan finds the buckets containing matches, then only
+        those are rewritten (dynamic partition overwrite) — so a
+        predicate touching 2 of 64 buckets still costs 2 bucket rewrites,
+        and a predicate matching nothing rewrites nothing. NULL
+        predicate rows are KEPT (a null TTL is "no expiry", and silently
+        dropping null-metadata rows would be data loss).
+        """
+        raw = self._read_raw()
+        cond_true = F.coalesce(condition, F.lit(False))
+        if "_bucket" in raw.columns:
+            touched = [
+                r["_bucket"]
+                for r in raw.where(cond_true).select("_bucket").distinct().collect()
+            ]
+            if not touched:
+                return 0
+            pruned = raw.where(F.col("_bucket").isin(touched))
+            n_before = pruned.count()
+            keep = pruned.where(~cond_true)
+            return self._rewrite_touched_buckets(touched, keep, n_before)
+        existing = self.read()
+        n_before = existing.count()
+        keep = existing.where(~cond_true)
+        return self._swap_full(keep, n_before)
+
+    def _rewrite_touched_buckets(self, touched, keep, n_before: int) -> int:
+        """Shared bounded-rewrite tail of the delete paths: checkpoint the
+        keep-set, dynamically overwrite only the touched buckets, and
+        remove buckets emptied entirely (dynamic overwrite only replaces
+        partitions PRESENT in the output — the classic pitfall)."""
+        keep = keep.localCheckpoint(eager=True)  # pin before overwrite
+        n_after = keep.count()
+        kept_buckets = {
+            r["_bucket"] for r in keep.select("_bucket").distinct().collect()
+        }
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if n_after:
+                keep.repartition(F.col("_bucket")).write.partitionBy(
+                    "_bucket"
+                ).mode("overwrite").parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for bkt in set(touched) - kept_buckets:  # emptied buckets
+            d = os.path.join(self.path, f"_bucket={bkt}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return n_before - n_after
+
+    def _swap_full(self, keep, n_before: int) -> int:
+        """Unbucketed delete tail: full merge-and-swap, O(table)."""
         keep = keep.withColumn(
             "namespace", F.coalesce(F.col("namespace"), F.lit(""))
         ).localCheckpoint(eager=True)
