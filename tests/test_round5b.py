@@ -400,3 +400,22 @@ class TestBinaryNearDup:
         )
         with pytest.raises(ValueError):
             binary_near_dup_pairs(df, id_col="doc_id", max_hamming=4)
+
+
+class TestMinhashCalibration:
+    def test_identical_docs_calibrate_to_exact_one(self, spark):
+        from whatsapp_vectordb_spark.operators.dedup import minhash_calibration
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        df = _docs(spark, [(1, text), (2, text), (3, near)])
+        out = {r["n_match"]: r for r in minhash_calibration(df).collect()}
+        # the identical pair agrees on all 16 rows and has exact J = 1.0
+        assert out[16]["n_pairs"] >= 1
+        assert out[16]["mean_jaccard_micro"] == 1_000_000
+        # every agreement level reported is >= rows-per-band (banded cands)
+        assert all(k >= 4 for k in out)
+        # mean exact jaccard is monotone-ish: full agreement >= partial
+        partial = [v["mean_jaccard_micro"] for k, v in out.items() if k < 16]
+        if partial:
+            assert out[16]["mean_jaccard_micro"] >= max(partial)

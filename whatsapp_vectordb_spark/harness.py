@@ -6561,3 +6561,79 @@ def index_ttl_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "n_remaining bigint, id_checksum bigint, n_deleted bigint"
     )
+
+
+def _minhash_calibration_sql(num_hashes: int, bands: int, shingle_n: int) -> str:
+    r = num_hashes // bands
+    sig = _minhash_sig_sql(num_hashes, shingle_n, _AUG_SQL)
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)),
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH sig AS ({sig}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.id_a, c.id_b, CAST({match_sum} AS INTEGER) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+),
+corpus2 AS ({_AUG_SQL}),
+toks2 AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus2),
+shl2 AS (SELECT doc_id, {_sh_sql(shingle_n)} AS shingles FROM toks2),
+ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM shl2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex2 GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex2 ea ON ea.doc_id = c.id_a
+  JOIN ex2 eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+),
+jm AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(i.n_common, 0) AS nc,
+         na.n + nb.n - COALESCE(i.n_common, 0) AS nu
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+),
+j AS (
+  SELECT id_a, id_b, CAST((2000000 * nc + nu) // (2 * nu) AS BIGINT) AS j_micro
+  FROM jm
+)
+SELECT e.n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(j.j_micro) // COUNT(*) AS BIGINT) AS mean_jaccard_micro
+FROM est e JOIN j ON j.id_a = e.id_a AND j.id_b = e.id_b
+GROUP BY e.n_match
+"""
+
+
+@_register("dedup_minhash_calibration", _minhash_calibration_sql(16, 4, 3))
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact calibration for the MinHash sketch: per LSH
+    candidate pair, agreeing-signature-row count (the k/H Jaccard
+    estimator) against exact Jaccard, aggregated per agreement level in
+    integer micro-units — what a 12/16 match MEANS on this corpus,
+    measured before the sketch replaces the exact verify at scale
+    (operators/dedup.py minhash_calibration)."""
+    from whatsapp_vectordb_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(
+        _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3
+    )

@@ -826,3 +826,118 @@ def binary_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sketch-quality calibration curve: for every LSH candidate pair,
+    compare the MinHash ESTIMATE (number of agreeing signature rows, the
+    unbiased Jaccard estimator k/H) against the EXACT Jaccard, aggregated
+    per agreement level — the evidence that tells you what a 12/16
+    signature match actually means on THIS corpus before trusting the
+    sketch at 100 TB (where the exact verify is what you're trying to
+    avoid paying for most pairs).
+
+    Output: ``(n_match, n_pairs, mean_jaccard_micro)`` — mean exact
+    Jaccard in integer micro-units per pair (half-away rounded BEFORE
+    the sum, floor-divided by the count), so every engine aggregates
+    identical integers in any order.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _hashed_shingles(df, text_col, id_col, shingle_n).cache()
+    sig = _signatures_from_hashed(sh, id_col, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    siga = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"s{i}").alias(f"_a{i}") for i in range(num_hashes)]
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"s{i}").alias(f"_b{i}") for i in range(num_hashes)]
+    )
+    n_match = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = cand.join(siga, "id_a").join(sigb, "id_b").select(
+        "id_a", "id_b", n_match.cast("int").alias("n_match")
+    )
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "_h")
+    sb = sh.select(F.col(id_col).alias("_sb_id"), F.col("_h").alias("_h_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_sb_id")) & (F.col("_h") == F.col("_h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    exact = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(2000000 * n_common + n_union) div (2 * n_union)")
+            .cast("long")
+            .alias("j_micro"),
+        )
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .groupBy("n_match")
+        .agg(F.count("*").cast("long").alias("n_pairs"), F.sum("j_micro").alias("_sj"))
+        .select(
+            "n_match",
+            "n_pairs",
+            F.expr("_sj div n_pairs").cast("long").alias("mean_jaccard_micro"),
+        )
+    )
