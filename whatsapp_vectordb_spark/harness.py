@@ -6637,3 +6637,163 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_calibration(
         _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3
     )
+
+
+@_register(
+    "text_langid_confusion",
+    f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS.format(c='text')} AS tk FROM documents),
+ratios AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_en,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','mit','von','auf','für','er','sie','es','ich','du','wir'], x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_de,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','no','por','con','para','su','al','lo','se','mi','tu'], x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_es,
+    CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains(['le','la','les','de','des','et','est','une','un','que','ne','pas','pour','dans','ce','il','elle','nous','vous'], x)))::DOUBLE / len(tk) ELSE 0.0 END AS r_fr
+  FROM toks
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN GREATEST(r_en, r_de, r_es, r_fr) = 0 THEN 'und'
+              WHEN r_de = GREATEST(r_en, r_de, r_es, r_fr) THEN 'de'
+              WHEN r_en = GREATEST(r_en, r_de, r_es, r_fr) THEN 'en'
+              WHEN r_es = GREATEST(r_en, r_de, r_es, r_fr) THEN 'es'
+              WHEN r_fr = GREATEST(r_en, r_de, r_es, r_fr) THEN 'fr'
+         END AS lang_pred
+  FROM ratios
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: heuristic predictions cross-tabbed
+    against the corpus's declared lang labels — the evaluation every
+    lang-filter stage needs before it silently drops a language
+    (operators/textops.py language_id + one tiny aggregate)."""
+    from whatsapp_vectordb_spark.operators.textops import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    preds = language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@_register(
+    "text_novelty_vs_reference",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+shl AS (SELECT doc_id, {_sh_sql(5)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+ref AS (SELECT DISTINCT s FROM ex WHERE doc_id % 10 = 0),
+tgt AS (SELECT doc_id, s FROM ex WHERE doc_id % 10 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tgt GROUP BY doc_id),
+nov AS (
+  SELECT t.doc_id, COUNT(*) AS n_novel
+  FROM tgt t LEFT JOIN ref r ON t.s = r.s
+  WHERE r.s IS NULL
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST((2000000 * COALESCE(n.n_novel, 0) + t.n_shingles) // (2 * t.n_shingles)
+            AS BIGINT) AS novelty_micro
+FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
+""",
+)
+def text_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/novelty audit: per non-reference doc, the fraction of
+    its distinct 5-gram shingles absent from the reference slice
+    (doc_id % 10 == 0) — does new data ADD content or replay its
+    sources. One anti-join on 60-bit int64 shingle ids
+    (operators/dedup.py novelty_vs_reference)."""
+    from whatsapp_vectordb_spark.operators.dedup import novelty_vs_reference
+
+    return novelty_vs_reference(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") % 10 == 0, shingle_n=5
+    )
+
+
+_MRL_SWEEP_DIMS = (8, 16, 32)
+
+
+def _mrl_sweep_sql() -> str:
+    blocks = []
+    for d in _MRL_SWEEP_DIMS:
+        blocks.append(
+            f"""
+SELECT {d} AS dim, vec_id FROM (
+  SELECT e.vec_id
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding[1:{d}]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE list_cosine_similarity(e.embedding[1:{d}]::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding[1:{d}]::DOUBLE[], q.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT {_MRL_SHORT}
+)"""
+        )
+    shorts = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH shorts AS ({shorts}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT s.dim, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.dim
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM embeddings e JOIN shorts s ON e.vec_id = s.vec_id CROSS JOIN qv
+),
+approx AS (SELECT dim, vec_id FROM rer WHERE rk <= 10),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT a.dim,
+       CAST(COUNT(x.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(x.vec_id) * 100000 AS BIGINT) AS recall_micro
+FROM approx a LEFT JOIN exact x ON a.vec_id = x.vec_id
+GROUP BY a.dim
+"""
+
+
+@_register("ann_mrl_dim_sweep", _mrl_sweep_sql())
+def ann_mrl_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka operating-point curve: recall@10 of the
+    prefix-d shortlist-50 → exact re-rank pipeline for d ∈ {8, 16, 32}
+    — how much prefix you can throw away before recall pays for it, the
+    MRL twin of the IVF nprobe sweep. Integer recall (hits × 100000)."""
+    from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qfull = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = topk(emb, qfull, k=10, round_to=ROUND_SCORE).select("vec_id")
+    approx = None
+    for d in _MRL_SWEEP_DIMS:
+        trunc = mrl_truncate(emb, d)
+        short = topk(
+            trunc, qfull[:d], k=_MRL_SHORT, round_to=ROUND_SCORE, vec_col="mrl_vec"
+        ).select("vec_id")
+        rer = topk(
+            emb.join(F.broadcast(short), "vec_id"), qfull, k=10, round_to=ROUND_SCORE
+        ).select(F.lit(d).cast("long").alias("dim"), "vec_id")
+        approx = rer if approx is None else approx.unionByName(rer)
+    return (
+        approx.join(F.broadcast(exact).withColumn("_hit", F.lit(1)), "vec_id", "left")
+        .groupBy("dim")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "dim",
+            "hits",
+            (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
+        )
+    )

@@ -941,3 +941,49 @@ def minhash_calibration(
             F.expr("_sj div n_pairs").cast("long").alias("mean_jaccard_micro"),
         )
     )
+
+
+def novelty_vs_reference(
+    df: DataFrame,
+    ref_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Memorization/novelty audit: for every NON-reference document, the
+    fraction of its distinct word ``shingle_n``-grams that do NOT occur
+    anywhere in the reference slice (``ref_cond`` rows) — the standard
+    check that generated/synthetic data adds new content instead of
+    replaying its sources (the inverse of benchmark decontamination:
+    there overlap is the crime, here it's the baseline).
+
+    Output: ``(id, n_shingles, n_novel, novelty_micro)`` with the ratio
+    half-away-rounded in integer micro-units. Scale shape: the reference
+    shingle set is a distinct 60-bit int64 column; novelty is one
+    anti-join on that 8-byte key — no strings shuffle, no broadcast
+    assumption (the reference may itself be corpus-sized).
+    """
+    sh = _hashed_shingles(df, text_col, id_col, shingle_n)
+    flagged = df.select(F.col(id_col), ref_cond.alias("_is_ref")).join(
+        sh, id_col
+    )
+    ref_h = flagged.where(F.col("_is_ref")).select("_h").distinct()
+    tgt = flagged.where(~F.col("_is_ref")).select(id_col, "_h")
+    totals = tgt.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    novel = (
+        tgt.join(ref_h, "_h", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_micro",
+            F.expr("(2000000 * n_novel + n_shingles) div (2 * n_shingles)").cast("long"),
+        )
+    )
