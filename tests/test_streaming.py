@@ -297,3 +297,21 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert dropped == 1  # the late row, and only it
     out = {r["ws"] for r in spark.table(name).collect()}
     assert "2024-01-01 00:00:00" not in out  # its window never materialized
+
+
+def test_hll_register_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Register MAX-merge associativity: the micro-batched estimate must
+    equal the one-shot batch sketch exactly, whatever the batch split."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.sketches import hll_distinct_estimate
+    from whatsapp_vectordb_spark.streaming.ops import run_hll_register_stream
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    got = run_hll_register_stream(spark, events_path, str(tmp_path)).head()
+    want = hll_distinct_estimate(
+        spark.read.parquet(events_path), "user_id", log2m=10
+    ).head()["hll_estimate"]
+    assert got["hll_estimate"] == want
+    # sanity: estimate within 10% of exact at m=1024
+    assert abs(got["hll_estimate"] - got["exact_distinct"]) < 0.1 * got["exact_distinct"]

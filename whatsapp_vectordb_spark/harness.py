@@ -6797,3 +6797,22 @@ def ann_mrl_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
         )
     )
+
+
+# Streaming HLL maintenance: stream ≡ batch (register MAX-merge is
+# associative), so the oracle is literally the batch events_hll_users SQL.
+@_register("streaming_hll_registers", ORACLES["events_hll_users"])
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched HLL register maintenance via foreachBatch (per-batch
+    sparse register deltas, idempotent batch_id-keyed sink); the merged
+    estimate must equal the one-shot batch sketch bit-for-bit
+    (streaming/ops.py run_hll_register_stream)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.streaming.ops import run_hll_register_stream
+
+    state = _oracle_scratch("hll_stream_state")
+    shutil.rmtree(state, ignore_errors=True)
+    return run_hll_register_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), state
+    )

@@ -669,3 +669,68 @@ def run_drift_monitor_stream(
         .agg(F.sum("c").alias("c_c"))
     )
     return population_stability_from_sketches(ref, cur)
+
+
+def run_hll_register_stream(
+    spark,
+    events_path: str,
+    state_dir: str,
+    log2m: int = 10,
+) -> DataFrame:
+    """Streaming HLL maintenance: each micro-batch writes its own SPARSE
+    register rows (``bucket, rho_max``) keyed by batch_id; the live
+    estimate at any point is a MAX-merge over all appended rows. Because
+    registers are MAX-mergeable, the final estimate is invariant to how
+    the stream was micro-batched and equals the one-shot batch sketch
+    exactly — the oracle is literally the batch ``events_hll_users``
+    SQL. This is how a 100 TB ingest keeps approximate distinct counts
+    current: per-batch register deltas, never a rescan.
+
+    Sink idempotence mirrors the drift monitor: cells partition by
+    batch_id with dynamic overwrite, so an at-least-once retry replaces
+    its own partition instead of inflating ρ rows (MAX would mask
+    duplicates anyway — belt and braces).
+    """
+    import os
+
+    from whatsapp_vectordb_spark.operators.sketches import (
+        hll_estimate_from_sparse,
+        hll_grouped_registers,
+    )
+
+    events = spark.read.parquet(events_path)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.dirname(events_path))
+        .select("user_id")
+    )
+    cells_path = os.path.join(state_dir, "hll_cells")
+
+    def accumulate(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_grouped_registers(batch_df, "user_id", [], log2m=log2m)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_path)
+        )
+
+    q = stream.writeStream.foreachBatch(accumulate).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    merged = (
+        spark.read.schema("bucket long, rho_max int, batch_id long")
+        .parquet(cells_path)
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+        .withColumn("_all", F.lit(1))
+    )
+    est = hll_estimate_from_sparse(merged, ["_all"], log2m=log2m).select(
+        "hll_estimate"
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
