@@ -49,3 +49,31 @@ def test_pagerank_rejects_zero_iters(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+class TestTriangleCount:
+    def test_known_graph(self, spark):
+        from whatsapp_vectordb_spark.operators.graph import triangle_count
+
+        # K4 minus edge (3,4): triangles {1,2,3}, {1,2,4}; dup/reversed/self
+        # edges must collapse
+        edges = spark.createDataFrame(
+            [
+                (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4),
+                (3, 3),  # self-loop dropped
+                (4, 2),  # duplicate of (2, 4)
+            ],
+            "src long, dst long",
+        )
+        r = triangle_count(edges).head()
+        assert (r["n_triangles"], r["n_edges"], r["n_nodes"]) == (2, 5, 4)
+
+    def test_triangle_free_graph(self, spark):
+        from whatsapp_vectordb_spark.operators.graph import triangle_count
+
+        # a path 1-2-3-4 has wedges but no triangles
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        r = triangle_count(edges).head()
+        assert (r["n_triangles"], r["n_edges"], r["n_nodes"]) == (0, 3, 4)

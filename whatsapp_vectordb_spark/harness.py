@@ -6816,3 +6816,44 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hll_register_stream(
         spark, os.path.join(sf_dir, "events.parquet"), state
     )
+
+
+_TRI_DIR = _oracle_scratch("triangle_oracle")
+
+
+@_register(
+    "graph_triangle_count",
+    f"""
+WITH raw AS (SELECT src, dst FROM read_parquet('{_TRI_DIR}/edges/*.parquet')),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM raw WHERE src <> dst
+),
+tris AS (
+  SELECT COUNT(*) AS n
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi                -- (a,b) + (b,c)
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi  -- close (a,c)
+)
+SELECT CAST(tris.n AS BIGINT) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
+        FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)) AS n_nodes
+FROM tris
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the kNN graph: edges persisted once, then two
+    id-oriented equi-joins count each triangle exactly once
+    (operators/graph.py triangle_count) — the local-density signal next
+    to PageRank; both engines read the identical persisted edge list."""
+    from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
+    from whatsapp_vectordb_spark.operators.graph import triangle_count
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64).select(
+        F.col("src").cast("long").alias("src"), F.col("nbr").cast("long").alias("dst")
+    )
+    path = os.path.join(_TRI_DIR, "edges")
+    edges.write.mode("overwrite").parquet(path)
+    return triangle_count(spark.read.parquet(path))

@@ -88,3 +88,44 @@ def pagerank(
             ).cast("long").alias("r"),
         ).cache()
     return ranks.select(F.col("node"), F.col("r").alias("rank_scaled"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle count + edge/node tallies over an arbitrary
+    directed edge list (treated as undirected, self-loops and duplicate
+    edges collapsed) — the density/community signal next to PageRank in
+    any graph-curation stack.
+
+    Algorithm: canonicalize every edge to ``(lo, hi)`` with lo < hi, then
+    count paths ``a<b<c`` with edges (a,b), (b,c) and close them against
+    (a,c) — each triangle counted exactly once. Two equi-joins on vertex
+    keys; at scale the classic refinement is degree-ordering the
+    orientation so hub vertices don't fan out quadratically (the a<b<c id
+    orientation here is the id-ordered special case; swap the comparator
+    to (degree, id) for power-law graphs — same plan shape).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    n_nodes = und.select(F.col("lo").alias("v")).unionByName(
+        und.select(F.col("hi").alias("v"))
+    ).distinct()
+    return (
+        tris.agg(F.count("*").cast("long").alias("n_triangles"))
+        .crossJoin(und.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(n_nodes.agg(F.count("*").cast("long").alias("n_nodes")))
+    )
