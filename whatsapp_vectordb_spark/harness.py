@@ -6857,3 +6857,142 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_TRI_DIR, "edges")
     edges.write.mode("overwrite").parquet(path)
     return triangle_count(spark.read.parquet(path))
+
+
+@_register(
+    "events_top_paths",
+    """
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 20
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-event paths across user sequences (the longer-range sibling
+    of the Markov transition matrix): one user-keyed window shuffle
+    computes both leads, then a |types|³-bounded aggregate and a
+    deterministic top-20 cut."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+_PQ_SWEEP_DIR = _oracle_scratch("pq_distortion_oracle")
+_PQ_SWEEP_MS = (4, 8, 16)
+_PQ_SWEEP_DIM = 64
+
+
+def _pq_distortion_sql() -> str:
+    blocks = []
+    for m in _PQ_SWEEP_MS:
+        dsub = _PQ_SWEEP_DIM // m
+        blocks.append(
+            f"""
+SELECT {m} AS m, e.vec_id,
+       CAST(SUM(
+         (CAST(ROUND(e.embedding[d.d + 1]::DOUBLE * 1000000) AS BIGINT) - b.v_micro)
+         * (CAST(ROUND(e.embedding[d.d + 1]::DOUBLE * 1000000) AS BIGINT) - b.v_micro)
+       ) AS BIGINT) AS dist
+FROM embeddings e
+CROSS JOIN range(0, {_PQ_SWEEP_DIM}) d(d)
+JOIN read_parquet('{_PQ_SWEEP_DIR}/codes_m{m}/*.parquet') c ON c.vec_id = e.vec_id
+JOIN read_parquet('{_PQ_SWEEP_DIR}/books_m{m}/*.parquet') b
+  ON b.bj = d.d // {dsub} AND b.bc = c.codes[d.d // {dsub} + 1] AND b.bd = d.d % {dsub}
+GROUP BY e.vec_id"""
+        )
+    per_vec = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH pv AS ({per_vec})
+SELECT m,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_sqdist_micro2
+FROM pv GROUP BY m
+"""
+
+
+@_register("embed_pq_distortion_sweep", _pq_distortion_sql())
+def embed_pq_distortion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/fidelity tradeoff curve for product quantization: mean
+    reconstruction distortion at m ∈ {4, 8, 16} segments (16, 8, 4
+    bytes/vector) over the SAME corpus — the sweep that picks a PQ
+    operating point, sibling of the nprobe and MRL curves. Codebook
+    values persist as integer micro-units and coordinates micro-quantize
+    identically in both engines, so every squared residual is an exact
+    BIGINT; the per-m mean is an integer floor-division."""
+    from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = None
+    for m in _PQ_SWEEP_MS:
+        dsub = _PQ_SWEEP_DIM // m
+        idx = PqIndex.build(emb, m=m, ksub=16, sample_rows=500, seed=0)
+        idx.save(os.path.join(_PQ_SWEEP_DIR, f"idx_m{m}"), idx.encode(emb))
+        spark.read.parquet(
+            os.path.join(_PQ_SWEEP_DIR, f"idx_m{m}", "codes")
+        ).write.mode("overwrite").parquet(os.path.join(_PQ_SWEEP_DIR, f"codes_m{m}"))
+        book_rows = [
+            (j, c, d, int(round(float(idx.codebooks[j][c][d]) * 1_000_000)))
+            for j in range(m)
+            for c in range(idx.codebooks.shape[1])
+            for d in range(dsub)
+        ]
+        spark.createDataFrame(
+            book_rows, "bj int, bc int, bd int, v_micro long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(_PQ_SWEEP_DIR, f"books_m{m}")
+        )
+
+        codes = spark.read.parquet(os.path.join(_PQ_SWEEP_DIR, f"codes_m{m}"))
+        books = spark.read.parquet(os.path.join(_PQ_SWEEP_DIR, f"books_m{m}"))
+        dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+            "vec_id",
+            F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("x_micro"),
+            (F.col("d") / dsub).cast("int").alias("j"),
+            F.pmod(F.col("d"), F.lit(dsub)).cast("int").alias("dd"),
+        )
+        seg_codes = codes.select("vec_id", F.posexplode("codes").alias("j", "c"))
+        resid = (
+            dims.join(seg_codes, ["vec_id", "j"])
+            .join(
+                F.broadcast(books),
+                (F.col("j") == F.col("bj"))
+                & (F.col("c") == F.col("bc"))
+                & (F.col("dd") == F.col("bd")),
+            )
+            .select(
+                "vec_id",
+                ((F.col("x_micro") - F.col("v_micro")) * (F.col("x_micro") - F.col("v_micro"))).alias("sq"),
+            )
+        )
+        pv = resid.groupBy("vec_id").agg(F.sum("sq").cast("long").alias("dist")).select(
+            F.lit(m).cast("int").alias("m"), "vec_id", "dist"
+        )
+        out = pv if out is None else out.unionByName(pv)
+    return (
+        out.groupBy("m")
+        .agg(F.count("*").cast("long").alias("n_vectors"), F.sum("dist").alias("_sd"))
+        .select(
+            "m",
+            "n_vectors",
+            F.expr("_sd div n_vectors").cast("long").alias("mean_sqdist_micro2"),
+        )
+    )
