@@ -419,3 +419,28 @@ class TestMinhashCalibration:
         partial = [v["mean_jaccard_micro"] for k, v in out.items() if k < 16]
         if partial:
             assert out[16]["mean_jaccard_micro"] >= max(partial)
+
+
+class TestNoveltyVsReference:
+    def test_novel_and_replayed_docs(self, spark):
+        from whatsapp_vectordb_spark.operators.dedup import novelty_vs_reference
+
+        ref_text = "one two three four five six seven eight nine ten"
+        df = _docs(
+            spark,
+            [
+                (10, ref_text),                 # reference slice
+                (1, ref_text),                  # pure replay → novelty 0
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),  # all new
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in novelty_vs_reference(
+                df, F.col("doc_id") % 10 == 0, shingle_n=5
+            ).collect()
+        }
+        assert set(out) == {1, 2}  # reference rows not scored
+        assert out[1]["novelty_micro"] == 0
+        assert out[2]["novelty_micro"] == 1_000_000
+        assert out[2]["n_novel"] == out[2]["n_shingles"]

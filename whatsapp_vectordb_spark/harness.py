@@ -6996,3 +6996,158 @@ def embed_pq_distortion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_sd div n_vectors").cast("long").alias("mean_sqdist_micro2"),
         )
     )
+
+
+@_register(
+    "events_quantile_calibration",
+    """
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value * 10) AS BIGINT) AS bin FROM events
+),
+counts AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc
+  FROM counts
+),
+tot AS (SELECT event_type, COUNT(*) AS total FROM events GROUP BY 1),
+pcts(pct) AS (VALUES (50), (90), (99)),
+hit AS (
+  SELECT c.event_type, p.pct, MIN(c.bin) AS qbin
+  FROM cum c JOIN tot t ON t.event_type = c.event_type
+  CROSS JOIN pcts p
+  WHERE c.cumc >= (p.pct * t.total + 99) // 100
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+  FROM events
+),
+exact AS (
+  SELECT r.event_type, p.pct, ROUND(r.value, 6) AS exact_q
+  FROM ranked r
+  JOIN tot t ON t.event_type = r.event_type
+  CROSS JOIN pcts p
+  WHERE r.rn = (p.pct * t.total + 99) // 100
+)
+SELECT h.event_type, CAST(h.pct AS INTEGER) AS pct,
+       ROUND((h.qbin + 1) / 10.0, 6) AS quantile_est,
+       x.exact_q,
+       ROUND(ABS(ROUND((h.qbin + 1) / 10.0, 6) - x.exact_q), 6) AS abs_err
+FROM hit h JOIN exact x ON x.event_type = h.event_type AND x.pct = h.pct
+""",
+)
+def events_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact quantile calibration: the mergeable histogram
+    sketch's p50/p90/p99 against the true rank-selected value per event
+    type, with the absolute error — the measured bound (≤ bin width)
+    that justifies replacing a full sort with a sketch at 100 TB. Both
+    sides use the same integer rank rule, so the comparison itself can't
+    disagree across engines."""
+    from whatsapp_vectordb_spark.operators.sketches import histogram_quantiles
+
+    ev = _events(spark, sf_dir)
+    est = histogram_quantiles(ev, percents=(50, 90, 99), bin_scale=10)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").cast("double"), "event_id"
+    )
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("_rn")
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("_total"))
+    pcts = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    exact = (
+        ranked.join(totals, "event_type")
+        .join(F.broadcast(pcts))
+        .where(F.col("_rn") == F.expr("(pct * _total + 99) div 100"))
+        .select("event_type", "pct", F.round("value", 6).alias("exact_q"))
+    )
+    return est.join(exact, ["event_type", "pct"]).select(
+        "event_type",
+        "pct",
+        "quantile_est",
+        "exact_q",
+        F.round(F.abs(F.col("quantile_est") - F.col("exact_q")), 6).alias("abs_err"),
+    )
+
+
+_PMI_VOCAB = 200
+_PMI_MIN_PAIRS = 5
+_PMI_TOPK = 30
+
+
+@_register(
+    "text_pmi_pairs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS.format(c='text')})) AS tok FROM documents
+),
+cx AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM cx ORDER BY c DESC, tok ASC LIMIT {_PMI_VOCAB}),
+ft AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v ON v.tok = t.tok),
+pairs AS (
+  SELECT a.tok AS x, b.tok AS y, COUNT(*) AS c_xy
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT p.x, p.y, CAST(p.c_xy AS BIGINT) AS c_xy,
+       ROUND(ln(CAST(n.n_docs AS DOUBLE) * p.c_xy / (vx.c * vy.c)), 6) AS pmi
+FROM pairs p
+JOIN vocab vx ON vx.tok = p.x
+JOIN vocab vy ON vy.tok = p.y
+CROSS JOIN n
+WHERE p.c_xy >= {_PMI_MIN_PAIRS}
+ORDER BY pmi DESC, x ASC, y ASC
+LIMIT {_PMI_TOPK}
+""",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: top document-level PMI pairs over the
+    top-200 vocabulary — collocation discovery for corpus
+    analysis. The vocab cap bounds the per-doc pair fan-out (the scale
+    guard: pairs explode quadratically in distinct tokens per doc, so at
+    100 TB you mine a vocabulary, not the long tail); PMI is computed
+    per pair from exact integer counts, so no float accumulates.
+    """
+    from whatsapp_vectordb_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    cx = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = cx.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(_PMI_VOCAB)
+    ft = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    a = ft.select("doc_id", F.col("tok").alias("x"))
+    b = ft.select("doc_id", F.col("tok").alias("y"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= _PMI_MIN_PAIRS)
+    )
+    vx = vocab.select(F.col("tok").alias("x"), F.col("c").alias("_cx"))
+    vy = vocab.select(F.col("tok").alias("y"), F.col("c").alias("_cy"))
+    return (
+        pairs.join(F.broadcast(vx), "x")
+        .join(F.broadcast(vy), "y")
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("c_xy")
+                    / (F.col("_cx") * F.col("_cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(_PMI_TOPK)
+    )
