@@ -7151,3 +7151,239 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(_PMI_TOPK)
     )
+
+
+_IVF_BATCH_DIR = _oracle_scratch("ivf_batch_oracle")
+
+
+@_register(
+    "ann_ivf_batched",
+    f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVF_BATCH_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT query_id, centroid FROM read_parquet('{_IVF_BATCH_DIR}/probe/*.parquet')
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = p.centroid
+  JOIN q ON q.query_id = p.query_id
+  WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= 5
+""",
+)
+def ann_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF probe: 3 queries answered in ONE pass over the union
+    of their probed cells (IvfIndex.probe_batched) — per-query rescans of
+    shared cells are the thing a 1000-query batch can't afford. The
+    (query, centroid) probe map persists next to the index so the oracle
+    replays the identical pruning."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfIndex.build(emb, n_centroids=8).save(_IVF_BATCH_DIR)
+    loaded = IvfIndex.load(spark, _IVF_BATCH_DIR)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, vec in queries
+        for c in loaded.probe_centroid_ids(vec, nprobe=2)
+    ]
+    spark.createDataFrame(probe_rows, "query_id long, centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVF_BATCH_DIR, "probe"))
+    return loaded.probe_batched(queries, k=5, nprobe=2, round_to=ROUND_SCORE)
+
+
+_OPQ_CMP_DIR = _oracle_scratch("opq_vs_pq_oracle")
+_OPQ_CMP_M = 8
+_OPQ_CMP_DSUB = _PQ_SWEEP_DIM // _OPQ_CMP_M
+
+
+def _opq_cmp_sql() -> str:
+    dsub = _OPQ_CMP_DSUB
+    xm = "CAST(ROUND(e.embedding[d.d + 1]::DOUBLE * 1000000) AS BIGINT)"
+    pq_block = f"""
+SELECT 'pq' AS method, e.vec_id,
+       CAST(SUM(({xm} - b.v_micro) * ({xm} - b.v_micro)) AS BIGINT) AS dist
+FROM embeddings e
+CROSS JOIN range(0, {_PQ_SWEEP_DIM}) d(d)
+JOIN read_parquet('{_OPQ_CMP_DIR}/codes_pq/*.parquet') c ON c.vec_id = e.vec_id
+JOIN read_parquet('{_OPQ_CMP_DIR}/books_pq/*.parquet') b
+  ON b.bj = d.d // {dsub} AND b.bc = c.codes[d.d // {dsub} + 1] AND b.bd = d.d % {dsub}
+GROUP BY e.vec_id"""
+    opq_block = f"""
+SELECT 'opq' AS method, pv.vec_id, pv.dist
+FROM (
+  WITH segc AS (
+    SELECT c.vec_id, j.j AS j, c.codes[j.j + 1] AS code
+    FROM read_parquet('{_OPQ_CMP_DIR}/codes_opq/*.parquet') c
+    CROSS JOIN range(0, {_OPQ_CMP_M}) j(j)
+  ),
+  recon_rot AS (
+    SELECT s.vec_id, s.j * {dsub} + b.bd AS k, b.v_micro
+    FROM segc s
+    JOIN read_parquet('{_OPQ_CMP_DIR}/books_opq/*.parquet') b
+      ON b.bj = s.j AND b.bc = s.code
+  ),
+  recon_orig AS (
+    SELECT rr.vec_id, r.d,
+           CAST(SUM(rr.v_micro * r.r_micro) AS HUGEINT) AS s
+    FROM recon_rot rr
+    JOIN read_parquet('{_OPQ_CMP_DIR}/rot/*.parquet') r ON r.k = rr.k
+    GROUP BY 1, 2
+  ),
+  ro AS (
+    SELECT vec_id, d,
+           CAST(CASE WHEN s >= 0 THEN s // 1000000
+                     ELSE -((-s) // 1000000) END AS BIGINT) AS ro_micro
+    FROM recon_orig
+  )
+  SELECT e.vec_id,
+         CAST(SUM(({xm.replace('d.d', 'ro.d')} - ro.ro_micro)
+                  * ({xm.replace('d.d', 'ro.d')} - ro.ro_micro)) AS BIGINT) AS dist
+  FROM ro
+  JOIN embeddings e ON e.vec_id = ro.vec_id
+  CROSS JOIN range(0, {_PQ_SWEEP_DIM}) d(d)
+  WHERE d.d = ro.d
+  GROUP BY e.vec_id
+) pv"""
+    return f"""
+WITH pv AS ({pq_block}
+UNION ALL
+{opq_block})
+SELECT method,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_sqdist_micro2
+FROM pv GROUP BY method
+"""
+
+
+@_register("embed_opq_vs_pq_distortion", _opq_cmp_sql())
+def embed_opq_vs_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ's learned rotation, priced: mean reconstruction distortion of
+    plain PQ vs OPQ at the SAME m=8/16-codes budget — the oracle-checked
+    form of the 'rotation buys lower MSE for identical bytes' claim.
+    OPQ reconstructions rotate back via persisted integer micro-unit
+    rotation rows with truncate-toward-zero downscaling spelled
+    identically in both engines (DuckDB // floors, Spark div truncates —
+    negatives WOULD diverge unspelled). Embeddings are unit-norm, so the
+    in-encode normalization is a no-op and raw-vector distortion is the
+    honest metric."""
+    from whatsapp_vectordb_spark.operators.ann import OpqIndex, PqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dsub = _OPQ_CMP_DSUB
+
+    def persist_books(idx, name):
+        rows = [
+            (j, c, d, int(round(float(idx.codebooks[j][c][d]) * 1_000_000)))
+            for j in range(_OPQ_CMP_M)
+            for c in range(idx.codebooks.shape[1])
+            for d in range(dsub)
+        ]
+        spark.createDataFrame(rows, "bj int, bc int, bd int, v_micro long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(_OPQ_CMP_DIR, name))
+
+    pq = PqIndex.build(emb, m=_OPQ_CMP_M, ksub=16, sample_rows=500, seed=0)
+    pq.encode(emb).write.mode("overwrite").parquet(
+        os.path.join(_OPQ_CMP_DIR, "codes_pq")
+    )
+    persist_books(pq, "books_pq")
+
+    opq = OpqIndex.build(emb, m=_OPQ_CMP_M, ksub=16, sample_rows=500, seed=0)
+    opq.encode(emb).write.mode("overwrite").parquet(
+        os.path.join(_OPQ_CMP_DIR, "codes_opq")
+    )
+    persist_books(opq, "books_opq")
+    rot_rows = [
+        (d, k, int(round(float(opq.rotation[d][k]) * 1_000_000)))
+        for d in range(_PQ_SWEEP_DIM)
+        for k in range(_PQ_SWEEP_DIM)
+    ]
+    spark.createDataFrame(rot_rows, "d int, k int, r_micro long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_OPQ_CMP_DIR, "rot"))
+
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+        "vec_id",
+        "d",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("x_micro"),
+    )
+
+    # plain PQ distortion (segment-local reconstruction)
+    codes_pq = spark.read.parquet(os.path.join(_OPQ_CMP_DIR, "codes_pq"))
+    books_pq = spark.read.parquet(os.path.join(_OPQ_CMP_DIR, "books_pq"))
+    seg_pq = codes_pq.select("vec_id", F.posexplode("codes").alias("j", "c"))
+    pq_resid = (
+        dims.withColumn("j", (F.col("d") / dsub).cast("int"))
+        .withColumn("dd", F.pmod(F.col("d"), F.lit(dsub)).cast("int"))
+        .join(seg_pq, ["vec_id", "j"])
+        .join(
+            F.broadcast(books_pq),
+            (F.col("j") == F.col("bj")) & (F.col("c") == F.col("bc")) & (F.col("dd") == F.col("bd")),
+        )
+        .select(
+            "vec_id",
+            ((F.col("x_micro") - F.col("v_micro")) * (F.col("x_micro") - F.col("v_micro"))).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("sq").cast("long").alias("dist"))
+        .select(F.lit("pq").alias("method"), "vec_id", "dist")
+    )
+
+    # OPQ: reconstruct in rotated space, rotate back with integer downscale
+    codes_opq = spark.read.parquet(os.path.join(_OPQ_CMP_DIR, "codes_opq"))
+    books_opq = spark.read.parquet(os.path.join(_OPQ_CMP_DIR, "books_opq"))
+    rot = spark.read.parquet(os.path.join(_OPQ_CMP_DIR, "rot"))
+    seg_opq = codes_opq.select("vec_id", F.posexplode("codes").alias("j", "c"))
+    recon_rot = seg_opq.join(
+        F.broadcast(books_opq),
+        (F.col("j") == F.col("bj")) & (F.col("c") == F.col("bc")),
+    ).select("vec_id", (F.col("j") * dsub + F.col("bd")).alias("k"), "v_micro")
+    recon_orig = (
+        recon_rot.join(F.broadcast(rot), "k")
+        .groupBy("vec_id", "d")
+        .agg(F.sum(F.col("v_micro") * F.col("r_micro")).alias("_s"))
+        .select("vec_id", "d", F.expr("_s div 1000000").cast("long").alias("ro_micro"))
+    )
+    opq_resid = (
+        dims.join(recon_orig, ["vec_id", "d"])
+        .select(
+            "vec_id",
+            ((F.col("x_micro") - F.col("ro_micro")) * (F.col("x_micro") - F.col("ro_micro"))).alias("sq"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("sq").cast("long").alias("dist"))
+        .select(F.lit("opq").alias("method"), "vec_id", "dist")
+    )
+
+    return (
+        pq_resid.unionByName(opq_resid)
+        .groupBy("method")
+        .agg(F.count("*").cast("long").alias("n_vectors"), F.sum("dist").alias("_sd"))
+        .select(
+            "method",
+            "n_vectors",
+            F.expr("_sd div n_vectors").cast("long").alias("mean_sqdist_micro2"),
+        )
+    )

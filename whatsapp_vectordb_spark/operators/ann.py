@@ -582,6 +582,59 @@ class IvfIndex:
             round_to=round_to,
         )
 
+    def probe_batched(
+        self,
+        queries: list,
+        k: int = 10,
+        nprobe: int = 3,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Batched probe: top-k for MANY queries in ONE pass over the
+        union of their probed cells. ``queries`` is a list of
+        ``(query_id, vector)``. The (query, centroid) probe map is tiny
+        (|Q|·nprobe rows, computed driver-side against the in-memory
+        centroid matrix) and broadcasts; the index is scanned once,
+        pruned to the union of probed cells, and each vector scores only
+        against the queries that probed ITS cell — |Q| separate probes
+        would rescan shared cells |Q| times. Ranking is one shuffle
+        keyed by query_id (bounded per query by its probed-cell rows).
+        """
+        from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+        from pyspark.sql import Window
+
+        spark = self.assigned.sparkSession
+        probe_rows = [
+            (int(qid), int(c))
+            for qid, vec in queries
+            for c in self.probe_centroid_ids(vec, nprobe)
+        ]
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+            "query_id long, _qv array<double>",
+        )
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, _pcell bigint"
+        ).join(qdf, "query_id")
+        cells = sorted({c for _, c in probe_rows})
+        subset = self.assigned.where(F.col("centroid").isin(cells))
+        score = cosine_similarity(F.col(self.vec_col), F.col("_qv"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = (
+            subset.join(F.broadcast(probes), F.col("centroid") == F.col("_pcell"))
+            .select("query_id", F.col(self.id_col), score.alias("score"))
+            .where(F.col("score").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
 
 def _train_sample(
     df: DataFrame,
