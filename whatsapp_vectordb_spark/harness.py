@@ -7387,3 +7387,57 @@ def embed_opq_vs_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_sd div n_vectors").cast("long").alias("mean_sqdist_micro2"),
         )
     )
+
+
+# Streaming ingest-time dedup: the persistent MinHash index fed by the
+# STREAMING ENGINE (file source, one file per micro-batch); the union of
+# per-batch pair sets must equal the one-shot batch dedup, so the oracle
+# is literally dedup_minhash_lsh's SQL.
+@_register("streaming_dedup_index", ORACLES["dedup_minhash_lsh"])
+def streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup detection as a real Structured Streaming
+    pipeline: the augmented corpus is written as 3 files and replayed
+    file-per-trigger through foreachBatch; each micro-batch probes the
+    stored band keys, emits its pairs (idempotently keyed by batch_id),
+    and appends only its own state (operators/dedup_index.py
+    MinHashDedupIndex.add_batch). Union of batch pair sets ≡ one-shot
+    batch dedup under ANY batch split."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    root = _oracle_scratch("stream_dedup")
+    shutil.rmtree(root, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    src = os.path.join(root, "src")
+    aug.repartition(3).write.mode("overwrite").parquet(src)
+
+    idx = MinHashDedupIndex(
+        spark, os.path.join(root, "idx"), num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    )
+    pairs_dir = os.path.join(root, "pairs")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            idx.add_batch(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return (
+        spark.read.schema("id_a long, id_b long, jaccard double, batch_id long")
+        .parquet(pairs_dir)
+        .drop("batch_id")
+    )
