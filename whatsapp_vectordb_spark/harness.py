@@ -7441,3 +7441,174 @@ def streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(pairs_dir)
         .drop("batch_id")
     )
+
+
+@_register(
+    "rel_scd2_point_in_time",
+    """
+WITH chg AS (
+  SELECT c_custkey, 'SEG_A' AS c_mktsegment, 1 AS eff_seq
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 'SEG_B', 2 FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'SEG_B', 3 FROM customer WHERE c_custkey % 20 = 0
+),
+v AS (
+  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS eff_seq FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, CAST(eff_seq AS BIGINT) FROM chg
+),
+d AS (
+  SELECT *, lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY eff_seq) AS prev
+  FROM v
+),
+kept AS (
+  SELECT c_custkey, c_mktsegment, eff_seq FROM d
+  WHERE prev IS NULL OR prev <> c_mktsegment
+),
+hist AS (
+  SELECT c_custkey, c_mktsegment,
+         eff_seq AS valid_from_seq,
+         lead(eff_seq) OVER (PARTITION BY c_custkey ORDER BY eff_seq) AS valid_to_seq
+  FROM kept
+),
+o AS (SELECT o_orderkey, o_custkey, o_orderkey % 4 AS as_of_seq FROM orders)
+SELECT o.as_of_seq, h.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS orderkey_checksum
+FROM o
+JOIN hist h ON h.c_custkey = o.o_custkey
+ AND h.valid_from_seq <= o.as_of_seq
+ AND (h.valid_to_seq IS NULL OR o.as_of_seq < h.valid_to_seq)
+GROUP BY o.as_of_seq, h.c_mktsegment
+""",
+)
+def rel_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) join against the SCD2 history: each
+    order reads the customer version valid AT its as-of sequence — the
+    query every versioned dimension exists to answer. Equi-join on the
+    customer key plus an interval filter over that key's ≤4 versions;
+    one shuffle, no range-join blow-up."""
+    from whatsapp_vectordb_spark.operators.curate import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    k = F.col("c_custkey")
+    changes = (
+        cust.where(k % 5 == 0).select(k.alias("c_custkey"), F.lit("SEG_A").alias("c_mktsegment"), F.lit(1).alias("eff_seq"))
+        .unionByName(cust.where(k % 10 == 0).select(k.alias("c_custkey"), F.lit("SEG_B").alias("c_mktsegment"), F.lit(2).alias("eff_seq")))
+        .unionByName(cust.where(k % 20 == 0).select(k.alias("c_custkey"), F.lit("SEG_B").alias("c_mktsegment"), F.lit(3).alias("eff_seq")))
+    )
+    hist = scd2_apply(cust, changes, "c_custkey", ["c_mktsegment"])
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.pmod("o_orderkey", F.lit(4)).alias("as_of_seq")
+    )
+    j = orders.join(hist, orders.o_custkey == hist.c_custkey).where(
+        (F.col("valid_from_seq") <= F.col("as_of_seq"))
+        & (F.col("valid_to_seq").isNull() | (F.col("as_of_seq") < F.col("valid_to_seq")))
+    )
+    return j.groupBy("as_of_seq", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("orderkey_checksum"),
+    )
+
+
+_SHARD2_TOKENS = 4096
+
+
+@_register(
+    "pipeline_pretraining_shards",
+    f"""
+WITH toks AS (SELECT doc_id, text, source, {_TOKS.format(c='text')} AS tk FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END AS mwl,
+         CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(tk) ELSE 0.0 END AS sr,
+         CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END AS dv
+  FROM toks
+),
+q AS (
+  SELECT doc_id, source,
+         CAST(round(ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+           + LEAST(sr * 2.0, 1.0) * 0.25
+           + dv * 0.25, 6) * 1000000) AS BIGINT) AS q_micro
+  FROM feats
+),
+r AS (
+  SELECT doc_id, source, q_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_micro DESC, doc_id ASC) AS BIGINT) AS rank,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+),
+kept AS (
+  SELECT doc_id FROM r WHERE ROUND(rank / CAST(n AS DOUBLE), 6) <= 0.5
+),
+hashed AS (
+  SELECT t.doc_id, md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g'))) AS h,
+         CAST(len(t.tk) AS BIGINT) AS nt
+  FROM toks t JOIN kept k ON k.doc_id = t.doc_id
+),
+canon AS (SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY h),
+surv AS (
+  SELECT hs.doc_id, hs.nt FROM hashed hs JOIN canon c ON c.keeper = hs.doc_id
+),
+hk AS (
+  SELECT doc_id, nt,
+         ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT AS hkey
+  FROM surv
+),
+c AS (
+  SELECT doc_id, nt,
+         COALESCE(CAST(SUM(nt) OVER (ORDER BY hkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS cum_before
+  FROM hk
+),
+s AS (
+  SELECT doc_id, nt, CAST(cum_before // {_SHARD2_TOKENS} AS BIGINT) AS shard_id FROM c
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+FROM s GROUP BY shard_id
+""",
+)
+def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone: prepare a training run end to end — per-source
+    quality CALIBRATION (grouped distributed prefix-sum percentiles,
+    keep each source's top half), exact-dedup canonicalization (min-id
+    per content hash), deterministic hash-permutation shuffle, and
+    token-balanced shard cuts — emitted as the per-shard manifest a
+    trainer consumes. Every stage is an already-oracle-checked operator;
+    this query proves they COMPOSE: calibration never compares scores
+    across sources, dedup runs on the kept set only, and the prefix sum
+    sees the post-dedup corpus."""
+    from whatsapp_vectordb_spark.functions.text import normalize_text, tokens
+    from whatsapp_vectordb_spark.operators.curate import shard_assign
+    from whatsapp_vectordb_spark.operators.textops import quality_percentile_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        quality_percentile_by_source(docs)
+        .where(F.col("pct") <= 0.5)
+        .select("doc_id")
+    )
+    hashed = docs.join(kept, "doc_id").select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("_h"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
+    surv = hashed.join(
+        canon, hashed.doc_id == canon._keeper, "left_semi"
+    ).select("doc_id", "n_tokens")
+    assigned = shard_assign(surv, shard_tokens=_SHARD2_TOKENS, seed=7)
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+    )
