@@ -900,11 +900,24 @@ def rake_keywords(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     ).where(~F.col("tok").isin(*EN_STOPWORDS))
     w = Window.partitionBy(id_col).orderBy("pos")
-    runs = toks.withColumn("island", F.col("pos") - F.row_number().over(w))
-    phrases = runs.groupBy(id_col, "island").agg(
-        F.count("*").alias("phrase_len"), F.min("pos").alias("phrase_pos")
+    # localCheckpoint: runs feeds BOTH downstream aggregates; without it
+    # Catalyst re-tokenizes + re-windows the corpus once per consumer
+    runs = (
+        toks.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .localCheckpoint(eager=False)
     )
-    occ = runs.join(phrases, [id_col, "island"])
+    # one aggregate yields length, first position, AND the phrase text
+    phrases = runs.groupBy(id_col, "island").agg(
+        F.count("*").alias("phrase_len"),
+        F.min("pos").alias("phrase_pos"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " "
+        ).alias("phrase"),
+    )
+    occ = runs.join(
+        phrases.select(id_col, "island", "phrase_len", "phrase_pos"),
+        [id_col, "island"],
+    )
     word_stats = occ.groupBy(id_col, "tok").agg(
         F.count("*").alias("freq"), F.sum("phrase_len").alias("deg")
     )
@@ -921,16 +934,11 @@ def rake_keywords(
             F.min("phrase_pos").alias("phrase_pos"),
         )
     )
-    phrase_text = occ.groupBy(id_col, "island").agg(
-        F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ").alias(
-            "phrase"
-        )
-    )
     rk = Window.partitionBy(id_col).orderBy(
         F.col("score_micro").desc(), F.col("phrase_pos").asc()
     )
     return (
-        phrase_scores.join(phrase_text, [id_col, "island"])
+        phrase_scores.join(phrases.select(id_col, "island", "phrase"), [id_col, "island"])
         .withColumn("_rk", F.row_number().over(rk))
         .where(F.col("_rk") == 1)
         .select(F.col(id_col), "phrase", "score_micro", F.col("phrase_pos").cast("long").alias("phrase_pos"))
