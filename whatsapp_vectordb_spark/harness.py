@@ -7612,3 +7612,57 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.sum("doc_id").cast("long").alias("doc_id_checksum"),
     )
+
+
+_RES_SEED = 13
+_RES_K = 20
+
+
+@_register(
+    "sample_weighted_reservoir",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS w FROM documents
+),
+h AS (
+  SELECT doc_id, w,
+         ('0x' || substr(md5('{_RES_SEED}:' || doc_id), 1, 15))::BIGINT AS hv
+  FROM t WHERE w > 0
+),
+k AS (
+  SELECT doc_id, w,
+         ROUND(ln((hv % 9007199254740992 + 1) / 9007199254740992.0) / w, 6) AS skey
+  FROM h
+)
+SELECT doc_id, w AS weight, skey
+FROM k ORDER BY skey DESC, doc_id ASC
+LIMIT {_RES_K}
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, no RNG state:
+    Efraimidis-Spirakis A-Res — each doc draws u ∈ (0,1] from a seeded
+    hash (exact: 53-bit modulus over a power-of-two divisor, so u is the
+    same double everywhere) and the top-k by ``ln(u)/w`` are the sample,
+    weighted by token count. THE distributed weighted sampler: a single
+    TakeOrderedAndProject, mergeable across partitions, reproducible
+    across runs and engines."""
+    from whatsapp_vectordb_spark.functions.text import portable_hash64, tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("w")
+    ).where(F.col("w") > 0)
+    m = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), seed=_RES_SEED),
+        F.lit(9007199254740992),
+    )
+    u = (m + 1) / F.lit(9007199254740992.0)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.round(F.log(u) / F.col("w"), 6).alias("skey"),
+        )
+        .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+        .limit(_RES_K)
+    )
