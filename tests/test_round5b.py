@@ -444,3 +444,32 @@ class TestNoveltyVsReference:
         assert out[1]["novelty_micro"] == 0
         assert out[2]["novelty_micro"] == 1_000_000
         assert out[2]["n_novel"] == out[2]["n_shingles"]
+
+
+class TestCusumChangepoints:
+    def test_closed_form_matches_recursion(self, spark):
+        import datetime
+
+        from whatsapp_vectordb_spark.operators.events import cusum_changepoints
+
+        # one type, daily counts [5, 1, 1, 9, 9] — starts ABOVE the mean
+        # (the case the missing P0=0 floor would under-report)
+        counts = [7, 1, 1, 5, 1]
+        rows = []
+        eid = 0
+        for day, n in enumerate(counts, 1):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, 1, datetime.datetime(2024, 1, day), "x"))
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        out = {r["day"]: r["cusum_micro"] for r in cusum_changepoints(df).collect()}
+
+        mean_micro = (1_000_000 * sum(counts)) // len(counts)
+        s, want = 0, {}
+        for day, n in enumerate(counts, 1):
+            s = max(0, s + 1_000_000 * n - mean_micro)
+            want[f"2024-01-{day:02d}"] = s
+        assert out == want
+        assert want["2024-01-01"] > 0  # the floor case actually exercised

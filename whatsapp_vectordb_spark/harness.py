@@ -7666,3 +7666,45 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
         .limit(_RES_K)
     )
+
+
+@_register(
+    "events_cusum_changepoints",
+    """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, SUM(n) AS tot, COUNT(*) AS n_days FROM daily GROUP BY 1
+),
+y AS (
+  SELECT d.event_type, d.day, d.n,
+         CAST(1000000 * d.n - (1000000 * s.tot) // s.n_days AS BIGINT) AS yv
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+),
+p AS (
+  SELECT event_type, day, n,
+         CAST(SUM(yv) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS pv
+  FROM y
+),
+s AS (
+  SELECT event_type, day, n,
+         CAST(pv - LEAST(0, MIN(pv) OVER (PARTITION BY event_type ORDER BY day))
+              AS BIGINT) AS cusum_micro
+  FROM p
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_events, cusum_micro,
+       cusum_micro > 0 AS alarm
+FROM s
+""",
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential rate-shift detection (one-sided CUSUM) over daily event
+    volumes per type, with the recursion replaced by its closed form
+    ``P − min(0, running_min(P))`` — two window functions, all-integer
+    micro-units, bit-identical in both engines (operators/events.py
+    cusum_changepoints)."""
+    from whatsapp_vectordb_spark.operators.events import cusum_changepoints
+
+    return cusum_changepoints(_events(spark, sf_dir))

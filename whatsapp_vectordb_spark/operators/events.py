@@ -156,3 +156,62 @@ def markov_transitions(
         F.col("_n").cast("long").alias("n_transitions"),
         F.round(F.col("_n") / F.sum("_n").over(per_src), 6).alias("p"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    drift_micro: int = 0,
+    threshold_micro: int = 0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One-sided CUSUM change detection over each event type's DAILY
+    volume: flag days where the cumulative excess over the series mean
+    (minus ``drift_micro`` slack) exceeds ``threshold_micro`` — the
+    standard sequential detector for rate shifts.
+
+    The recursion ``S_i = max(0, S_{i-1} + y_i)`` has the closed form
+    ``S_i = P_i − min(0, min_{j≤i} P_j)`` (prefix sum minus its running
+    minimum, floored by the empty prefix P₀ = 0 — dropping that floor
+    under-reports S whenever the series starts positive), so the
+    sequential statistic becomes two WINDOW functions — no iteration,
+    no state. All terms are integer micro-units
+    (``y_i = 10⁶·count_i − mean_micro − drift``; the mean enters as the
+    exact integer ``10⁶·total div n_days``), so S is an exact BIGINT in
+    every engine.
+
+    Scale shape: one shuffle keys the daily aggregate by type; the
+    windows run per type over |days| rows — years of days is still a
+    tiny per-key sequence.
+    """
+    daily = (
+        events.select(F.col(type_col), F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
+        .groupBy(type_col, "day")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy(type_col).agg(
+        F.sum("n").alias("_tot"), F.count("*").alias("_days")
+    )
+    w = Window.partitionBy(type_col).orderBy("day")
+    wmin = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    y = (
+        F.lit(1_000_000) * F.col("n")
+        - F.expr("(1000000 * _tot) div _days")
+        - F.lit(drift_micro)
+    )
+    p = F.sum(y).over(wmin)
+    scored = (
+        daily.join(stats, type_col)
+        .withColumn("_p", p)
+        .withColumn(
+            "_s",
+            (F.col("_p") - F.least(F.lit(0), F.min("_p").over(wmin))).cast("long"),
+        )
+    )
+    return scored.select(
+        F.col(type_col),
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("_s").alias("cusum_micro"),
+        (F.col("_s") > threshold_micro).alias("alarm"),
+    )
