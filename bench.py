@@ -296,6 +296,12 @@ def main() -> None:
 
         pack_shard_assign(spark, sf_dir).count()
 
+    @timed("text_rake_keywords")
+    def _():
+        from whatsapp_vectordb_spark.harness import text_rake_keywords
+
+        text_rake_keywords(spark, sf_dir).count()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
