@@ -390,3 +390,18 @@ def test_rake_windows_partition_by_doc(documents):
     p = plan(rake_keywords(documents.where(F.col("doc_id") < 100)))
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_batched_ivf_probe_broadcasts_probe_map(spark, embeddings, tmp_path):
+    """The (query, centroid) probe map must broadcast and the index side
+    must be pruned by an IN-filter on the probed cells — never a shuffle
+    of the index keyed by centroid."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfIndex.build(emb, n_centroids=4)
+    qs = [(r["vec_id"], r["embedding"]) for r in emb.where(F.col("vec_id") < 2).collect()]
+    p = plan(idx.probe_batched(qs, k=3, nprobe=2))
+    assert "BroadcastExchange" in p
+    assert "centroid IN" in p or "isin" in p.lower() or "IN (" in p
+    assert "SortMergeJoin" not in p

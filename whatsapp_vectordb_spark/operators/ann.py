@@ -615,7 +615,7 @@ class IvfIndex:
         )
         probes = spark.createDataFrame(
             probe_rows, "query_id long, _pcell bigint"
-        ).join(qdf, "query_id")
+        ).join(F.broadcast(qdf), "query_id")
         cells = sorted({c for _, c in probe_rows})
         subset = self.assigned.where(F.col("centroid").isin(cells))
         score = cosine_similarity(F.col(self.vec_col), F.col("_qv"))
