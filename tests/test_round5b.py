@@ -473,3 +473,67 @@ class TestCusumChangepoints:
             want[f"2024-01-{day:02d}"] = s
         assert out == want
         assert want["2024-01-01"] > 0  # the floor case actually exercised
+
+
+class TestRandomizedReferences:
+    """Seeded random cases replayed against naive Python references —
+    property tests at Spark granularity (one session, many cases)."""
+
+    def test_phrase_search_matches_naive_count(self, spark):
+        import random
+
+        from whatsapp_vectordb_spark.operators.textops import phrase_search
+
+        rng = random.Random(42)
+        vocab = ["a", "b", "c", "d"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+            for i in range(60)
+        ]
+        phrase = "a b a"
+        ptoks = phrase.split()
+
+        def naive(text):
+            t = text.split()
+            return sum(
+                1
+                for i in range(len(t) - len(ptoks) + 1)
+                if t[i : i + len(ptoks)] == ptoks
+            )
+
+        want = {i: naive(tx) for i, tx in docs if naive(tx) > 0}
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(_docs(spark, docs), phrase).collect()
+        }
+        assert got == want
+
+    def test_cusum_matches_recursion_on_random_series(self, spark):
+        import datetime
+        import random
+
+        from whatsapp_vectordb_spark.operators.events import cusum_changepoints
+
+        rng = random.Random(7)
+        rows, eid = [], 0
+        series = {}
+        for tcode in ("x", "y"):
+            counts = [rng.randrange(1, 12) for _ in range(10)]
+            series[tcode] = counts
+            for day, n in enumerate(counts, 1):
+                for _ in range(n):
+                    eid += 1
+                    rows.append((eid, 1, datetime.datetime(2024, 3, day), tcode))
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        out = {
+            (r["event_type"], r["day"]): r["cusum_micro"]
+            for r in cusum_changepoints(df).collect()
+        }
+        for tcode, counts in series.items():
+            mean_micro = (1_000_000 * sum(counts)) // len(counts)
+            s = 0
+            for day, n in enumerate(counts, 1):
+                s = max(0, s + 1_000_000 * n - mean_micro)
+                assert out[(tcode, f"2024-03-{day:02d}")] == s
