@@ -7708,3 +7708,60 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.events import cusum_changepoints
 
     return cusum_changepoints(_events(spark, sf_dir))
+
+
+# LSH recall gate: same candidate machinery as ann_lsh_topk, plus the
+# exact-scan comparison — completes the recall-gate family (IVF-PQ, JL,
+# MRL, BQ, now LSH): every ANN tier's answer QUALITY is itself gated.
+_ANN_LSH_GATE_ORACLE = (
+    _ANN_LSH_ORACLE.split("SELECT e.vec_id,")[0].rstrip().rstrip(")")
+    + """),
+lsh10 AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM lsh10 JOIN exact ON lsh10.vec_id = exact.vec_id
+"""
+)
+
+
+@_register("ann_lsh_recall_gate", _ANN_LSH_GATE_ORACLE)
+def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the bucket-pruned LSH search vs the exact scan —
+    the last ANN tier whose answer quality wasn't itself oracle-gated.
+    Candidates come from the identical banded-signature machinery as
+    ann_lsh_topk; recall is the top-10 intersection size / 10."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh10 = portable_lsh_topk(
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0,
+        round_to=ROUND_SCORE, impl="numpy", dim=64,
+    ).select("vec_id")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = topk(
+        emb.select("vec_id", "embedding"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    return (
+        lsh10.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
