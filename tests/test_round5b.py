@@ -537,3 +537,42 @@ class TestRandomizedReferences:
             for day, n in enumerate(counts, 1):
                 s = max(0, s + 1_000_000 * n - mean_micro)
                 assert out[(tcode, f"2024-03-{day:02d}")] == s
+
+
+class TestShardInterleave:
+    def test_round_robin_striping(self, spark):
+        from whatsapp_vectordb_spark.operators.curate import shard_interleave
+
+        # one shard, 3 sources with 3/2/1 docs; perm_key = doc_id for
+        # a readable expected order
+        rows = [
+            (1, "a", 0, 1), (2, "a", 0, 2), (3, "a", 0, 3),
+            (4, "b", 0, 4), (5, "b", 0, 5),
+            (6, "c", 0, 6),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, shard_id long, perm_key long"
+        )
+        out = sorted(
+            (r["pos_in_shard"], r["doc_id"])
+            for r in shard_interleave(df).collect()
+        )
+        # round 1: a1, b4, c6; round 2: a2, b5; round 3: a3
+        assert [d for _, d in out] == [1, 4, 6, 2, 5, 3]
+
+    def test_no_long_single_source_runs(self, spark):
+        from whatsapp_vectordb_spark.operators.curate import shard_interleave
+
+        rows = [(i, "big" if i < 20 else "small", 0, i) for i in range(24)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, shard_id long, perm_key long"
+        )
+        seq = [
+            r["doc_id"]
+            for r in sorted(
+                shard_interleave(df).collect(), key=lambda r: r["pos_in_shard"]
+            )
+        ]
+        # while both sources have docs left, they must alternate
+        first8 = seq[:8]
+        assert sum(1 for d in first8 if d >= 20) == 4  # small source present

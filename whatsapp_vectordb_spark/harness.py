@@ -7765,3 +7765,70 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
         )
     )
+
+
+@_register(
+    "pack_shard_interleave",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS nt
+  FROM documents
+),
+h AS (
+  SELECT doc_id, source, nt,
+         ('0x' || substr(md5('{_SHARD_SEED}:' || doc_id), 1, 15))::BIGINT AS hkey
+  FROM toks
+),
+c AS (
+  SELECT doc_id, source, nt, hkey,
+         COALESCE(CAST(SUM(nt) OVER (ORDER BY hkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS cum_before
+  FROM h
+),
+s AS (
+  SELECT doc_id, source, hkey,
+         CAST(cum_before // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+  FROM c
+),
+striped AS (
+  SELECT doc_id, source, shard_id,
+         ROW_NUMBER() OVER (PARTITION BY shard_id, source ORDER BY hkey, doc_id) AS rnd
+  FROM s
+),
+pos AS (
+  SELECT doc_id, shard_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY rnd, source, doc_id) - 1
+              AS BIGINT) AS pos_in_shard
+  FROM striped
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id * (pos_in_shard + 1)) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard_id
+""",
+)
+def pack_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-shard source interleaving (operators/curate.py
+    shard_interleave) on top of the balanced shard assignment: per-shard
+    position-weighted checksums pin the exact ORDER both engines
+    produce, not just membership — a sequential reader of any shard sees
+    sources striped round-robin."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.curate import shard_assign, shard_interleave
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    assigned = shard_assign(
+        docs.select("doc_id", "n_tokens"),
+        shard_tokens=_SHARD_TOKENS,
+        seed=_SHARD_SEED,
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    ordered = shard_interleave(assigned)
+    return ordered.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("doc_id") * (F.col("pos_in_shard") + 1))
+        .cast("long")
+        .alias("order_checksum"),
+    )

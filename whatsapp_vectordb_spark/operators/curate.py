@@ -659,3 +659,33 @@ def epoch_waterfill(
         "source string, n_tokens long, weight long, cap_tokens long, "
         "alloc_tokens long, epochs_micro long",
     )
+
+
+def shard_interleave(
+    assigned: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Source-striped ordering WITHIN each training shard: documents
+    interleave round-robin across sources (1st of each source, then 2nd
+    of each, ...) so a sequential reader never sees a long single-source
+    run — the intra-shard complement of the global hash permutation
+    (without it, a shard that happens to be 80% web-crawl feeds the
+    trainer correlated batches).
+
+    Output adds ``pos_in_shard`` (0-based). Determinism: within a
+    (shard, source) stripe docs order by the permutation key; stripes
+    merge by (round, source, id). Scale shape: two row_number windows,
+    both keyed by shard — the same exchange, each shard a bounded
+    ~shard_tokens sequence.
+    """
+    w_src = Window.partitionBy(shard_col, source_col).orderBy("perm_key", id_col)
+    w_shard = Window.partitionBy(shard_col).orderBy(
+        "_round", source_col, F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_round", F.row_number().over(w_src))
+        .withColumn("pos_in_shard", (F.row_number().over(w_shard) - 1).cast("long"))
+        .drop("_round")
+    )
