@@ -7868,3 +7868,54 @@ def rel_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@_register(
+    "text_cms_calibration",
+    f"""
+WITH toks AS (SELECT unnest({_TOKS.format(c='text')}) AS tok FROM documents),
+cells AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS col
+  FROM toks CROSS JOIN range(0,4) r(r)
+),
+counters AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+vocab AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY 1),
+pcells AS (
+  SELECT v.tok, r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || v.tok), 1, 15))::BIGINT % 1024 AS col
+  FROM vocab v CROSS JOIN range(0,4) r(r)
+),
+est AS (
+  SELECT pc.tok, MIN(COALESCE(c.cnt, 0)) AS est_count
+  FROM pcells pc LEFT JOIN counters c ON c.row = pc.row AND c.col = pc.col
+  GROUP BY pc.tok
+)
+SELECT CAST(e.est_count - v.true_count AS BIGINT) AS overestimate,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM est e JOIN vocab v ON v.tok = e.tok
+GROUP BY 1
+""",
+)
+def text_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min error profile over the FULL vocabulary: for every
+    distinct token, the sketch's overestimate (est − true, always ≥ 0 —
+    CMS never undercounts), bucketed by error size — the measured form
+    of the ε·N guarantee, completing the sketch-calibration family
+    (MinHash pairs, histogram quantiles, now CMS). All integers."""
+    from whatsapp_vectordb_spark.functions.text import tokens
+    from whatsapp_vectordb_spark.operators.sketches import cms_counters, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("_tk")).select(
+        F.explode("_tk").alias("tok")
+    )
+    counters = cms_counters(toks, "tok", width=1024)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    est = cms_estimate(counters, vocab.select("tok"), "tok", width=1024)
+    return (
+        est.join(vocab, est["probe"] == vocab["tok"])
+        .select((F.col("est_count") - F.col("true_count")).cast("long").alias("overestimate"))
+        .groupBy("overestimate")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
