@@ -51,3 +51,38 @@ def test_read_embeddings_csv_ids_are_line_positions(spark, tmp_path):
     p.write_text("1.0,2.0\n3.0,4.0\n5.0,6.0\n")
     rows = read_embeddings_csv(spark, str(p)).orderBy("id").collect()
     assert [r["id"] for r in rows] == ["vector_id_1", "vector_id_2", "vector_id_3"]
+
+
+class TestWhatsAppDataSource:
+    def test_directory_load_partitions_per_file(self, spark, tmp_path):
+        from whatsapp_vectordb_spark.sources.whatsapp_source import (
+            WhatsAppChatDataSource,
+        )
+
+        (tmp_path / "a.txt").write_text(
+            "[09.09.23, 14:35:02] ~ alice: hello   world\nnot a chat line\n"
+        )
+        (tmp_path / "b.txt").write_text(
+            "[10.09.23, 09:00:00] bob: second file\n"
+        )
+        spark.dataSource.register(WhatsAppChatDataSource)
+        df = spark.read.format("whatsapp").load(str(tmp_path))
+        rows = {(r["line_no"], r["sender"]): r for r in df.collect()}
+        # per-file line numbering: both files start at 0
+        assert rows[(0, "alice")]["message"] == "hello world"  # ws collapsed
+        assert rows[(0, "alice")]["parse_ok"] is True
+        assert rows[(1, None)]["parse_ok"] is False
+        assert rows[(0, "bob")]["ts_raw"] == "10.09.23, 09:00:00"
+        assert df.rdd.getNumPartitions() == 2  # one partition per file
+
+    def test_missing_path_raises(self, spark, tmp_path):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from whatsapp_vectordb_spark.sources.whatsapp_source import (
+            WhatsAppChatDataSource,
+        )
+
+        spark.dataSource.register(WhatsAppChatDataSource)
+        with pytest.raises((Py4JJavaError, Exception)):
+            spark.read.format("whatsapp").load(str(tmp_path / "absent")).collect()

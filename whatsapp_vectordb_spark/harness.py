@@ -7919,3 +7919,47 @@ def text_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("overestimate")
         .agg(F.count("*").cast("long").alias("n_tokens"))
     )
+
+
+@_register(
+    "compat_whatsapp_source",
+    f"""
+WITH lines AS ({_CHAT_LINE_SQL})
+SELECT doc_id AS line_no,
+       CASE WHEN ok THEN ts_r END AS ts_raw,
+       CASE WHEN ok THEN sender_raw END AS sender,
+       CASE WHEN ok THEN message_raw END AS message,
+       ok AS parse_ok
+FROM (
+  SELECT doc_id,
+         regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) <> '' AS ok,
+         regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) AS ts_r,
+         trim(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 2)) AS sender_raw,
+         regexp_replace(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 3), '\\s+', ' ', 'g') AS message_raw
+  FROM lines
+)
+""",
+)
+def compat_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chat format as a REGISTERED Spark 4 Python data source:
+    ``spark.read.format("whatsapp")`` returns typed parsed rows straight
+    from the text file (sources/whatsapp_source.py — partition per file,
+    driver only lists paths). The synthesized corpus is written once in
+    doc_id order so ``line_no == doc_id`` and the oracle replays the
+    identical regex over the same lines."""
+    import os as _os
+
+    from whatsapp_vectordb_spark.sources.whatsapp_source import WhatsAppChatDataSource
+
+    scratch = _oracle_scratch("whatsapp_source")
+    _os.makedirs(scratch, exist_ok=True)
+    path = _os.path.join(scratch, "chat.txt")
+    rows = _chat_lines_df(spark, sf_dir).orderBy("doc_id").collect()
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(r["value"] + "\n")
+
+    spark.dataSource.register(WhatsAppChatDataSource)
+    return spark.read.format("whatsapp").load(path).select(
+        "line_no", "ts_raw", "sender", "message", "parse_ok"
+    )

@@ -1,0 +1,87 @@
+"""Spark 4 Python custom data source for the reference's chat-export
+format: ``spark.read.format("whatsapp").load(path)`` returns TYPED rows
+``(line_no, ts_raw, sender, message, parse_ok)`` directly from the text
+file — the connector form of S1+P1 (reference `main.go:32`,
+`embed/embed.go:98-111`): the format knowledge lives in the source, not
+in every downstream query.
+
+Scale shape: one input partition per file (the natural split for
+line-numbered text — a parallel byte-range split could not assign stable
+line numbers without a second pass); the driver only LISTS files, every
+byte is read executor-side. Registration is per-session::
+
+    spark.dataSource.register(WhatsAppChatDataSource)
+    df = spark.read.format("whatsapp").load("/path/to/exports")
+
+The line regex is byte-for-byte the one in ``parse.py`` (and the SQL
+oracles), so rows agree with ``parse_chat_lines`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# mirror of parse.py's CHAT_LINE_RE / the oracles' regexp_extract pattern
+CHAT_LINE_PATTERN = r"^\[(\d{2}\.\d{2}\.\d{2}, \d{2}:\d{2}:\d{2})\] ~?\s*([^:]+): (.*)$"
+
+
+class WhatsAppChatDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "whatsapp"
+
+    def schema(self) -> str:
+        return (
+            "line_no bigint, ts_raw string, sender string, "
+            "message string, parse_ok boolean"
+        )
+
+    def reader(self, schema) -> "WhatsAppChatReader":
+        return WhatsAppChatReader(self.options)
+
+
+class WhatsAppChatReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("whatsapp source requires a path: .load('<file-or-dir>')")
+        self.path = path
+
+    def partitions(self):
+        import glob
+        import os
+
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                f
+                for f in glob.glob(os.path.join(p, "*"))
+                if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+            )
+        elif any(c in p for c in "*?["):
+            files = sorted(f for f in glob.glob(p) if os.path.isfile(f))
+        else:
+            files = [p]
+        if not files:
+            raise FileNotFoundError(f"whatsapp source found no files at {p!r}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        import re
+
+        pat = re.compile(CHAT_LINE_PATTERN)
+        ws = re.compile(r"\s+")
+        with open(partition.value, encoding="utf-8") as f:
+            for line_no, raw in enumerate(f):
+                line = raw.rstrip("\n")
+                m = pat.match(line)
+                if m:
+                    yield (
+                        line_no,
+                        m.group(1),
+                        m.group(2).strip(),
+                        ws.sub(" ", m.group(3)),
+                        True,
+                    )
+                else:
+                    yield (line_no, None, None, None, False)
