@@ -55,9 +55,7 @@ def test_read_embeddings_csv_ids_are_line_positions(spark, tmp_path):
 
 class TestWhatsAppDataSource:
     def test_directory_load_partitions_per_file(self, spark, tmp_path):
-        from whatsapp_vectordb_spark.sources.whatsapp_source import (
-            WhatsAppChatDataSource,
-        )
+        from whatsapp_vectordb_spark.sources import whatsapp_source
 
         (tmp_path / "a.txt").write_text(
             "[09.09.23, 14:35:02] ~ alice: hello   world\nnot a chat line\n"
@@ -65,8 +63,8 @@ class TestWhatsAppDataSource:
         (tmp_path / "b.txt").write_text(
             "[10.09.23, 09:00:00] bob: second file\n"
         )
-        spark.dataSource.register(WhatsAppChatDataSource)
-        df = spark.read.format("whatsapp").load(str(tmp_path))
+        fmt = whatsapp_source.register(spark)
+        df = spark.read.format(fmt).load(str(tmp_path))
         rows = {(r["line_no"], r["sender"]): r for r in df.collect()}
         # per-file line numbering: both files start at 0
         assert rows[(0, "alice")]["message"] == "hello world"  # ws collapsed
@@ -79,10 +77,8 @@ class TestWhatsAppDataSource:
         import pytest
         from py4j.protocol import Py4JJavaError
 
-        from whatsapp_vectordb_spark.sources.whatsapp_source import (
-            WhatsAppChatDataSource,
-        )
+        from whatsapp_vectordb_spark.sources import whatsapp_source
 
-        spark.dataSource.register(WhatsAppChatDataSource)
+        fmt = whatsapp_source.register(spark)
         with pytest.raises((Py4JJavaError, Exception)):
-            spark.read.format("whatsapp").load(str(tmp_path / "absent")).collect()
+            spark.read.format(fmt).load(str(tmp_path / "absent")).collect()

@@ -7949,7 +7949,7 @@ def compat_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical regex over the same lines."""
     import os as _os
 
-    from whatsapp_vectordb_spark.sources.whatsapp_source import WhatsAppChatDataSource
+    from whatsapp_vectordb_spark.sources import whatsapp_source
 
     scratch = _oracle_scratch("whatsapp_source")
     _os.makedirs(scratch, exist_ok=True)
@@ -7959,7 +7959,7 @@ def compat_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows:
             f.write(r["value"] + "\n")
 
-    spark.dataSource.register(WhatsAppChatDataSource)
-    return spark.read.format("whatsapp").load(path).select(
+    fmt = whatsapp_source.register(spark)
+    return spark.read.format(fmt).load(path).select(
         "line_no", "ts_raw", "sender", "message", "parse_ok"
     )

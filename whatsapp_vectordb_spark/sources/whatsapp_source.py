@@ -85,3 +85,33 @@ class WhatsAppChatReader(DataSourceReader):
                     )
                 else:
                     yield (line_no, None, None, None, False)
+
+
+def register(spark) -> str:
+    """Register the source on THIS session and return the format name to
+    use. Spark 4.1 quirk (empirically pinned in tests): a session created
+    by ``newSession()`` AFTER any Python data-source registration inherits
+    a PHANTOM entry — ``register`` raises DATA_SOURCE_ALREADY_EXISTS, but
+    ``.format(...).load`` still fails with DATA_SOURCE_NOT_FOUND (the
+    cloned entry loses its Python builder). So on ALREADY_EXISTS this
+    falls back to a unique alias name, which always registers fresh and
+    resolves in the registering session; callers must read via the
+    RETURNED name, never the literal "whatsapp".
+    """
+    try:
+        spark.dataSource.register(WhatsAppChatDataSource)
+        return WhatsAppChatDataSource.name()
+    except Exception as e:  # AnalysisException
+        if "ALREADY_EXISTS" not in str(e):
+            raise
+    import uuid
+
+    alias = f"whatsapp_{uuid.uuid4().hex[:8]}"
+
+    class _Aliased(WhatsAppChatDataSource):
+        @classmethod
+        def name(cls) -> str:
+            return alias
+
+    spark.dataSource.register(_Aliased)
+    return alias
