@@ -82,3 +82,35 @@ class TestWhatsAppDataSource:
         fmt = whatsapp_source.register(spark)
         with pytest.raises((Py4JJavaError, Exception)):
             spark.read.format(fmt).load(str(tmp_path / "absent")).collect()
+
+
+class TestWhatsAppStreamReader:
+    def test_offsets_incremental_and_replayable(self, tmp_path):
+        """Pure-Python offset semantics: file-count offsets, incremental
+        reads deliver only new files, and readBetweenOffsets replays the
+        exact slice (retry determinism)."""
+        from whatsapp_vectordb_spark.sources.whatsapp_source import (
+            WhatsAppChatStreamReader,
+        )
+
+        (tmp_path / "a.txt").write_text(
+            "[09.09.23, 14:35:02] ~ alice: one\nbroken\n"
+        )
+        (tmp_path / "b.txt").write_text("[09.09.23, 14:36:00] ~ bob: two\n")
+        r = WhatsAppChatStreamReader({"path": str(tmp_path)})
+        assert r.initialOffset() == {"files": 0}
+
+        it, off = r.read({"files": 0})
+        rows = list(it)
+        assert off == {"files": 2}
+        assert len(rows) == 3
+        assert [x[4] for x in rows] == [True, False, True]
+
+        replay = list(r.readBetweenOffsets({"files": 0}, {"files": 1}))
+        assert replay == rows[:2]  # exactly file a's rows
+
+        (tmp_path / "c.txt").write_text("[09.09.23, 14:37:00] ~ cara: three\n")
+        it2, off2 = r.read(off)
+        new_rows = list(it2)
+        assert off2 == {"files": 3}
+        assert len(new_rows) == 1 and new_rows[0][2] == "cara"

@@ -7963,3 +7963,67 @@ def compat_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format(fmt).load(path).select(
         "line_no", "ts_raw", "sender", "message", "parse_ok"
     )
+
+
+@_register(
+    "streaming_whatsapp_source",
+    f"""
+WITH lines AS ({_CHAT_LINE_SQL})
+SELECT CASE WHEN ok THEN sender_raw END AS sender,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed
+FROM (
+  SELECT regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) <> '' AS ok,
+         trim(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 2)) AS sender_raw
+  FROM lines
+)
+GROUP BY 1
+""",
+)
+def streaming_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chat connector as a STREAMING source: the corpus is dropped
+    into a folder as 3 export files and tailed via the data source's
+    simpleStreamReader (offset = files consumed, exact replay between
+    offsets); per-batch rows append through an idempotent batch_id sink
+    and the final per-sender tallies must equal the one-shot batch parse
+    — connector, ingest loop, and parser all exercised by one oracle."""
+    import os as _os
+    import shutil
+
+    from whatsapp_vectordb_spark.sources import whatsapp_source
+
+    scratch = _oracle_scratch("whatsapp_stream")
+    shutil.rmtree(scratch, ignore_errors=True)
+    src_dir = _os.path.join(scratch, "drop")
+    _os.makedirs(src_dir)
+    rows = _chat_lines_df(spark, sf_dir).orderBy("doc_id").collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(_os.path.join(src_dir, f"export_{i}.txt"), "w", encoding="utf-8") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(r["value"] + "\n")
+
+    fmt = whatsapp_source.register(spark)
+    out_dir = _os.path.join(scratch, "rows")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    stream = spark.readStream.format(fmt).load(src_dir)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    collected = spark.read.schema(
+        "line_no long, ts_raw string, sender string, message string, "
+        "parse_ok boolean, batch_id long"
+    ).parquet(out_dir)
+    return collected.groupBy("sender").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).cast("long").alias("n_parsed"),
+    )

@@ -19,7 +19,12 @@ oracles), so rows agree with ``parse_chat_lines`` exactly.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # mirror of parse.py's CHAT_LINE_RE / the oracles' regexp_extract pattern
 CHAT_LINE_PATTERN = r"^\[(\d{2}\.\d{2}\.\d{2}, \d{2}:\d{2}:\d{2})\] ~?\s*([^:]+): (.*)$"
@@ -38,6 +43,9 @@ class WhatsAppChatDataSource(DataSource):
 
     def reader(self, schema) -> "WhatsAppChatReader":
         return WhatsAppChatReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "WhatsAppChatStreamReader":
+        return WhatsAppChatStreamReader(self.options)
 
 
 class WhatsAppChatReader(DataSourceReader):
@@ -115,3 +123,73 @@ def register(spark) -> str:
 
     spark.dataSource.register(_Aliased)
     return alias
+
+
+def _list_files(path: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    if any(c in path for c in "*?["):
+        return sorted(f for f in glob.glob(path) if os.path.isfile(f))
+    import os as _os
+
+    return [path] if _os.path.isfile(path) else []
+
+
+def _parse_file(path: str):
+    import re
+
+    pat = re.compile(CHAT_LINE_PATTERN)
+    ws = re.compile(r"\s+")
+    with open(path, encoding="utf-8") as f:
+        for line_no, raw in enumerate(f):
+            line = raw.rstrip("\n")
+            m = pat.match(line)
+            if m:
+                yield (line_no, m.group(1), m.group(2).strip(), ws.sub(" ", m.group(3)), True)
+            else:
+                yield (line_no, None, None, None, False)
+
+
+class WhatsAppChatStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a chat-export directory: the offset is the count
+    of files consumed (sorted listing), each micro-batch delivers the
+    newly appeared files' parsed rows — the ingest-connector form of the
+    source (an export drop-folder streams straight into the engine).
+    File granularity keeps offsets exact and replayable:
+    ``readBetweenOffsets`` re-reads exactly the same slice on recovery,
+    so the stream is deterministic under retries. Files must be
+    append-only-immutable once dropped (the standard drop-folder
+    contract)."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("whatsapp stream requires a path")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict):
+        files = _list_files(self.path)
+        n0 = int(start["files"])
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
+        # returned iterator (generators aren't copyable → planPartitions
+        # dies with "cannot pickle 'generator' object")
+        rows = [r for f in files[n0:] for r in _parse_file(f)]
+        return iter(rows), {"files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_files(self.path)
+        for f in files[int(start["files"]) : int(end["files"])]:
+            yield from _parse_file(f)
+
+    def commit(self, end: dict) -> None:
+        pass
