@@ -114,3 +114,29 @@ class TestWhatsAppStreamReader:
         new_rows = list(it2)
         assert off2 == {"files": 3}
         assert len(new_rows) == 1 and new_rows[0][2] == "cara"
+
+
+class TestWhatsAppWriter:
+    def test_write_read_roundtrip_and_overwrite(self, spark, tmp_path):
+        from whatsapp_vectordb_spark.sources import whatsapp_source
+
+        fmt = whatsapp_source.register(spark)
+        df = spark.createDataFrame(
+            [("09.09.23, 14:35:02", "alice", "hello world"),
+             ("10.09.23, 09:00:00", "bob", "second line")],
+            "ts_raw string, sender string, message string",
+        )
+        out = str(tmp_path / "sink")
+        df.repartition(2).write.format(fmt).mode("overwrite").save(out)
+        back = spark.read.format(fmt).load(out)
+        rows = {r["sender"]: r for r in back.collect()}
+        assert rows["alice"]["message"] == "hello world"
+        assert rows["alice"]["parse_ok"] is True
+        assert rows["bob"]["ts_raw"] == "10.09.23, 09:00:00"
+        # overwrite replaces, never appends
+        df.limit(1).write.format(fmt).mode("overwrite").save(out)
+        assert spark.read.format(fmt).load(out).count() == 1
+        # no staging debris survives the commit
+        import os
+
+        assert not [f for f in os.listdir(out) if f.startswith("_staging")]

@@ -8027,3 +8027,59 @@ def streaming_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).cast("long").alias("n_parsed"),
     )
+
+
+@_register(
+    "compat_whatsapp_sink",
+    f"""
+WITH lines AS ({_CHAT_LINE_SQL})
+SELECT sender_raw AS sender,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({_phash_sql('message_raw')}) AS BIGINT) AS message_checksum
+FROM (
+  SELECT regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) <> '' AS ok,
+         trim(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 2)) AS sender_raw,
+         regexp_replace(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 3), '\\s+', ' ', 'g') AS message_raw
+  FROM lines
+)
+WHERE ok
+GROUP BY 1
+""",
+)
+def compat_whatsapp_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector round-trip: parsed rows WRITE back out through
+    ``df.write.format("whatsapp")`` (executor-side part files, two-phase
+    staged commit — sources/whatsapp_source.py WhatsAppChatWriter), then
+    read back through the same source; per-sender line counts and
+    message-content checksums must equal the direct parse of the
+    original lines — sink, commit protocol, and reader all pinned by one
+    oracle."""
+    import os as _os
+    import shutil
+
+    from whatsapp_vectordb_spark.functions.text import portable_hash
+    from whatsapp_vectordb_spark.parse import parse_chat_lines
+    from whatsapp_vectordb_spark.sources import whatsapp_source
+
+    scratch = _oracle_scratch("whatsapp_sink")
+    shutil.rmtree(scratch, ignore_errors=True)
+    out_dir = _os.path.join(scratch, "out")
+
+    parsed = parse_chat_lines(_chat_lines_df(spark, sf_dir), value_col="value").where(
+        F.col("parse_ok")
+    )
+    fmt = whatsapp_source.register(spark)
+    (
+        parsed.select(
+            F.lit("09.09.23, 14:35:02").alias("ts_raw"), "sender", "message"
+        )
+        .repartition(4)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(out_dir)
+    )
+    back = spark.read.format(fmt).load(out_dir).where(F.col("parse_ok"))
+    return back.groupBy("sender").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(portable_hash(F.col("message"))).cast("long").alias("message_checksum"),
+    )

@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # mirror of parse.py's CHAT_LINE_RE / the oracles' regexp_extract pattern
@@ -46,6 +48,9 @@ class WhatsAppChatDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "WhatsAppChatStreamReader":
         return WhatsAppChatStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WhatsAppChatWriter":
+        return WhatsAppChatWriter(self.options, overwrite)
 
 
 class WhatsAppChatReader(DataSourceReader):
@@ -193,3 +198,63 @@ class WhatsAppChatStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class WhatsAppChatWriter(DataSourceWriter):
+    """Sink side of the connector: ``df.write.format("whatsapp")`` emits
+    chat-export text — rows ``(ts_raw, sender, message)`` become
+    ``[ts] ~ sender: message`` lines, one part file per partition
+    (executor-side writes, two-phase: parts land under a staging name and
+    the job-level ``commit`` renames them in, ``abort`` removes them —
+    the usual task-retry safety). The reader parses what this writes,
+    so write → read round-trips exactly."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("whatsapp sink requires a path: .save('<dir>')")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}.txt")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                ts = row["ts_raw"] if row["ts_raw"] is not None else "09.09.23, 00:00:00"
+                f.write(f"[{ts}] ~ {row['sender']}: {row['message']}\n")
+                n += 1
+        return _ChatCommit(staged=staged, part=pid, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("chat_part_"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.replace(
+                m.staged, os.path.join(self.path, f"chat_part_{m.part:05d}.txt")
+            )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class _ChatCommit(WriterCommitMessage):
+    def __init__(self, staged: str, part: int, rows: int) -> None:
+        self.staged = staged
+        self.part = part
+        self.rows = rows
