@@ -42,16 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries repaired since their last driver row — pinned to the very front
-# so the driver's ~50-row sample re-verifies them next round. Round-5:
-# the three round-4 hash-fails, fixed by CASTing the oracles' HUGEINT
-# final columns to BIGINT (values were already equal). Remove entries once
-# their green row lands; an empty list just falls through to the
-# stalest-green-first ordering below.
-_FRONTLOAD = [
-    "pack_sequences_blocks",
-    "index_delete",
-    "text_maxsim_topk",
-]
+# so the driver's ~50-row sample re-verifies them next round. Empty after
+# round 5: the three round-4 hash-fails all landed green r5 rows, so the
+# ordering falls through to never-sampled-first then stalest-green-first.
+_FRONTLOAD: list[str] = []
 
 
 def _driver_status() -> dict[str, tuple[int, bool]]:

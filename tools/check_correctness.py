@@ -101,6 +101,25 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # Fixture-contract preflight (round-5 verdict item 3): several oracles
+    # hard-code structural constants of the testdata — embedding dim 64
+    # (`CROSS JOIN range(0, 64)` unnests), while all doc-length synthesis
+    # is exact per-row LATERAL (no caps left). If the driver regenerates
+    # testdata with a different shape, fail HERE loudly instead of letting
+    # a truncated oracle silently hash-mismatch (or worse, match on the
+    # truncated prefix).
+    ORACLE_DIM = 64
+    dims = con.sql(
+        "SELECT MIN(len(embedding)) AS lo, MAX(len(embedding)) AS hi FROM embeddings"
+    ).fetchone()
+    if dims != (ORACLE_DIM, ORACLE_DIM):
+        print(
+            f"FATAL fixture contract: embeddings dim min/max={dims}, but "
+            f"oracles unnest exactly range(0, {ORACLE_DIM}) — regenerate "
+            "the oracles' dim constant before trusting any vector query."
+        )
+        return 1
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
