@@ -181,6 +181,20 @@ def main() -> None:
         queries = [(r["vec_id"], r["embedding"]) for r in qrows1536]
         topk_batched_twophase(emb1536, queries, k=10).count()
 
+    @timed("ann_pq1536_adc_topk")
+    def _():
+        # PQ at the reference's ada-002 shape (dim 1536, main.go:27):
+        # m=16/ksub=16 codes cut 1536×8 B doubles to 16 B — the
+        # bytes-per-vector story measured at real dimensionality, not the
+        # dim-64 sweep shape. Build+encode+scan all timed (one-shot cost);
+        # at scale build amortizes via PqIndex.save and only the
+        # integer-ADC scan recurs.
+        from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+        pq = PqIndex.build(emb1536, m=16, ksub=16, sample_rows=1000, seed=0)
+        enc = pq.encode(emb1536)
+        pq.adc_topk(enc, q1536, k=10).collect()
+
     @timed("dedup_embedding_lsh")
     def _():
         from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
@@ -301,6 +315,48 @@ def main() -> None:
         from whatsapp_vectordb_spark.harness import text_rake_keywords
 
         text_rake_keywords(spark, sf_dir).count()
+
+    # --- WhatsApp Python DataSource at sf scale: the connector's
+    # per-partition overhead on the record next to spark.read.text over
+    # the SAME 32 shard files (partition-per-file on both sides). Corpus
+    # synthesis (one chat line per document) happens once, untimed.
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.harness import _chat_lines_df
+    from whatsapp_vectordb_spark.sources.whatsapp_source import register as _ws_register
+
+    chat_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_")
+    chat_rows = _chat_lines_df(spark, sf_dir).orderBy("doc_id").collect()
+    shards = [open(os.path.join(chat_dir, f"chat_{i:02d}.txt"), "w") for i in range(32)]
+    for i, r in enumerate(chat_rows):
+        shards[i % 32].write(r["value"] + "\n")
+    for f in shards:
+        f.close()
+    ws_fmt = _ws_register(spark)
+
+    @timed("whatsapp_source_read")
+    def _():
+        (
+            spark.read.format(ws_fmt)
+            .load(chat_dir)
+            .agg(F.count("*"), F.count("sender"), F.sum(F.length("message")))
+            .collect()
+        )
+
+    @timed("whatsapp_text_read_parse")
+    def _():
+        # JVM-side twin: read.text + the compat regex parse — the floor
+        # the Python DataSource is graded against
+        from whatsapp_vectordb_spark.parse import parse_chat_lines
+
+        (
+            parse_chat_lines(spark.read.text(chat_dir))
+            .agg(F.count("*"), F.count("sender"), F.sum(F.length("message")))
+            .collect()
+        )
+
+    shutil.rmtree(chat_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     print(
