@@ -1,0 +1,154 @@
+"""Composed-pipeline stress: the two capstone queries end-to-end at ≥1M
+docs (the per-operator stress tools top out at 100k docs — this is the
+first COMPOSITION-level scale evidence).
+
+Replicates the sf0.1 documents corpus R× with distinct id spaces and a
+per-replica suffix token (exact-dedup still only collapses the planted
+within-replica duplicates, so duplicate volume stays linear in docs),
+then runs the same stage graphs as ``pipeline_pretraining_shards`` and
+``pipeline_curate_corpus`` (harness.py) at each replica level and reports
+wall time AND total shuffle-write bytes per run (from the Spark UI REST
+API), so super-linear blow-ups show up in bytes even when wall time is
+noisy on a shared host.
+
+    python tools/stress_pipelines.py [replicas ...]   # default: 50 100 200
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over all completed
+    stages so far — deltas around a timed block give that block's cost."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete") as r:
+            stages = json.load(r)
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    levels = [int(a) for a in sys.argv[1:]] or [50, 100, 200]
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.functions.text import normalize_text, tokens
+    from whatsapp_vectordb_spark.operators.curate import shard_assign
+    from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
+    from whatsapp_vectordb_spark.operators.textops import (
+        quality_percentile_by_source,
+        quality_scores,
+    )
+    from whatsapp_vectordb_spark.session import get_spark
+
+    spark = get_spark(app_name="pipeline-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    MIX = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    results = []
+    for reps in levels:
+        r = spark.range(reps).select(F.col("id").alias("rep"))
+        corpus = (
+            docs0.crossJoin(F.broadcast(r))
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" reptail"), F.col("rep").cast("string")
+                ).alias("text"),
+                "lang",
+                "source",
+            )
+            .repartition(64)
+            .cache()
+        )
+        n_docs = corpus.count()
+
+        # --- capstone 1: pretraining shards (same graph as harness.py
+        # pipeline_pretraining_shards, over the replicated corpus)
+        w0, r0 = _shuffle_totals(spark)
+        t0 = time.perf_counter()
+        kept = (
+            quality_percentile_by_source(corpus)
+            .where(F.col("pct") <= 0.5)
+            .select("doc_id")
+        )
+        hashed = corpus.join(kept, "doc_id").select(
+            "doc_id",
+            F.md5(normalize_text("text")).alias("_h"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
+        surv = hashed.join(canon, hashed.doc_id == canon._keeper, "left_semi").select(
+            "doc_id", "n_tokens"
+        )
+        assigned = shard_assign(surv, shard_tokens=4096, seed=7)
+        manifest = assigned.groupBy("shard_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        n_shards = manifest.count()
+        t_shards = round(time.perf_counter() - t0, 2)
+        w1, r1 = _shuffle_totals(spark)
+
+        # --- capstone 2: curate corpus (quality gate → exact dedup →
+        # weighted language mix → split assignment → per-cell counts)
+        t0 = time.perf_counter()
+        q = quality_scores(corpus).select("doc_id", "quality_score")
+        kept2 = corpus.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
+        wdw = Window.partitionBy(F.md5(normalize_text("text")))
+        base = (
+            kept2.withColumn("_keeper", F.min("doc_id").over(wdw))
+            .where(F.col("doc_id") == F.col("_keeper"))
+            .select("doc_id", "lang")
+        )
+        mixed = weighted_mix(base, MIX, group_col="lang", id_col="doc_id")
+        cells = (
+            assign_splits(mixed, "doc_id")
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"))
+            .collect()
+        )
+        t_curate = round(time.perf_counter() - t0, 2)
+        w2, r2 = _shuffle_totals(spark)
+
+        row = {
+            "replicas": reps,
+            "n_docs": n_docs,
+            "pretraining_shards_sec": t_shards,
+            "pretraining_shards_shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            "pretraining_shards_shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "n_shards": n_shards,
+            "curate_corpus_sec": t_curate,
+            "curate_corpus_shuffle_write_mb": round((w2 - w1) / 1e6, 1),
+            "curate_corpus_shuffle_read_mb": round((r2 - r1) / 1e6, 1),
+            "curate_cells": len(cells),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        corpus.unpersist()
+
+    print(json.dumps({"metric": "pipeline_stress", "levels": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,22 +75,118 @@ def _fake_decode_embed(content: bytes | None, dim: int) -> list[float] | None:
     return (v / n).astype(np.float32).tolist() if n > 0 else None
 
 
+# --------------------------------------------------------------------------
+# Pluggable decoders — the proof the seam isn't fake-embedder-shaped.
+# A decoder is any picklable callable ``bytes | None -> list[float] | None``
+# (it ships to executors inside the mapInPandas closure). Two are provided:
+# a REAL pure-numpy netpbm pixel decoder that works in this container, and
+# a PIL-backed one gated behind import-try for environments that have it.
+# --------------------------------------------------------------------------
+
+
+def _parse_netpbm(content: bytes) -> np.ndarray:
+    """Decode binary netpbm (P5 grayscale / P6 RGB, maxval ≤ 255) to a
+    float32 grayscale matrix in [0, 1]. A genuine pixel decoder in ~30
+    lines of numpy — no external codec libraries."""
+    if not content.startswith((b"P5", b"P6")):
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    rgb = content[:2] == b"P6"
+    # header: magic, width, height, maxval — whitespace-separated tokens,
+    # '#' comments run to end-of-line; pixel data starts after the single
+    # whitespace byte following maxval
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n_ch = 3 if rgb else 1
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * n_ch, offset=pos)
+    px = px.reshape(h, w, n_ch).astype(np.float32) / maxval
+    # ITU-R BT.601 luma for RGB
+    return px @ np.array([0.299, 0.587, 0.114], np.float32) if rgb else px[:, :, 0]
+
+
+def netpbm_image_decoder(dim: int = 64):
+    """Real image decoder for the seam: decode P5/P6 pixels, average-pool
+    the flattened grayscale into ``dim`` buckets, L2-normalize. Returns a
+    closure suitable for ``extract_media_features(..., decoder=...)``."""
+
+    def decode(content: bytes | None) -> list[float] | None:
+        if content is None:
+            return None
+        gray = _parse_netpbm(content).ravel()
+        if gray.size == 0:
+            return None
+        # average-pool into dim buckets (pad the tail bucket by repeat)
+        idx = np.linspace(0, gray.size, dim + 1).astype(np.int64)
+        pooled = np.array(
+            [gray[a:b].mean() if b > a else gray[min(a, gray.size - 1)] for a, b in zip(idx[:-1], idx[1:])],
+            np.float32,
+        )
+        n = float(np.linalg.norm(pooled))
+        return (pooled / n).astype(np.float32).tolist() if n > 0 else pooled.tolist()
+
+    return decode
+
+
+def pil_image_decoder(dim: int = 64, side: int = 8):
+    """PIL-backed decoder (JPEG/PNG/...): grayscale-resize to side×side,
+    flatten-pool to ``dim``. Raises ``DecodeUnavailable`` at build time if
+    PIL is not installed (it is not in this container — the netpbm decoder
+    above is the in-container real path)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise DecodeUnavailable("PIL not installed; use netpbm_image_decoder") from e
+    import io
+
+    def decode(content: bytes | None) -> list[float] | None:
+        if content is None:
+            return None
+        from PIL import Image as _I
+
+        gray = np.asarray(
+            _I.open(io.BytesIO(content)).convert("L").resize((side, side)),
+            np.float32,
+        ).ravel() / 255.0
+        idx = np.linspace(0, gray.size, dim + 1).astype(np.int64)
+        pooled = np.array([gray[a:b].mean() for a, b in zip(idx[:-1], idx[1:])], np.float32)
+        n = float(np.linalg.norm(pooled))
+        return (pooled / n).astype(np.float32).tolist() if n > 0 else pooled.tolist()
+
+    return decode
+
+
 def extract_media_features(
     media: DataFrame,
     dim: int = 64,
     deterministic_fake: bool = True,
+    decoder=None,
 ) -> DataFrame:
     """mapInPandas decode/feature-extract stage: MEDIA_SCHEMA →
     FEATURE_SCHEMA. One Arrow batch per Python hop; binary payloads never
-    leave the executor. With ``deterministic_fake=False`` this raises
-    ``DecodeUnavailable`` (the real-codec slot)."""
+    leave the executor. ``decoder`` (a picklable ``bytes -> list[float]``
+    callable, e.g. ``netpbm_image_decoder(dim)``) takes precedence; else
+    the deterministic fake; else ``DecodeUnavailable`` (the codec slot)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            if decoder is None and not deterministic_fake:
                 raise DecodeUnavailable(
                     "media codecs not available; install a decoder or use deterministic_fake"
                 )
+            embed = decoder if decoder is not None else (lambda b: _fake_decode_embed(b, dim))
             content = pdf["content"]
             yield pd.DataFrame(
                 {
@@ -100,7 +196,7 @@ def extract_media_features(
                     "content_sha": content.map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "embedding": content.map(lambda b: _fake_decode_embed(b, dim)),
+                    "embedding": content.map(embed),
                 }
             )
 
@@ -187,6 +283,7 @@ def extract_chunk_features(
     dim: int = 64,
     modality: str = "audio",
     deterministic_fake: bool = True,
+    decoder=None,
 ) -> DataFrame:
     """Chunk-LEVEL feature extraction: one embedding per ``chunk_ms``
     window of each audio/video item — the retrieval granularity real
@@ -235,17 +332,27 @@ def extract_chunk_features(
 
     def embed_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            if decoder is None and not deterministic_fake:
                 raise DecodeUnavailable(
                     "media codecs not available; install a decoder or use deterministic_fake"
                 )
-            embs = [
-                _fake_decode_embed(
-                    (bytes(c) + int(s).to_bytes(8, "big")) if c is not None else None,
-                    dim,
-                )
-                for c, s in zip(pdf["content"], pdf["chunk_start_ms"])
-            ]
+            if decoder is not None:
+                # real chunk decoder: (content, start_ms, end_ms) — it
+                # seeks inside the payload itself (a codec owns framing)
+                embs = [
+                    decoder(bytes(c) if c is not None else None, int(s), int(e))
+                    for c, s, e in zip(
+                        pdf["content"], pdf["chunk_start_ms"], pdf["chunk_end_ms"]
+                    )
+                ]
+            else:
+                embs = [
+                    _fake_decode_embed(
+                        (bytes(c) + int(s).to_bytes(8, "big")) if c is not None else None,
+                        dim,
+                    )
+                    for c, s in zip(pdf["content"], pdf["chunk_start_ms"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
