@@ -57,7 +57,7 @@ def main() -> None:
     )
     from whatsapp_vectordb_spark.session import get_spark
 
-    spark = get_spark(app_name="pipeline-stress")
+    spark = get_spark(app_name="pipeline-stress", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text", "lang", "source"
@@ -91,11 +91,12 @@ def main() -> None:
             .where(F.col("pct") <= 0.5)
             .select("doc_id")
         )
-        hashed = corpus.join(kept, "doc_id").select(
+        proj = corpus.select(
             "doc_id",
             F.md5(normalize_text("text")).alias("_h"),
             F.size(tokens("text")).cast("long").alias("n_tokens"),
         )
+        hashed = proj.join(kept, "doc_id")
         canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
         surv = hashed.join(canon, hashed.doc_id == canon._keeper, "left_semi").select(
             "doc_id", "n_tokens"
@@ -113,12 +114,16 @@ def main() -> None:
         # weighted language mix → split assignment → per-cell counts)
         t0 = time.perf_counter()
         q = quality_scores(corpus).select("doc_id", "quality_score")
-        kept2 = corpus.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
-        wdw = Window.partitionBy(F.md5(normalize_text("text")))
+        skinny = corpus.select(
+            "doc_id", "lang", F.md5(normalize_text("text")).alias("_h")
+        )
+        kept2 = skinny.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
+        wdw = Window.partitionBy("_h")
         base = (
             kept2.withColumn("_keeper", F.min("doc_id").over(wdw))
             .where(F.col("doc_id") == F.col("_keeper"))
             .select("doc_id", "lang")
+            .localCheckpoint()
         )
         mixed = weighted_mix(base, MIX, group_col="lang", id_col="doc_id")
         cells = (

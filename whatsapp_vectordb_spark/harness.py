@@ -1919,6 +1919,87 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_media_df(spark, sf_dir), every_ms=1000)
 
 
+# Round 6: the REAL decode path under the correctness gate. Each doc gets
+# a genuine binary P5 (netpbm) image whose pixel (x, y) is the exact
+# integer (doc_id*7 + x*3 + y*5) % 256; Spark decodes the actual bytes
+# with the pure-numpy netpbm decoder (multimodal._parse_netpbm) and
+# reports integer pixel statistics, which the oracle derives in closed
+# form — if the decoder misread the header, stride, or payload, every
+# integer breaks. Dims: 64×4 grayscale.
+_PPM_W, _PPM_H = 64, 4
+
+
+@_register(
+    "multimodal_real_decode",
+    f"""
+SELECT d.doc_id,
+       CAST({_PPM_W * _PPM_H} AS BIGINT) AS n_px,
+       CAST(SUM((d.doc_id * 7 + x.x * 3 + y.y * 5) % 256) AS BIGINT) AS px_sum,
+       CAST(MIN((d.doc_id * 7 + x.x * 3 + y.y * 5) % 256) AS BIGINT) AS px_min,
+       CAST(MAX((d.doc_id * 7 + x.x * 3 + y.y * 5) % 256) AS BIGINT) AS px_max
+FROM documents d
+CROSS JOIN range(0, {_PPM_W}) x(x)
+CROSS JOIN range(0, {_PPM_H}) y(y)
+GROUP BY d.doc_id
+""",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-exact round trip through the pluggable decode seam: synthesize
+    real P5 bytes per doc (mapInPandas, executor-side — bytes never touch
+    the driver), decode them with ``_parse_netpbm``, emit integer pixel
+    stats. Map-only end to end; the only shuffle is none."""
+    import numpy as _np
+    import pandas as _pd
+
+    from whatsapp_vectordb_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_netpbm,
+        extract_media_features,
+    )
+
+    w, h = _PPM_W, _PPM_H
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        header = f"P5\n{w} {h}\n255\n".encode()
+        xs = _np.arange(w)[None, :] * 3 + _np.arange(h)[:, None] * 5
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            content = [
+                header + ((int(i) * 7 + xs) % 256).astype(_np.uint8).tobytes()
+                for i in ids
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "modality": "image",
+                    "content": content,
+                    "mime": "image/x-portable-graymap",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+    def pixel_stats(b: bytes | None):
+        if b is None:
+            return None
+        px = _np.rint(_parse_netpbm(b) * 255.0)
+        return [float(px.size), float(px.sum()), float(px.min()), float(px.max())]
+
+    feats = extract_media_features(media, decoder=pixel_stats)
+    e = F.col("embedding")
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        e[0].cast("bigint").alias("n_px"),
+        e[1].cast("bigint").alias("px_sum"),
+        e[2].cast("bigint").alias("px_min"),
+        e[3].cast("bigint").alias("px_max"),
+    )
+
+
 # ==========================================================================
 # Structured Streaming: the events table replayed THROUGH the streaming
 # engine (file source → watermark → windowed agg → memory sink); on bounded
@@ -3113,12 +3194,21 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(dupes)
     q = quality_scores(aug).select("doc_id", "quality_score")
-    kept = aug.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
-    w = Window.partitionBy(F.md5(normalize_text("text")))
+    # scale shape (profiled at 1M docs, tools/stress_pipelines.py): hash
+    # the text MAP-SIDE and shuffle only (doc_id, lang, _h) — the raw text
+    # column never enters the join or the dedup window
+    skinny = aug.select("doc_id", "lang", F.md5(normalize_text("text")).alias("_h"))
+    kept = skinny.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
+    w = Window.partitionBy("_h")
     base = (
         kept.withColumn("_keeper", F.min("doc_id").over(w))
         .where(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "lang")
+        # weighted_mix consumes base TWICE (per-group counts branch + the
+        # filtered data branch); without a checkpoint the join+window
+        # upstream recomputes per consumer — 83s of the 99s profiled at
+        # 250k docs before this change
+        .localCheckpoint()
     )
     mixed = weighted_mix(base, _MIX_WEIGHTS, group_col="lang", id_col="doc_id")
     assigned = assign_splits(mixed, "doc_id")
@@ -7597,11 +7687,15 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pct") <= 0.5)
         .select("doc_id")
     )
-    hashed = docs.join(kept, "doc_id").select(
+    # hash/token-count MAP-SIDE before the keep-join so the shuffle moves
+    # (doc_id, _h, n_tokens) rows, never the raw text (same profiling
+    # lesson as pipeline_curate_corpus — tools/stress_pipelines.py)
+    proj = docs.select(
         "doc_id",
         F.md5(normalize_text("text")).alias("_h"),
         F.size(tokens("text")).cast("long").alias("n_tokens"),
     )
+    hashed = proj.join(kept, "doc_id")
     canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
     surv = hashed.join(
         canon, hashed.doc_id == canon._keeper, "left_semi"

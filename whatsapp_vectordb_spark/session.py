@@ -21,6 +21,7 @@ def get_spark(
     app_name: str = "whatsapp-vectordb-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
@@ -44,4 +45,9 @@ def get_spark(
         # convert with integer DIV (see harness._events) for exactness
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # session-creation-time overrides (e.g. the stress tools re-enable the
+    # UI so its REST API can report per-stage shuffle bytes); ignored if a
+    # session already exists in the process, like every .config above
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
