@@ -405,3 +405,33 @@ def test_batched_ivf_probe_broadcasts_probe_map(spark, embeddings, tmp_path):
     assert "BroadcastExchange" in p
     assert "centroid IN" in p or "isin" in p.lower() or "IN (" in p
     assert "SortMergeJoin" not in p
+
+
+def test_curate_capstone_shuffles_skinny_rows(spark, sf_dir):
+    """Round-6 rework: the capstone hashes text MAP-SIDE — no Exchange may
+    carry the raw text column. (Before: 99s at 250k docs with text
+    shuffled through the join AND the dedup window; after: 33s.)"""
+    from whatsapp_vectordb_spark.harness import _curate_base
+
+    p = plan(_curate_base(spark, sf_dir))
+    for block in p.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block, f"raw text in a shuffle:\n{block}"
+
+
+def test_shards_capstone_shuffles_skinny_rows(spark, sf_dir):
+    from whatsapp_vectordb_spark.harness import pipeline_pretraining_shards
+
+    p = plan(pipeline_pretraining_shards(spark, sf_dir))
+    for block in p.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block, f"raw text in a shuffle:\n{block}"
+
+
+def test_real_decode_is_shuffle_free(spark, sf_dir):
+    """Synth → decode is two chained mapInPandas stages over the scan —
+    zero exchanges; binary payloads never cross a shuffle boundary."""
+    from whatsapp_vectordb_spark.harness import multimodal_real_decode
+
+    p = plan(multimodal_real_decode(spark, sf_dir))
+    assert "Exchange" not in p

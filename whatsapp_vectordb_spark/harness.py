@@ -3175,17 +3175,14 @@ FROM mixed GROUP BY 1, 2
 """
 
 
-@_register("pipeline_curate_corpus", _CURATE_ORACLE)
-def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate (composite score ≥ 0.5) → exact dedup keeping the
-    lowest id per normalized text → weighted language-mix rebalance →
-    deterministic train/val/test assignment; reports per-(split, lang)
-    counts. Every stage is an operator already oracle-checked on its own;
-    this query checks their COMPOSITION end to end."""
+def _curate_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint graph of the curate capstone: quality gate + exact
+    dedup over skinny (doc_id, lang, _h) rows. Factored out so the plan
+    audit (tests/test_plans.py) can assert no Exchange carries raw text —
+    localCheckpoint in the capstone truncates its explain output."""
     from pyspark.sql import Window
 
     from whatsapp_vectordb_spark.functions.text import normalize_text
-    from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
     from whatsapp_vectordb_spark.operators.textops import quality_scores
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -3200,16 +3197,27 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     skinny = aug.select("doc_id", "lang", F.md5(normalize_text("text")).alias("_h"))
     kept = skinny.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
     w = Window.partitionBy("_h")
-    base = (
+    return (
         kept.withColumn("_keeper", F.min("doc_id").over(w))
         .where(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "lang")
-        # weighted_mix consumes base TWICE (per-group counts branch + the
-        # filtered data branch); without a checkpoint the join+window
-        # upstream recomputes per consumer — 83s of the 99s profiled at
-        # 250k docs before this change
-        .localCheckpoint()
     )
+
+
+@_register("pipeline_curate_corpus", _CURATE_ORACLE)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (composite score ≥ 0.5) → exact dedup keeping the
+    lowest id per normalized text → weighted language-mix rebalance →
+    deterministic train/val/test assignment; reports per-(split, lang)
+    counts. Every stage is an operator already oracle-checked on its own;
+    this query checks their COMPOSITION end to end."""
+    from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
+
+    # weighted_mix consumes base TWICE (per-group counts branch + the
+    # filtered data branch); without a checkpoint the join+window
+    # upstream recomputes per consumer — 83s of the 99s profiled at
+    # 250k docs before this change
+    base = _curate_base(spark, sf_dir).localCheckpoint()
     mixed = weighted_mix(base, _MIX_WEIGHTS, group_col="lang", id_col="doc_id")
     assigned = assign_splits(mixed, "doc_id")
     return assigned.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
