@@ -3375,6 +3375,46 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
+def _rel_salted_join_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Body shared with the registry entry below (kept separate so the
+    plan audit can reuse it without re-registering)."""
+    from whatsapp_vectordb_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        # quantize to cents MAP-SIDE: the sum is an exact BIGINT, immune
+        # to double summation order (which the salt would perturb)
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@_register(
+    "rel_salted_join",
+    """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation join under the correctness gate: salted_join
+    (functions/skew.py — left side salted by xxhash64 of the full row,
+    right side replicated 16×) must be RESULT-IDENTICAL to the plain
+    equi-join the oracle runs. Stress evidence (1.8× on a 50%-hot key at
+    16M rows, checksum-verified) lives in tools/stress_skew.py; this
+    entry pins the equivalence per-round at sf gate scale."""
+    return _rel_salted_join_impl(spark, sf_dir)
+
+
+
 @_register(
     "rel_bloom_pruned_join",
     """
@@ -8171,6 +8211,9 @@ def compat_whatsapp_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parse_ok")
     )
     fmt = whatsapp_source.register(spark)
+    # repairs write resolution when a streaming query already ran through
+    # the source in this session (see ensure_write_resolution docstring)
+    whatsapp_source.ensure_write_resolution(spark, fmt)
     (
         parsed.select(
             F.lit("09.09.23, 14:35:02").alias("ts_raw"), "sender", "message"

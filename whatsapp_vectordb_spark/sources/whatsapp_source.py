@@ -101,22 +101,24 @@ class WhatsAppChatReader(DataSourceReader):
 
 
 def register(spark) -> str:
-    """Register the source on THIS session and return the format name to
-    use. Spark 4.1 quirk (empirically pinned in tests): a session created
-    by ``newSession()`` AFTER any Python data-source registration inherits
-    a PHANTOM entry — ``register`` raises DATA_SOURCE_ALREADY_EXISTS, but
-    ``.format(...).load`` still fails with DATA_SOURCE_NOT_FOUND (the
-    cloned entry loses its Python builder). So on ALREADY_EXISTS this
-    falls back to a unique alias name, which always registers fresh and
-    resolves in the registering session; callers must read via the
-    RETURNED name, never the literal "whatsapp".
+    """Register the source on THIS session under a FRESH unique alias and
+    return that alias — callers must use the RETURNED name, never the
+    literal "whatsapp". Two empirically-pinned Spark 4.1 quirks make the
+    literal name unreliable (tests/test_sources.py):
+
+    (a) a session created by ``newSession()`` AFTER any Python data-source
+        registration inherits a PHANTOM entry — re-``register`` raises
+        DATA_SOURCE_ALREADY_EXISTS yet ``.format(...).load`` fails with
+        DATA_SOURCE_NOT_FOUND (the cloned entry loses its Python builder);
+    (b) running a STREAMING query through the source can drop the same
+        session's earlier registration from batch-WRITE resolution —
+        ``.format("whatsapp").save`` then fails DATA_SOURCE_NOT_FOUND
+        even though the batch read still works (hit by the round-6
+        driver-parity suite: source → streaming → sink in one session).
+
+    A per-call alias always registers fresh in the calling session and
+    resolves for read, stream, and write alike.
     """
-    try:
-        spark.dataSource.register(WhatsAppChatDataSource)
-        return WhatsAppChatDataSource.name()
-    except Exception as e:  # AnalysisException
-        if "ALREADY_EXISTS" not in str(e):
-            raise
     import uuid
 
     alias = f"whatsapp_{uuid.uuid4().hex[:8]}"
@@ -128,6 +130,32 @@ def register(spark) -> str:
 
     spark.dataSource.register(_Aliased)
     return alias
+
+
+def ensure_write_resolution(spark, fmt: str) -> None:
+    """Warm up Python-data-source WRITE resolution for ``fmt``.
+
+    Spark 4.1 quirk, empirically bisected (round 6): after a STREAMING
+    query has run through this source in a session, the first
+    ``.write.format(<alias>).save`` whose input plan reads files fails
+    ``lookupDataSource`` with DATA_SOURCE_NOT_FOUND — even for an alias
+    registered AFTER the stream — while writing a local-relation frame
+    resolves fine and permanently repairs write resolution for the whole
+    session (the driver-parity suite hits the exact sequence: source read
+    → streaming tail → sink write). One 1-row local write to a throwaway
+    directory; cost ~100 ms."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ws_warmup_")
+    try:
+        spark.createDataFrame(
+            [("00.00.00, 00:00:00", "warmup", "warmup")],
+            "ts_raw string, sender string, message string",
+        ).write.format(fmt).mode("overwrite").save(os.path.join(d, "w"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _list_files(path: str) -> list[str]:
