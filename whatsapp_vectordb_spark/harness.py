@@ -3328,6 +3328,66 @@ def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_knn_serving",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+           FROM embeddings WHERE vec_id < 6)
+SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) AS score,
+         ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) DESC,
+                     e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+) WHERE rank <= 3
+""",
+)
+def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: ONLINE SERVING — the reference's query loop (main.go:95)
+    as a stream. Six query vectors arrive as three dropped files (two per
+    micro-batch); each batch is answered against the STATIC index with
+    the same exact batched top-k plan as the batch engine; after full
+    replay the accumulated answers must be bit-equal to the one-shot
+    batch over the same queries (this oracle = knn_batched's, vec_id<6)."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.streaming.ops import run_knn_serving_stream
+
+    scratch = tempfile.mkdtemp(prefix="wvs_knn_serve_")
+    drop = os.path.join(scratch, "queries")
+    os.makedirs(drop)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    queries = (
+        spark.read.parquet(emb_path)
+        .where(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .orderBy("query_id")
+        .collect()
+    )
+    for i in range(3):
+        two = queries[2 * i : 2 * i + 2]
+        spark.createDataFrame(
+            [(r["query_id"], r["query_vec"]) for r in two],
+            "query_id bigint, query_vec array<float>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(scratch, f"stage{i}"))
+        part = [
+            f
+            for f in os.listdir(os.path.join(scratch, f"stage{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            os.path.join(scratch, f"stage{i}", part),
+            os.path.join(drop, f"queries_{i}.parquet"),
+        )
+    return run_knn_serving_stream(
+        spark, emb_path, drop, os.path.join(scratch, "answers"), k=3, round_to=6
+    )
+
+
 # ==========================================================================
 # Round 3: OPQ — rotation-optimized product quantization (operators/ann.py
 # OpqIndex; Ge et al. CVPR 2013). The rotation lives entirely Spark-side;

@@ -734,3 +734,51 @@ def run_hll_register_stream(
     )
     exact = events.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return est.crossJoin(exact)
+
+
+def run_knn_serving_stream(
+    spark,
+    emb_path: str,
+    query_drop_dir: str,
+    out_dir: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Online kNN SERVING: queries stream in, the vector index is static —
+    the streaming twin of the reference's query loop (main.go:95: embed a
+    query, ask the index, print matches; here queries arrive continuously
+    and answers land in a sink).
+
+    Each micro-batch (one dropped query file per trigger) runs the SAME
+    exact batched top-k plan as the batch engine — broadcast the (tiny)
+    batch of queries, score the static index map-side, rank per query —
+    and writes its answers under ``batch_id=`` with dynamic partition
+    overwrite, so a retried batch replaces itself (idempotent replay).
+    After full replay the answer set must be bit-equal to the one-shot
+    batch ``topk_batched`` over the same queries, which the oracle checks.
+
+    Scale shape: per-batch cost is one scan of the index (swap the static
+    side for an IVF-pruned probe for sublinear serving); no state grows
+    with stream length — the sink is append-only keyed by batch.
+    """
+    from whatsapp_vectordb_spark.operators.search import topk_batched
+
+    stream = spark.readStream.schema(
+        "query_id bigint, query_vec array<float>"
+    ).option("maxFilesPerTrigger", "1").parquet(query_drop_dir)
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        static = sp.read.parquet(emb_path)
+        answers = topk_batched(static, batch_df, k=k, round_to=round_to)
+        (
+            answers.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = stream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).drop("batch_id")
