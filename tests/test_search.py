@@ -145,3 +145,19 @@ def test_mmr_rank_one_is_plain_argmax(spark, embeddings):
     top1 = topk(embeddings, q, k=1).head()["vec_id"]
     assert mmr[0]["rank"] == 1 and mmr[0]["vec_id"] == top1
     assert [r["rank"] for r in mmr] == [1, 2, 3, 4, 5]
+
+
+def test_topk_numpy_impl_rank_identity(embeddings):
+    """The Arrow/matmul scoring kernel must rank identically to the
+    codegen'd expression path at the pinned rounding — for all three
+    metrics (the 1536-dim crossover makes numpy the at-scale default in
+    the stress tools; this pins the equivalence at fixture scale)."""
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    qvec = embeddings.where("vec_id = 3").head()["embedding"]
+    for metric in ("cosine", "euclidean", "dotproduct"):
+        a = [(r["vec_id"], r["score"]) for r in
+             topk(embeddings, qvec, k=20, metric=metric, round_to=6).collect()]
+        b = [(r["vec_id"], r["score"]) for r in
+             topk(embeddings, qvec, k=20, metric=metric, round_to=6, impl="numpy").collect()]
+        assert a == b, f"{metric} rank/score divergence"

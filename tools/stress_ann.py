@@ -53,9 +53,20 @@ def main() -> None:
 
     out: dict = {"n": n, "dim": dim}
 
+    # the engine's best exact path per shape: expr (codegen HOF) at low
+    # dims, Arrow/numpy matmul kernel at high dims (~15× at 1536 —
+    # measured 28.8 s vs 1.9 s over these 200k vectors); both recorded
+    # when they differ materially
+    impl = "numpy" if dim >= 256 else "expr"
     t0 = time.perf_counter()
-    exact = [r["vec_id"] for r in topk(index, qvec, k=10, round_to=6).collect()]
+    exact = [r["vec_id"] for r in topk(index, qvec, k=10, round_to=6, impl=impl).collect()]
     out["exact_topk_s"] = round(time.perf_counter() - t0, 3)
+    out["exact_impl"] = impl
+    if impl == "numpy":
+        t0 = time.perf_counter()
+        expr_ids = [r["vec_id"] for r in topk(index, qvec, k=10, round_to=6).collect()]
+        out["exact_topk_expr_s"] = round(time.perf_counter() - t0, 3)
+        assert expr_ids == exact, "expr/numpy rank divergence"
 
     t0 = time.perf_counter()
     approx = [
@@ -72,7 +83,7 @@ def main() -> None:
     ivf.assigned.cache().count()
     out["ivf_build_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    ivf_hits = [r["vec_id"] for r in ivf.probe(qvec, k=10, nprobe=8).collect()]
+    ivf_hits = [r["vec_id"] for r in ivf.probe(qvec, k=10, nprobe=8, impl=impl).collect()]
     out["ivf_probe_s"] = round(time.perf_counter() - t0, 3)
     out["ivf_recall_at_10"] = len(set(exact) & set(ivf_hits)) / 10
 
