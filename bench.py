@@ -176,6 +176,12 @@ def main() -> None:
     def _():
         topk(emb1536, q1536, k=10).collect()
 
+    @timed("knn_topk_1536_numpy")
+    def _():
+        # the round-6 Arrow/matmul kernel — the at-scale path at this
+        # dim (rank-identical to expr, pinned by tests/test_search.py)
+        topk(emb1536, q1536, k=10, impl="numpy").collect()
+
     @timed("knn_batched_1536_twophase")
     def _():
         queries = [(r["vec_id"], r["embedding"]) for r in qrows1536]
