@@ -194,12 +194,12 @@ def portable_signature_numpy(df: DataFrame, planes, id_col: str, vec_col: str) -
     from pyspark.sql.types import StringType, StructField, StructType
 
     pl = np.asarray(planes, dtype=np.int64)  # (P, dim)
+    # (id, _sig) ONLY: every consumer bands the signature and re-acquires
+    # vectors by id afterwards, so carrying the vector through the Python
+    # hop would ship the whole index through Arrow twice for nothing
+    # (2.4 GB each way at 200k × dim 1536)
     out_schema = StructType(
-        [
-            df.schema[id_col],
-            df.schema[vec_col],
-            StructField("_sig", StringType()),
-        ]
+        [df.schema[id_col], StructField("_sig", StringType())]
     )
 
     def sign_bits(batches):
@@ -210,11 +210,17 @@ def portable_signature_numpy(df: DataFrame, planes, id_col: str, vec_col: str) -
             q = np.round(v * PORTABLE_QUANT).astype(np.int64)  # (n, dim)
             bits = (q @ pl.T) >= 0  # (n, P)
             sigs = ["".join("1" if b else "0" for b in row) for row in bits]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], vec_col: pdf[vec_col], "_sig": sigs}
-            )
+            yield pd.DataFrame({id_col: pdf[id_col], "_sig": sigs})
 
     return df.select(id_col, vec_col).mapInPandas(sign_bits, schema=out_schema)
+
+
+def _query_signature(query_vec, planes) -> str:
+    """One vector's portable signature, driver-side — identical math to
+    ``portable_signature_numpy`` (quantize → int64 dot → sign)."""
+    pl = np.asarray(planes, dtype=np.int64)
+    q = np.round(np.asarray(query_vec, dtype=np.float64) * PORTABLE_QUANT).astype(np.int64)
+    return "".join("1" if b else "0" for b in (pl @ q) >= 0)
 
 
 def portable_lsh_topk(
@@ -253,7 +259,7 @@ def portable_lsh_topk(
         sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
     else:
         sig = index_df.select(
-            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+            F.col(id_col), portable_signature(vec_col, planes).alias("_sig")
         )
     band_structs = [
         F.struct(
@@ -267,14 +273,26 @@ def portable_lsh_topk(
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
     )
-    qb = banded.where(F.col(id_col) == query_id).select("band", "chunk")
+    qvec = _stored_query_vec(index_df, id_col, vec_col, query_id)
+    if impl == "numpy":
+        # the query's band keys DRIVER-SIDE (same quantize → int64 dot →
+        # sign rule as the distributed numpy scan, so buckets agree
+        # bit-for-bit): a point lookup + a (P,) matvec replaces a second
+        # full signature scan of the index just to read one row
+        qsig = _query_signature(qvec, planes)
+        qb_local = index_df.sparkSession.createDataFrame(
+            [(b, qsig[b * rows_per_band : (b + 1) * rows_per_band]) for b in range(bands)],
+            "band int, chunk string",
+        )
+        qb = qb_local.select(F.col("band"), F.col("chunk"))
+    else:
+        qb = banded.where(F.col(id_col) == query_id).select("band", "chunk")
     cand_ids = (
         banded.join(F.broadcast(qb), ["band", "chunk"])
         .select(id_col)
         .dropDuplicates([id_col])
     )
     cand = index_df.join(cand_ids, id_col).select(id_col, vec_col)
-    qvec = _stored_query_vec(index_df, id_col, vec_col, query_id)
     return topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
 
 
@@ -310,7 +328,7 @@ def portable_lsh_topk_multiprobe(
         sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
     else:
         sig = index_df.select(
-            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+            F.col(id_col), portable_signature(vec_col, planes).alias("_sig")
         )
     band_structs = [
         F.struct(
@@ -382,7 +400,7 @@ def portable_lsh_join(
         sig = portable_signature_numpy(df, planes, id_col, vec_col)
     else:
         sig = df.select(
-            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+            F.col(id_col), portable_signature(vec_col, planes).alias("_sig")
         )
     band_structs = [
         F.struct(
@@ -1297,7 +1315,7 @@ def portable_lsh_topk_batched(
         sig = portable_signature_numpy(index_df, planes, id_col, vec_col)
     else:
         sig = index_df.select(
-            F.col(id_col), F.col(vec_col), portable_signature(vec_col, planes).alias("_sig")
+            F.col(id_col), portable_signature(vec_col, planes).alias("_sig")
         )
     band_structs = [
         F.struct(
