@@ -2902,6 +2902,88 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 6: RM3 pseudo-relevance feedback — BM25 feedback docs → top-5
+# expansion terms (integer counts, term-asc tiebreak, ≥4 chars as the
+# portable stopword guard) at weight 0.5 → weighted BM25 re-rank.
+_RM3_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens),
+postings AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf1 AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings
+  WHERE term IN ('data', 'processing', 'scale') GROUP BY 1, 2
+),
+df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY 1),
+fb AS (
+  SELECT t.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * t.tf * 2.2
+           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf1 t
+  JOIN df1 d ON d.term = t.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+  ORDER BY bm25 DESC, t.doc_id ASC
+  LIMIT 10
+),
+exp AS (
+  SELECT p.term FROM postings p JOIN fb ON fb.doc_id = p.doc_id
+  WHERE p.term NOT IN ('data', 'processing', 'scale') AND len(p.term) >= 4
+  GROUP BY p.term
+  ORDER BY COUNT(*) DESC, p.term ASC
+  LIMIT 5
+),
+w AS (
+  SELECT term, 1.0 AS w FROM (VALUES ('data'), ('processing'), ('scale')) s(term)
+  UNION ALL
+  SELECT term, 0.5 AS w FROM exp
+),
+tf2 AS (
+  SELECT p.doc_id, p.term, COUNT(*) AS tf
+  FROM postings p JOIN w ON w.term = p.term GROUP BY 1, 2
+),
+df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY 1)
+SELECT t.doc_id,
+       ROUND(SUM(
+         w.w
+         * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * t.tf * 2.2
+         / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+       ), 6) AS bm25
+FROM tf2 t
+JOIN w ON w.term = t.term
+JOIN df2 d ON d.term = t.term
+JOIN lens l ON l.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id ASC
+LIMIT 10
+"""
+
+
+@_register("text_search_rm3", _RM3_ORACLE)
+def text_search_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion the Anserini/Lucene way (RM3 lineage): the whole
+    feedback loop — retrieve, mine expansion terms, weighted re-rank —
+    stays in ONE plan; the feedback set and term weights are tiny
+    broadcast frames, never a driver collect (textops.rm3_search)."""
+    from whatsapp_vectordb_spark.operators.textops import rm3_search
+
+    return rm3_search(
+        _t(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        fb_k=10,
+        n_expand=5,
+        expand_weight=0.5,
+        min_term_len=4,
+        top_n=10,
+    )
+
+
 # Sparse k-NN (types.SPARSE_VECTOR_SCHEMA, reference main.go:45-48): the
 # corpus is thresholded-sparsified embeddings; ranking uses the sparse
 # cosine over matching indices only. Candidates are restricted to vectors

@@ -221,6 +221,111 @@ def bm25_search(
     return out
 
 
+def bm25_search_weighted(
+    df: DataFrame,
+    terms_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 over a WEIGHTED term frame ``(term, w)`` — the general form
+    behind query expansion: score(d) = Σ_t w_t · bm25_t(d).
+
+    Same plan shape as ``bm25_search`` except the postings filter is a
+    broadcast semi-join against the tiny term frame instead of a literal
+    IN-list — still pruned before any shuffle (term frames here are a
+    handful of rows; at scale they stay ≪ broadcast threshold by
+    construction)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    lens = toked.select(id_col, F.size("_tk").alias("_dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+    postings = toked.select(id_col, F.explode("_tk").alias("term")).join(
+        F.broadcast(terms_df), "term"
+    )
+    tf = postings.groupBy(id_col, "term").agg(
+        F.count("*").alias("_tf"), F.first("w").alias("_w")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = F.col("_w") * idf * F.col("_tf") * F.lit(k1 + 1.0) / norm
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )
+
+
+def rm3_search(
+    df: DataFrame,
+    seed_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fb_k: int = 10,
+    n_expand: int = 5,
+    expand_weight: float = 0.5,
+    min_term_len: int = 4,
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft '01 lineage;
+    the Anserini/Lucene default expansion): BM25 retrieves ``fb_k``
+    feedback docs for the seed terms, the ``n_expand`` most frequent
+    feedback-doc terms (excluding seeds; ≥ ``min_term_len`` chars as the
+    engine-portable stopword guard; ties by term ascending) join the
+    query at ``expand_weight``, and a weighted BM25 re-ranks.
+
+    Everything stays in the plan — the feedback set and the expansion
+    terms are ≤ fb_k / ≤ n_expand-row frames that broadcast; no driver
+    collect. Deterministic end to end: expansion selection is integer
+    counts + lexicographic tiebreak, scores round before the final cut."""
+    from pyspark.sql import Window
+
+    seeds = [t.lower() for t in seed_terms]
+    fb = bm25_search(
+        df, seeds, text_col=text_col, id_col=id_col, top_n=fb_k, round_to=round_to
+    ).select(id_col)
+    fb_postings = (
+        df.join(fb, id_col)
+        .select(F.explode(tokens(text_col)).alias("term"))
+        .where(~F.col("term").isin(seeds) & (F.length("term") >= min_term_len))
+    )
+    counts = fb_postings.groupBy("term").agg(F.count("*").alias("_cnt"))
+    w_rank = Window.orderBy(F.col("_cnt").desc(), F.col("term").asc())
+    expansion = (
+        counts.withColumn("_r", F.row_number().over(w_rank))
+        .where(F.col("_r") <= n_expand)
+        .select("term", F.lit(float(expand_weight)).alias("w"))
+    )
+    spark = df.sparkSession
+    seeds_df = spark.createDataFrame([(t, 1.0) for t in seeds], "term string, w double")
+    terms_df = seeds_df.unionByName(expansion)
+    return bm25_search_weighted(
+        df,
+        terms_df,
+        text_col=text_col,
+        id_col=id_col,
+        top_n=top_n,
+        round_to=round_to,
+    )
+
+
 # PII scrub patterns — deliberately simple, RE2/Java-regex-portable
 # expressions (no lookarounds) so the SQL oracle applies the identical
 # automaton. Order matters: URLs are redacted before emails so an address
