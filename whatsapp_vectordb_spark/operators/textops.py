@@ -307,6 +307,9 @@ def rm3_search(
         .where(~F.col("term").isin(seeds) & (F.length("term") >= min_term_len))
     )
     counts = fb_postings.groupBy("term").agg(F.count("*").alias("_cnt"))
+    # global window is BOUNDED: its input is the distinct vocabulary of
+    # fb_k documents (hundreds of rows regardless of corpus size), not a
+    # corpus-wide frame
     w_rank = Window.orderBy(F.col("_cnt").desc(), F.col("term").asc())
     expansion = (
         counts.withColumn("_r", F.row_number().over(w_rank))
