@@ -161,3 +161,23 @@ def test_topk_numpy_impl_rank_identity(embeddings):
         b = [(r["vec_id"], r["score"]) for r in
              topk(embeddings, qvec, k=20, metric=metric, round_to=6, impl="numpy").collect()]
         assert a == b, f"{metric} rank/score divergence"
+
+
+def test_topk_numpy_impl_tolerates_null_and_ragged(spark, embeddings):
+    """expr scores NULL/wrong-length vectors NULL and drops them from the
+    top-k; the numpy kernel must drop the same rows instead of crashing
+    on a ragged batch."""
+    from pyspark.sql import functions as F
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    qvec = embeddings.where("vec_id = 3").head()["embedding"]
+    bad = spark.createDataFrame(
+        [(900001, None), (900002, [0.5, 0.25])],
+        "vec_id bigint, embedding array<float>",
+    )
+    dirty = embeddings.select("vec_id", "embedding").unionByName(bad)
+    a = [(r["vec_id"], r["score"]) for r in topk(dirty, qvec, k=10, round_to=6).collect()]
+    b = [(r["vec_id"], r["score"]) for r in
+         topk(dirty, qvec, k=10, round_to=6, impl="numpy").collect()]
+    assert a == b
+    assert all(vid < 900001 for vid, _ in b)

@@ -45,16 +45,13 @@ def _shuffle_totals(spark) -> tuple[int, int]:
 def main() -> None:
     levels = [int(a) for a in sys.argv[1:]] or [50, 100, 200]
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from whatsapp_vectordb_spark.functions.text import normalize_text, tokens
-    from whatsapp_vectordb_spark.operators.curate import shard_assign
-    from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
-    from whatsapp_vectordb_spark.operators.textops import (
-        quality_percentile_by_source,
-        quality_scores,
+    from whatsapp_vectordb_spark.harness import (
+        curate_base_frame,
+        pretraining_shards_frame,
     )
+    from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
     from whatsapp_vectordb_spark.session import get_spark
 
     spark = get_spark(app_name="pipeline-stress", extra_conf={"spark.ui.enabled": "true"})
@@ -82,49 +79,19 @@ def main() -> None:
         )
         n_docs = corpus.count()
 
-        # --- capstone 1: pretraining shards (same graph as harness.py
-        # pipeline_pretraining_shards, over the replicated corpus)
+        # --- capstone 1: pretraining shards — the EXACT harness graph
+        # (harness.pretraining_shards_frame), over the replicated corpus
         w0, r0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
-        kept = (
-            quality_percentile_by_source(corpus)
-            .where(F.col("pct") <= 0.5)
-            .select("doc_id")
-        )
-        proj = corpus.select(
-            "doc_id",
-            F.md5(normalize_text("text")).alias("_h"),
-            F.size(tokens("text")).cast("long").alias("n_tokens"),
-        )
-        hashed = proj.join(kept, "doc_id")
-        canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
-        surv = hashed.join(canon, hashed.doc_id == canon._keeper, "left_semi").select(
-            "doc_id", "n_tokens"
-        )
-        assigned = shard_assign(surv, shard_tokens=4096, seed=7)
-        manifest = assigned.groupBy("shard_id").agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
+        manifest = pretraining_shards_frame(corpus, shard_tokens=4096, seed=7)
         n_shards = manifest.count()
         t_shards = round(time.perf_counter() - t0, 2)
         w1, r1 = _shuffle_totals(spark)
 
-        # --- capstone 2: curate corpus (quality gate → exact dedup →
-        # weighted language mix → split assignment → per-cell counts)
+        # --- capstone 2: curate corpus — harness.curate_base_frame, then
+        # the same checkpoint + mix + split tail as the registered query
         t0 = time.perf_counter()
-        q = quality_scores(corpus).select("doc_id", "quality_score")
-        skinny = corpus.select(
-            "doc_id", "lang", F.md5(normalize_text("text")).alias("_h")
-        )
-        kept2 = skinny.join(q, "doc_id").where(F.col("quality_score") >= 0.5)
-        wdw = Window.partitionBy("_h")
-        base = (
-            kept2.withColumn("_keeper", F.min("doc_id").over(wdw))
-            .where(F.col("doc_id") == F.col("_keeper"))
-            .select("doc_id", "lang")
-            .localCheckpoint()
-        )
+        base = curate_base_frame(corpus).localCheckpoint()
         mixed = weighted_mix(base, MIX, group_col="lang", id_col="doc_id")
         cells = (
             assign_splits(mixed, "doc_id")

@@ -3257,21 +3257,18 @@ FROM mixed GROUP BY 1, 2
 """
 
 
-def _curate_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-checkpoint graph of the curate capstone: quality gate + exact
-    dedup over skinny (doc_id, lang, _h) rows. Factored out so the plan
-    audit (tests/test_plans.py) can assert no Exchange carries raw text —
-    localCheckpoint in the capstone truncates its explain output."""
+def curate_base_frame(aug: DataFrame) -> DataFrame:
+    """Quality gate + exact dedup over skinny (doc_id, lang, _h) rows —
+    the curate capstone's pre-checkpoint stage graph over ANY
+    (doc_id, text, lang) corpus frame. ONE definition shared by the
+    registered query, the plan audit (tests/test_plans.py — no Exchange
+    may carry raw text), and tools/stress_pipelines.py (so the 1M-doc
+    stress measures the same graph the oracle gates)."""
     from pyspark.sql import Window
 
     from whatsapp_vectordb_spark.functions.text import normalize_text
     from whatsapp_vectordb_spark.operators.textops import quality_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    dupes = docs.where(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
-    )
-    aug = docs.unionByName(dupes)
     q = quality_scores(aug).select("doc_id", "quality_score")
     # scale shape (profiled at 1M docs, tools/stress_pipelines.py): hash
     # the text MAP-SIDE and shuffle only (doc_id, lang, _h) — the raw text
@@ -3284,6 +3281,18 @@ def _curate_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "lang")
     )
+
+
+def _curate_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus (documents + planted every-50th duplicates)
+    through ``curate_base_frame`` — the (spark, sf_dir) form the plan
+    dump and plan audit call; localCheckpoint in the registered capstone
+    truncates its own explain output."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupes = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    return curate_base_frame(docs.unionByName(dupes))
 
 
 @_register("pipeline_curate_corpus", _CURATE_ORACLE)
@@ -3517,25 +3526,6 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-def _rel_salted_join_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Body shared with the registry entry below (kept separate so the
-    plan audit can reuse it without re-registering)."""
-    from whatsapp_vectordb_spark.functions.skew import salted_join
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"),
-        # quantize to cents MAP-SIDE: the sum is an exact BIGINT, immune
-        # to double summation order (which the salt would perturb)
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = salted_join(li, orders, "o_orderkey")
-    return j.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("n_items"),
-        F.sum("_cents").cast("long").alias("revenue_cents"),
-    )
-
-
 @_register(
     "rel_salted_join",
     """
@@ -3553,7 +3543,20 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join the oracle runs. Stress evidence (1.8× on a 50%-hot key at
     16M rows, checksum-verified) lives in tools/stress_skew.py; this
     entry pins the equivalence per-round at sf gate scale."""
-    return _rel_salted_join_impl(spark, sf_dir)
+    from whatsapp_vectordb_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        # quantize to cents MAP-SIDE: the sum is an exact BIGINT, immune
+        # to double summation order (which the salt would perturb)
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("_cents").cast("long").alias("revenue_cents"),
+    )
 
 
 
@@ -7867,11 +7870,21 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query proves they COMPOSE: calibration never compares scores
     across sources, dedup runs on the kept set only, and the prefix sum
     sees the post-dedup corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return pretraining_shards_frame(docs, shard_tokens=_SHARD2_TOKENS, seed=7)
+
+
+def pretraining_shards_frame(
+    docs: DataFrame, shard_tokens: int, seed: int
+) -> DataFrame:
+    """The pretraining-shards stage graph over ANY (doc_id, text, source)
+    corpus frame — shared by the registered capstone and
+    tools/stress_pipelines.py so the stress measures exactly the graph
+    the oracle gates."""
     from whatsapp_vectordb_spark.functions.text import normalize_text, tokens
     from whatsapp_vectordb_spark.operators.curate import shard_assign
     from whatsapp_vectordb_spark.operators.textops import quality_percentile_by_source
 
-    docs = _t(spark, sf_dir, "documents")
     kept = (
         quality_percentile_by_source(docs)
         .where(F.col("pct") <= 0.5)
@@ -7890,7 +7903,7 @@ def pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = hashed.join(
         canon, hashed.doc_id == canon._keeper, "left_semi"
     ).select("doc_id", "n_tokens")
-    assigned = shard_assign(surv, shard_tokens=_SHARD2_TOKENS, seed=7)
+    assigned = shard_assign(surv, shard_tokens=shard_tokens, seed=seed)
     return assigned.groupBy("shard_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),

@@ -77,10 +77,16 @@ def _fake_decode_embed(content: bytes | None, dim: int) -> list[float] | None:
 
 # --------------------------------------------------------------------------
 # Pluggable decoders — the proof the seam isn't fake-embedder-shaped.
-# A decoder is any picklable callable ``bytes | None -> list[float] | None``
-# (it ships to executors inside the mapInPandas closure). Two are provided:
-# a REAL pure-numpy netpbm pixel decoder that works in this container, and
-# a PIL-backed one gated behind import-try for environments that have it.
+# TWO decoder contracts, matching the two extraction granularities:
+#   * media-level (``extract_media_features``): picklable
+#     ``bytes | None -> list[float] | None`` — whole payload in, features out;
+#   * chunk-level (``extract_chunk_features``): picklable
+#     ``(bytes | None, start_ms: int, end_ms: int) -> list[float] | None`` —
+#     the codec owns seeking/framing inside the payload, so it receives the
+#     chunk window explicitly.
+# Both ship to executors inside the mapInPandas closure. Provided media-level
+# decoders: a REAL pure-numpy netpbm pixel decoder that works in this
+# container, and a PIL-backed one gated behind import-try.
 # --------------------------------------------------------------------------
 
 
@@ -161,7 +167,12 @@ def pil_image_decoder(dim: int = 64, side: int = 8):
             np.float32,
         ).ravel() / 255.0
         idx = np.linspace(0, gray.size, dim + 1).astype(np.int64)
-        pooled = np.array([gray[a:b].mean() for a, b in zip(idx[:-1], idx[1:])], np.float32)
+        # empty-bucket guard (dim > side²): repeat the boundary pixel like
+        # the netpbm twin, never a NaN mean over an empty slice
+        pooled = np.array(
+            [gray[a:b].mean() if b > a else gray[min(a, gray.size - 1)] for a, b in zip(idx[:-1], idx[1:])],
+            np.float32,
+        )
         n = float(np.linalg.norm(pooled))
         return (pooled / n).astype(np.float32).tolist() if n > 0 else pooled.tolist()
 

@@ -76,9 +76,12 @@ def topk(
     reference's dim=1536 the expression path evaluates ~3·1536 lambda
     folds per row and the numpy path is ~15× faster (measured 28.8 s →
     1.9 s over 200k vectors, tools/stress_ann.py); at dim 64 the expr
-    path wins (no Python worker hop). Scores agree to the last ulp of a
-    float64 dot in either path; rounded ties could in principle differ —
-    keep ``expr`` where bit-parity with the SQL oracle is asserted.
+    path wins (no Python worker hop). Scores use the same formula shape
+    as the expr fold (direct (v−q)² for euclidean — never the
+    cancellation-prone norm expansion), differing only in float64
+    summation order; rounded ties could in principle differ — keep
+    ``expr`` where bit-parity with the SQL oracle is asserted. NULL and
+    wrong-length vectors drop out, as they do (via NULL scores) expr-side.
     """
     if impl == "numpy":
         if payload_cols:
@@ -114,13 +117,26 @@ def _score_numpy(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # expr-path parity: NULL or wrong-length vectors score NULL
+            # there (zip_with pads with nulls) and fall out of the top-k;
+            # here they must be dropped BEFORE asarray, which would throw
+            # on a ragged column
+            ok = pdf[vec_col].map(lambda a: a is not None and len(a) == len(q))
+            pdf = pdf[ok]
+            if pdf.empty:
+                continue
             v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             dots = v @ q
             if metric == "dotproduct":
                 s = dots
                 keep = np.ones(len(s), dtype=bool)
             elif metric == "euclidean":
-                s = np.sqrt(np.maximum((v * v).sum(axis=1) - 2.0 * dots + qn * qn, 0.0))
+                # direct (v - q)² — NOT the ||v||²-2v·q+||q||² expansion,
+                # whose cancellation at tiny distances can round a true 0
+                # distance up past the round_to grid and diverge from the
+                # expr fold's ranking
+                diff = v - q[None, :]
+                s = np.sqrt((diff * diff).sum(axis=1))
                 keep = np.ones(len(s), dtype=bool)
             else:  # cosine — zero-norm rows score NULL in the expr path: drop
                 norms = np.linalg.norm(v, axis=1)

@@ -164,6 +164,55 @@ def fingerprints(
     )
 
 
+def _bm25_frames(df, text_col: str, id_col: str):
+    """(toked, lens, stats) — the three frames every BM25 variant reads.
+    Shared so the scoring formula below has exactly one definition."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    lens = toked.select(id_col, F.size("_tk").alias("_dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+    return toked, lens, stats
+
+
+def _bm25_score(
+    tf: DataFrame,
+    lens: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_n: int,
+    round_to: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The ONE BM25 scoring tail (df/idf/norm/rank) both the literal-terms
+    and weighted-terms entry points share — a k1/b/idf tweak lands in both
+    or neither, which oracle parity depends on."""
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    norm = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = idf * F.col("_tf") * F.lit(k1 + 1.0) / norm
+    if weight_col is not None:
+        term_score = F.col(weight_col) * term_score
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],
@@ -189,36 +238,12 @@ def bm25_search(
     scores round before the rank so the cut is engine-portable.
     """
     terms = [t.lower() for t in query_terms]
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
-    lens = toked.select(id_col, F.size("_tk").alias("_dl"))
-    stats = lens.agg(
-        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
-    )
+    toked, lens, stats = _bm25_frames(df, text_col, id_col)
     postings = toked.select(id_col, F.explode("_tk").alias("term")).where(
         F.col("term").isin(terms)
     )
     tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
-    )
-    norm = F.col("_tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-    )
-    term_score = idf * F.col("_tf") * F.lit(k1 + 1.0) / norm
-    out = (
-        scored.groupBy(id_col)
-        .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-        .limit(top_n)
-    )
-    return out
+    return _bm25_score(tf, lens, stats, id_col, k1, b, top_n, round_to)
 
 
 def bm25_search_weighted(
@@ -236,39 +261,18 @@ def bm25_search_weighted(
 
     Same plan shape as ``bm25_search`` except the postings filter is a
     broadcast semi-join against the tiny term frame instead of a literal
-    IN-list — still pruned before any shuffle (term frames here are a
-    handful of rows; at scale they stay ≪ broadcast threshold by
-    construction)."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
-    lens = toked.select(id_col, F.size("_tk").alias("_dl"))
-    stats = lens.agg(
-        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
-    )
+    IN-list (the IN-list is kept there — a literal filter beats a join
+    when the terms ARE literals) — still pruned before any shuffle; term
+    frames are a handful of rows by construction."""
+    toked, lens, stats = _bm25_frames(df, text_col, id_col)
     postings = toked.select(id_col, F.explode("_tk").alias("term")).join(
         F.broadcast(terms_df), "term"
     )
     tf = postings.groupBy(id_col, "term").agg(
         F.count("*").alias("_tf"), F.first("w").alias("_w")
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
-    )
-    norm = F.col("_tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-    )
-    term_score = F.col("_w") * idf * F.col("_tf") * F.lit(k1 + 1.0) / norm
-    return (
-        scored.groupBy(id_col)
-        .agg(F.round(F.sum(term_score), round_to).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-        .limit(top_n)
+    return _bm25_score(
+        tf, lens, stats, id_col, k1, b, top_n, round_to, weight_col="_w"
     )
 
 

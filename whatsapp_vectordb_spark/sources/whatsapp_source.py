@@ -1,5 +1,5 @@
 """Spark 4 Python custom data source for the reference's chat-export
-format: ``spark.read.format("whatsapp").load(path)`` returns TYPED rows
+format: ``spark.read.format(register(spark)).load(path)`` returns TYPED rows
 ``(line_no, ts_raw, sender, message, parse_ok)`` directly from the text
 file — the connector form of S1+P1 (reference `main.go:32`,
 `embed/embed.go:98-111`): the format knowledge lives in the source, not
@@ -8,10 +8,13 @@ in every downstream query.
 Scale shape: one input partition per file (the natural split for
 line-numbered text — a parallel byte-range split could not assign stable
 line numbers without a second pass); the driver only LISTS files, every
-byte is read executor-side. Registration is per-session::
+byte is read executor-side. Registration is per-session, ALWAYS through
+``register`` and the name it returns (a fresh per-call alias — see its
+docstring for the two Spark 4.1 lookup quirks that make the literal
+"whatsapp" name unreliable)::
 
-    spark.dataSource.register(WhatsAppChatDataSource)
-    df = spark.read.format("whatsapp").load("/path/to/exports")
+    fmt = register(spark)
+    df = spark.read.format(fmt).load("/path/to/exports")
 
 The line regex is byte-for-byte the one in ``parse.py`` (and the SQL
 oracles), so rows agree with ``parse_chat_lines`` exactly.
