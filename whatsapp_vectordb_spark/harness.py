@@ -2146,6 +2146,66 @@ def compat_csv_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.md5(embedding_csv_line("embedding")).alias("csv_md5"))
 
 
+# Round 6: JSONL ingest — the de-facto LLM-corpus interchange format. The
+# corpus is serialized to newline-delimited JSON (json.dumps escaping, so
+# quotes/unicode in text round-trip), every 97th line deliberately
+# truncated mid-object; Spark reads it back with an explicit schema in
+# PERMISSIVE mode. The oracle derives the expected per-language totals AND
+# the corrupt-line count analytically from the documents table — the check
+# is that the JSON round-trip recovers every value and quarantines exactly
+# the planted breakage.
+@_register(
+    "compat_jsonl_scan",
+    """
+SELECT lang, TRUE AS parse_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+       CAST(SUM(len(text)) AS BIGINT) AS chars_sum
+FROM documents WHERE doc_id % 97 <> 0
+GROUP BY lang
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), FALSE,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % 97 = 0
+""",
+)
+def compat_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus scan with quarantine (sources/compat.read_jsonl_corpus):
+    schema pushed into the JSON parser, malformed lines kept as
+    parse_ok=false rows — per-(lang, parse_ok) integer totals must match
+    the closed-form derivation from the source table."""
+    import json as _json
+
+    from whatsapp_vectordb_spark.sources.compat import read_jsonl_corpus
+
+    scratch = _oracle_scratch("jsonl_scan")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, "corpus.jsonl")
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            line = _json.dumps(
+                {"doc_id": r["doc_id"], "lang": r["lang"], "text": r["text"]},
+                ensure_ascii=False,
+            )
+            if r["doc_id"] % 97 == 0:
+                line = line[: max(8, len(line) // 2)]  # truncate mid-object
+            f.write(line + "\n")
+
+    df = read_jsonl_corpus(spark, path)
+    return df.groupBy("lang", "parse_ok").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.sum(F.length("text")).cast("long").alias("chars_sum"),
+    )
+
+
 # ==========================================================================
 # Index lifecycle end-to-end (index.py: create → upsert → re-upsert →
 # stats): run against a scratch root, return per-namespace stats plus how
@@ -4285,6 +4345,81 @@ def sample_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.read.parquet(cents_path)
     assigned = assign_cells_quantized(emb, cents).select("vec_id", "centroid")
     return stratified_cap(assigned, "centroid", "vec_id", n_per_group=40)
+
+
+# Round 6: ONE full Lloyd iteration oracle-checked end to end — seeds are
+# the first 8 stored vectors (deterministic, no RNG), assignment is the
+# integer-exact quantized argmin, and the centroid UPDATE is reported as
+# exact integer aggregates (member count, component sum, position-weighted
+# component sum). Until now only the PROBE phases of k-means-built indexes
+# were oracle-checked; this pins the clustering math itself.
+_KM_SCALE = 1_000_000
+_KM_K = 8
+
+
+@_register(
+    "cluster_kmeans_step",
+    f"""
+WITH q AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * {_KM_SCALE}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+),
+seeds AS (SELECT vec_id AS centroid, pos, qv FROM q WHERE vec_id < {_KM_K}),
+d AS (
+  SELECT v.vec_id, s.centroid, SUM((v.qv - s.qv) * (v.qv - s.qv)) AS d2
+  FROM q v JOIN seeds s ON v.pos = s.pos
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM d
+  ) WHERE r = 1
+)
+SELECT a.centroid,
+       CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_members,
+       CAST(SUM(q.qv) AS BIGINT) AS qsum,
+       CAST(SUM((q.pos + 1) * q.qv) AS BIGINT) AS qsum_weighted
+FROM assign a JOIN q ON q.vec_id = a.vec_id
+GROUP BY 1
+""",
+)
+def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's iteration as a first-class distributed op: broadcast the k
+    seed centroids, integer-quantized argmin assignment (map-only,
+    codegen'd — operators/ann.assign_cells_quantized), then ONE shuffle
+    keyed by centroid for the update aggregates. The new centroid is
+    qsum/n per component; the position-weighted sum pins the full update
+    vector without emitting 64 columns. At 100 TB this is exactly the
+    per-iteration shape of distributed k-means: map + one k-row-bounded
+    aggregate."""
+    from whatsapp_vectordb_spark.operators.ann import assign_cells_quantized
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec")
+    )
+    assigned = assign_cells_quantized(emb, seeds).select("vec_id", "centroid")
+    qcomp = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    )
+    return (
+        assigned.join(qcomp, "vec_id")
+        .groupBy("centroid")
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_members"),
+            F.sum("qv").cast("long").alias("qsum"),
+            F.sum((F.col("pos") + 1) * F.col("qv")).cast("long").alias("qsum_weighted"),
+        )
+    )
 
 
 # ==========================================================================

@@ -68,3 +68,25 @@ def write_embeddings_csv(
     ``%f``-formatted (6 decimals — the reference's lossy serialization,
     embed/embed.go:141-147, kept only for format compatibility)."""
     df.select(embedding_csv_line(vec_col).alias("value")).write.mode(mode).text(path)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id bigint, lang string, text string",
+) -> DataFrame:
+    """JSONL corpus ingest — the de-facto LLM training-data interchange
+    format (one JSON document per line). Explicit schema (no sampling
+    inference pass over 100 TB), PERMISSIVE mode: malformed lines yield a
+    row of NULL data columns instead of failing the scan, surfaced as
+    ``parse_ok`` — the same keep-and-flag quarantine contract as the chat
+    parser (parse.py). ``parse_ok`` derives from the required ``doc_id``
+    field rather than the internal corrupt-record column, which Spark
+    restricts from standalone reference.
+
+    Scale shape: line-splittable format → Spark assigns byte-range splits
+    per file; a map-only scan with the schema pushed into the JSON parser
+    (no second pass, no shuffle)."""
+    df = spark.read.schema(schema).json(path)
+    first_field = schema.split(",")[0].split()[0]
+    return df.withColumn("parse_ok", F.col(first_field).isNotNull())
