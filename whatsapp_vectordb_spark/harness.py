@@ -2146,6 +2146,38 @@ def compat_csv_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.md5(embedding_csv_line("embedding")).alias("csv_md5"))
 
 
+def _write_jsonl_corpus(spark: SparkSession, sf_dir: str, out_dir: str, shards: int) -> None:
+    """Serialize the documents table to ``shards`` JSONL files (json.dumps
+    escaping; every 97th doc's line truncated mid-object — the planted
+    breakage both jsonl queries' oracle accounts for analytically)."""
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    files = [
+        open(os.path.join(out_dir, f"corpus_{i}.jsonl"), "w", encoding="utf-8")
+        for i in range(shards)
+    ]
+    try:
+        for n, r in enumerate(rows):
+            line = _json.dumps(
+                {"doc_id": r["doc_id"], "lang": r["lang"], "text": r["text"]},
+                ensure_ascii=False,
+            )
+            if r["doc_id"] % 97 == 0:
+                line = line[: max(8, len(line) // 2)]  # truncate mid-object
+            files[n % shards].write(line + "\n")
+    finally:
+        for f in files:
+            f.close()
+
+
+
 # Round 6: JSONL ingest — the de-facto LLM-corpus interchange format. The
 # corpus is serialized to newline-delimited JSON (json.dumps escaping, so
 # quotes/unicode in text round-trip), every 97th line deliberately
@@ -2175,34 +2207,64 @@ def compat_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema pushed into the JSON parser, malformed lines kept as
     parse_ok=false rows — per-(lang, parse_ok) integer totals must match
     the closed-form derivation from the source table."""
-    import json as _json
-
     from whatsapp_vectordb_spark.sources.compat import read_jsonl_corpus
 
     scratch = _oracle_scratch("jsonl_scan")
-    os.makedirs(scratch, exist_ok=True)
-    path = os.path.join(scratch, "corpus.jsonl")
-    rows = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .orderBy("doc_id")
-        .collect()
-    )
-    with open(path, "w", encoding="utf-8") as f:
-        for r in rows:
-            line = _json.dumps(
-                {"doc_id": r["doc_id"], "lang": r["lang"], "text": r["text"]},
-                ensure_ascii=False,
-            )
-            if r["doc_id"] % 97 == 0:
-                line = line[: max(8, len(line) // 2)]  # truncate mid-object
-            f.write(line + "\n")
-
-    df = read_jsonl_corpus(spark, path)
+    _write_jsonl_corpus(spark, sf_dir, scratch, shards=1)
+    df = read_jsonl_corpus(spark, os.path.join(scratch, "corpus_0.jsonl"))
     return df.groupBy("lang", "parse_ok").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("doc_id").cast("long").alias("docid_sum"),
         F.sum(F.length("text")).cast("long").alias("chars_sum"),
+    )
+
+
+@_register("streaming_jsonl_ingest", ORACLES["compat_jsonl_scan"])
+def streaming_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL ingest as a STREAM: three shard files replayed one per
+    micro-batch (drop-folder pattern), each batch's rows appended under
+    its batch_id with dynamic partition overwrite (retry-idempotent);
+    after full replay the accumulated per-(lang, parse_ok) totals must
+    equal the one-shot batch scan — same oracle, same quarantine
+    contract, through the streaming engine."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="wvs_jsonl_stream_")
+    drop = os.path.join(scratch, "drop")
+    _write_jsonl_corpus(spark, sf_dir, drop, shards=3)
+    out_dir = os.path.join(scratch, "rows")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    shutil.rmtree(drop, ignore_errors=True)
+
+    collected = spark.read.schema(
+        "doc_id bigint, lang string, text string, batch_id bigint"
+    ).parquet(out_dir)
+    return (
+        collected.withColumn("parse_ok", F.col("doc_id").isNotNull())
+        .groupBy("lang", "parse_ok")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("docid_sum"),
+            F.sum(F.length("text")).cast("long").alias("chars_sum"),
+        )
     )
 
 
