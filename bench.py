@@ -334,7 +334,7 @@ def main() -> None:
 
     chat_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_")
     chat_rows = _chat_lines_df(spark, sf_dir).orderBy("doc_id").collect()
-    shards = [open(os.path.join(chat_dir, f"chat_{i:02d}.txt"), "w") for i in range(32)]
+    shards = [open(os.path.join(chat_dir, f"chat_{i:02d}.txt"), "w", encoding="utf-8") for i in range(32)]
     for i, r in enumerate(chat_rows):
         shards[i % 32].write(r["value"] + "\n")
     for f in shards:

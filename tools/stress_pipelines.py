@@ -26,20 +26,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _shuffle_totals(spark) -> tuple[int, int]:
+def _shuffle_totals(spark) -> tuple[int, int] | None:
     """(shuffle_write_bytes, shuffle_read_bytes) summed over all completed
-    stages so far — deltas around a timed block give that block's cost."""
+    stages so far — deltas around a timed block give that block's cost.
+    Returns ``None`` (NOT (0, 0)) when the REST endpoint is unavailable or
+    errors, so an unreachable UI reads as 'unavailable' in the output
+    instead of silently corrupting the scale evidence with zeros. The
+    stress session bumps ``spark.ui.retainedStages`` so stage eviction at
+    high replica counts can't undercount the running totals."""
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
+    if base is None:
+        return None
     try:
         with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete") as r:
             stages = json.load(r)
     except Exception:
-        return (0, 0)
+        return None
     return (
         sum(s.get("shuffleWriteBytes", 0) for s in stages),
         sum(s.get("shuffleReadBytes", 0) for s in stages),
     )
+
+
+def _shuffle_delta_mb(before: tuple[int, int] | None, after: tuple[int, int] | None):
+    """(write_mb, read_mb) for a timed block, or (None, None) when either
+    snapshot was unavailable — surfaced as nulls in the JSON row."""
+    if before is None or after is None:
+        return (None, None)
+    return (round((after[0] - before[0]) / 1e6, 1), round((after[1] - before[1]) / 1e6, 1))
 
 
 def main() -> None:
@@ -54,7 +69,10 @@ def main() -> None:
     from whatsapp_vectordb_spark.operators.sampling import assign_splits, weighted_mix
     from whatsapp_vectordb_spark.session import get_spark
 
-    spark = get_spark(app_name="pipeline-stress", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        app_name="pipeline-stress",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "10000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text", "lang", "source"
@@ -81,12 +99,12 @@ def main() -> None:
 
         # --- capstone 1: pretraining shards — the EXACT harness graph
         # (harness.pretraining_shards_frame), over the replicated corpus
-        w0, r0 = _shuffle_totals(spark)
+        s0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
         manifest = pretraining_shards_frame(corpus, shard_tokens=4096, seed=7)
         n_shards = manifest.count()
         t_shards = round(time.perf_counter() - t0, 2)
-        w1, r1 = _shuffle_totals(spark)
+        s1 = _shuffle_totals(spark)
 
         # --- capstone 2: curate corpus — harness.curate_base_frame, then
         # the same checkpoint + mix + split tail as the registered query
@@ -100,18 +118,20 @@ def main() -> None:
             .collect()
         )
         t_curate = round(time.perf_counter() - t0, 2)
-        w2, r2 = _shuffle_totals(spark)
+        s2 = _shuffle_totals(spark)
 
+        shards_w, shards_r = _shuffle_delta_mb(s0, s1)
+        curate_w, curate_r = _shuffle_delta_mb(s1, s2)
         row = {
             "replicas": reps,
             "n_docs": n_docs,
             "pretraining_shards_sec": t_shards,
-            "pretraining_shards_shuffle_write_mb": round((w1 - w0) / 1e6, 1),
-            "pretraining_shards_shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "pretraining_shards_shuffle_write_mb": shards_w,
+            "pretraining_shards_shuffle_read_mb": shards_r,
             "n_shards": n_shards,
             "curate_corpus_sec": t_curate,
-            "curate_corpus_shuffle_write_mb": round((w2 - w1) / 1e6, 1),
-            "curate_corpus_shuffle_read_mb": round((r2 - r1) / 1e6, 1),
+            "curate_corpus_shuffle_write_mb": curate_w,
+            "curate_corpus_shuffle_read_mb": curate_r,
             "curate_cells": len(cells),
         }
         results.append(row)

@@ -66,6 +66,21 @@ def _oracle_scratch(name: str) -> str:
     return os.path.join(base, name)
 
 
+def _tmp_scratch(prefix: str) -> str:
+    """``mkdtemp`` registered for process-exit cleanup. Streaming/DDL
+    queries stage state and answer parquet here and the returned frame is
+    re-read LAZILY by the driver, so the directory must outlive the query
+    function — removal happens atexit, not inline (ADVICE r6: inline-only
+    cleanup leaked one scratch root per gate run)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load `events` with its ``ts`` column normalized to plain TIMESTAMP
     regardless of which parquet encoding this testdata generation used —
@@ -2230,7 +2245,7 @@ def streaming_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    scratch = tempfile.mkdtemp(prefix="wvs_jsonl_stream_")
+    scratch = _tmp_scratch("wvs_jsonl_stream_")
     drop = os.path.join(scratch, "drop")
     _write_jsonl_corpus(spark, sf_dir, drop, shards=3)
     out_dir = os.path.join(scratch, "rows")
@@ -2298,7 +2313,7 @@ def index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("text for "), F.col("vec_id").cast("string")).alias("text"),
         F.concat(F.lit("ns"), (F.col("vec_id") % 4).cast("string")).alias("namespace"),
     )
-    root = tempfile.mkdtemp(prefix="wvs_index_")
+    root = _tmp_scratch("wvs_index_")
     try:
         idx = VectorIndex.create_or_get(spark, root, "harness-idx", dimension=64)
         idx.upsert(records.withColumn("_ingest_seq", F.lit(1)))
@@ -3535,7 +3550,7 @@ def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from whatsapp_vectordb_spark.streaming.ops import run_topk_maintenance_stream
 
-    state_dir = tempfile.mkdtemp(prefix="wvs_topk_stream_")
+    state_dir = _tmp_scratch("wvs_topk_stream_")
     return run_topk_maintenance_stream(
         spark, os.path.join(sf_dir, "events.parquet"), state_dir, k=10
     )
@@ -3570,7 +3585,7 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from whatsapp_vectordb_spark.streaming.ops import run_knn_serving_stream
 
-    scratch = tempfile.mkdtemp(prefix="wvs_knn_serve_")
+    scratch = _tmp_scratch("wvs_knn_serve_")
     drop = os.path.join(scratch, "queries")
     os.makedirs(drop)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -4874,7 +4889,7 @@ def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = emb.select(
         F.col("vec_id").cast("string").alias("id"), F.col("embedding")
     )
-    root = tempfile.mkdtemp(prefix="wvs_del_")
+    root = _tmp_scratch("wvs_del_")
     try:
         idx = VectorIndex.create_or_get(
             spark, root, "delete-idx", dimension=64, num_id_buckets=8
@@ -5002,7 +5017,7 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from whatsapp_vectordb_spark.streaming.ops import run_drift_monitor_stream
 
-    state = tempfile.mkdtemp(prefix="wvs_drift_")
+    state = _tmp_scratch("wvs_drift_")
     try:
         out = run_drift_monitor_stream(
             spark, os.path.join(sf_dir, "events.parquet"), state
@@ -5186,7 +5201,7 @@ def index_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     records = emb.select(F.col("vec_id").cast("string").alias("id"), "embedding")
-    root = tempfile.mkdtemp(prefix="wvs_scan_")
+    root = _tmp_scratch("wvs_scan_")
     pages = []
     try:
         idx = VectorIndex.create_or_get(
@@ -6039,7 +6054,7 @@ def index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1_000_000).cast("string").alias("id"), F.col("embedding")
         )
     )
-    root = tempfile.mkdtemp(prefix="wvs_compact_")
+    root = _tmp_scratch("wvs_compact_")
     try:
         idx = VectorIndex.create_or_get(
             spark, root, "compact-idx", dimension=64, num_id_buckets=8
@@ -7021,7 +7036,7 @@ def index_ttl_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.create_map(F.lit("label"), F.col("label").cast("string")).alias("metadata"),
     )
-    root = tempfile.mkdtemp(prefix="wvs_ttl_")
+    root = _tmp_scratch("wvs_ttl_")
     try:
         idx = VectorIndex.create_or_get(
             spark, root, "ttl-idx", dimension=64, num_id_buckets=8

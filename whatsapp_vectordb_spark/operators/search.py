@@ -97,6 +97,18 @@ def topk(
     return out.orderBy(*_order(F.col("score"), F.col(id_col), metric)).limit(k)
 
 
+def _round_half_up(s: np.ndarray, r: int) -> np.ndarray:
+    """Sign-aware ROUND_HALF_UP to ``r`` decimals — the rounding mode of
+    Spark's ``F.round`` (java.math HALF_UP: ties away from zero), NOT
+    numpy's default half-to-even. Keeps the numpy kernel's ranking
+    consistent with the expr path on scores landing exactly on the
+    round_to grid. Parity on half-way values remains empirical for
+    doubles whose binary representation sits off the decimal grid;
+    everywhere bit-parity is asserted the expr path stays the default."""
+    scale = 10.0**r
+    return np.sign(s) * np.floor(np.abs(s) * scale + 0.5) / scale
+
+
 def _score_numpy(
     index_df: DataFrame,
     query_vec,
@@ -144,7 +156,7 @@ def _score_numpy(
                 s = np.zeros(len(dots))
                 s[keep] = dots[keep] / (norms[keep] * qn)
             if round_to is not None:
-                s = np.round(s, round_to)
+                s = _round_half_up(s, round_to)
             yield pd.DataFrame({id_col: pdf[id_col][keep], "score": s[keep]})
 
     return index_df.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)

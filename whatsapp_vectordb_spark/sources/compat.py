@@ -80,13 +80,26 @@ def read_jsonl_corpus(
     inference pass over 100 TB), PERMISSIVE mode: malformed lines yield a
     row of NULL data columns instead of failing the scan, surfaced as
     ``parse_ok`` — the same keep-and-flag quarantine contract as the chat
-    parser (parse.py). ``parse_ok`` derives from the required ``doc_id``
-    field rather than the internal corrupt-record column, which Spark
-    restricts from standalone reference.
+    parser (parse.py). ``parse_ok`` derives from the parser's own
+    corrupt-record column (``columnNameOfCorruptRecord`` included in the
+    read schema, so it is selectable), NOT from nullness of a data field —
+    a valid record whose first field is legitimately null stays
+    parse_ok=true. Data columns of corrupt rows are explicitly nulled so
+    the quarantine contract (bad line → NULL data + parse_ok=false) holds
+    regardless of Spark's partial-result JSON recovery.
 
     Scale shape: line-splittable format → Spark assigns byte-range splits
     per file; a map-only scan with the schema pushed into the JSON parser
     (no second pass, no shuffle)."""
-    df = spark.read.schema(schema).json(path)
-    first_field = schema.split(",")[0].split()[0]
-    return df.withColumn("parse_ok", F.col(first_field).isNotNull())
+    corrupt = "_wvs_corrupt_record"
+    df = (
+        spark.read.schema(f"{schema}, {corrupt} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    )
+    ok = F.col(corrupt).isNull()
+    fields = [f.strip().split()[0] for f in schema.split(",")]
+    return df.select(
+        *[F.when(ok, F.col(f)).alias(f) for f in fields], ok.alias("parse_ok")
+    )
