@@ -341,3 +341,38 @@ def test_opq_rotation_is_orthogonal(spark, embeddings):
     )
     r = idx.rotation
     assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8)
+
+
+def test_kmeans_lloyd_converges_to_fixpoint(spark):
+    # two tight blobs far apart -> 2-means must converge (movement 0)
+    # within a few iterations, with each blob's points in one cell
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + 0.001 * i, 0.0]))
+    for i in range(20, 40):
+        rows.append((i, [-10.0 - 0.001 * i, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    cents, assigned, movement = kmeans_lloyd(df, k=2, iters=4)
+    assert all(m == 0 for m in movement.values())  # fixpoint reached
+    got = {r["vec_id"]: r["centroid"] for r in assigned.collect()}
+    blob_a = {got[i] for i in range(20)}
+    blob_b = {got[i] for i in range(20, 40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_lloyd_empty_cell_carries_forward(spark):
+    # seeds 0 and 1 coincide; ties break to the LOWER centroid id, so in
+    # iteration one EVERY point lands in cell 0 and cell 1 is empty — its
+    # centroid must stay exactly at the quantized seed while centroid 0
+    # moves to the mean
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.2, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    cents, assigned, movement = kmeans_lloyd(df, k=2, iters=1)
+    by_id = dict(cents)
+    assert by_id[1] == [0, 0]  # untouched quantized seed
+    assert movement[1] == 0 and movement[0] > 0
+    assert by_id[0] == [75000, 0]  # floor((0+0+100000+200000)/4 + 0.5)

@@ -4499,6 +4499,116 @@ def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 7: Lloyd to CONVERGENCE — the multi-iteration loop over the single
+# step pinned above. Seeds, argmin, and the floor(qsum/n + 0.5) HALF_UP
+# update are engine-portable integer/IEEE-exact math, so the DuckDB oracle
+# UNROLLS the iterations as chained CTEs and must land on bit-identical
+# centroids, memberships, and L1 movement. Empty cells carry forward.
+_KM_ITERS = 2
+
+
+def _kmeans_converge_sql(k: int, iters: int, scale: int, dim: int = 64) -> str:
+    parts = [
+        f"""q AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * {scale}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {dim}) i(i)
+),
+c0 AS (SELECT vec_id AS centroid, pos, qv AS qc FROM q WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM (SELECT v.vec_id, c.centroid, SUM((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+          FROM q v JOIN c{t - 1} c ON v.pos = c.pos GROUP BY 1, 2)
+  ) WHERE r = 1
+),
+u{t} AS (
+  SELECT a.centroid, q.pos,
+         CAST(FLOOR(SUM(q.qv)::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS qc
+  FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT p.centroid, p.pos, COALESCE(u.qc, p.qc) AS qc
+  FROM c{t - 1} p LEFT JOIN u{t} u ON u.centroid = p.centroid AND u.pos = p.pos
+)"""
+        )
+    t = iters
+    parts.append(
+        f"""afin AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM (SELECT v.vec_id, c.centroid, SUM((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+          FROM q v JOIN c{t} c ON v.pos = c.pos GROUP BY 1, 2)
+  ) WHERE r = 1
+),
+m AS (SELECT centroid, COUNT(*) AS n FROM afin GROUP BY 1),
+fin AS (
+  SELECT centroid, CAST(SUM(qc) AS BIGINT) AS qc_sum,
+         CAST(SUM((pos + 1) * qc) AS BIGINT) AS qc_sum_weighted
+  FROM c{t} GROUP BY 1
+),
+mv AS (
+  SELECT a.centroid, CAST(SUM(ABS(a.qc - b.qc)) AS BIGINT) AS movement
+  FROM c{t} a JOIN c{t - 1} b ON b.centroid = a.centroid AND b.pos = a.pos
+  GROUP BY 1
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT f.centroid, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members,
+       f.qc_sum, f.qc_sum_weighted, mv.movement
+FROM fin f LEFT JOIN m ON m.centroid = f.centroid
+JOIN mv ON mv.centroid = f.centroid
+"""
+
+
+@_register("cluster_kmeans_converge", _kmeans_converge_sql(_KM_K, _KM_ITERS, _KM_SCALE))
+def cluster_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means convergence loop (operators/ann.kmeans_lloyd): each
+    iteration is one broadcast-argmin pass plus one k·d-bounded aggregate
+    collected to the driver (the MLlib contract — centroids live on the
+    driver, data never does), with empty-cell carry-forward and an exact
+    integer L1 movement per centroid. The oracle replays the SAME math as
+    unrolled CTEs; every value (memberships, centroid checksums, movement)
+    must match bit-for-bit, which it can because the update rule is
+    quantized-integer + exactly-rounded IEEE division, not float
+    accumulation."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, movement = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+    counts = assigned.groupBy("centroid").agg(F.count("*").cast("long").alias("n_members"))
+    summary = spark.createDataFrame(
+        [
+            (
+                cid,
+                sum(qc),
+                sum((j + 1) * x for j, x in enumerate(qc)),
+                movement[cid],
+            )
+            for cid, qc in cents
+        ],
+        "centroid bigint, qc_sum bigint, qc_sum_weighted bigint, movement bigint",
+    )
+    return (
+        summary.join(counts, "centroid", "left")
+        .select(
+            "centroid",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            "qc_sum",
+            "qc_sum_weighted",
+            "movement",
+        )
+    )
+
+
 # ==========================================================================
 # Round 4: corpus-curation operators (operators/curate.py) — the standard
 # pretraining-pipeline stages: boilerplate line removal (CCNet/C4),

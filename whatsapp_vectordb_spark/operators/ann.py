@@ -21,6 +21,8 @@ Recall is tested against exact top-k in tests/test_ann.py.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1418,6 +1420,7 @@ def assign_cells_quantized(
     centroid_id_col: str = "centroid",
     centroid_vec_col: str = "cvec",
     scale: int = 1_000_000,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment with INTEGER-exact arithmetic: vectors
     and centroids are quantized to ``round(x·scale)`` BIGINTs and ranked by
@@ -1440,9 +1443,12 @@ def assign_cells_quantized(
 
     q = lambda c: F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
     left = df.withColumn("_qv", q(F.col(vec_col)))
-    cents = centroids_df.select(
-        F.col(centroid_id_col).alias("_cid"), q(F.col(centroid_vec_col)).alias("_qc")
+    qc = (
+        F.col(centroid_vec_col)  # already BIGINT quantized units (kmeans_lloyd)
+        if pre_quantized
+        else q(F.col(centroid_vec_col))
     )
+    cents = centroids_df.select(F.col(centroid_id_col).alias("_cid"), qc.alias("_qc"))
     dist = F.aggregate(
         F.zip_with("_qv", "_qc", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -1456,6 +1462,100 @@ def assign_cells_quantized(
         .where(F.col("_rn") == 1)
         .select(*df.columns, F.col("_cid").alias("centroid"))
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """Multi-iteration Lloyd k-means with INTEGER-exact quantized
+    arithmetic — the convergence loop over the single step that
+    ``assign_cells_quantized`` pins (harness ``cluster_kmeans_step``).
+
+    Semantics (engine-portable by construction, so an unrolled-CTE SQL
+    oracle can replay it bit-for-bit):
+
+    - seeds = the ``k`` stored vectors with the smallest ids, quantized
+      to ``round(x·scale)`` BIGINTs (deterministic, no RNG);
+    - assignment = integer squared-L2 argmin, ties to the lower centroid
+      id (map-only: broadcast centroids, codegen'd distance fold);
+    - update   = per-component ``floor(qsum/n + 0.5)`` in quantized units
+      (HALF_UP; ``qsum`` and ``n`` are exactly representable doubles, and
+      IEEE-754 division is exactly rounded, so the quotient — hence the
+      floor — is bit-identical in the JVM, Python, and DuckDB);
+    - empty cells carry their previous centroid forward unchanged;
+    - convergence metric = per-centroid L1 movement in quantized units
+      (exact integers; ``movement == 0`` for every centroid ⇔ fixpoint).
+
+    Scale shape: each iteration is ONE distributed pass — broadcast k·d
+    quantized centroids, map-only argmin, one centroid-keyed aggregate
+    producing k·d (count, qsum) rows which are collected to the driver.
+    That collect is bounded by k·d (NOT the data) — the same
+    driver-resident-centroids contract as Spark MLlib's KMeans — and it
+    truncates the iteration's lineage, so 100 iterations at 100 TB cost
+    100 scans, not an exponentially deep plan.
+
+    Returns ``(centroids, assigned, movement)``:
+    ``centroids`` — list of (cid, [qc…]) after the final update;
+    ``assigned`` — DataFrame (id_col, centroid) vs the FINAL centroids;
+    ``movement`` — {cid: L1 movement of the LAST update, exact int}.
+    """
+    spark = df.sparkSession
+    qcomp = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+        ).alias("pos", "qv"),
+    ).localCheckpoint()
+
+    seeds = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias("_qc"),
+        )
+        .collect()
+    )
+    cents = [(int(r[id_col]), [int(x) for x in r["_qc"]]) for r in seeds]
+    cents.sort()
+    movement: dict[int, int] = {cid: 0 for cid, _ in cents}
+
+    def _assign(current) -> DataFrame:
+        cents_df = spark.createDataFrame(
+            [(cid, qc) for cid, qc in current], "centroid bigint, cvec array<bigint>"
+        )
+        return assign_cells_quantized(
+            df, cents_df, id_col=id_col, vec_col=vec_col, scale=scale, pre_quantized=True
+        ).select(id_col, "centroid")
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        agg = (
+            assigned.join(qcomp, id_col)
+            .groupBy("centroid", "pos")
+            .agg(F.count("*").alias("n"), F.sum("qv").alias("qsum"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in agg:
+            # floor(qsum/n + 0.5) on exact doubles — see docstring
+            upd.setdefault(int(r["centroid"]), {})[int(r["pos"])] = int(
+                math.floor(int(r["qsum"]) / int(r["n"]) + 0.5)
+            )
+        nxt = []
+        movement = {}
+        for cid, qc in cents:
+            new_qc = [upd[cid][j] for j in range(len(qc))] if cid in upd else list(qc)
+            movement[cid] = sum(abs(a - b) for a, b in zip(new_qc, qc))
+            nxt.append((cid, new_qc))
+        cents = nxt
+
+    return cents, _assign(cents), movement
 
 
 class OpqIvfPqIndex:
