@@ -7032,6 +7032,136 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 7: decoder → pHash → banded near-dup in ONE plan (VERDICT r6 #4).
+# multimodal_real_decode proved the netpbm decoder; multimodal_phash_near_dup
+# proved the banded Hamming join on synthesized features. This composes them:
+# REAL P5 bytes (base image per doc + a perturbed re-encode variant for every
+# 25th doc), pixel-exact decode, integer 4-px bucket pooling, mean-centered
+# sign bits, banded candidates, Hamming ≤ 3 verify — and the oracle derives
+# the pixels, bucket sums, signature bits, bands, and candidate pairs all in
+# closed form from doc_id. Every stage is integer-exact, so a misread header
+# byte, a wrong pooling stride, or a banding bug breaks the hash.
+@_register(
+    "multimodal_decode_phash_near_dup",
+    f"""
+WITH ids AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, doc_id, 0 AS variant
+  FROM documents
+  UNION ALL
+  SELECT 'm' || CAST(doc_id AS VARCHAR) || '_v2', doc_id, 1
+  FROM documents WHERE doc_id % 25 = 0
+),
+px AS (
+  SELECT media_id, i.i AS idx,
+         ((doc_id * 7 + (i.i % {_PPM_W}) * 3 + (i.i // {_PPM_W}) * 5)
+           + CASE WHEN variant = 1 AND i.i < 8 THEN 128 ELSE 0 END) % 256 AS p
+  FROM ids CROSS JOIN range(0, {_PPM_W * _PPM_H}) i(i)
+),
+buckets AS (
+  SELECT media_id, idx // 4 AS j, SUM(p) AS bsum
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT media_id, SUM(bsum) AS total FROM buckets GROUP BY 1),
+bits AS (
+  SELECT b.media_id, b.j,
+         CASE WHEN 64 * b.bsum > t.total THEN 1 ELSE 0 END AS bit
+  FROM buckets b JOIN tot t ON t.media_id = b.media_id
+),
+sigs AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN j < 32 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT media_id, lo, hi, b.b AS band,
+         CASE WHEN b.b < 2 THEN (lo >> (16 * b.b)) & 65535
+              ELSE (hi >> (16 * (b.b - 2))) & 65535 END AS bval
+  FROM sigs CROSS JOIN range(0, 4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, x.media_id AS id_b,
+                  a.lo AS la, a.hi AS ha, x.lo AS lb, x.hi AS hb
+  FROM banded a
+  JOIN banded x ON a.band = x.band AND a.bval = x.bval AND a.media_id < x.media_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+""",
+)
+def multimodal_decode_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoder → hash → join in a single plan: synthesize real P5 payloads
+    executor-side (every 25th doc also gets a re-encode variant with its
+    first 8 pixels shifted +128 mod 256), decode actual bytes with
+    ``_parse_netpbm``, pool to 64 integer bucket sums, mean-center
+    (64·bucket − total, exact integers in double), then the SAME
+    ``binary_near_dup_pairs`` banded-Hamming operator as the feature-level
+    query. Map-only through the decode; the only shuffles are the banded
+    candidate equi-join — never all-pairs."""
+    import numpy as _np
+    import pandas as _pd
+
+    from whatsapp_vectordb_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_netpbm,
+        extract_media_features,
+    )
+    from whatsapp_vectordb_spark.operators.dedup import binary_near_dup_pairs
+
+    w, h = _PPM_W, _PPM_H
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        header = f"P5\n{w} {h}\n255\n".encode()
+        base = _np.arange(w)[None, :] * 3 + _np.arange(h)[:, None] * 5
+        for pdf in batches:
+            out_ids, out_content = [], []
+            for i in pdf["doc_id"].to_numpy():
+                px = ((int(i) * 7 + base) % 256).astype(_np.int64)
+                out_ids.append(f"m{int(i)}")
+                out_content.append(header + px.astype(_np.uint8).tobytes())
+                if int(i) % 25 == 0:
+                    flat = px.ravel().copy()
+                    flat[:8] = (flat[:8] + 128) % 256
+                    out_ids.append(f"m{int(i)}_v2")
+                    out_content.append(
+                        header + flat.reshape(h, w).astype(_np.uint8).tobytes()
+                    )
+            yield _pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "modality": "image",
+                    "content": out_content,
+                    "mime": "image/x-portable-graymap",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+    def bucket_sums(b: bytes | None):
+        if b is None:
+            return None
+        px = _np.rint(_parse_netpbm(b) * 255.0).astype(_np.int64).ravel()
+        return px.reshape(64, 4).sum(axis=1).astype(float).tolist()
+
+    feats = extract_media_features(media, decoder=bucket_sums)
+    total = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    centered = feats.where(F.col("embedding").isNotNull()).select(
+        "media_id",
+        F.transform(
+            "embedding", lambda x: F.lit(64.0) * x.cast("double") - total
+        ).alias("embedding"),
+    )
+    return binary_near_dup_pairs(centered, id_col="media_id", dim=64, max_hamming=3)
+
+
 _IVF_SWEEP_DIR = _oracle_scratch("ivf_sweep_oracle")
 
 
