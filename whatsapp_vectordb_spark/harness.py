@@ -8835,3 +8835,132 @@ def compat_whatsapp_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.sum(portable_hash(F.col("message"))).cast("long").alias("message_checksum"),
     )
+
+
+# ==========================================================================
+# Round 7: STREAMING CAPSTONE (VERDICT r6 #5) — ingest → quarantine →
+# ingest-time dedup → index maintenance → kNN serving composed in ONE
+# streaming pipeline. The corpus is delivered as JSONL vector files (the
+# reference ingests vectors from flat files too, embed/embed.go:85-96):
+# file f carries vec_id % 3 == f, every line with (vec_id*7 + f) % 37 == 0
+# truncated mid-array (malformed JSON → quarantined), and file 2 ALSO
+# re-delivers every vec_id % 5 == 0 (at-least-once delivery). Each
+# micro-batch drops malformed rows, dedups within-batch AND against the
+# persisted index (insert-if-absent), and appends only new vectors; after
+# full replay, serving answers fixed queries against the stream-built
+# index. The oracle is the BATCH COMPOSITION, fully analytic: membership
+# = "some delivery of v was valid", scores from the source table — no
+# persisted Spark state is consulted, so replay ≡ batch is a real check.
+# The checksum row (query_id = -1) pins exact index membership: sum of
+# ids, sum of squared ids, and the member count.
+@_register(
+    "streaming_pipeline_capstone",
+    """
+WITH member AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ((vec_id * 7 + vec_id % 3) % 37 <> 0)
+     OR (vec_id % 5 = 0 AND (vec_id * 7 + 2) % 37 <> 0)
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+  FROM embeddings WHERE vec_id < 4
+),
+answers AS (
+  SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT q.query_id, m.vec_id,
+           ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.query_vec), 6) AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.query_vec), 6) DESC,
+                      m.vec_id ASC
+           ) AS rank
+    FROM member m CROSS JOIN q
+  ) WHERE rank <= 3
+)
+SELECT * FROM answers
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(vec_id) AS BIGINT),
+       CAST(SUM(vec_id * vec_id) AS DOUBLE), CAST(COUNT(*) AS INTEGER)
+FROM member
+""",
+)
+def streaming_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage streaming pipeline, end to end (streaming/ops.py twins
+    composed): JSONL ingest with quarantine → at-least-once dedup against
+    persisted index state (left_anti on the ids already indexed, within-
+    batch dropDuplicates) → per-batch index append → batched kNN serving
+    over the final index. Per-batch work is bounded: one batch-sized JSON
+    scan, one anti-join whose right side is the (skinny, id-only) index
+    projection, one append of only the NEW rows — no stage rereads
+    history beyond the id column, and no state grows except the index
+    itself."""
+    import json as _json
+
+    root = _tmp_scratch("wvs_capstone_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    index_path = os.path.join(root, "index")
+
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def _line(v: int, emb, f: int) -> str:
+        line = _json.dumps({"vec_id": v, "embedding": [float(x) for x in emb]})
+        if (v * 7 + f) % 37 == 0:
+            line = line[: max(8, len(line) // 2)]
+        return line
+
+    for f in range(3):
+        with open(os.path.join(drop, f"deliver_{f}.jsonl"), "w", encoding="utf-8") as fh:
+            for r in rows:
+                v = int(r["vec_id"])
+                if v % 3 == f:
+                    fh.write(_line(v, r["embedding"], f) + "\n")
+                if f == 2 and v % 5 == 0:
+                    fh.write(_line(v, r["embedding"], 2) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        valid = (
+            batch_df.where(
+                F.col("vec_id").isNotNull()
+                & F.col("embedding").isNotNull()
+                & (F.size("embedding") == 64)
+            )
+            .dropDuplicates(["vec_id"])
+        )
+        if os.path.exists(index_path):
+            seen = sp.read.parquet(index_path).select("vec_id")
+            valid = valid.join(seen, "vec_id", "left_anti")
+        # pin before appending to the directory the anti-join reads
+        valid.localCheckpoint(eager=True).write.mode("append").parquet(index_path)
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    index = spark.read.parquet(index_path)
+    queries = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    from whatsapp_vectordb_spark.operators.search import topk_batched
+
+    answers = topk_batched(index, queries, k=3, round_to=6)
+    checksum = index.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("vec_id").cast("long").alias("vec_id"),
+        F.sum(F.col("vec_id") * F.col("vec_id")).cast("double").alias("score"),
+        F.count("*").cast("int").alias("rank"),
+    )
+    return answers.unionByName(checksum)
