@@ -224,6 +224,12 @@ def main() -> None:
 
         bm25_search(docs, ["data", "processing", "scale"], top_n=10).collect()
 
+    @timed("text_search_rm3")
+    def _():
+        from whatsapp_vectordb_spark.operators.textops import rm3_search
+
+        rm3_search(docs, ["data", "processing", "scale"], top_n=10).collect()
+
     @timed("ann_pq_adc_topk")
     def _():
         from whatsapp_vectordb_spark.operators.ann import PqIndex

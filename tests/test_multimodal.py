@@ -176,3 +176,28 @@ def test_chunk_features_with_real_decoder(spark):
     assert set(got) == {(0, 2000), (2000, 4000)}
     # second component encodes the offset the decoder received
     assert got[(0, 2000)][1] == 0.0 and got[(2000, 4000)][1] == 0.5
+
+
+def test_pil_decoder_decodes_when_available(spark):
+    # the inverse of test_pil_decoder_unavailable_without_pil: where PIL
+    # IS installed, the decoder must produce a unit-norm dim-vector from a
+    # real encoded image and plug into extract_media_features unchanged
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from whatsapp_vectordb_spark.multimodal import (
+        extract_media_features,
+        pil_image_decoder,
+    )
+
+    buf = io.BytesIO()
+    Image.frombytes("L", (8, 8), bytes(range(64))).save(buf, format="PNG")
+    rows = [("p1", "image", buf.getvalue(), "image/png", 8, 8, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(media, decoder=pil_image_decoder(dim=16)).collect()
+    emb = out[0]["embedding"]
+    assert len(emb) == 16
+    assert abs(sum(x * x for x in emb) - 1.0) < 1e-5  # L2-normalized
+    assert emb == sorted(emb)  # gradient image -> monotone pooled means

@@ -1,0 +1,196 @@
+"""ANN operating curve at 1M vectors: recall@10 vs probe latency across
+nprobe, against a PERSISTED index — build once, probe many. This is the
+index-persistence-amortized large-N evidence VERDICT r6 asked for (the
+per-op stress in stress_ann.py is build-inclusive and tops out at 200k).
+
+Protocol:
+  * synthesize N×dim vectors (JVM randn, planted near-neighbor structure),
+    WRITE them to parquet, and build everything from the on-disk table;
+  * IVF: coarse quantizer fit on a bounded sample (the documented scale
+    path — the quantizer is immutable between rebuilds), full corpus
+    assigned map-only, SAVED partitionBy(centroid), then RELOADED; probes
+    hit only the reloaded layout (partition pruning at the file level);
+  * IVF-PQ-residual: codebooks trained on the same sample, full corpus
+    encoded, codes persisted partitionBy(centroid), probes over the codes;
+  * recall is vs the exact numpy-kernel top-10 for Q planted+noise
+    queries; latency is the median over those queries, per nprobe.
+
+Also records k-means iterations-to-stability at the 200k×1536 stress
+shape (kmeans_lloyd history) when --kmeans is passed.
+
+    python tools/stress_ann_curve.py [n] [dim] [--kmeans]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NPROBES = [1, 2, 4, 8, 16]
+N_CENTROIDS = 64
+N_QUERIES = 4
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 1_000_000
+    dim = int(args[1]) if len(args) > 1 else 1536
+    do_kmeans = "--kmeans" in sys.argv
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, IvfPqResidualIndex
+    from whatsapp_vectordb_spark.operators.search import topk
+    from whatsapp_vectordb_spark.session import get_spark
+
+    # local mode: the driver JVM IS the executor — at 1M×1536 the default
+    # 8g heap OOMs, and a dim-wide F.array(randn×dim) expression tree blows
+    # whole-stage codegen's 64KB method limit. Big heap + numpy synthesis.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark(app_name="ann-curve-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="wvs_ann_curve_")
+    out: dict = {"metric": "ann_curve_stress", "n": n, "dim": dim}
+
+    # --- corpus: isotropic noise + planted near-neighbors of one base
+    # vector (every 1000th row), synthesized in numpy inside mapInPandas —
+    # Arrow-batched, no dim-wide expression tree, no codegen limit
+    base = np.random.default_rng(7).standard_normal(dim)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(1_000_003 + int(ids[0]))
+            m = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            planted = ids % 1000 == 0
+            if planted.any():
+                m[planted] = (
+                    base[None, :]
+                    + 0.25 * rng.standard_normal((int(planted.sum()), dim))
+                ).astype(np.float32)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+
+    corpus_path = os.path.join(root, "corpus")
+    t0 = time.perf_counter()
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(synth, schema="vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(corpus_path)
+    )
+    out["synth_write_s"] = round(time.perf_counter() - t0, 1)
+    index = spark.read.parquet(corpus_path)
+
+    qrows = index.where(F.col("vec_id").isin([0, 1, 2, 1000])).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+
+    # --- exact ground truth (numpy kernel — the at-scale exact path)
+    exact: dict[int, list[int]] = {}
+    lat = []
+    for qid, qv in queries.items():
+        t0 = time.perf_counter()
+        exact[qid] = [
+            r["vec_id"] for r in topk(index, qv, k=10, round_to=6, impl="numpy").collect()
+        ]
+        lat.append(time.perf_counter() - t0)
+    out["exact_topk_median_s"] = round(statistics.median(lat), 3)
+
+    # --- IVF: sample-fit quantizer, map-only full assignment, persist,
+    # reload, probe (build once, probe many)
+    sample = index.sample(fraction=min(1.0, 50_000 / n), seed=1)
+    t0 = time.perf_counter()
+    proto = IvfIndex.build(sample, n_centroids=N_CENTROIDS, max_iter=5)
+    out["ivf_quantizer_fit_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    full = IvfIndex(proto.assign(index), proto.centroids, "vec_id", "embedding")
+    ivf_path = os.path.join(root, "ivf")
+    full.save(ivf_path)
+    out["ivf_assign_save_s"] = round(time.perf_counter() - t0, 1)
+    ivf = IvfIndex.load(spark, ivf_path)
+
+    curve = []
+    for nprobe in NPROBES:
+        lats, recalls = [], []
+        for qid, qv in queries.items():
+            t0 = time.perf_counter()
+            hits = [
+                r["vec_id"]
+                for r in ivf.probe(qv, k=10, nprobe=nprobe, impl="numpy").collect()
+            ]
+            lats.append(time.perf_counter() - t0)
+            recalls.append(len(set(hits) & set(exact[qid])) / 10)
+        curve.append(
+            {
+                "nprobe": nprobe,
+                "probe_median_s": round(statistics.median(lats), 3),
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            }
+        )
+        print(json.dumps({"ivf": curve[-1]}), flush=True)
+    out["ivf_curve"] = curve
+
+    # --- IVF-PQ-residual: codebooks from the sample, encode full corpus,
+    # persist codes partitioned by cell, probe the integer-ADC scan
+    t0 = time.perf_counter()
+    # m=16 / ksub=256 (16-byte codes) — the realistic byte budget for
+    # dim ≥ 1000 (FAISS-style 8-bit codebooks); ksub=16 is the gate-scale
+    # oracle shape, far too coarse to rank 1536-d noise
+    ivfpq = IvfPqResidualIndex.build(
+        sample, n_centroids=N_CENTROIDS, m=16, ksub=256, sample_rows=8192, seed=0
+    )
+    out["ivfpq_train_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    codes_path = os.path.join(root, "ivfpq_codes")
+    ivfpq.encode(index).write.partitionBy("centroid").mode("overwrite").parquet(codes_path)
+    out["ivfpq_encode_save_s"] = round(time.perf_counter() - t0, 1)
+    codes = spark.read.parquet(codes_path)
+
+    curve = []
+    for nprobe in NPROBES:
+        lats, recalls = [], []
+        for qid, qv in queries.items():
+            t0 = time.perf_counter()
+            hits = [r["vec_id"] for r in ivfpq.probe(codes, qv, k=10, nprobe=nprobe).collect()]
+            lats.append(time.perf_counter() - t0)
+            recalls.append(len(set(hits) & set(exact[qid])) / 10)
+        curve.append(
+            {
+                "nprobe": nprobe,
+                "probe_median_s": round(statistics.median(lats), 3),
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            }
+        )
+        print(json.dumps({"ivfpq": curve[-1]}), flush=True)
+    out["ivfpq_curve"] = curve
+
+    # --- k-means iterations-to-stability at the 200k stress shape
+    if do_kmeans:
+        from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+        km_src = spark.read.parquet(corpus_path).where(F.col("vec_id") < 200_000)
+        hist: list = []
+        kmeans_lloyd(km_src, k=8, iters=10, history=hist, stop_when_stable=True)
+        out["kmeans_200k_history"] = [
+            {"iter": i, "total_l1_movement": mv, "sec": s} for i, mv, s in hist
+        ]
+        print(json.dumps({"kmeans": out["kmeans_200k_history"]}), flush=True)
+
+    print(json.dumps(out), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

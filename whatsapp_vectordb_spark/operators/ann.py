@@ -1471,6 +1471,8 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    history: list | None = None,
+    stop_when_stable: bool = False,
 ):
     """Multi-iteration Lloyd k-means with INTEGER-exact quantized
     arithmetic — the convergence loop over the single step that
@@ -1503,7 +1505,15 @@ def kmeans_lloyd(
     ``centroids`` — list of (cid, [qc…]) after the final update;
     ``assigned`` — DataFrame (id_col, centroid) vs the FINAL centroids;
     ``movement`` — {cid: L1 movement of the LAST update, exact int}.
+
+    ``history`` (optional caller-supplied list) receives one entry per
+    executed iteration: ``(iteration, total L1 movement, seconds)`` —
+    the iterations-to-stability evidence. ``stop_when_stable`` exits the
+    loop early once an update moves no centroid (exact fixpoint; every
+    later iteration would be identical).
     """
+    import time as _time
+
     spark = df.sparkSession
     qcomp = df.select(
         id_col,
@@ -1533,7 +1543,8 @@ def kmeans_lloyd(
             df, cents_df, id_col=id_col, vec_col=vec_col, scale=scale, pre_quantized=True
         ).select(id_col, "centroid")
 
-    for _ in range(iters):
+    for it in range(iters):
+        t0 = _time.perf_counter()
         assigned = _assign(cents)
         agg = (
             assigned.join(qcomp, id_col)
@@ -1554,6 +1565,12 @@ def kmeans_lloyd(
             movement[cid] = sum(abs(a - b) for a, b in zip(new_qc, qc))
             nxt.append((cid, new_qc))
         cents = nxt
+        if history is not None:
+            history.append(
+                (it + 1, sum(movement.values()), round(_time.perf_counter() - t0, 2))
+            )
+        if stop_when_stable and all(m == 0 for m in movement.values()):
+            break
 
     return cents, _assign(cents), movement
 
