@@ -5,7 +5,8 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Implementation lives in ``whatsapp_vectordb_spark/harness.py``.
+Implementation lives in the ``whatsapp_vectordb_spark/harness`` package
+(per-family query modules registering into ``harness._core``).
 """
 
 from __future__ import annotations

@@ -106,6 +106,7 @@ def main() -> None:
         ]
         lat.append(time.perf_counter() - t0)
     out["exact_topk_median_s"] = round(statistics.median(lat), 3)
+    print(json.dumps({"partial": {k: out[k] for k in ("synth_write_s", "exact_topk_median_s")}}), flush=True)
 
     # --- IVF: sample-fit quantizer, map-only full assignment, persist,
     # reload, probe (build once, probe many)
@@ -119,6 +120,7 @@ def main() -> None:
     full.save(ivf_path)
     out["ivf_assign_save_s"] = round(time.perf_counter() - t0, 1)
     ivf = IvfIndex.load(spark, ivf_path)
+    print(json.dumps({"partial": {k: out[k] for k in ("ivf_quantizer_fit_s", "ivf_assign_save_s")}}), flush=True)
 
     curve = []
     for nprobe in NPROBES:
@@ -156,6 +158,7 @@ def main() -> None:
     ivfpq.encode(index).write.partitionBy("centroid").mode("overwrite").parquet(codes_path)
     out["ivfpq_encode_save_s"] = round(time.perf_counter() - t0, 1)
     codes = spark.read.parquet(codes_path)
+    print(json.dumps({"partial": {k: out[k] for k in ("ivfpq_train_s", "ivfpq_encode_save_s")}}), flush=True)
 
     curve = []
     for nprobe in NPROBES:

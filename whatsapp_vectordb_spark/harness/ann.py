@@ -1,0 +1,1936 @@
+"""kNN / ANN / clustering queries.
+
+Split out of the monolithic harness.py (registration order preserved
+within each family; see harness/__init__.py for the module order).
+"""
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    l2_norm,
+)
+from whatsapp_vectordb_spark.operators.search import topk, topk_batched
+
+from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _BM25_TERMS, _TOKS, _oracle_scratch, _register, _t  # noqa: E501
+
+
+
+# --------------------------------------------------------------------------
+# Q1/Q2 — k-NN top-k under each metric (SURVEY.md §2.5). The query vector is
+# a stored one (vec_id=0) so the oracle needs no Python embedder.
+# --------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,{payload}
+       ROUND({score_expr}, 6) AS score
+FROM embeddings e, q
+WHERE {score_expr} IS NOT NULL
+ORDER BY score {dir}, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register(
+    "knn_topk_cosine",
+    _KNN_ORACLE.format(
+        score_expr="list_cosine_similarity(e.embedding::DOUBLE[], q.qv)",
+        dir="DESC",
+        payload=" e.label,",  # Q4: payload hydrated in the same select
+    ),
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return topk(
+        emb, qvec, k=10, metric="cosine", round_to=ROUND_SCORE, payload_cols=("label",)
+    )
+
+
+@_register(
+    "knn_topk_dotproduct",
+    _KNN_ORACLE.format(
+        score_expr="list_dot_product(e.embedding::DOUBLE[], q.qv)", dir="DESC", payload=""
+    ),
+)
+def knn_topk_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return topk(emb, qvec, k=10, metric="dotproduct", round_to=ROUND_SCORE)
+
+
+@_register(
+    "knn_topk_euclidean",
+    _KNN_ORACLE.format(
+        score_expr="list_distance(e.embedding::DOUBLE[], q.qv)", dir="ASC", payload=""
+    ),
+)
+def knn_topk_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return topk(emb, qvec, k=10, metric="euclidean", round_to=ROUND_SCORE)
+
+
+# --------------------------------------------------------------------------
+# Q1 batched — per-query top-k via broadcast + window rank.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "knn_batched",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+           FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) AS score,
+         ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) DESC,
+                     e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+) WHERE rank <= 3
+""",
+)
+def knn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_batched(emb, queries, k=3, metric="cosine", round_to=ROUND_SCORE)
+
+
+# ==========================================================================
+# ANN — the 100 TB scale path for similarity search (operators/ann.py).
+# ``ann_lsh_topk`` uses the *portable* integer-quantized sign-projection
+# LSH so the oracle reproduces buckets bit-for-bit; ``ann_ivf_topk`` is
+# KMeans-based (not SQL-expressible → rows-only check by design).
+# ==========================================================================
+
+_ANN_LSH_ORACLE = """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+qb AS (SELECT band, chunk FROM banded WHERE vec_id = 0),
+cand AS (SELECT DISTINCT banded.vec_id
+         FROM banded JOIN qb ON banded.band = qb.band AND banded.chunk = qb.chunk),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_lsh_topk", _ANN_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # numpy impl computes bit-identical integer signatures (one int64
+    # matmul per batch); dim comes from the fixture registry, not a
+    # scan-first-row driver job
+    return portable_lsh_topk(
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
+        impl="numpy", dim=64,
+    )
+
+
+_ANN_LSH_MULTIPROBE_ORACLE = """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+qb AS (SELECT band, chunk FROM banded WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT band,
+         CASE WHEN f.f = 0 THEN chunk
+              ELSE substr(chunk, 1, f.f - 1)
+                   || (CASE WHEN substr(chunk, f.f, 1) = '1' THEN '0' ELSE '1' END)
+                   || substr(chunk, f.f + 1, 4)
+         END AS chunk
+  FROM qb CROSS JOIN range(0,5) f(f)
+),
+cand AS (SELECT DISTINCT banded.vec_id
+         FROM banded JOIN probes ON banded.band = probes.band AND banded.chunk = probes.chunk),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_lsh_multiprobe", _ANN_LSH_MULTIPROBE_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return portable_lsh_topk_multiprobe(
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
+        impl="numpy", dim=64,
+    )
+
+
+_IVF_ORACLE_DIR = _oracle_scratch("ivf_oracle")
+
+# The k-means build is not SQL-expressible, but the QUERY path is: the
+# harness persists the centroid assignment (partitionBy(centroid) parquet —
+# the real disk-resident IVF form) plus the chosen probe ids, and the
+# oracle re-runs the probe phase (centroid filter + exact top-k) over the
+# very same files. Build stays unchecked; the probe is hash-checked.
+_ANN_IVF_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVF_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT centroid FROM read_parquet('{_IVF_ORACLE_DIR}/probe/*.parquet')
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id, ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+FROM cells c JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+CROSS JOIN q
+WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_topk", _ANN_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = IvfIndex.build(emb.select("vec_id", "embedding"), n_centroids=8).save(
+        _IVF_ORACLE_DIR
+    )
+    # probe the SAVED index (file-level partition pruning on centroid), and
+    # persist the probed centroid ids so the oracle replays the same probe
+    loaded = IvfIndex.load(spark, _IVF_ORACLE_DIR)
+    probe_ids = loaded.probe_centroid_ids(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVF_ORACLE_DIR, "probe"))
+    return loaded.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
+
+
+_PQ_ORACLE_DIR = _oracle_scratch("pq_oracle")
+
+# Product-quantization ADC probe: the k-means codebook build stays
+# unchecked (not SQL-expressible), but the QUERY path is bit-exact — the
+# integer-quantized lookup table makes every score an order-independent
+# int64 sum, which the oracle recomputes from the persisted codes + LUT.
+_ANN_PQ_ORACLE = f"""
+WITH codes AS (SELECT * FROM read_parquet('{_PQ_ORACLE_DIR}/codes/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_PQ_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_pq_topk", _ANN_PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    idx.save(_PQ_ORACLE_DIR, idx.encode(emb))
+    lut = idx.lut_int(qvec)
+    spark.createDataFrame(
+        [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
+        "j int, c int, w bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_PQ_ORACLE_DIR, "lut"))
+    loaded, codes = PqIndex.load(spark, _PQ_ORACLE_DIR)
+    return loaded.adc_topk(codes, qvec, k=10)
+
+
+_IVFPQ_ORACLE_DIR = _oracle_scratch("ivfpq_oracle")
+
+# IVF-PQ probe, DEFAULT (reranked) path: centroid pruning (file-level on
+# the saved layout) + integer ADC over 8-byte codes to a 100-candidate
+# shortlist, then an exact cosine re-rank over only those rows' float
+# vectors (raw ADC order ties aggressively — recall@10 as low as 0.1
+# unreranked, BASELINE.md stress table). The shortlist cut is
+# deterministic (int64 ADC score, id tiebreak), so the whole query path
+# hash-checks; builds stay rows-only.
+_ANN_IVFPQ_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVFPQ_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_IVFPQ_ORACLE_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_IVFPQ_ORACLE_DIR}/lut/*.parquet')),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS s
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+  ORDER BY s DESC, vec_id ASC
+  LIMIT 100
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN adc ON e.vec_id = adc.vec_id CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def _build_ivfpq_state(spark: SparkSession, sf_dir: str, out_dir: str, nprobe: int):
+    """Build IVF+PQ over the fixture embeddings and persist the full query
+    state (cells partitioned by centroid, probe ids, integer LUT) so the
+    DuckDB oracle replays the identical probe over the same files. Returns
+    (emb, qvec, ivf, pq, stored-cells frame)."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex, PqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ivf = IvfIndex.build(emb, n_centroids=8)
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    # the deployed layout: codes + centroid, partitioned by centroid
+    cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
+    cells.write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(out_dir, "cells")
+    )
+    probe_ids = ivf.probe_centroid_ids(qvec, nprobe=nprobe)
+    spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "probe"))
+    lut = pq.lut_int(qvec)
+    spark.createDataFrame(
+        [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
+        "j int, c int, w bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "lut"))
+    stored = spark.read.parquet(os.path.join(out_dir, "cells"))
+    return emb, qvec, ivf, pq, stored
+
+
+@_register("ann_ivfpq_topk", _ANN_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import ivfpq_topk
+
+    emb, qvec, ivf, pq, stored = _build_ivfpq_state(
+        spark, sf_dir, _IVFPQ_ORACLE_DIR, nprobe=2
+    )
+    return ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=2, index_df=emb)
+
+
+_RECALL_ORACLE_DIR = _oracle_scratch("ivfpq_recall_oracle")
+
+# VERDICT r02 #3: the reference's entire product is k-NN answer quality
+# (reference main.go:89-184), so recall itself is oracle-gated: recall@10
+# of the default (reranked) IVF-PQ probe against the exact top-10 over the
+# SAME parquet — both sides deterministic, both engines replay the full
+# shortlist + re-rank + intersect.
+_ANN_RECALL_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_RECALL_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_RECALL_ORACLE_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_RECALL_ORACLE_DIR}/lut/*.parquet')),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS s
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+  ORDER BY s DESC, vec_id ASC
+  LIMIT 200
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+ann AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN adc ON e.vec_id = adc.vec_id CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k, ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+FROM ann JOIN exact ON ann.vec_id = exact.vec_id
+"""
+
+
+@_register("ann_recall_gate", _ANN_RECALL_ORACLE)
+def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the default IVF-PQ probe (nprobe=6 of 8 cells,
+    shortlist-200 exact re-rank) vs exact brute-force top-10 — a single
+    ``(k, recall)`` row, hash-checked. The gate expectation is ≥ 0.9."""
+    from whatsapp_vectordb_spark.operators.ann import ivfpq_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb, qvec, ivf, pq, stored = _build_ivfpq_state(
+        spark, sf_dir, _RECALL_ORACLE_DIR, nprobe=6
+    )
+    ann_ids = ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=6, index_df=emb, shortlist=200).select(
+        "vec_id"
+    )
+    exact_ids = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        ann_ids.join(exact_ids, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+_IVFPQR_ORACLE_DIR = _oracle_scratch("ivfpq_residual_oracle")
+
+# Residual IVF-PQ probe (the FAISS-style layout): distances are exact
+# int64 sums of the per-cell LUT entries, ascending; build stays
+# rows-only, the query path hash-checks over the persisted state.
+_ANN_IVFPQR_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVFPQR_ORACLE_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_IVFPQR_ORACLE_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_IVFPQR_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_residual_topk", _ANN_IVFPQR_ORACLE)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import IvfPqResidualIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = IvfPqResidualIndex.build(emb, n_centroids=8, m=8, ksub=16, sample_rows=500)
+    idx.encode(emb).write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(_IVFPQR_ORACLE_DIR, "cells")
+    )
+    cells = idx.probe_cells(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in cells], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVFPQR_ORACLE_DIR, "probe"))
+    luts = idx.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, k, int(luts[c][j, k]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for k in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(rows, "centroid bigint, j int, c int, w bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVFPQR_ORACLE_DIR, "lut"))
+    stored = spark.read.parquet(os.path.join(_IVFPQR_ORACLE_DIR, "cells"))
+    return idx.probe(stored, qvec, k=10, nprobe=2)
+
+
+_ANN_LSH_BATCHED_ORACLE = """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+qb AS (SELECT vec_id AS query_id, band, chunk FROM banded WHERE vec_id IN (0, 1, 2)),
+cand AS (
+  SELECT DISTINCT qb.query_id, banded.vec_id
+  FROM banded JOIN qb ON banded.band = qb.band AND banded.chunk = qb.chunk
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT c.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv ON qv.query_id = c.query_id
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+)
+SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@_register("ann_lsh_batched", _ANN_LSH_BATCHED_ORACLE)
+def ann_lsh_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk_batched
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return portable_lsh_topk_batched(
+        emb, query_ids=[0, 1, 2], k=5, n_planes=16, bands=4, seed=0, round_to=ROUND_SCORE,
+        impl="numpy", dim=64,
+    )
+
+
+# Sparse k-NN (types.SPARSE_VECTOR_SCHEMA, reference main.go:45-48): the
+# corpus is thresholded-sparsified embeddings; ranking uses the sparse
+# cosine over matching indices only. Candidates are restricted to vectors
+# sharing ≥1 sparse index with the query (arrays_overlap) — the same
+# inverted-index semantics the oracle's equi-join on idx expresses.
+_KNN_SPARSE_ORACLE = """
+WITH sp AS (
+  SELECT vec_id, i.i AS idx, embedding[i.i + 1]::DOUBLE AS v
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+  WHERE abs(embedding[i.i + 1]::DOUBLE) > 0.1
+),
+q AS (SELECT idx, v FROM sp WHERE vec_id = 0),
+dots AS (
+  SELECT sp.vec_id, SUM(sp.v * q.v) AS dot
+  FROM sp JOIN q ON sp.idx = q.idx GROUP BY 1
+),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM sp GROUP BY 1),
+qn AS (SELECT sqrt(SUM(v * v)) AS nrm FROM q)
+SELECT d.vec_id, ROUND(d.dot / (n.nrm * qn.nrm), 6) AS score
+FROM dots d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qn
+WHERE n.nrm > 0 AND qn.nrm > 0
+ORDER BY score DESC, d.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("knn_topk_sparse", _KNN_SPARSE_ORACLE)
+def knn_topk_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.vector import dense_to_sparse, sparse_cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", dense_to_sparse("embedding", threshold=0.1).alias("sp")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("sp").alias("qsp"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.arrays_overlap(F.col("sp.indices"), F.col("qsp.indices")))
+        .select(
+            "vec_id",
+            F.round(sparse_cosine("sp", "qsp"), ROUND_SCORE).alias("score"),
+        )
+        .where(F.col("score").isNotNull())
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# ==========================================================================
+# Round 3: per-label embedding cluster profile (functions/vector.py
+# label_centroid_stats) — integer-quantized centroid sums so both engines
+# agree bit-for-bit on everything except the final O(1) distance average.
+# ==========================================================================
+
+
+@_register(
+    "embeddings_label_centroids",
+    """
+WITH ex AS (
+  SELECT label, vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 10000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+),
+cent AS (SELECT label, pos, SUM(q) AS S, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+norms AS (SELECT label, MAX(n) AS n_vectors, SUM(S * S) AS SS FROM cent GROUP BY 1),
+d AS (
+  SELECT e.label, e.vec_id,
+         SUM((e.q * c.n - c.S) * (e.q * c.n - c.S)) AS dq2, MAX(c.n) AS n
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY 1, 2
+),
+dv AS (SELECT label, SQRT(dq2::DOUBLE) / (10000.0 * n) AS dist FROM d)
+SELECT nm.label,
+       CAST(nm.n_vectors AS BIGINT) AS n_vectors,
+       ROUND(SQRT(nm.SS::DOUBLE) / (10000.0 * nm.n_vectors), 6) AS centroid_norm,
+       ROUND(AVG(dv.dist), 4) AS avg_dist
+FROM norms nm JOIN dv ON nm.label = dv.label
+GROUP BY 1, 2, 3
+""",
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.functions.vector import label_centroid_stats
+
+    return label_centroid_stats(_t(spark, sf_dir, "embeddings"))
+
+
+# ==========================================================================
+# Round 3: OPQ — rotation-optimized product quantization (operators/ann.py
+# OpqIndex; Ge et al. CVPR 2013). The rotation lives entirely Spark-side;
+# the oracle replays the identical integer-ADC probe over persisted codes.
+# ==========================================================================
+
+_OPQ_ORACLE_DIR = _oracle_scratch("opq_oracle")
+
+_ANN_OPQ_ORACLE = f"""
+WITH codes AS (SELECT * FROM read_parquet('{_OPQ_ORACLE_DIR}/codes/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_OPQ_ORACLE_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_opq_topk", _ANN_OPQ_ORACLE)
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import OpqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = OpqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0, opq_iters=4)
+    idx.save(_OPQ_ORACLE_DIR, idx.encode(emb))
+    lut = idx.lut_int(qvec)
+    spark.createDataFrame(
+        [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
+        "j int, c int, w bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_OPQ_ORACLE_DIR, "lut"))
+    loaded, codes = OpqIndex.load(spark, _OPQ_ORACLE_DIR)
+    return loaded.adc_topk(codes, qvec, k=10)
+
+
+# ==========================================================================
+# Round 3: approximate kNN graph (operators/ann.py knn_graph_lsh) — the
+# density/diversity curation primitive; candidates from the bit-exact
+# portable LSH (32 planes / 8-bit chunks), per-node window top-5.
+# ==========================================================================
+
+
+@_register(
+    "ann_knn_graph",
+    """
+WITH planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,32) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 8 + 1, 8) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.src, c.nbr,
+         ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM cand c
+  JOIN embeddings va ON va.vec_id = c.src
+  JOIN embeddings vb ON vb.vec_id = c.nbr
+  WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) IS NOT NULL
+)
+SELECT src, nbr, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT src, nbr, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64)
+
+
+# ==========================================================================
+# Round 3: OPQ + residual IVF-PQ composition (operators/ann.py
+# OpqIvfPqIndex) — the FAISS "OPQm,IVFc,PQm" recipe: learned rotation,
+# then coarse cells + residual codes in rotated space. The probe is the
+# identical integer-LUT ADC scan, replayed by the oracle over persisted
+# cells + LUTs.
+# ==========================================================================
+
+_OPQ_IVFPQ_DIR = _oracle_scratch("opq_ivfpq_oracle")
+
+_ANN_OPQ_IVFPQ_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_OPQ_IVFPQ_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_OPQ_IVFPQ_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_OPQ_IVFPQ_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,8) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+)
+SELECT vec_id, score FROM s
+ORDER BY score ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_opq_ivfpq_topk", _ANN_OPQ_IVFPQ_ORACLE)
+def ann_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.ann import OpqIvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    idx = OpqIvfPqIndex.build(
+        emb, n_centroids=8, m=8, ksub=16, sample_rows=500, opq_iters=4
+    )
+    idx.encode(emb).write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(_OPQ_IVFPQ_DIR, "cells")
+    )
+    cells = idx.probe_cells(qvec, nprobe=2)
+    spark.createDataFrame([(int(c),) for c in cells], "centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "probe"))
+    luts = idx.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, k, int(luts[c][j, k]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for k in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(rows, "centroid bigint, j int, c int, w bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "lut"))
+    stored = spark.read.parquet(os.path.join(_OPQ_IVFPQ_DIR, "cells"))
+    return idx.probe(stored, qvec, k=10, nprobe=2)
+
+
+# Round 6: ONE full Lloyd iteration oracle-checked end to end — seeds are
+# the first 8 stored vectors (deterministic, no RNG), assignment is the
+# integer-exact quantized argmin, and the centroid UPDATE is reported as
+# exact integer aggregates (member count, component sum, position-weighted
+# component sum). Until now only the PROBE phases of k-means-built indexes
+# were oracle-checked; this pins the clustering math itself.
+_KM_SCALE = 1_000_000
+_KM_K = 8
+
+
+@_register(
+    "cluster_kmeans_step",
+    f"""
+WITH q AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * {_KM_SCALE}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+),
+seeds AS (SELECT vec_id AS centroid, pos, qv FROM q WHERE vec_id < {_KM_K}),
+d AS (
+  SELECT v.vec_id, s.centroid, SUM((v.qv - s.qv) * (v.qv - s.qv)) AS d2
+  FROM q v JOIN seeds s ON v.pos = s.pos
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM d
+  ) WHERE r = 1
+)
+SELECT a.centroid,
+       CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_members,
+       CAST(SUM(q.qv) AS BIGINT) AS qsum,
+       CAST(SUM((q.pos + 1) * q.qv) AS BIGINT) AS qsum_weighted
+FROM assign a JOIN q ON q.vec_id = a.vec_id
+GROUP BY 1
+""",
+)
+def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's iteration as a first-class distributed op: broadcast the k
+    seed centroids, integer-quantized argmin assignment (map-only,
+    codegen'd — operators/ann.assign_cells_quantized), then ONE shuffle
+    keyed by centroid for the update aggregates. The new centroid is
+    qsum/n per component; the position-weighted sum pins the full update
+    vector without emitting 64 columns. At 100 TB this is exactly the
+    per-iteration shape of distributed k-means: map + one k-row-bounded
+    aggregate."""
+    from whatsapp_vectordb_spark.operators.ann import assign_cells_quantized
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec")
+    )
+    assigned = assign_cells_quantized(emb, seeds).select("vec_id", "centroid")
+    qcomp = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    )
+    return (
+        assigned.join(qcomp, "vec_id")
+        .groupBy("centroid")
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_members"),
+            F.sum("qv").cast("long").alias("qsum"),
+            F.sum((F.col("pos") + 1) * F.col("qv")).cast("long").alias("qsum_weighted"),
+        )
+    )
+
+
+# Round 7: Lloyd to CONVERGENCE — the multi-iteration loop over the single
+# step pinned above. Seeds, argmin, and the floor(qsum/n + 0.5) HALF_UP
+# update are engine-portable integer/IEEE-exact math, so the DuckDB oracle
+# UNROLLS the iterations as chained CTEs and must land on bit-identical
+# centroids, memberships, and L1 movement. Empty cells carry forward.
+_KM_ITERS = 2
+
+
+def _kmeans_converge_sql(k: int, iters: int, scale: int, dim: int = 64) -> str:
+    parts = [
+        f"""q AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * {scale}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {dim}) i(i)
+),
+c0 AS (SELECT vec_id AS centroid, pos, qv AS qc FROM q WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM (SELECT v.vec_id, c.centroid, SUM((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+          FROM q v JOIN c{t - 1} c ON v.pos = c.pos GROUP BY 1, 2)
+  ) WHERE r = 1
+),
+u{t} AS (
+  SELECT a.centroid, q.pos,
+         CAST(FLOOR(SUM(q.qv)::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS qc
+  FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT p.centroid, p.pos, COALESCE(u.qc, p.qc) AS qc
+  FROM c{t - 1} p LEFT JOIN u{t} u ON u.centroid = p.centroid AND u.pos = p.pos
+)"""
+        )
+    t = iters
+    parts.append(
+        f"""afin AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM (SELECT v.vec_id, c.centroid, SUM((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+          FROM q v JOIN c{t} c ON v.pos = c.pos GROUP BY 1, 2)
+  ) WHERE r = 1
+),
+m AS (SELECT centroid, COUNT(*) AS n FROM afin GROUP BY 1),
+fin AS (
+  SELECT centroid, CAST(SUM(qc) AS BIGINT) AS qc_sum,
+         CAST(SUM((pos + 1) * qc) AS BIGINT) AS qc_sum_weighted
+  FROM c{t} GROUP BY 1
+),
+mv AS (
+  SELECT a.centroid, CAST(SUM(ABS(a.qc - b.qc)) AS BIGINT) AS movement
+  FROM c{t} a JOIN c{t - 1} b ON b.centroid = a.centroid AND b.pos = a.pos
+  GROUP BY 1
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT f.centroid, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members,
+       f.qc_sum, f.qc_sum_weighted, mv.movement
+FROM fin f LEFT JOIN m ON m.centroid = f.centroid
+JOIN mv ON mv.centroid = f.centroid
+"""
+
+
+@_register("cluster_kmeans_converge", _kmeans_converge_sql(_KM_K, _KM_ITERS, _KM_SCALE))
+def cluster_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means convergence loop (operators/ann.kmeans_lloyd): each
+    iteration is one broadcast-argmin pass plus one k·d-bounded aggregate
+    collected to the driver (the MLlib contract — centroids live on the
+    driver, data never does), with empty-cell carry-forward and an exact
+    integer L1 movement per centroid. The oracle replays the SAME math as
+    unrolled CTEs; every value (memberships, centroid checksums, movement)
+    must match bit-for-bit, which it can because the update rule is
+    quantized-integer + exactly-rounded IEEE division, not float
+    accumulation."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, movement = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+    counts = assigned.groupBy("centroid").agg(F.count("*").cast("long").alias("n_members"))
+    summary = spark.createDataFrame(
+        [
+            (
+                cid,
+                sum(qc),
+                sum((j + 1) * x for j, x in enumerate(qc)),
+                movement[cid],
+            )
+            for cid, qc in cents
+        ],
+        "centroid bigint, qc_sum bigint, qc_sum_weighted bigint, movement bigint",
+    )
+    return (
+        summary.join(counts, "centroid", "left")
+        .select(
+            "centroid",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            "qc_sum",
+            "qc_sum_weighted",
+            "movement",
+        )
+    )
+
+
+# ==========================================================================
+# Round 4: dimensionality reduction (operators/projection.py) — JL random
+# projection (stateless, md5-derived ±1 signs, integer-exact in both
+# engines) and sample-trained exact PCA (persisted-components oracle).
+# ==========================================================================
+
+_JL_SEED, _JL_IN, _JL_OUT = 7, 64, 16
+
+
+@_register(
+    "ann_jl_topk",
+    f"""
+WITH px AS (
+  SELECT e.vec_id, j.j AS j,
+         SUM(CAST(round(e.embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) *
+             CASE WHEN ('0x' || substr(md5('{_JL_SEED}_' || i.i || '_' || j.j), 1, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END) AS p
+  FROM embeddings e
+  CROSS JOIN range(0, {_JL_IN}) i(i)
+  CROSS JOIN range(0, {_JL_OUT}) j(j)
+  GROUP BY 1, 2
+),
+q AS (SELECT j, p AS qp FROM px WHERE vec_id = 0),
+sc AS (
+  SELECT px.vec_id,
+         SUM(px.p * q.qp) AS dot,
+         SUM(px.p * px.p) AS nv,
+         SUM(q.qp * q.qp) AS nq
+  FROM px JOIN q ON px.j = q.j
+  GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (sqrt(nv) * sqrt(nq)), 6) AS score
+FROM sc WHERE nv > 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss pre-filter tier: 64→16-dim ±1 projection
+    (integer-exact), exact cosine top-10 in the PROJECTED space. Stateless
+    — the sign matrix is a pure function of (seed, i, j), so the oracle
+    regenerates it instead of replaying persisted state. Map-only
+    projection; top-k is the usual no-shuffle TakeOrderedAndProject."""
+    from whatsapp_vectordb_spark.operators.projection import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = jl_project(emb, _JL_IN, _JL_OUT, seed=_JL_SEED)
+    qproj = [int(v) for v in proj.where(F.col("vec_id") == 0).head()["proj"]]
+    nq = sum(v * v for v in qproj)
+    qcol = F.lit(qproj).cast("array<long>")
+    dot = F.aggregate(
+        F.zip_with(F.col("proj"), qcol, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(
+        F.zip_with(F.col("proj"), F.col("proj"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = proj.select(
+        "vec_id",
+        F.round(
+            dot.cast("double") / (F.sqrt(nv.cast("double")) * F.sqrt(F.lit(float(nq)))),
+            6,
+        ).alias("score"),
+        nv.alias("_nv"),
+    ).where(F.col("_nv") > 0)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "score")
+    )
+
+
+# ==========================================================================
+# Round 4: metadata-filtered kNN (the Pinecone `filter=` query parameter —
+# modeled by the reference's metadata map, main.go:41-55) and the JL
+# two-stage recall gate.
+# ==========================================================================
+
+
+@_register(
+    "knn_topk_filtered",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e, q
+WHERE e.label = 3
+  AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered kNN — Pinecone's `filter=` parameter: the
+    predicate applies BEFORE scoring, so the filter pushes down to the
+    parquet scan and the top-k heap only ever sees matching rows (the
+    wrong plan — score-then-filter — would rank the whole index first).
+    Asserted by tests/test_plans.py::test_filtered_knn_pushes_predicate."""
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return topk(
+        emb.where(F.col("label") == 3),
+        qvec,
+        k=10,
+        round_to=ROUND_SCORE,
+        payload_cols=("label",),
+    )
+
+
+_JLR_DIM, _JLR_SHORTLIST = 32, 200
+
+
+@_register(
+    "ann_jl_recall_gate",
+    f"""
+WITH px AS (
+  SELECT e.vec_id, j.j AS j,
+         SUM(CAST(round(e.embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) *
+             CASE WHEN ('0x' || substr(md5('{_JL_SEED}_' || i.i || '_' || j.j), 1, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END) AS p
+  FROM embeddings e
+  CROSS JOIN range(0, {_JL_IN}) i(i)
+  CROSS JOIN range(0, {_JLR_DIM}) j(j)
+  GROUP BY 1, 2
+),
+q AS (SELECT j, p AS qp FROM px WHERE vec_id = 0),
+jsc AS (
+  SELECT px.vec_id,
+         ROUND(SUM(px.p * q.qp) / (sqrt(SUM(px.p * px.p)) * sqrt(SUM(q.qp * q.qp))), 6) AS jscore
+  FROM px JOIN q ON px.j = q.j
+  GROUP BY 1
+  HAVING SUM(px.p * px.p) > 0
+),
+short AS (
+  SELECT vec_id FROM jsc ORDER BY jscore DESC, vec_id ASC LIMIT {_JLR_SHORTLIST}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) AS score
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM rer JOIN exact ON rer.vec_id = exact.vec_id
+""",
+)
+def ann_jl_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage JL retrieval quality gate: 32-dim projected shortlist-200
+    → exact cosine re-rank top-10, recall vs brute-force top-10 (0.9 at
+    sf0.01 — the recall number itself is hash-checked; answer quality is
+    part of the contract, not a claim). The shortlist stage halves
+    bytes-per-row; the re-rank touches 200 rows. Near-tied corpora want
+    wider projections/shortlists — the dim-16/50 sweep measured 0.4."""
+    from whatsapp_vectordb_spark.operators.projection import jl_project
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = jl_project(emb, _JL_IN, _JLR_DIM, seed=_JL_SEED)
+    qrow = proj.where(F.col("vec_id") == 0).head()
+    qproj = [int(v) for v in qrow["proj"]]
+    nq = sum(v * v for v in qproj)
+    qcol = F.lit(qproj).cast("array<long>")
+    dot = F.aggregate(
+        F.zip_with(F.col("proj"), qcol, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(
+        F.zip_with(F.col("proj"), F.col("proj"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        proj.select(
+            "vec_id",
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(nv.cast("double")) * F.sqrt(F.lit(float(nq)))),
+                6,
+            ).alias("jscore"),
+            nv.alias("_nv"),
+        )
+        .where(F.col("_nv") > 0)
+        .orderBy(F.col("jscore").desc(), F.col("vec_id").asc())
+        .limit(_JLR_SHORTLIST)
+        .select("vec_id")
+    )
+    qvec = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).head()[
+        "embedding"
+    ]
+    rer = topk(
+        emb.join(F.broadcast(short), "vec_id"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    exact = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        rer.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+# ==========================================================================
+# Round 4: MMR diversity re-rank (operators/search.py mmr_rerank) — greedy
+# λ-tradeoff selection over an integer-quantized shortlist; the oracle
+# unrolls the k greedy steps as chained CTEs (each step = one argmax).
+# ==========================================================================
+
+
+def _mmr_oracle(k: int = 5, shortlist: int = 20, lam: int = 7) -> str:
+    steps = []
+    for n in range(1, k + 1):
+        prev = [f"p{m}" for m in range(1, n)]
+        if prev:
+            gmax = "GREATEST(" + ", ".join(
+                f"(SELECT s FROM sim WHERE ia = c.vec_id AND ib = {p}.vec_id)"
+                for p in prev
+            ) + ")" if len(prev) > 1 else (
+                f"(SELECT s FROM sim WHERE ia = c.vec_id AND ib = p1.vec_id)"
+            )
+            notin = " AND ".join(f"c.vec_id <> {p}.vec_id" for p in prev)
+            steps.append(f"""
+p{n} AS (
+  SELECT c.vec_id, {lam} * c.rel - {10 - lam} * {gmax} AS score
+  FROM cand c, {", ".join(prev)}
+  WHERE {notin}
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+)""")
+        else:
+            steps.append(f"""
+p1 AS (
+  SELECT vec_id, {lam} * rel AS score
+  FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {n} AS rank, vec_id, score AS mmr_score10 FROM p{n}"
+        for n in range(1, k + 1)
+    )
+    step_ctes = ",\n".join(s.lstrip() for s in steps)
+    return f"""
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v) * 1000000) AS BIGINT) AS rel
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY rel DESC, e.vec_id ASC LIMIT {shortlist}
+),
+sim AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS s
+  FROM cand a CROSS JOIN cand b
+),
+{step_ctes}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, mmr_score10 FROM ({selects})
+"""
+
+
+@_register("knn_mmr_rerank", _mmr_oracle())
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-5 via MMR (λ=0.7) over the exact top-20
+    shortlist — the redundancy filter plain cosine top-k lacks. Integer
+    micro-unit scores make the greedy engine-exact; the oracle replays
+    each greedy step as an unrolled argmax CTE."""
+    from whatsapp_vectordb_spark.operators.search import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return mmr_rerank(emb, qvec, k=5, shortlist=20, lam_tenths=7)
+
+
+# ==========================================================================
+# Round 4: grouped (per-label) kNN — partitioned vector search: top-3 per
+# label in ONE pass (window rank within label), not one query per label.
+# ==========================================================================
+
+
+@_register(
+    "knn_topk_per_label",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT label, vec_id, score
+FROM (
+  SELECT e.label, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score,
+         row_number() OVER (
+           PARTITION BY e.label
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM embeddings e, q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+)
+WHERE rk <= 3
+""",
+)
+def knn_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector search: the 3 nearest neighbors WITHIN each label in
+    one pass — score map-side, one shuffle by label, per-partition rank.
+    The shape for 'best matches per tenant/namespace/category' that would
+    otherwise be |labels| separate queries."""
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qcol = F.lit([float(x) for x in qvec]).cast("array<double>")
+    scored = emb.select(
+        "label",
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("score"),
+    ).where(F.col("score").isNotNull())
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select("label", "vec_id", "score")
+    )
+
+
+# ==========================================================================
+# Round 4: hybrid search — BM25 keyword list + vector cosine list fused by
+# Reciprocal Rank Fusion (Cormack et al. '09): score = Σ 1/(60+rank),
+# integer-quantized per (list, rank) so the fuse is BIGINT-exact.
+# ==========================================================================
+
+_RRF_K = 60
+_RRF_QUANT = 1_000_000_000
+
+
+@_register(
+    "hybrid_search_rrf",
+    f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens),
+postings AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings
+  WHERE term IN ('data', 'processing', 'scale') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT t.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * t.tf * 2.2
+           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf t
+  JOIN dfreq d ON d.term = t.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+kw AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e, q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM vs ORDER BY score DESC, doc_id ASC LIMIT 20
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(CAST(round({_RRF_QUANT}.0 / ({_RRF_K} + kw.r)) AS BIGINT), 0)
+         + COALESCE(CAST(round({_RRF_QUANT}.0 / ({_RRF_K} + vec.r)) AS BIGINT), 0) AS rrf_q
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, ROUND(rrf_q / {_RRF_QUANT}.0, 6) AS rrf
+FROM fused
+ORDER BY rrf_q DESC, doc_id ASC
+LIMIT 10
+""".format(toks=_TOKS.format(c="text")),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 keyword top-20 and the vector cosine
+    top-20 fused by Reciprocal Rank Fusion — the standard keyword+vector
+    combination (ids align across `documents` and `embeddings`). Each
+    list's contribution quantizes to round(10⁹/(60+rank)) so the fused
+    ordering is exact integer arithmetic."""
+    from whatsapp_vectordb_spark.operators.search import topk
+    from whatsapp_vectordb_spark.operators.textops import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+
+    kw = bm25_search(docs, list(_BM25_TERMS), k1=1.2, b=0.75, top_n=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r_kw"),
+    )
+    vec = topk(emb, qvec, k=20, round_to=ROUND_SCORE).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+        .alias("r_vec"),
+    )
+    rrf_of = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(float(_RRF_QUANT)) / (F.lit(_RRF_K) + r)).cast("long"), F.lit(0)
+    )
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id", (rrf_of(F.col("r_kw")) + rrf_of(F.col("r_vec"))).alias("rrf_q")
+    )
+    return (
+        fused.orderBy(F.col("rrf_q").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round(F.col("rrf_q") / _RRF_QUANT, 6).alias("rrf"))
+    )
+
+
+@_register(
+    "knn_label_propagation",
+    """
+WITH u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+l AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+scored AS (
+  SELECT u.vec_id, l.vec_id AS lid, l.label,
+         CAST(round(list_cosine_similarity(u.embedding::DOUBLE[], l.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cos6
+  FROM u CROSS JOIN l
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, lid ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+v AS (SELECT vec_id, label, COUNT(*) AS votes FROM top GROUP BY 1, 2)
+SELECT vec_id, label AS pred_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, label ASC) AS vr
+  FROM v
+) WHERE vr = 1
+""",
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote weak labeling: every 5th vector plays unlabeled,
+    the rest are the broadcast labeled seed; k=5 neighbors by micro-unit
+    cosine, deterministic rank and vote tiebreaks
+    (operators/search.py knn_label_propagation)."""
+    from whatsapp_vectordb_spark.operators.search import knn_label_propagation as _klp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unl = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    lab = emb.where(F.col("vec_id") % 5 != 0).select("vec_id", "embedding", "label")
+    return _klp(unl, lab, k=5)
+
+
+# ==========================================================================
+# Round 5 (batch 2): Matryoshka prefix retrieval + recall gate, CCNet
+# perplexity buckets over the grouped distributed prefix sum, index
+# compaction as an oracle-checked lifecycle query.
+# ==========================================================================
+
+_MRL_DIM = 16
+_MRL_SHORT = 50
+
+
+@_register(
+    "ann_mrl_topk",
+    f"""
+WITH q AS (SELECT embedding[1:{_MRL_DIM}]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-cosine top-10 (first 16 of 64 dims): the
+    zero-cost dimensionality reduction — a slice, no projection matrix —
+    that MRL-trained embedders are built for. Map-only scoring +
+    TakeOrderedAndProject, 4× fewer multiply-adds per row
+    (operators/projection.py mrl_truncate)."""
+    from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trunc = mrl_truncate(emb, _MRL_DIM)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"][:_MRL_DIM]
+    return topk(trunc, qvec, k=10, round_to=ROUND_SCORE, vec_col="mrl_vec")
+
+
+@_register(
+    "ann_mrl_recall_gate",
+    f"""
+WITH q16 AS (SELECT embedding[1:{_MRL_DIM}]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+short AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q16
+  WHERE list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q16.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding[1:{_MRL_DIM}]::DOUBLE[], q16.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT {_MRL_SHORT}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM rer JOIN exact ON rer.vec_id = exact.vec_id
+""",
+)
+def ann_mrl_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka gate: prefix-16 shortlist-50 → exact full-dim
+    re-rank top-10, recall vs brute force — measures what the prefix
+    truncation costs on THIS corpus (synthetic, not MRL-trained, so the
+    gate is the honest contract, same as the JL gate)."""
+    from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trunc = mrl_truncate(emb, _MRL_DIM)
+    qfull = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    short = topk(
+        trunc, qfull[:_MRL_DIM], k=_MRL_SHORT, round_to=ROUND_SCORE, vec_col="mrl_vec"
+    ).select("vec_id")
+    rer = topk(
+        emb.join(F.broadcast(short), "vec_id"), qfull, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    exact = topk(emb, qfull, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        rer.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+# ==========================================================================
+# Round 5 (batch 4): sign-bit binary quantization (BQ) — 1-bit/dim
+# signatures, XOR+popcount Hamming scan, exact re-rank recall gate.
+# ==========================================================================
+
+_BQ_SHORT = 64
+
+_BQ_SIGS = """
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN i.i < 32 AND embedding[i.i + 1] > 0
+                       THEN (1::BIGINT << i.i) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN i.i >= 32 AND embedding[i.i + 1] > 0
+                       THEN (1::BIGINT << (i.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+  GROUP BY 1
+),
+qsig AS (SELECT lo AS qlo, hi AS qhi FROM sigs WHERE vec_id = 0),
+ham AS (
+  SELECT s.vec_id,
+         CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS BIGINT) AS hamming
+  FROM sigs s CROSS JOIN qsig q
+)
+"""
+
+
+@_register(
+    "ann_binary_topk",
+    f"""
+WITH {_BQ_SIGS}
+SELECT vec_id, hamming FROM ham
+ORDER BY hamming ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization top-10: sign-bit signatures (8 bytes/vector,
+    32× smaller than float32), distance = two XOR+popcount — the
+    cheapest first-stage vector scan there is, integer-exact in both
+    engines (operators/ann.py binary_hamming_topk)."""
+    from whatsapp_vectordb_spark.operators.ann import binary_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return binary_hamming_topk(emb, qvec, k=10, dim=64)
+
+
+@_register(
+    "ann_binary_recall_gate",
+    f"""
+WITH {_BQ_SIGS},
+short AS (SELECT vec_id FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT {_BQ_SHORT}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN qv
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM rer JOIN exact ON rer.vec_id = exact.vec_id
+""",
+)
+def ann_binary_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ two-stage gate: Hamming shortlist-64 over 8-byte signatures →
+    exact cosine re-rank top-10, recall vs brute force hash-checked —
+    the scan reads 32× fewer bytes; the gate prices what the 1-bit
+    compression costs on THIS corpus."""
+    from whatsapp_vectordb_spark.operators.ann import binary_hamming_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    short = binary_hamming_topk(emb, qvec, k=_BQ_SHORT, dim=64).select("vec_id")
+    rer = topk(
+        emb.join(F.broadcast(short), "vec_id"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    exact = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        rer.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+_IVF_SWEEP_DIR = _oracle_scratch("ivf_sweep_oracle")
+
+
+@_register(
+    "ann_ivf_nprobe_sweep",
+    f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVF_SWEEP_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT nprobe, centroid FROM read_parquet('{_IVF_SWEEP_DIR}/probe/*.parquet')
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT p.nprobe, c.vec_id,
+         ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN q
+  WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+ranked AS (
+  SELECT nprobe, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY nprobe ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+),
+approx AS (SELECT nprobe, vec_id FROM ranked WHERE rk <= 10),
+exact AS (
+  SELECT c.vec_id
+  FROM cells c CROSS JOIN q
+  WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) DESC,
+           c.vec_id ASC
+  LIMIT 10
+)
+SELECT a.nprobe,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(e.vec_id) * 100000 AS BIGINT) AS recall_micro
+FROM approx a LEFT JOIN exact e ON a.vec_id = e.vec_id
+GROUP BY a.nprobe
+""",
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost tradeoff curve for the IVF index: probe the SAME
+    persisted partition-pruned index at nprobe ∈ {{1, 2, 4}} and report
+    recall@10 vs the exact scan per setting — the evaluation every ANN
+    deployment runs before picking its operating point. Probed centroid
+    ids persist alongside the index so the oracle replays the identical
+    sweep; recall is an integer (hits × 100000)."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    IvfIndex.build(emb, n_centroids=8).save(_IVF_SWEEP_DIR)
+    loaded = IvfIndex.load(spark, _IVF_SWEEP_DIR)
+
+    sweep = (1, 2, 4)
+    probe_rows = [
+        (np_, int(c))
+        for np_ in sweep
+        for c in loaded.probe_centroid_ids(qvec, nprobe=np_)
+    ]
+    spark.createDataFrame(probe_rows, "nprobe bigint, centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVF_SWEEP_DIR, "probe"))
+
+    approx = None
+    for np_ in sweep:
+        t = (
+            loaded.probe(qvec, k=10, nprobe=np_, round_to=ROUND_SCORE)
+            .select(F.lit(np_).cast("long").alias("nprobe"), "vec_id")
+        )
+        approx = t if approx is None else approx.unionByName(t)
+    exact = topk(
+        loaded.assigned.select("vec_id", "embedding"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    return (
+        approx.join(F.broadcast(exact).withColumn("_hit", F.lit(1)), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "nprobe",
+            "hits",
+            (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
+        )
+    )
+
+
+_MRL_SWEEP_DIMS = (8, 16, 32)
+
+
+def _mrl_sweep_sql() -> str:
+    blocks = []
+    for d in _MRL_SWEEP_DIMS:
+        blocks.append(
+            f"""
+SELECT {d} AS dim, vec_id FROM (
+  SELECT e.vec_id
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding[1:{d}]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE list_cosine_similarity(e.embedding[1:{d}]::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding[1:{d}]::DOUBLE[], q.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT {_MRL_SHORT}
+)"""
+        )
+    shorts = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH shorts AS ({shorts}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT s.dim, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.dim
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM embeddings e JOIN shorts s ON e.vec_id = s.vec_id CROSS JOIN qv
+),
+approx AS (SELECT dim, vec_id FROM rer WHERE rk <= 10),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qv.v) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 6) DESC, e.vec_id ASC
+  LIMIT 10
+)
+SELECT a.dim,
+       CAST(COUNT(x.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(x.vec_id) * 100000 AS BIGINT) AS recall_micro
+FROM approx a LEFT JOIN exact x ON a.vec_id = x.vec_id
+GROUP BY a.dim
+"""
+
+
+@_register("ann_mrl_dim_sweep", _mrl_sweep_sql())
+def ann_mrl_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka operating-point curve: recall@10 of the
+    prefix-d shortlist-50 → exact re-rank pipeline for d ∈ {8, 16, 32}
+    — how much prefix you can throw away before recall pays for it, the
+    MRL twin of the IVF nprobe sweep. Integer recall (hits × 100000)."""
+    from whatsapp_vectordb_spark.operators.projection import mrl_truncate
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qfull = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = topk(emb, qfull, k=10, round_to=ROUND_SCORE).select("vec_id")
+    approx = None
+    for d in _MRL_SWEEP_DIMS:
+        trunc = mrl_truncate(emb, d)
+        short = topk(
+            trunc, qfull[:d], k=_MRL_SHORT, round_to=ROUND_SCORE, vec_col="mrl_vec"
+        ).select("vec_id")
+        rer = topk(
+            emb.join(F.broadcast(short), "vec_id"), qfull, k=10, round_to=ROUND_SCORE
+        ).select(F.lit(d).cast("long").alias("dim"), "vec_id")
+        approx = rer if approx is None else approx.unionByName(rer)
+    return (
+        approx.join(F.broadcast(exact).withColumn("_hit", F.lit(1)), "vec_id", "left")
+        .groupBy("dim")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "dim",
+            "hits",
+            (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
+        )
+    )
+
+
+_IVF_BATCH_DIR = _oracle_scratch("ivf_batch_oracle")
+
+
+@_register(
+    "ann_ivf_batched",
+    f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVF_BATCH_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT query_id, centroid FROM read_parquet('{_IVF_BATCH_DIR}/probe/*.parquet')
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM cells c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = p.centroid
+  JOIN q ON q.query_id = p.query_id
+  WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= 5
+""",
+)
+def ann_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF probe: 3 queries answered in ONE pass over the union
+    of their probed cells (IvfIndex.probe_batched) — per-query rescans of
+    shared cells are the thing a 1000-query batch can't afford. The
+    (query, centroid) probe map persists next to the index so the oracle
+    replays the identical pruning."""
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfIndex.build(emb, n_centroids=8).save(_IVF_BATCH_DIR)
+    loaded = IvfIndex.load(spark, _IVF_BATCH_DIR)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, vec in queries
+        for c in loaded.probe_centroid_ids(vec, nprobe=2)
+    ]
+    spark.createDataFrame(probe_rows, "query_id long, centroid bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVF_BATCH_DIR, "probe"))
+    return loaded.probe_batched(queries, k=5, nprobe=2, round_to=ROUND_SCORE)
+
+
+# LSH recall gate: same candidate machinery as ann_lsh_topk, plus the
+# exact-scan comparison — completes the recall-gate family (IVF-PQ, JL,
+# MRL, BQ, now LSH): every ANN tier's answer QUALITY is itself gated.
+_ANN_LSH_GATE_ORACLE = (
+    _ANN_LSH_ORACLE.split("SELECT e.vec_id,")[0].rstrip().rstrip(")")
+    + """),
+lsh10 AS (
+  SELECT e.vec_id
+  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+  ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM lsh10 JOIN exact ON lsh10.vec_id = exact.vec_id
+"""
+)
+
+
+@_register("ann_lsh_recall_gate", _ANN_LSH_GATE_ORACLE)
+def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the bucket-pruned LSH search vs the exact scan —
+    the last ANN tier whose answer quality wasn't itself oracle-gated.
+    Candidates come from the identical banded-signature machinery as
+    ann_lsh_topk; recall is the top-10 intersection size / 10."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh10 = portable_lsh_topk(
+        emb, query_id=0, k=10, n_planes=16, bands=4, seed=0,
+        round_to=ROUND_SCORE, impl="numpy", dim=64,
+    ).select("vec_id")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = topk(
+        emb.select("vec_id", "embedding"), qvec, k=10, round_to=ROUND_SCORE
+    ).select("vec_id")
+    return (
+        lsh10.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+        )
+    )

@@ -1,0 +1,643 @@
+"""Exact and near-dedup queries.
+
+Split out of the monolithic harness.py (registration order preserved
+within each family; see harness/__init__.py for the module order).
+"""
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    l2_norm,
+)
+from whatsapp_vectordb_spark.operators.search import topk, topk_batched
+
+from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _AUG_SQL, _TOKS, _augmented_docs, _minhash_pairs_sql, _minhash_sig_sql, _oracle_scratch, _phash_sql, _register, _sh_sql, _t  # noqa: E501
+
+
+
+@_register(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_AUG_SQL})
+SELECT dup_hash, doc_id, group_size FROM (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS dup_hash,
+         doc_id,
+         COUNT(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS group_size
+  FROM corpus
+) WHERE group_size >= 2
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import exact_duplicates
+
+    out = exact_duplicates(_augmented_docs(spark, sf_dir))
+    return out.withColumn("group_size", F.col("group_size").cast("long"))
+
+
+@_register("minhash_signatures", _minhash_sig_sql(16, 3, "SELECT doc_id, text FROM documents"))
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16, shingle_n=3)
+
+
+@_register("dedup_minhash_lsh", _minhash_pairs_sql(16, 4, 3, 0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@_register("dedup_incremental_index", _minhash_pairs_sql(16, 4, 3, 0.5))
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent MinHash index fed the augmented corpus in TWO
+    batches (even doc_ids first, then odd + the synthetic copies); the
+    union of the two incremental pair sets must equal the one-shot batch
+    dedup — the oracle is literally ``dedup_minhash_lsh``'s SQL. This is
+    the ingest-time shape: each arriving batch probes the stored band
+    keys and appends only its own state."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    path = _oracle_scratch("mh_incr_oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = MinHashDedupIndex(
+        spark, path, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    p1 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 0))
+    p2 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 1))
+    return p1.unionByName(p2)
+
+
+@_register(
+    "dedup_jaccard_exact",
+    f"""
+WITH corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE ROUND(i.n_common::DOUBLE / (na.n + nb.n - i.n_common), 6) >= 0.5
+""",
+)
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import jaccard_near_duplicates
+
+    return jaccard_near_duplicates(_augmented_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+# Decontamination: benchmark set = every 37th document's text; 5-gram
+# overlap (the 13-gram GPT-3 rule scaled to the short synthetic docs —
+# the operator default is 13). Benchmark docs are in the corpus, so they
+# self-report contamination 1.0; clean docs report 0.
+@_register(
+    "dedup_benchmark_contamination",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+shl AS (SELECT doc_id, {_sh_sql(5)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 37 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1),
+hits AS (SELECT e.doc_id, COUNT(*) AS n_hits FROM ex e JOIN bench b ON e.s = b.s GROUP BY 1)
+SELECT z.doc_id, z.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0)::DOUBLE / z.n_shingles, 6) AS contamination
+FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+""",
+)
+def dedup_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return benchmark_contamination(docs, bench, shingle_n=5)
+
+
+def _simhash_sql(bits: int, source: str) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    return f"""
+WITH corpus AS ({source}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS tok FROM shl),
+hs AS (SELECT doc_id, {_phash_sql('tok', nibbles=(bits + 3) // 4)} AS h FROM ex),
+agg AS (SELECT doc_id,
+       {bit_sums}
+FROM hs GROUP BY doc_id)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM agg
+"""
+
+
+@_register("simhash_signatures", _simhash_sql(48, "SELECT doc_id, text FROM documents"))
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"), bits=48)
+
+
+def _simhash_pairs_sql(bits: int, band_bits: int, max_hamming: int) -> str:
+    sig = _simhash_sql(bits, _AUG_SQL)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS chunk FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({sig}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+""".replace("{mask}", str(mask))
+
+
+@_register("dedup_simhash_pairs", _simhash_pairs_sql(48, 12, 3))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import simhash_pairs
+
+    # impl='pandas' folds bit sums via numpy — bit-identical to the expr
+    # form the oracle mirrors, severalfold cheaper at bench scale
+    out = simhash_pairs(
+        _augmented_docs(spark, sf_dir), bits=48, band_bits=12, max_hamming=3, impl="pandas"
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates(emb.unionByName(dupes), threshold=0.95)
+
+
+_DEDUP_EMB_LSH_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM corpus CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand c
+JOIN corpus va ON va.vec_id = c.id_a
+JOIN corpus vb ON vb.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) >= 0.95
+"""
+
+
+@_register("dedup_embedding_lsh", _DEDUP_EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of ``dedup_embedding_cosine``: LSH-bucketed
+    candidate pairs (band-key equi-join, never a cross join) + exact
+    cosine verify. The oracle reproduces the integer-exact buckets, and
+    ``dedup_embedding_cosine`` above remains the all-pairs ground truth
+    for recall."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return portable_lsh_join(
+        emb.unionByName(dupes),
+        threshold=0.95,
+        n_planes=16,
+        bands=4,
+        seed=0,
+        round_to=ROUND_SCORE,
+        impl="numpy",
+        dim=64,
+    )
+
+
+# End-to-end scale-safe dedup: LSH-bucketed candidate pairs (never all-
+# pairs) -> connected components -> canonical keep/drop verdict. Because
+# the LSH is integer-portable, even the candidate graph is bit-exact in
+# SQL, so the WHOLE pipeline hash-checks — this is the query a 100 TB
+# corpus dedup actually runs.
+_DEDUP_COMPONENTS_LSH_ORACLE = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+planes AS (
+  SELECT p.p AS p, i.i AS i,
+         CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM range(0,16) p(p) CROSS JOIN range(0,64) i(i)
+),
+vq AS (
+  SELECT vec_id, i.i AS i,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM corpus CROSS JOIN range(0,64) i(i)
+),
+dots AS (
+  SELECT vq.vec_id, planes.p, SUM(vq.q * planes.s) AS dot
+  FROM vq JOIN planes ON vq.i = planes.i GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS chunk
+  FROM sigs CROSS JOIN range(0,4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a AS a, c.id_b AS b
+  FROM cand c
+  JOIN corpus va ON va.vec_id = c.id_a
+  JOIN corpus vb ON vb.vec_id = c.id_b
+  WHERE ROUND(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) >= 0.95
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS id,
+       component AS canonical_id,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       CASE WHEN node = component THEN 1 ELSE 0 END AS is_canonical
+FROM comp
+"""
+
+
+@_register("dedup_components_lsh", _DEDUP_COMPONENTS_LSH_ORACLE)
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup pipeline in one query: LSH-bucketed candidate
+    pairs (band-key equi-joins, no cross join), exact-cosine verify,
+    hash-min connected components, min-id canonical election. The oracle
+    replays every stage — including the candidate graph — bit-exactly."""
+    from whatsapp_vectordb_spark.operators.ann import portable_lsh_join
+    from whatsapp_vectordb_spark.operators.dedup import canonicalize_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = portable_lsh_join(
+        emb.unionByName(dupes),
+        threshold=0.95,
+        n_planes=16,
+        bands=4,
+        seed=0,
+        round_to=ROUND_SCORE,
+        impl="numpy",
+        dim=64,
+    )
+    return canonicalize_duplicates(pairs)
+
+
+@_register(
+    "dedup_components",
+    """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS id,
+       component AS canonical_id,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       CASE WHEN node = component THEN 1 ELSE 0 END AS is_canonical
+FROM comp
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine near-dup evidence → per-doc keep/drop verdict:
+    hash-min connected components + min-id canonical election. The oracle
+    recomputes components with a recursive CTE (min reachable id)."""
+    from whatsapp_vectordb_spark.operators.dedup import (
+        canonicalize_duplicates,
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_duplicates(emb.unionByName(dupes), threshold=0.95)
+    return canonicalize_duplicates(pairs)
+
+
+# ==========================================================================
+# Round 3: containment dedup (operators/dedup.py containment_near_duplicates)
+# — Broder's asymmetric |A∩B|/|A|, catching excerpt/quote/subset copies
+# that Jaccard misses. Corpus augmented with half-length excerpts so the
+# oracle has real containment structure to verify.
+# ==========================================================================
+
+_EXCERPT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 40 = 0
+"""
+
+
+@_register(
+    "dedup_containment",
+    f"""
+WITH corpus AS ({_EXCERPT_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_sh_sql(3)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 100),
+exf AS (SELECT e.doc_id, e.s FROM ex e LEFT JOIN hot h ON e.s = h.s WHERE h.s IS NULL),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.n_common::DOUBLE / na.n, 6) AS containment_a,
+       ROUND(i.n_common::DOUBLE / nb.n, 6) AS containment_b
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE GREATEST(ROUND(i.n_common::DOUBLE / na.n, 6),
+               ROUND(i.n_common::DOUBLE / nb.n, 6)) >= 0.6
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import containment_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))").alias("text"),
+    )
+    aug = docs.unionByName(excerpts)
+    return containment_near_duplicates(
+        aug, shingle_n=3, threshold=0.6, max_shingle_freq=100
+    )
+
+
+# ==========================================================================
+# Round 3: duplicate-span coverage (operators/dedup.py duplicate_spans) —
+# Lee et al. 2022 ExactSubstr at n-gram granularity: fraction of each
+# doc's POSITIONAL 10-token windows that occur verbatim in another doc.
+# Runs on the augmented corpus (exact + near-dup copies) so real
+# cross-document span structure exists at fixture scale.
+# ==========================================================================
+
+def _pos_sh_sql(n: int) -> str:
+    """DuckDB positional (non-distinct) n-gram windows over token list tk."""
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    gram = gram.replace("tk[i+0]", "tk[i]")
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(range(1, len(tk) - {n - 2}), i -> {gram}) "
+        f"ELSE [array_to_string(tk, ' ')] END"
+    )
+
+
+@_register(
+    "dedup_duplicate_spans",
+    f"""
+WITH corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+spans AS (SELECT doc_id, unnest({_pos_sh_sql(10)}) AS sp FROM toks),
+g AS (SELECT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM spans),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY 1),
+hits AS (SELECT g.doc_id, COUNT(*) AS n_dup_spans FROM g JOIN dup USING (h) GROUP BY 1)
+SELECT s.doc_id, s.n_spans,
+       COALESCE(h.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(COALESCE(h.n_dup_spans, 0)::DOUBLE / s.n_spans, 6) AS dup_fraction
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_augmented_docs(spark, sf_dir), span_n=10)
+
+
+@_register(
+    "dedup_semdedup",
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS keeper,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id ASC) AS rk
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+)
+SELECT vec_id, keeper, cos_sim FROM pairs WHERE rk = 1
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to clusters
+    (here the label column stands in for k-means cell ids) — quadratic
+    pair generation confined per cluster, lowest-id member survives.
+    Planted clones (every 100th vector) are the ground-truth duplicates
+    (operators/dedup.py semantic_dedup)."""
+    from whatsapp_vectordb_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    clones = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return semantic_dedup(emb.unionByName(clones), "label", threshold=0.95)
+
+
+def _minhash_calibration_sql(num_hashes: int, bands: int, shingle_n: int) -> str:
+    r = num_hashes // bands
+    sig = _minhash_sig_sql(num_hashes, shingle_n, _AUG_SQL)
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)),
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH sig AS ({sig}),
+banded AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.id_a, c.id_b, CAST({match_sum} AS INTEGER) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+),
+corpus2 AS ({_AUG_SQL}),
+toks2 AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus2),
+shl2 AS (SELECT doc_id, {_sh_sql(shingle_n)} AS shingles FROM toks2),
+ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM shl2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex2 GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex2 ea ON ea.doc_id = c.id_a
+  JOIN ex2 eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2
+),
+jm AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(i.n_common, 0) AS nc,
+         na.n + nb.n - COALESCE(i.n_common, 0) AS nu
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+),
+j AS (
+  SELECT id_a, id_b, CAST((2000000 * nc + nu) // (2 * nu) AS BIGINT) AS j_micro
+  FROM jm
+)
+SELECT e.n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(j.j_micro) // COUNT(*) AS BIGINT) AS mean_jaccard_micro
+FROM est e JOIN j ON j.id_a = e.id_a AND j.id_b = e.id_b
+GROUP BY e.n_match
+"""
+
+
+@_register("dedup_minhash_calibration", _minhash_calibration_sql(16, 4, 3))
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact calibration for the MinHash sketch: per LSH
+    candidate pair, agreeing-signature-row count (the k/H Jaccard
+    estimator) against exact Jaccard, aggregated per agreement level in
+    integer micro-units — what a 12/16 match MEANS on this corpus,
+    measured before the sketch replaces the exact verify at scale
+    (operators/dedup.py minhash_calibration)."""
+    from whatsapp_vectordb_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(
+        _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3
+    )

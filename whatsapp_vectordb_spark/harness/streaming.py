@@ -1,0 +1,676 @@
+"""Structured Streaming twin queries.
+
+Split out of the monolithic harness.py (registration order preserved
+within each family; see harness/__init__.py for the module order).
+"""
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whatsapp_vectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    l2_norm,
+)
+from whatsapp_vectordb_spark.operators.search import topk, topk_batched
+
+from whatsapp_vectordb_spark.harness._core import ORACLES, _CHAT_LINE_SQL, _augmented_docs, _chat_lines_df, _oracle_scratch, _register, _t, _tmp_scratch, _write_jsonl_corpus  # noqa: E501
+
+
+
+@_register(
+    "streaming_session_windows",
+    """
+WITH t AS (SELECT user_id, ts, event_id, value FROM events),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_session_windows run through the REAL streaming engine:
+    state-store session merging + watermark eviction, replayed bounded and
+    checked against the batch gaps-and-islands oracle."""
+    from whatsapp_vectordb_spark.streaming.ops import run_session_window_stream
+
+    return run_session_window_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Structured Streaming: the events table replayed THROUGH the streaming
+# engine (file source → watermark → windowed agg → memory sink); on bounded
+# input it must equal the batch answer, which this oracle checks.
+# ==========================================================================
+
+
+@_register(
+    "streaming_hourly_windows",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_events_hourly_stream
+
+    return run_events_hourly_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Custom stateful streaming (applyInPandasWithState): per-user session
+# counts folded through per-group state; must equal the batch window-lag
+# sessionization (the oracle).
+# ==========================================================================
+
+
+@_register(
+    "streaming_sessionized",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_sessionized_stream
+
+    return run_sessionized_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@_register("streaming_jsonl_ingest", ORACLES["compat_jsonl_scan"])
+def streaming_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL ingest as a STREAM: three shard files replayed one per
+    micro-batch (drop-folder pattern), each batch's rows appended under
+    its batch_id with dynamic partition overwrite (retry-idempotent);
+    after full replay the accumulated per-(lang, parse_ok) totals must
+    equal the one-shot batch scan — same oracle, same quarantine
+    contract, through the streaming engine."""
+    import shutil
+    import tempfile
+
+    scratch = _tmp_scratch("wvs_jsonl_stream_")
+    drop = os.path.join(scratch, "drop")
+    _write_jsonl_corpus(spark, sf_dir, drop, shards=3)
+    out_dir = os.path.join(scratch, "rows")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    shutil.rmtree(drop, ignore_errors=True)
+
+    collected = spark.read.schema(
+        "doc_id bigint, lang string, text string, batch_id bigint"
+    ).parquet(out_dir)
+    return (
+        collected.withColumn("parse_ok", F.col("doc_id").isNotNull())
+        .groupBy("lang", "parse_ok")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("docid_sum"),
+            F.sum(F.length("text")).cast("long").alias("chars_sum"),
+        )
+    )
+
+
+@_register(
+    "streaming_distinct_keys",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (withWatermark + dropDuplicates) replayed over
+    the events table; on bounded input the surviving key set must equal
+    batch DISTINCT, which the oracle checks."""
+    from whatsapp_vectordb_spark.streaming.ops import run_streaming_distinct
+
+    return run_streaming_distinct(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@_register(
+    "streaming_enriched_counts",
+    """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: events replayed through the streaming
+    engine, enriched with the static customer dim per micro-batch; result
+    must equal the batch join+aggregate (the oracle)."""
+    from whatsapp_vectordb_spark.streaming.ops import run_stream_static_enrich
+
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_stream_static_enrich(spark, os.path.join(sf_dir, "events.parquet"), dim)
+
+
+@_register(
+    "streaming_stream_stream_join",
+    """
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 300 SECONDS
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_stream_stream_join
+
+    return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ==========================================================================
+# Round 3: streaming top-k maintenance (streaming/ops.py
+# run_topk_maintenance_stream) — foreachBatch leaderboard materialization;
+# the merge is a semilattice so the replayed result equals the batch SQL.
+# ==========================================================================
+
+
+@_register(
+    "streaming_topk_events",
+    """
+SELECT event_id, user_id, ROUND(value, 6) AS score
+FROM events
+ORDER BY score DESC, event_id ASC
+LIMIT 10
+""",
+)
+def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from whatsapp_vectordb_spark.streaming.ops import run_topk_maintenance_stream
+
+    state_dir = _tmp_scratch("wvs_topk_stream_")
+    return run_topk_maintenance_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), state_dir, k=10
+    )
+
+
+@_register(
+    "streaming_knn_serving",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+           FROM embeddings WHERE vec_id < 6)
+SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) AS score,
+         ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) DESC,
+                     e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+) WHERE rank <= 3
+""",
+)
+def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: ONLINE SERVING — the reference's query loop (main.go:95)
+    as a stream. Six query vectors arrive as three dropped files (two per
+    micro-batch); each batch is answered against the STATIC index with
+    the same exact batched top-k plan as the batch engine; after full
+    replay the accumulated answers must be bit-equal to the one-shot
+    batch over the same queries (this oracle = knn_batched's, vec_id<6)."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.streaming.ops import run_knn_serving_stream
+
+    scratch = _tmp_scratch("wvs_knn_serve_")
+    drop = os.path.join(scratch, "queries")
+    os.makedirs(drop)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    queries = (
+        spark.read.parquet(emb_path)
+        .where(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .orderBy("query_id")
+        .collect()
+    )
+    for i in range(3):
+        two = queries[2 * i : 2 * i + 2]
+        spark.createDataFrame(
+            [(r["query_id"], r["query_vec"]) for r in two],
+            "query_id bigint, query_vec array<float>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(scratch, f"stage{i}"))
+        part = [
+            f
+            for f in os.listdir(os.path.join(scratch, f"stage{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            os.path.join(scratch, f"stage{i}", part),
+            os.path.join(drop, f"queries_{i}.parquet"),
+        )
+    return run_knn_serving_stream(
+        spark, emb_path, drop, os.path.join(scratch, "answers"), k=3, round_to=6
+    )
+
+
+# ==========================================================================
+# Round 3: streaming IVF maintenance (streaming/ops.py
+# run_ivf_maintenance_stream) — bootstrap quantizer on history, stream the
+# rest through foreachBatch with INTEGER-exact nearest-cell assignment.
+# The oracle recomputes every assignment from the PERSISTED centroids with
+# the same quantized integer L2 (ties → lower centroid id), proving the
+# incremental stream state equals a from-scratch build.
+# ==========================================================================
+
+_IVF_STREAM_DIR = _oracle_scratch("ivf_stream_oracle")
+
+_IVF_STREAM_ORACLE = f"""
+WITH cents AS (
+  SELECT centroid, cvec FROM read_parquet('{_IVF_STREAM_DIR}/centroids/*.parquet')
+),
+qv AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0,64) i(i)
+),
+qc AS (
+  SELECT centroid, i.i AS pos,
+         CAST(round(cvec[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM cents CROSS JOIN range(0,64) i(i)
+),
+d AS (
+  SELECT v.vec_id, c.centroid, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+  FROM qv v JOIN qc c ON v.pos = c.pos GROUP BY 1, 2
+),
+a AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT CAST(centroid AS BIGINT) AS centroid, COUNT(*) AS n_vectors
+FROM a GROUP BY 1
+"""
+
+
+@_register("streaming_ivf_maintenance", _IVF_STREAM_ORACLE)
+def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.streaming.ops import run_ivf_maintenance_stream
+
+    return run_ivf_maintenance_stream(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), _IVF_STREAM_DIR
+    )
+
+
+# ==========================================================================
+# Round 4: streaming drift monitor — per-batch histogram sketches appended
+# via foreachBatch, merged by sum (mergeable), PSI vs the batch reference.
+# Oracle = the SAME SQL as the batch events_value_drift: a sum-mergeable
+# sketch makes stream accumulation ≡ one-shot computation.
+# ==========================================================================
+
+
+@_register(
+    "streaming_drift_monitor",
+    """
+WITH ref AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 10) AS BIGINT) AS bin
+  FROM events WHERE user_id < 750
+),
+cur AS (
+  SELECT event_type, CAST(floor(value::DOUBLE * 1.25 * 10) AS BIGINT) AS bin
+  FROM events WHERE user_id >= 750
+),
+br AS (SELECT event_type AS g, bin, COUNT(*) AS c_r FROM ref GROUP BY 1, 2),
+bc AS (SELECT event_type AS g, bin, COUNT(*) AS c_c FROM cur GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(br.g, bc.g) AS g, COALESCE(br.bin, bc.bin) AS bin,
+         COALESCE(c_r, 0) AS c_r, COALESCE(c_c, 0) AS c_c
+  FROM br FULL OUTER JOIN bc ON br.g = bc.g AND br.bin = bc.bin
+),
+t AS (SELECT g, SUM(c_r) AS t_r, SUM(c_c) AS t_c, COUNT(*) AS n_bins FROM j GROUP BY 1),
+terms AS (
+  SELECT j.g, t.n_bins,
+         CAST(round(
+           ((c_c + 1.0) / (t_c + n_bins) - (c_r + 1.0) / (t_r + n_bins))
+           * ln(((c_c + 1.0) / (t_c + n_bins)) / ((c_r + 1.0) / (t_r + n_bins)))
+           * 1000000000) AS BIGINT) AS tq
+  FROM j JOIN t ON j.g = t.g
+)
+SELECT g AS event_type, n_bins, ROUND(SUM(tq) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY 1, 2
+""",
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring as a STREAM: the current population's histogram
+    cells accumulate per micro-batch (foreachBatch append), the merged
+    sketch is a sum-groupBy, and the final PSI equals the one-shot batch
+    answer exactly — sum-mergeable sketches make micro-batching invisible
+    (streaming/ops.py run_drift_monitor_stream)."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.streaming.ops import run_drift_monitor_stream
+
+    state = _tmp_scratch("wvs_drift_")
+    try:
+        out = run_drift_monitor_stream(
+            spark, os.path.join(sf_dir, "events.parquet"), state
+        ).collect()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(out, "event_type string, n_bins bigint, psi double")
+
+
+# Streaming HLL maintenance: stream ≡ batch (register MAX-merge is
+# associative), so the oracle is literally the batch events_hll_users SQL.
+@_register("streaming_hll_registers", ORACLES["events_hll_users"])
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched HLL register maintenance via foreachBatch (per-batch
+    sparse register deltas, idempotent batch_id-keyed sink); the merged
+    estimate must equal the one-shot batch sketch bit-for-bit
+    (streaming/ops.py run_hll_register_stream)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.streaming.ops import run_hll_register_stream
+
+    state = _oracle_scratch("hll_stream_state")
+    shutil.rmtree(state, ignore_errors=True)
+    return run_hll_register_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), state
+    )
+
+
+# Streaming ingest-time dedup: the persistent MinHash index fed by the
+# STREAMING ENGINE (file source, one file per micro-batch); the union of
+# per-batch pair sets must equal the one-shot batch dedup, so the oracle
+# is literally dedup_minhash_lsh's SQL.
+@_register("streaming_dedup_index", ORACLES["dedup_minhash_lsh"])
+def streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup detection as a real Structured Streaming
+    pipeline: the augmented corpus is written as 3 files and replayed
+    file-per-trigger through foreachBatch; each micro-batch probes the
+    stored band keys, emits its pairs (idempotently keyed by batch_id),
+    and appends only its own state (operators/dedup_index.py
+    MinHashDedupIndex.add_batch). Union of batch pair sets ≡ one-shot
+    batch dedup under ANY batch split."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    root = _oracle_scratch("stream_dedup")
+    shutil.rmtree(root, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    src = os.path.join(root, "src")
+    aug.repartition(3).write.mode("overwrite").parquet(src)
+
+    idx = MinHashDedupIndex(
+        spark, os.path.join(root, "idx"), num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5,
+    )
+    pairs_dir = os.path.join(root, "pairs")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            idx.add_batch(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return (
+        spark.read.schema("id_a long, id_b long, jaccard double, batch_id long")
+        .parquet(pairs_dir)
+        .drop("batch_id")
+    )
+
+
+@_register(
+    "streaming_whatsapp_source",
+    f"""
+WITH lines AS ({_CHAT_LINE_SQL})
+SELECT CASE WHEN ok THEN sender_raw END AS sender,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed
+FROM (
+  SELECT regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) <> '' AS ok,
+         trim(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 2)) AS sender_raw
+  FROM lines
+)
+GROUP BY 1
+""",
+)
+def streaming_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chat connector as a STREAMING source: the corpus is dropped
+    into a folder as 3 export files and tailed via the data source's
+    simpleStreamReader (offset = files consumed, exact replay between
+    offsets); per-batch rows append through an idempotent batch_id sink
+    and the final per-sender tallies must equal the one-shot batch parse
+    — connector, ingest loop, and parser all exercised by one oracle."""
+    import os as _os
+    import shutil
+
+    from whatsapp_vectordb_spark.sources import whatsapp_source
+
+    scratch = _oracle_scratch("whatsapp_stream")
+    shutil.rmtree(scratch, ignore_errors=True)
+    src_dir = _os.path.join(scratch, "drop")
+    _os.makedirs(src_dir)
+    rows = _chat_lines_df(spark, sf_dir).orderBy("doc_id").collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(_os.path.join(src_dir, f"export_{i}.txt"), "w", encoding="utf-8") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(r["value"] + "\n")
+
+    fmt = whatsapp_source.register(spark)
+    out_dir = _os.path.join(scratch, "rows")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    stream = spark.readStream.format(fmt).load(src_dir)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    collected = spark.read.schema(
+        "line_no long, ts_raw string, sender string, message string, "
+        "parse_ok boolean, batch_id long"
+    ).parquet(out_dir)
+    return collected.groupBy("sender").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).cast("long").alias("n_parsed"),
+    )
+
+
+# ==========================================================================
+# Round 7: STREAMING CAPSTONE (VERDICT r6 #5) — ingest → quarantine →
+# ingest-time dedup → index maintenance → kNN serving composed in ONE
+# streaming pipeline. The corpus is delivered as JSONL vector files (the
+# reference ingests vectors from flat files too, embed/embed.go:85-96):
+# file f carries vec_id % 3 == f, every line with (vec_id*7 + f) % 37 == 0
+# truncated mid-array (malformed JSON → quarantined), and file 2 ALSO
+# re-delivers every vec_id % 5 == 0 (at-least-once delivery). Each
+# micro-batch drops malformed rows, dedups within-batch AND against the
+# persisted index (insert-if-absent), and appends only new vectors; after
+# full replay, serving answers fixed queries against the stream-built
+# index. The oracle is the BATCH COMPOSITION, fully analytic: membership
+# = "some delivery of v was valid", scores from the source table — no
+# persisted Spark state is consulted, so replay ≡ batch is a real check.
+# The checksum row (query_id = -1) pins exact index membership: sum of
+# ids, sum of squared ids, and the member count.
+@_register(
+    "streaming_pipeline_capstone",
+    """
+WITH member AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ((vec_id * 7 + vec_id % 3) % 37 <> 0)
+     OR (vec_id % 5 = 0 AND (vec_id * 7 + 2) % 37 <> 0)
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+  FROM embeddings WHERE vec_id < 4
+),
+answers AS (
+  SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT q.query_id, m.vec_id,
+           ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.query_vec), 6) AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.query_vec), 6) DESC,
+                      m.vec_id ASC
+           ) AS rank
+    FROM member m CROSS JOIN q
+  ) WHERE rank <= 3
+)
+SELECT * FROM answers
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(vec_id) AS BIGINT),
+       CAST(SUM(vec_id * vec_id) AS DOUBLE), CAST(COUNT(*) AS INTEGER)
+FROM member
+""",
+)
+def streaming_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage streaming pipeline, end to end (streaming/ops.py twins
+    composed): JSONL ingest with quarantine → at-least-once dedup against
+    persisted index state (left_anti on the ids already indexed, within-
+    batch dropDuplicates) → per-batch index append → batched kNN serving
+    over the final index. Per-batch work is bounded: one batch-sized JSON
+    scan, one anti-join whose right side is the (skinny, id-only) index
+    projection, one append of only the NEW rows — no stage rereads
+    history beyond the id column, and no state grows except the index
+    itself."""
+    import json as _json
+
+    root = _tmp_scratch("wvs_capstone_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    index_path = os.path.join(root, "index")
+
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def _line(v: int, emb, f: int) -> str:
+        line = _json.dumps({"vec_id": v, "embedding": [float(x) for x in emb]})
+        if (v * 7 + f) % 37 == 0:
+            line = line[: max(8, len(line) // 2)]
+        return line
+
+    for f in range(3):
+        with open(os.path.join(drop, f"deliver_{f}.jsonl"), "w", encoding="utf-8") as fh:
+            for r in rows:
+                v = int(r["vec_id"])
+                if v % 3 == f:
+                    fh.write(_line(v, r["embedding"], f) + "\n")
+                if f == 2 and v % 5 == 0:
+                    fh.write(_line(v, r["embedding"], 2) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        valid = (
+            batch_df.where(
+                F.col("vec_id").isNotNull()
+                & F.col("embedding").isNotNull()
+                & (F.size("embedding") == 64)
+            )
+            .dropDuplicates(["vec_id"])
+        )
+        if os.path.exists(index_path):
+            seen = sp.read.parquet(index_path).select("vec_id")
+            valid = valid.join(seen, "vec_id", "left_anti")
+        # pin before appending to the directory the anti-join reads
+        valid.localCheckpoint(eager=True).write.mode("append").parquet(index_path)
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    index = spark.read.parquet(index_path)
+    queries = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    from whatsapp_vectordb_spark.operators.search import topk_batched
+
+    answers = topk_batched(index, queries, k=3, round_to=6)
+    checksum = index.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("vec_id").cast("long").alias("vec_id"),
+        F.sum(F.col("vec_id") * F.col("vec_id")).cast("double").alias("score"),
+        F.count("*").cast("int").alias("rank"),
+    )
+    return answers.unionByName(checksum)
