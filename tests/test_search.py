@@ -181,3 +181,26 @@ def test_topk_numpy_impl_tolerates_null_and_ragged(spark, embeddings):
          topk(dirty, qvec, k=10, round_to=6, impl="numpy").collect()]
     assert a == b
     assert all(vid < 900001 for vid, _ in b)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    # ADVICE r6: np.round is half-to-even, F.round is HALF_UP — scores on
+    # the round_to grid could rank differently between impls. _round_half_up
+    # must agree with F.round on exact grid midpoints, both signs.
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.search import _round_half_up
+
+    vals = [0.5, -0.5, 1.5, -1.5, 2.5, 0.15625, -0.15625, 0.125, -0.125]
+    got = _round_half_up(np.array(vals), 0).tolist()
+    assert got[:6] == [1.0, -1.0, 2.0, -2.0, 3.0, 0.0]
+    # exactly-representable midpoints at r=3: 0.0625 -> ties away from zero
+    mid = _round_half_up(np.array([0.0625, -0.0625]), 3).tolist()
+    assert mid == [0.063, -0.063]
+    spark_rounded = [
+        r["v"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .selectExpr("round(x, 0) AS v")
+        .collect()
+    ]
+    assert got == spark_rounded
