@@ -44,6 +44,8 @@ def main() -> None:
     n = int(args[0]) if args else 1_000_000
     dim = int(args[1]) if len(args) > 1 else 1536
     do_kmeans = "--kmeans" in sys.argv
+    skip_ivf = "--skip-ivf" in sys.argv
+    shortlist = int(os.environ.get("WVS_SHORTLIST", "100"))
 
     import numpy as np
     from pyspark.sql import functions as F
@@ -111,37 +113,43 @@ def main() -> None:
     # --- IVF: sample-fit quantizer, map-only full assignment, persist,
     # reload, probe (build once, probe many)
     sample = index.sample(fraction=min(1.0, 50_000 / n), seed=1)
+    if skip_ivf:
+        out["ivf_curve"] = "skipped"
     t0 = time.perf_counter()
-    proto = IvfIndex.build(sample, n_centroids=N_CENTROIDS, max_iter=5)
-    out["ivf_quantizer_fit_s"] = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    full = IvfIndex(proto.assign(index), proto.centroids, "vec_id", "embedding")
-    ivf_path = os.path.join(root, "ivf")
-    full.save(ivf_path)
-    out["ivf_assign_save_s"] = round(time.perf_counter() - t0, 1)
-    ivf = IvfIndex.load(spark, ivf_path)
-    print(json.dumps({"partial": {k: out[k] for k in ("ivf_quantizer_fit_s", "ivf_assign_save_s")}}), flush=True)
+    if skip_ivf:
+        proto = None
+    else:
+        proto = IvfIndex.build(sample, n_centroids=N_CENTROIDS, max_iter=5)
+    if not skip_ivf:
+        out["ivf_quantizer_fit_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        full = IvfIndex(proto.assign(index), proto.centroids, "vec_id", "embedding")
+        ivf_path = os.path.join(root, "ivf")
+        full.save(ivf_path)
+        out["ivf_assign_save_s"] = round(time.perf_counter() - t0, 1)
+        ivf = IvfIndex.load(spark, ivf_path)
+        print(json.dumps({"partial": {k: out[k] for k in ("ivf_quantizer_fit_s", "ivf_assign_save_s")}}), flush=True)
 
-    curve = []
-    for nprobe in NPROBES:
-        lats, recalls = [], []
-        for qid, qv in queries.items():
-            t0 = time.perf_counter()
-            hits = [
-                r["vec_id"]
-                for r in ivf.probe(qv, k=10, nprobe=nprobe, impl="numpy").collect()
-            ]
-            lats.append(time.perf_counter() - t0)
-            recalls.append(len(set(hits) & set(exact[qid])) / 10)
-        curve.append(
-            {
-                "nprobe": nprobe,
-                "probe_median_s": round(statistics.median(lats), 3),
-                "recall_at_10": round(sum(recalls) / len(recalls), 3),
-            }
-        )
-        print(json.dumps({"ivf": curve[-1]}), flush=True)
-    out["ivf_curve"] = curve
+        curve = []
+        for nprobe in NPROBES:
+            lats, recalls = [], []
+            for qid, qv in queries.items():
+                t0 = time.perf_counter()
+                hits = [
+                    r["vec_id"]
+                    for r in ivf.probe(qv, k=10, nprobe=nprobe, impl="numpy").collect()
+                ]
+                lats.append(time.perf_counter() - t0)
+                recalls.append(len(set(hits) & set(exact[qid])) / 10)
+            curve.append(
+                {
+                    "nprobe": nprobe,
+                    "probe_median_s": round(statistics.median(lats), 3),
+                    "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                }
+            )
+            print(json.dumps({"ivf": curve[-1]}), flush=True)
+        out["ivf_curve"] = curve
 
     # --- IVF-PQ-residual: codebooks from the sample, encode full corpus,
     # persist codes partitioned by cell, probe the integer-ADC scan
@@ -150,7 +158,7 @@ def main() -> None:
     # dim ≥ 1000 (FAISS-style 8-bit codebooks); ksub=16 is the gate-scale
     # oracle shape, far too coarse to rank 1536-d noise
     ivfpq = IvfPqResidualIndex.build(
-        sample, n_centroids=N_CENTROIDS, m=16, ksub=256, sample_rows=8192, seed=0
+        sample, n_centroids=N_CENTROIDS, m=int(os.environ.get("WVS_PQ_M", "16")), ksub=256, sample_rows=8192, seed=0
     )
     out["ivfpq_train_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
@@ -160,19 +168,39 @@ def main() -> None:
     codes = spark.read.parquet(codes_path)
     print(json.dumps({"partial": {k: out[k] for k in ("ivfpq_train_s", "ivfpq_encode_save_s")}}), flush=True)
 
+    # raw ADC recall@10 is the SHORTLIST tier; the production pattern is
+    # filter-then-rerank: ADC shortlist of 100, exact cosine over those
+    # 100 vectors (IN-filter pushed to the parquet scan), top-10
     curve = []
     for nprobe in NPROBES:
-        lats, recalls = [], []
+        lats, recalls, rr_lats, rr_recalls = [], [], [], []
         for qid, qv in queries.items():
             t0 = time.perf_counter()
-            hits = [r["vec_id"] for r in ivfpq.probe(codes, qv, k=10, nprobe=nprobe).collect()]
-            lats.append(time.perf_counter() - t0)
-            recalls.append(len(set(hits) & set(exact[qid])) / 10)
+            short = [
+                r["vec_id"]
+                for r in ivfpq.probe(codes, qv, k=shortlist, nprobe=nprobe).collect()
+            ]
+            t_short = time.perf_counter() - t0
+            lats.append(t_short)
+            recalls.append(len(set(short[:10]) & set(exact[qid])) / 10)
+            t0 = time.perf_counter()
+            rr = [
+                r["vec_id"]
+                for r in topk(
+                    index.where(F.col("vec_id").isin(short)),
+                    qv, k=10, round_to=6, impl="numpy",
+                ).collect()
+            ]
+            rr_lats.append(t_short + (time.perf_counter() - t0))
+            rr_recalls.append(len(set(rr) & set(exact[qid])) / 10)
         curve.append(
             {
                 "nprobe": nprobe,
+                "shortlist": shortlist,
                 "probe_median_s": round(statistics.median(lats), 3),
                 "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                "rerank_median_s": round(statistics.median(rr_lats), 3),
+                "rerank_recall_at_10": round(sum(rr_recalls) / len(rr_recalls), 3),
             }
         )
         print(json.dumps({"ivfpq": curve[-1]}), flush=True)
