@@ -1934,3 +1934,124 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
         )
     )
+
+
+# Round 7: PORTABLE IVF — build AND probe under one fully-analytic oracle.
+# Every other IVF oracle replays the probe over Spark-persisted centroids
+# (MLlib k-means isn't SQL-reproducible); here the coarse quantizer is the
+# integer-exact kmeans_lloyd, so the DuckDB oracle unrolls the BUILD
+# (seeds → 2 Lloyd iterations), reassigns every vector, picks the nprobe
+# probe cells by the same quantized distance, and ranks the probed cells'
+# members by rounded cosine — zero persisted state, no circularity.
+_IVFP_NPROBE = 2
+
+
+def _kmeans_prefix_sql(k: int, iters: int, scale: int, dim: int) -> str:
+    parts = [
+        f"""q AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * {scale}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {dim}) i(i)
+),
+c0 AS (SELECT vec_id AS centroid, pos, qv AS qc FROM q WHERE vec_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM (SELECT v.vec_id, c.centroid, SUM((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+          FROM q v JOIN c{t - 1} c ON v.pos = c.pos GROUP BY 1, 2)
+  ) WHERE r = 1
+),
+u{t} AS (
+  SELECT a.centroid, q.pos,
+         CAST(FLOOR(SUM(q.qv)::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS qc
+  FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT p.centroid, p.pos, COALESCE(u.qc, p.qc) AS qc
+  FROM c{t - 1} p LEFT JOIN u{t} u ON u.centroid = p.centroid AND u.pos = p.pos
+)"""
+        )
+    parts.append(
+        f"""afin AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid ASC) AS r
+    FROM (SELECT v.vec_id, c.centroid, SUM((v.qv - c.qc) * (v.qv - c.qc)) AS d2
+          FROM q v JOIN c{iters} c ON v.pos = c.pos GROUP BY 1, 2)
+  ) WHERE r = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+@_register(
+    "ann_ivf_portable_build_probe",
+    f"""
+WITH {_kmeans_prefix_sql(_KM_K, _KM_ITERS, _KM_SCALE, 64)},
+qq AS (SELECT pos, qv FROM q WHERE vec_id = 0),
+pd AS (
+  SELECT c.centroid, SUM((qq.qv - c.qc) * (qq.qv - c.qc)) AS d2
+  FROM c{_KM_ITERS} c JOIN qq ON qq.pos = c.pos GROUP BY 1
+),
+probe AS (
+  SELECT centroid FROM (
+    SELECT centroid, ROW_NUMBER() OVER (ORDER BY d2 ASC, centroid ASC) AS r
+    FROM pd
+  ) WHERE r <= {_IVFP_NPROBE}
+),
+qvec AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, score FROM (
+  SELECT a.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qvec.v), 6) AS score,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qvec.v), 6) DESC,
+                    a.vec_id ASC
+         ) AS r
+  FROM afin a
+  JOIN probe p ON p.centroid = a.centroid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN qvec
+  WHERE list_cosine_similarity(e.embedding::DOUBLE[], qvec.v) IS NOT NULL
+) WHERE r <= 10
+""",
+)
+def ann_ivf_portable_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN with a replayable build: kmeans_lloyd trains the
+    coarse quantizer (2 integer-exact Lloyd iterations), the corpus is
+    assigned map-only against the final centroids, probe cells are the
+    nprobe quantized-nearest centroids to the query (computed from the
+    SAME plan-side quantization the oracle uses — the query's quantized
+    components are read back from the assignment pass, never re-rounded
+    driver-side), and the probed cells' members rank by rounded cosine.
+    Scale shape: build = iters × (map-assign + k·d aggregate); probe =
+    cell-pruned scan + TakeOrderedAndProject, same as IvfIndex.probe."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, _ = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+
+    # query's quantized components, via the same F.round path as the build
+    q0 = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+            ).alias("qv")
+        )
+        .head()["qv"]
+    )
+    ranked = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q0, qc)), cid) for cid, qc in cents
+    )
+    cells = [cid for _, cid in ranked[:_IVFP_NPROBE]]
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    members = assigned.where(F.col("centroid").isin(cells)).select("vec_id")
+    subset = emb.join(members, "vec_id")
+    return topk(subset, qvec, k=10, round_to=6)
