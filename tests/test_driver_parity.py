@@ -56,3 +56,14 @@ def test_query_analyzes_under_vanilla_session(vanilla, name):
     df = fn(vanilla, SF_DIR)
     # .schema forces analysis (resolution + type check), not execution
     assert len(df.schema.fields) > 0
+
+
+def test_every_registered_query_is_reexported():
+    """harness/ split guard: every QUERIES entry must be importable as an
+    attribute of the package (tools/dump_plans and tests import by name;
+    a query added to a family module but not __init__ would silently
+    register yet break those imports)."""
+    import whatsapp_vectordb_spark.harness as h
+
+    missing = [n for n, fn in h.QUERIES.items() if not hasattr(h, fn.__name__)]
+    assert not missing, missing

@@ -435,3 +435,36 @@ def test_real_decode_is_shuffle_free(spark, sf_dir):
 
     p = plan(multimodal_real_decode(spark, sf_dir))
     assert "Exchange" not in p
+
+
+def test_decode_phash_near_dup_is_banded_no_cartesian(spark, sf_dir):
+    """Decoder → hash → join composition: candidates must come from the
+    banded equi-join (SortMergeJoin/BroadcastHashJoin on band keys), never
+    a cartesian product of signatures."""
+    from whatsapp_vectordb_spark.harness import multimodal_decode_phash_near_dup
+
+    p = plan(multimodal_decode_phash_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_portable_ivf_probe_filters_cells_before_topk(spark, sf_dir):
+    """The portable-build probe must prune to the probed cells (an IN
+    filter on centroid feeding the member join) and finish with the
+    TakeOrderedAndProject top-k, not a global sort."""
+    from whatsapp_vectordb_spark.harness import ann_ivf_portable_build_probe
+
+    p = plan(ann_ivf_portable_build_probe(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "centroid" in p and " IN (" in p
+
+
+def test_streaming_capstone_serving_broadcasts_queries(spark, sf_dir):
+    """The capstone's serving tail: the (tiny) query table broadcasts, the
+    stream-built index is the streamed side, and ranking is the window
+    top-k — no shuffle of the index beyond the per-query rank exchange."""
+    from whatsapp_vectordb_spark.harness import streaming_pipeline_capstone
+
+    p = plan(streaming_pipeline_capstone(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

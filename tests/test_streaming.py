@@ -315,3 +315,22 @@ def test_hll_register_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got["hll_estimate"] == want
     # sanity: estimate within 10% of exact at m=1024
     assert abs(got["hll_estimate"] - got["exact_distinct"]) < 0.1 * got["exact_distinct"]
+
+
+def test_capstone_invariant_to_micro_batching(spark):
+    """The capstone's final state (index membership checksum + serving
+    answers) must not depend on HOW the deliveries were micro-batched:
+    file-per-trigger (3 batches) and all-files-in-one-trigger (1 batch)
+    must produce identical rows — the dedup is insert-if-absent over
+    identical payloads, so any split converges to the same index."""
+    from whatsapp_vectordb_spark.harness import streaming_pipeline_capstone
+
+    sf = "/root/testdata/sf0.001"
+    one_per = sorted(
+        map(tuple, streaming_pipeline_capstone(spark, sf, max_files_per_trigger=1).collect())
+    )
+    all_in_one = sorted(
+        map(tuple, streaming_pipeline_capstone(spark, sf, max_files_per_trigger=3).collect())
+    )
+    assert one_per == all_in_one
+    assert len(one_per) == 13  # 4 queries x top-3 + checksum row

@@ -594,7 +594,9 @@ SELECT CAST(-1 AS BIGINT), CAST(SUM(vec_id) AS BIGINT),
 FROM member
 """,
 )
-def streaming_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_pipeline_capstone(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """Multi-stage streaming pipeline, end to end (streaming/ops.py twins
     composed): JSONL ingest with quarantine → at-least-once dedup against
     persisted index state (left_anti on the ids already indexed, within-
@@ -635,7 +637,7 @@ def streaming_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema("vec_id bigint, embedding array<double>")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(drop)
     )
 
