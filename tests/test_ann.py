@@ -376,3 +376,26 @@ def test_kmeans_lloyd_empty_cell_carries_forward(spark):
     assert by_id[1] == [0, 0]  # untouched quantized seed
     assert movement[1] == 0 and movement[0] > 0
     assert by_id[0] == [75000, 0]  # floor((0+0+100000+200000)/4 + 0.5)
+
+
+def test_ivf_build_portable_full_probe_equals_exact(spark, embeddings):
+    # the verifiable-build twin must behave like an IvfIndex: full-nprobe
+    # probe == exact top-k, and the positional centroid remap must be
+    # consistent between the centroid matrix and the assigned column
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    # shift ids so seeds are NOT 0..k-1 (exercises the remap)
+    emb = embeddings.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    qvec = emb.where(F.col("vec_id") == 1007).head()["embedding"]
+    exact = [r["vec_id"] for r in topk(emb, qvec, k=10).collect()]
+    ivf = IvfIndex.build_portable(emb, n_centroids=4, iters=2)
+    assert ivf.centroids.shape == (4, 64)
+    full = [r["vec_id"] for r in ivf.probe(qvec, k=10, nprobe=4).collect()]
+    assert full == exact
+    # pruning actually prunes: nprobe=1 scans one cell only
+    one = ivf.probe(qvec, k=10, nprobe=1)
+    assert one.count() <= emb.count()
+    cells = {r["centroid"] for r in ivf.assigned.select("centroid").distinct().collect()}
+    assert cells <= {0, 1, 2, 3}

@@ -480,6 +480,40 @@ class IvfIndex:
         )
         return cls(assigned, centroids, id_col, vec_col)
 
+    @classmethod
+    def build_portable(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 5,
+        scale: int = 1_000_000,
+    ) -> "IvfIndex":
+        """Engine-portable build: the coarse quantizer is ``kmeans_lloyd``
+        (integer-exact quantized Lloyd — seeds are the ``n_centroids``
+        smallest ids, updates are HALF_UP integer math), so the ENTIRE
+        build is replayable bit-for-bit by a SQL oracle with no persisted
+        state (harness ``ann_ivf_portable_build_probe``). MLlib's
+        ``build`` stays the default for speed/quality at high k; this is
+        the verifiable twin. Assignment comes back from the same loop —
+        one extra map pass joins the vectors for the cell layout."""
+        cents, assigned, _ = kmeans_lloyd(
+            df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+        )
+        # kmeans_lloyd labels cells by SEED id (the k smallest vector ids);
+        # IvfIndex addresses centroids positionally — remap via a literal map
+        centroids = np.array([[c / scale for c in qc] for _, qc in cents], dtype=np.float64)
+        pos_of = {cid: i for i, (cid, _) in enumerate(cents)}
+        mapping = F.create_map(
+            *[F.lit(x) for cid, i in pos_of.items() for x in (cid, i)]
+        )
+        remapped = assigned.select(
+            id_col, mapping[F.col("centroid")].cast("int").alias("centroid")
+        )
+        with_vecs = df.join(remapped, id_col)
+        return cls(with_vecs, centroids, id_col, vec_col)
+
     def save(self, path: str) -> "IvfIndex":
         """Persist the inverted file: vectors written ``partitionBy(centroid)``
         (one directory per coarse cell) + the centroid matrix. A probe
