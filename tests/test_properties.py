@@ -56,3 +56,56 @@ def test_embedder_similarity_ordering():
     near = np.array(embed_text("the quick brown fox jumps over the lazy cat"))
     far = np.array(embed_text("completely unrelated spreadsheet quarterly revenue"))
     assert float(a @ near) > float(a @ far)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_argmin_sq_equals_naive_broadcast(n, d, c, seed):
+    """The matmul-identity argmin (round 7 OOM fix) must pick the same
+    cell as the naive broadcast-difference form whenever distances are
+    not exactly tied (continuous random data: ties have measure zero at
+    the distance level; float rounding could still flip a near-tie, so
+    equality is asserted on the DISTANCE of the chosen cell)."""
+    from whatsapp_vectordb_spark.operators.ann import _argmin_sq
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d))
+    cents = rng.standard_normal((c, d))
+    fast = _argmin_sq(x, cents)
+    naive = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    best = naive.min(axis=1)
+    chosen = naive[np.arange(n), fast]
+    assert np.allclose(chosen, best, rtol=1e-9, atol=1e-9)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_round_half_up_matches_decimal(vals, r):
+    """_round_half_up must agree with decimal ROUND_HALF_UP applied to the
+    double's shortest repr whenever the scaled value is exactly
+    representable; for general doubles both land within one ulp of the
+    grid, so assert the distance to decimal's answer never exceeds one
+    grid step and the SIGN of ties is away from zero."""
+    import decimal
+
+    from whatsapp_vectordb_spark.operators.search import _round_half_up
+
+    got = _round_half_up(np.array(vals, dtype=np.float64), r)
+    step = 10.0 ** (-r)
+    for v, g in zip(vals, got):
+        dec = float(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal(1).scaleb(-r), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert abs(g - dec) <= step + 1e-12
