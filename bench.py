@@ -224,6 +224,18 @@ def main() -> None:
 
         bm25_search(docs, ["data", "processing", "scale"], top_n=10).collect()
 
+    @timed("cluster_kmeans_step")
+    def _():
+        from whatsapp_vectordb_spark.harness import cluster_kmeans_step
+
+        cluster_kmeans_step(spark, sf_dir).collect()
+
+    @timed("ann_ivf_portable_build_probe")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivf_portable_build_probe
+
+        ann_ivf_portable_build_probe(spark, sf_dir).collect()
+
     @timed("text_search_rm3")
     def _():
         from whatsapp_vectordb_spark.operators.textops import rm3_search
