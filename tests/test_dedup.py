@@ -156,3 +156,22 @@ def test_containment_excerpt_detected(spark):
     # every shingle of the excerpt is inside the base doc → containment_b = 1
     assert abs(cb - 1.0) < 1e-9 and ca < 1.0
     assert all(k == (1, 2) for k in out)
+
+
+def test_elect_canonical_picks_best_not_min_id(spark):
+    from whatsapp_vectordb_spark.operators.dedup import elect_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (10, 9)], "id bigint, canonical_id bigint"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (9, 4), (10, 4)], "id bigint, score int"
+    )
+    got = {
+        r["cluster_id"]: (r["cluster_size"], r["elected_id"], r["elected_score"])
+        for r in elect_canonical(clusters, scores).collect()
+    }
+    # cluster 1: best score 9 shared by ids 2 and 3 -> tie to LOWER id (2)
+    assert got[1] == (3, 2, 9)
+    # cluster 9: tie at 4 -> min id 9
+    assert got[9] == (2, 9, 4)

@@ -641,3 +641,60 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_calibration(
         _augmented_docs(spark, sf_dir), num_hashes=16, bands=4, shingle_n=3
     )
+
+
+# Round 7: quality-elected canonicals — min-id election (dedup_components)
+# is deterministic but arbitrary; real curation keeps the BEST member of
+# each duplicate cluster. Clusters come from the same MinHash-LSH pairs as
+# dedup_minhash_lsh; the election score is the integer distinct-token
+# count (the augmented corpus's near-dup variants append extra words, so
+# the elected doc is demonstrably NOT the min id). The oracle recomputes
+# pairs, connected components (recursive CTE), and the window election.
+@_register(
+    "dedup_canonical_by_quality",
+    f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_pairs_sql(16, 4, 3, 0.5)})),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+corpus AS ({_AUG_SQL}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+dt AS (SELECT doc_id, CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct FROM toks),
+scored AS (
+  SELECT c.node, c.component, d.n_distinct
+  FROM comp c JOIN dt d ON d.doc_id = c.node
+)
+SELECT cluster_id, cluster_size, elected_id, elected_score FROM (
+  SELECT component AS cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+         node AS elected_id,
+         n_distinct AS elected_score,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_distinct DESC, node ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (MinHash-LSH pairs → connected components) with
+    the canonical member elected by an integer-exact quality proxy
+    (distinct-token count, ties to the lower id) instead of min-id —
+    operators/dedup.elect_canonical. One skinny id join + one
+    cluster-keyed window; per-cluster rows are duplicate-group-sized."""
+    from whatsapp_vectordb_spark.operators.dedup import (
+        canonicalize_duplicates,
+        elect_canonical,
+        minhash_near_duplicates,
+    )
+    from whatsapp_vectordb_spark.operators.textops import token_stats
+
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(aug, num_hashes=16, bands=4, shingle_n=3, threshold=0.5)
+    clusters = canonicalize_duplicates(pairs)
+    scores = token_stats(aug).select(
+        F.col("doc_id").alias("id"), F.col("n_distinct_tokens").alias("score")
+    )
+    return elect_canonical(clusters, scores)

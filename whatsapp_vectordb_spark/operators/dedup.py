@@ -987,3 +987,46 @@ def novelty_vs_reference(
             F.expr("(2000000 * n_novel + n_shingles) div (2 * n_shingles)").cast("long"),
         )
     )
+
+
+def elect_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "canonical_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-based canonical election over duplicate clusters: where
+    ``canonicalize_duplicates`` keeps the MINIMUM id (arbitrary but
+    deterministic), this keeps the best-scoring member — the curation
+    behavior real pipelines want (among near-identical copies, keep the
+    cleanest/longest/highest-quality one; see e.g. CCNet's keep-best-perplexity
+    convention). Ties break to the lower id, so with an integer or rounded
+    score the election is engine-portable.
+
+    Input: ``clusters`` = (id, cluster) membership (one row per clustered
+    doc), ``scores`` = (id, score). Output: one row per cluster —
+    ``(cluster_id, cluster_size, elected_id, elected_score)``.
+
+    Scale shape: one hash join on id (skinny), one shuffle keyed by the
+    cluster id for the window — per-cluster rows are duplicate-group-sized,
+    never corpus-sized.
+    """
+    joined = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
+    ).join(scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s")), "_id")
+    w = Window.partitionBy("cluster_id")
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.col("_s").desc(), F.col("_id").asc())
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            F.count("*").over(w).alias("cluster_size"),
+            F.col("_id").alias("elected_id"),
+            F.col("_s").alias("elected_score"),
+            rn.alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
