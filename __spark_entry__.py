@@ -43,9 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries repaired since their last driver row — pinned to the very front
-# so the driver's ~50-row sample re-verifies them next round. Empty after
-# round 5: the three round-4 hash-fails all landed green r5 rows, so the
-# ordering falls through to never-sampled-first then stalest-green-first.
+# so the driver's ~50-row sample re-verifies them next round. Empty since
+# round 5 (no driver-row failures since); the ordering falls through to
+# never-sampled-first (round 7 adds five) then stalest-green-first, which
+# drains the remaining r3 cohort this round and starts on r4.
 _FRONTLOAD: list[str] = []
 
 
