@@ -76,6 +76,12 @@ def main() -> None:
     spark = get_spark(app_name="ann-curve-stress")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="wvs_ann_curve_")
+    # exception-path cleanup too (an OOM-killed run once leaked a 6 GB
+    # corpus in /tmp); SIGKILL still can't be caught — sweep stale
+    # wvs_ann_curve_* dirs manually after a hard kill
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     out: dict = {"metric": "ann_curve_stress", "n": n, "dim": dim}
 
     # --- corpus: isotropic noise + planted near-neighbors of one base
