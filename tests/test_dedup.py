@@ -175,3 +175,23 @@ def test_elect_canonical_picks_best_not_min_id(spark):
     assert got[1] == (3, 2, 9)
     # cluster 9: tie at 4 -> min id 9
     assert got[9] == (2, 9, 4)
+
+
+def test_elect_canonical_unscored_members(spark):
+    """Members missing from the scores table still count toward
+    cluster_size and lose to any scored member; a fully-unscored cluster
+    still appears (min-id elected, NULL score) — the left-join contract."""
+    from whatsapp_vectordb_spark.operators.dedup import elect_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id bigint, canonical_id bigint"
+    )
+    scores = spark.createDataFrame([(1, 5), (2, 9)], "id bigint, score int")
+    got = {
+        r["cluster_id"]: (r["cluster_size"], r["elected_id"], r["elected_score"])
+        for r in elect_canonical(clusters, scores).collect()
+    }
+    # id 3 unscored: still counted in cluster_size, never elected over 2
+    assert got[1] == (3, 2, 9)
+    # cluster 7 fully unscored: present, min-id elected, NULL score
+    assert got[7] == (2, 7, None)

@@ -140,3 +140,28 @@ class TestWhatsAppWriter:
         import os
 
         assert not [f for f in os.listdir(out) if f.startswith("_staging")]
+
+
+def test_read_jsonl_corpus_nested_comma_schema(spark, tmp_path):
+    """Field names come from the parsed StructType, so DDL types that
+    contain commas (array<struct<...>>, map<k,v>, decimal(p,s)) don't
+    mangle the column list; malformed lines still quarantine."""
+    from whatsapp_vectordb_spark.sources.compat import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "tags": {"a": 2}, "spans": [{"s": 0, "e": 3}], "text": "hi"}\n'
+        "{not json\n"
+    )
+    df = read_jsonl_corpus(
+        spark,
+        str(p),
+        schema=(
+            "doc_id bigint, tags map<string,int>, "
+            "spans array<struct<s:int,e:int>>, text string"
+        ),
+    )
+    assert df.columns == ["doc_id", "tags", "spans", "text", "parse_ok"]
+    rows = {r["parse_ok"]: r for r in df.collect()}
+    assert rows[True]["tags"] == {"a": 2} and rows[True]["spans"][0]["e"] == 3
+    assert rows[False]["doc_id"] is None and rows[False]["text"] is None

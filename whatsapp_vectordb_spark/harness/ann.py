@@ -877,8 +877,9 @@ def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Round 7: Lloyd to CONVERGENCE — the multi-iteration loop over the single
-# step pinned above. Seeds, argmin, and the floor(qsum/n + 0.5) HALF_UP
-# update are engine-portable integer/IEEE-exact math, so the DuckDB oracle
+# step pinned above. Seeds, argmin, and the floor(qsum/n + 0.5)
+# half-toward-+inf update (NOT java HALF_UP: -2.5 → -2; the FLOOR formula
+# itself is the contract) are engine-portable integer/IEEE-exact math, so the DuckDB oracle
 # UNROLLS the iterations as chained CTEs and must land on bit-identical
 # centroids, memberships, and L1 movement. Empty cells carry forward.
 _KM_ITERS = 2

@@ -743,7 +743,11 @@ def _argmin_sq(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
     ``argmin_c (||c||² - 2 x·c)`` — O(n·C) memory instead of the
     O(n·C·dim) broadcast-difference tensor (which at n=10⁴, C=64,
     dim=1536 is 7.9 GB float64 per worker and OOM-killed the 1M stress).
-    Same argmin up to float rounding of exact ties."""
+    Caveat: catastrophic cancellation in ``||c||² - 2x·c`` can flip the
+    argmin on NEAR-ties (distances equal within a few ulps), not just
+    exact ties — do not assume bit-stable assignments from this path;
+    the property test accordingly asserts chosen-DISTANCE equality, not
+    index equality."""
     return ((cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1)
 
 
@@ -1535,9 +1539,12 @@ def kmeans_lloyd(
     - assignment = integer squared-L2 argmin, ties to the lower centroid
       id (map-only: broadcast centroids, codegen'd distance fold);
     - update   = per-component ``floor(qsum/n + 0.5)`` in quantized units
-      (HALF_UP; ``qsum`` and ``n`` are exactly representable doubles, and
-      IEEE-754 division is exactly rounded, so the quotient — hence the
-      floor — is bit-identical in the JVM, Python, and DuckDB);
+      (half-toward-+inf: ``-2.5 → -2``, unlike java.math HALF_UP's
+      ties-away-from-zero — the exact FLOOR formula is the contract and
+      the DuckDB oracle replays it verbatim; ``qsum`` and ``n`` are
+      exactly representable doubles, and IEEE-754 division is exactly
+      rounded, so the quotient — hence the floor — is bit-identical in
+      the JVM, Python, and DuckDB);
     - empty cells carry their previous centroid forward unchanged;
     - convergence metric = per-centroid L1 movement in quantized units
       (exact integers; ``movement == 0`` for every centroid ⇔ fixpoint).

@@ -1008,16 +1008,28 @@ def elect_canonical(
     doc), ``scores`` = (id, score). Output: one row per cluster —
     ``(cluster_id, cluster_size, elected_id, elected_score)``.
 
+    Unscored members: ``scores`` is LEFT-joined, so a member missing from
+    the scores table still counts toward ``cluster_size`` and still loses
+    the election to any scored member (NULL sorts last); a cluster whose
+    members are ALL unscored still appears, with the min-id member elected
+    and ``elected_score`` NULL — no cluster silently disappears.
+
     Scale shape: one hash join on id (skinny), one shuffle keyed by the
     cluster id for the window — per-cluster rows are duplicate-group-sized,
     never corpus-sized.
     """
     joined = clusters.select(
         F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
-    ).join(scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s")), "_id")
+    ).join(
+        scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s")),
+        "_id",
+        "left",
+    )
     w = Window.partitionBy("cluster_id")
     rn = F.row_number().over(
-        Window.partitionBy("cluster_id").orderBy(F.col("_s").desc(), F.col("_id").asc())
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("_s").desc_nulls_last(), F.col("_id").asc()
+        )
     )
     return (
         joined.select(

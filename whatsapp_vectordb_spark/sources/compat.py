@@ -99,7 +99,10 @@ def read_jsonl_corpus(
         .json(path)
     )
     ok = F.col(corrupt).isNull()
-    fields = [f.strip().split()[0] for f in schema.split(",")]
+    # Field names come from the parsed StructType, not a string split —
+    # DDL types can themselves contain commas (array<struct<a:int,b:int>>,
+    # map<string,int>, decimal(10,2)).
+    fields = [f.name for f in StructType.fromDDL(schema).fields]
     return df.select(
         *[F.when(ok, F.col(f)).alias(f) for f in fields], ok.alias("parse_ok")
     )
