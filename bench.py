@@ -340,6 +340,29 @@ def main() -> None:
 
         text_rake_keywords(spark, sf_dir).count()
 
+    # --- round-7 composites (VERDICT r7 #4): the convergence loop, the
+    # streaming capstone, and quality-elected canonicals each have driver
+    # rows but had no bench entry — a regression in the Lloyd loop or the
+    # capstone's per-batch bound was invisible. Timed via their harness
+    # entries so the measurement covers the exact driver-row plan.
+    @timed("cluster_kmeans_converge")
+    def _():
+        from whatsapp_vectordb_spark.harness import cluster_kmeans_converge
+
+        cluster_kmeans_converge(spark, sf_dir).collect()
+
+    @timed("streaming_pipeline_capstone")
+    def _():
+        from whatsapp_vectordb_spark.harness import streaming_pipeline_capstone
+
+        streaming_pipeline_capstone(spark, sf_dir).collect()
+
+    @timed("dedup_canonical_by_quality")
+    def _():
+        from whatsapp_vectordb_spark.harness import dedup_canonical_by_quality
+
+        dedup_canonical_by_quality(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus

@@ -399,3 +399,41 @@ def test_ivf_build_portable_full_probe_equals_exact(spark, embeddings):
     assert one.count() <= emb.count()
     cells = {r["centroid"] for r in ivf.assigned.select("centroid").distinct().collect()}
     assert cells <= {0, 1, 2, 3}
+
+
+def test_kmeans_mapside_bit_equal_to_portable(spark, embeddings):
+    """The production map-side partial-sum update (one mapInPandas pass,
+    k·d·partitions shuffle) must be BIT-identical to the engine-portable
+    N·d join+groupBy path the SQL oracle replays — same centroids, same
+    movement, same final assignment — on real embeddings, including an
+    iteration count past the fixpoint (empty-cell carry-forward included)."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    df = embeddings.select("vec_id", "embedding").limit(300)
+    hist_p, hist_m = [], []
+    cents_p, assigned_p, mov_p = kmeans_lloyd(
+        df, k=5, iters=3, history=hist_p, update_mode="portable"
+    )
+    cents_m, assigned_m, mov_m = kmeans_lloyd(
+        df, k=5, iters=3, history=hist_m, update_mode="mapside"
+    )
+    assert cents_p == cents_m
+    assert mov_p == mov_m
+    assert [(it, mv) for it, mv, _ in hist_p] == [(it, mv) for it, mv, _ in hist_m]
+    ap = sorted(map(tuple, assigned_p.collect()))
+    am = sorted(map(tuple, assigned_m.collect()))
+    assert ap == am
+
+
+def test_kmeans_mapside_empty_cell_carries_forward(spark):
+    # the mapside twin of the portable empty-cell test: coincident seeds,
+    # ties to lower id -> cell 1 empty, carried forward unchanged
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.2, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    cents, assigned, movement = kmeans_lloyd(df, k=2, iters=1, update_mode="mapside")
+    by_id = dict(cents)
+    assert by_id[1] == [0, 0]
+    assert movement[1] == 0 and movement[0] > 0
+    assert by_id[0] == [75000, 0]

@@ -53,11 +53,59 @@ def _kmeans_section(spark, corpus_path, out) -> None:
     print(json.dumps({"kmeans": out["kmeans_200k_history"]}), flush=True)
 
 
+def _kmeans_compare_section(spark, corpus_path, out, iters: int = 4) -> None:
+    """Portable (N·d join+groupBy) vs map-side (mapInPandas partial-sum)
+    Lloyd update at 200k×1536: assert the movement histories are
+    bit-identical (the at-scale parity check), record per-iteration wall
+    time for both — the BASELINE.md evidence that the k·d·partitions
+    shuffle beats the N·d shuffle."""
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    km_src = spark.read.parquet(corpus_path).where(F.col("vec_id") < 200_000)
+    res = {}
+    for mode in ("portable", "mapside"):
+        hist: list = []
+        cents, _, _ = kmeans_lloyd(
+            km_src, k=8, iters=iters, history=hist, update_mode=mode
+        )
+        res[mode] = {"cents": cents, "hist": hist}
+        out[f"kmeans_200k_{mode}"] = [
+            {"iter": i, "total_l1_movement": mv, "sec": s} for i, mv, s in hist
+        ]
+        print(json.dumps({f"kmeans_{mode}": out[f"kmeans_200k_{mode}"]}), flush=True)
+    assert res["portable"]["cents"] == res["mapside"]["cents"], "parity break: centroids"
+    assert [(i, m) for i, m, _ in res["portable"]["hist"]] == [
+        (i, m) for i, m, _ in res["mapside"]["hist"]
+    ], "parity break: movement history"
+    print(json.dumps({"kmeans_parity_200k": "bit-equal"}), flush=True)
+
+
+def _kmeans_mapside_full_section(spark, corpus_path, out, iters: int = 4) -> None:
+    """Map-side Lloyd over the FULL synthesized corpus (no 200k cap) —
+    the portable path cannot even materialize its N·d component table at
+    1M×1536 (1.5B rows; its 200k checkpoint already needed a ~90 GB
+    heap), so the 1M iteration-time evidence is mapside-only by
+    construction."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    km_src = spark.read.parquet(corpus_path)
+    hist: list = []
+    kmeans_lloyd(km_src, k=8, iters=iters, history=hist, update_mode="mapside")
+    out["kmeans_full_mapside"] = [
+        {"iter": i, "total_l1_movement": mv, "sec": s} for i, mv, s in hist
+    ]
+    print(json.dumps({"kmeans_full_mapside": out["kmeans_full_mapside"]}), flush=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 1_000_000
     dim = int(args[1]) if len(args) > 1 else 1536
     do_kmeans = "--kmeans" in sys.argv
+    do_kmeans_compare = "--kmeans-compare" in sys.argv
+    do_kmeans_mapside_full = "--kmeans-mapside-full" in sys.argv
     skip_ivf = "--skip-ivf" in sys.argv
     skip_pq = "--skip-pq" in sys.argv
     shortlist = int(os.environ.get("WVS_SHORTLIST", "100"))
@@ -182,6 +230,10 @@ def main() -> None:
         out["ivfpq_curve"] = "skipped"
         if do_kmeans:
             _kmeans_section(spark, corpus_path, out)
+        if do_kmeans_compare:
+            _kmeans_compare_section(spark, corpus_path, out)
+        if do_kmeans_mapside_full:
+            _kmeans_mapside_full_section(spark, corpus_path, out)
         print(json.dumps(out), flush=True)
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
@@ -245,6 +297,10 @@ def main() -> None:
     # --- k-means iterations-to-stability at the 200k stress shape
     if do_kmeans:
         _kmeans_section(spark, corpus_path, out)
+    if do_kmeans_compare:
+        _kmeans_compare_section(spark, corpus_path, out)
+    if do_kmeans_mapside_full:
+        _kmeans_mapside_full_section(spark, corpus_path, out)
 
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)

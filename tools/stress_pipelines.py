@@ -12,6 +12,14 @@ API), so super-linear blow-ups show up in bytes even when wall time is
 noisy on a shared host.
 
     python tools/stress_pipelines.py [replicas ...]   # default: 50 100 200
+    python tools/stress_pipelines.py --capstone [n_rows] [n_batches]
+
+``--capstone`` instead replays the streaming capstone's ingest loop
+(JSONL drop → validity filter → within-batch dropDuplicates → anti-join
+against the persisted index's id projection → append) at ≥100k rows,
+recording PER-BATCH wall seconds and shuffle deltas — the empirical check
+that per-batch cost stays flat as the index grows (the documented bound:
+no stage rereads history beyond the id column).
 """
 
 from __future__ import annotations
@@ -57,7 +65,117 @@ def _shuffle_delta_mb(before: tuple[int, int] | None, after: tuple[int, int] | N
     return (round((after[0] - before[0]) / 1e6, 1), round((after[1] - before[1]) / 1e6, 1))
 
 
+def _capstone_replay(n_rows: int, n_batches: int) -> None:
+    """Streaming-capstone ingest at stress scale: one JSONL file per
+    micro-batch (``n_rows / n_batches`` rows each, dim-64 vectors, ~3%
+    malformed lines, 10% of each batch re-delivering ids from the previous
+    batch), processed with maxFilesPerTrigger=1 through the SAME ingest
+    graph as harness ``streaming_pipeline_capstone``. Per-batch wall time
+    and shuffle bytes are recorded from inside foreachBatch; flat per-batch
+    numbers as the index grows from 0 to n_rows ARE the documented bound."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="capstone-stress",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "10000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="wvs_capstone_stress_")
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    index_path = os.path.join(root, "index")
+
+    per = n_rows // n_batches
+    dim = 64
+    rng = np.random.default_rng(11)
+    t0 = time.perf_counter()
+    for b in range(n_batches):
+        lo = b * per
+        m = np.round(rng.standard_normal((per, dim)), 4)
+        with open(os.path.join(drop, f"deliver_{b:03d}.jsonl"), "w") as fh:
+            for i in range(per):
+                vid = lo + i
+                if b > 0 and i % 10 == 0:  # re-delivery of an already-indexed id
+                    vid = lo - per + i
+                line = (
+                    '{"vec_id": %d, "embedding": [%s]}'
+                    % (vid, ",".join(repr(float(x)) for x in m[i]))
+                )
+                if i % 31 == 0:  # malformed tail → quarantine path
+                    line = line[: len(line) // 2]
+                fh.write(line + "\n")
+    synth_s = round(time.perf_counter() - t0, 1)
+
+    batch_rows: list[dict] = []
+
+    def ingest(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        s0 = _shuffle_totals(sp)
+        t0 = time.perf_counter()
+        valid = (
+            batch_df.where(
+                F.col("vec_id").isNotNull()
+                & F.col("embedding").isNotNull()
+                & (F.size("embedding") == dim)
+            ).dropDuplicates(["vec_id"])
+        )
+        if os.path.exists(index_path):
+            seen = sp.read.parquet(index_path).select("vec_id")
+            valid = valid.join(seen, "vec_id", "left_anti")
+        valid.localCheckpoint(eager=True).write.mode("append").parquet(index_path)
+        s1 = _shuffle_totals(sp)
+        w, r = _shuffle_delta_mb(s0, s1)
+        batch_rows.append(
+            {
+                "batch": int(batch_id),
+                "sec": round(time.perf_counter() - t0, 2),
+                "shuffle_write_mb": w,
+                "shuffle_read_mb": r,
+            }
+        )
+        print(json.dumps(batch_rows[-1]), flush=True)
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_indexed = spark.read.parquet(index_path).count()
+    print(
+        json.dumps(
+            {
+                "metric": "capstone_stream_stress",
+                "n_rows": n_rows,
+                "n_batches": n_batches,
+                "synth_s": synth_s,
+                "n_indexed": n_indexed,
+                "batches": batch_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--capstone" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        _capstone_replay(
+            int(args[0]) if args else 120_000, int(args[1]) if len(args) > 1 else 12
+        )
+        return
     levels = [int(a) for a in sys.argv[1:]] or [50, 100, 200]
 
     from pyspark.sql import functions as F

@@ -1,0 +1,126 @@
+"""Once-per-round wall-clock sweep of the ENTIRE query registry at sf0.01.
+
+bench.py times ~40 headline queries with a median-of-reps protocol; the
+other ~150 registry entries had no timing record at all, so a pathological
+regression (a lost broadcast, an accidental cartesian) in a non-headline
+query would be invisible until it timed out the driver gate. This sweep
+runs every ``queries()`` entry ONCE (single rep, wall clock only — it is a
+tripwire, not a benchmark), writes ``SWEEP_r{N}.json`` at the repo root,
+and flags any query whose time grew more than ``FLAG_RATIO``× over the
+newest previous sweep (single-run noise on this shared box is ±50%, so 3×
+is far outside noise for all but sub-100ms entries; those are additionally
+guarded by the absolute floor).
+
+Usage::
+
+    python tools/sweep_registry.py [sf_dir] [out_json]
+
+Defaults: sf_dir=/root/testdata/sf0.01, out=SWEEP_r{max_round+1}.json
+(round inferred from existing CORRECTNESS_r*.json). Exit code 1 if any
+query errored or was flagged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FLAG_RATIO = 3.0
+FLAG_FLOOR_S = 0.5  # both runs under this → timer noise, never flag
+
+
+def _next_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _prev_sweep() -> tuple[str, dict] | tuple[None, None]:
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "SWEEP_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        return None, None
+    with open(paths[-1]) as f:
+        return os.path.basename(paths[-1]), json.load(f)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, f"SWEEP_r{_next_round():02d}.json")
+    )
+    prev_name, prev = _prev_sweep()
+    prev_times = (prev or {}).get("times", {})
+
+    import __spark_entry__ as entry
+    from whatsapp_vectordb_spark.session import get_spark
+
+    spark = get_spark(app_name="wvs-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/py-worker warmup
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    qs = entry.queries()
+    for i, (name, fn) in enumerate(sorted(qs.items()), 1):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record and keep sweeping
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+        spark.catalog.clearCache()
+        if i % 20 == 0:
+            print(f"... {i}/{len(qs)}", file=sys.stderr, flush=True)
+
+    flagged = {}
+    for name, sec in times.items():
+        old = prev_times.get(name)
+        if (
+            old is not None
+            and max(old, sec) >= FLAG_FLOOR_S
+            and old > 0
+            and sec / old > FLAG_RATIO
+        ):
+            flagged[name] = {"prev_s": old, "now_s": sec, "ratio": round(sec / old, 2)}
+
+    out = {
+        "metric": "registry_sweep",
+        "sf_dir": sf_dir,
+        "n_queries": len(qs),
+        "n_ok": len(times),
+        "total_s": round(sum(times.values()), 1),
+        "prev_sweep": prev_name,
+        "flag_ratio": FLAG_RATIO,
+        "flagged": flagged,
+        "errors": errors,
+        "times": times,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(
+        json.dumps(
+            {k: out[k] for k in ("n_queries", "n_ok", "total_s", "prev_sweep", "flagged", "errors")}
+        )
+    )
+    print(f"wrote {out_path}", file=sys.stderr)
+    spark.stop()
+    sys.exit(1 if (flagged or errors) else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,39 @@ def _chat_lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Non-ASCII twin of the chat fixture — the reference's Hebrew export path
+# (main.go:296-302 routes `he` chats through the same parse). Senders and a
+# message prefix are Hebrew, so the full source-file → connector →
+# regex-parse → Arrow-hash path is exercised on multi-byte UTF-8 in both
+# engines. The parse regex is byte-for-byte the same as the ASCII fixture's
+# ([^:]+ is already script-agnostic).
+
+_CHAT_LINE_HE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text
+            ELSE '[09.09.23, 14:35:02] ~ משתמש' || CAST(doc_id % 5 AS VARCHAR) || ': שלום עולם ' || text
+       END AS value
+FROM documents
+"""
+
+
+def _chat_lines_he_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("[09.09.23, 14:35:02] ~ משתמש"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(": שלום עולם "),
+                F.col("text"),
+            )
+        )
+        .alias("value"),
+    )
+
+
 # ==========================================================================
 # Extended surface: dedup + text analysis (BASELINE.json north star).
 # The sf0.01 corpus has no duplicate texts, so dedup queries run on a

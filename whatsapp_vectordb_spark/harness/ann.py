@@ -987,6 +987,52 @@ def cluster_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 8: the PRODUCTION k-means update path under the SAME unrolled-CTE
+# oracle — update_mode="mapside" computes each iteration's (centroid, pos)
+# → (count, qsum) aggregate in one mapInPandas pass over Spark-pre-quantized
+# vectors (exact int64 argmin + per-partition partial sums; k·d·partitions
+# shuffle instead of the portable path's N·d join+shuffle). Bit-parity with
+# the portable loop is a theorem of the construction (same JVM quantization,
+# integer-only Python arithmetic), pinned here by the oracle and at scale by
+# tools/stress_ann_curve.py --kmeans-compare.
+@_register("cluster_kmeans_mapside", _kmeans_converge_sql(_KM_K, _KM_ITERS, _KM_SCALE))
+def cluster_kmeans_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_kmeans_converge's production twin: identical loop, map-side
+    partial-sum update (operators/ann._kmeans_mapside_partials). The
+    oracle is the SAME unrolled-CTE replay of the portable formula —
+    passing means the scale path and the analytic spec agree bit-for-bit
+    on centroids, memberships, and movement."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, movement = kmeans_lloyd(
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="mapside"
+    )
+    counts = assigned.groupBy("centroid").agg(F.count("*").cast("long").alias("n_members"))
+    summary = spark.createDataFrame(
+        [
+            (
+                cid,
+                sum(qc),
+                sum((j + 1) * x for j, x in enumerate(qc)),
+                movement[cid],
+            )
+            for cid, qc in cents
+        ],
+        "centroid bigint, qc_sum bigint, qc_sum_weighted bigint, movement bigint",
+    )
+    return (
+        summary.join(counts, "centroid", "left")
+        .select(
+            "centroid",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            "qc_sum",
+            "qc_sum_weighted",
+            "movement",
+        )
+    )
+
+
 # ==========================================================================
 # Round 4: dimensionality reduction (operators/projection.py) — JL random
 # projection (stateless, md5-derived ±1 signs, integer-exact in both
@@ -2056,3 +2102,117 @@ def ann_ivf_portable_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = assigned.where(F.col("centroid").isin(cells)).select("vec_id")
     subset = emb.join(members, "vec_id")
     return topk(subset, qvec, k=10, round_to=6)
+
+
+# Round 8: the SWEEP form of the fully-analytic IVF — recall vs candidate
+# volume across nprobe ∈ {1, 2, 4}, with the BUILD in the oracle (the same
+# unrolled Lloyd CTEs), so the whole operating curve is hash-checked with
+# zero persisted state. This is the template that lets persisted-state
+# sweep oracles be retired: any IVF tier whose quantizer is kmeans_lloyd
+# can be replayed end to end.
+_IVFP_SWEEP = (1, 2, 4)
+
+
+def _ivf_portable_sweep_sql() -> str:
+    probes = ", ".join(str(p) for p in _IVFP_SWEEP)
+    return f"""
+WITH {_kmeans_prefix_sql(_KM_K, _KM_ITERS, _KM_SCALE, 64)},
+qq AS (SELECT pos, qv FROM q WHERE vec_id = 0),
+pd AS (
+  SELECT c.centroid, SUM((qq.qv - c.qc) * (qq.qv - c.qc)) AS d2
+  FROM c{_KM_ITERS} c JOIN qq ON qq.pos = c.pos GROUP BY 1
+),
+pr AS (
+  SELECT centroid, ROW_NUMBER() OVER (ORDER BY d2 ASC, centroid ASC) AS r FROM pd
+),
+qvec AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+np AS (SELECT UNNEST([{probes}]) AS nprobe),
+cand AS (
+  SELECT np.nprobe, a.vec_id
+  FROM np JOIN pr ON pr.r <= np.nprobe
+  JOIN afin a ON a.centroid = pr.centroid
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qvec.v), 6) DESC,
+                      e.vec_id ASC
+           ) AS r
+    FROM embeddings e CROSS JOIN qvec
+    WHERE list_cosine_similarity(e.embedding::DOUBLE[], qvec.v) IS NOT NULL
+  ) WHERE r <= 10
+),
+appr AS (
+  SELECT nprobe, vec_id FROM (
+    SELECT c.nprobe, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.nprobe
+             ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qvec.v), 6) DESC,
+                      c.vec_id ASC
+           ) AS r
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    CROSS JOIN qvec
+    WHERE list_cosine_similarity(e.embedding::DOUBLE[], qvec.v) IS NOT NULL
+  ) WHERE r <= 10
+),
+nc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+hits AS (
+  SELECT a.nprobe, COUNT(*) AS h FROM appr a JOIN exact x ON x.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT CAST(nc.nprobe AS INTEGER) AS nprobe,
+       nc.n_candidates,
+       ROUND(COALESCE(hits.h, 0) / 10.0, 6) AS recall
+FROM nc LEFT JOIN hits ON hits.nprobe = nc.nprobe
+"""
+
+
+@_register("ann_ivf_portable_nprobe_sweep", _ivf_portable_sweep_sql())
+def ann_ivf_portable_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-cost operating curve of the analytically-built IVF:
+    for each nprobe, candidate count (the scan cost proxy) and recall@10
+    of the probed top-10 against the exact top-10 — every number, build
+    included, replayed by the oracle. One build feeds all probe levels;
+    each probe is a cell-pruned membership join + TakeOrderedAndProject,
+    and the recall join is over two ≤10-row frames."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, _ = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+
+    q0 = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+            ).alias("qv")
+        )
+        .head()["qv"]
+    )
+    ranked = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q0, qc)), cid) for cid, qc in cents
+    )
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact_ids = topk(emb, qvec, k=10, round_to=6).select("vec_id")
+
+    rows = []
+    for np_ in _IVFP_SWEEP:
+        cells = [cid for _, cid in ranked[:np_]]
+        members = assigned.where(F.col("centroid").isin(cells)).select("vec_id")
+        appr = topk(emb.join(members, "vec_id"), qvec, k=10, round_to=6).select("vec_id")
+        rows.append(
+            members.agg(F.count("*").cast("long").alias("n_candidates"))
+            .crossJoin(appr.join(exact_ids, "vec_id").agg(F.count("*").alias("_h")))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_candidates",
+                F.round(F.col("_h").cast("double") / F.lit(10.0), 6).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -698,3 +698,49 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.col("n_distinct_tokens").alias("score")
     )
     return elect_canonical(clusters, scores)
+
+
+# Round 8: the left-join election contract (ADVICE r7) as a first-class
+# query — clusters are cheap analytic 5-member groups, the score table
+# deliberately covers only part of the corpus: mixed clusters must elect
+# the best SCORED member while counting everyone, and fully-unscored
+# clusters must still appear (min-id elected, NULL score) instead of
+# silently vanishing as the old inner join did.
+@_register(
+    "dedup_canonical_unscored",
+    """
+WITH m AS (SELECT doc_id, CAST(doc_id // 5 AS BIGINT) AS cluster_id FROM documents),
+s AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS score
+  FROM documents WHERE doc_id % 20 < 8
+)
+SELECT cluster_id, cluster_size, elected_id, elected_score FROM (
+  SELECT m.cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS cluster_size,
+         m.doc_id AS elected_id,
+         s.score AS elected_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.cluster_id
+           ORDER BY s.score DESC NULLS LAST, m.doc_id ASC
+         ) AS rn
+  FROM m LEFT JOIN s ON s.doc_id = m.doc_id
+) WHERE rn = 1
+""",
+)
+def dedup_canonical_unscored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """elect_canonical with partial score coverage: consecutive-id
+    5-member clusters, character-length scores present only for
+    doc_id % 20 < 8 — so the corpus contains fully-scored, mixed, and
+    fully-unscored clusters and the output pins all three behaviors of
+    the left-join election (operators/dedup.elect_canonical)."""
+    from whatsapp_vectordb_spark.operators.dedup import elect_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("doc_id div 5").cast("long").alias("canonical_id"),
+    )
+    scores = docs.where(F.col("doc_id") % 20 < 8).select(
+        F.col("doc_id").alias("id"), F.length("text").cast("int").alias("score")
+    )
+    return elect_canonical(clusters, scores)

@@ -19,7 +19,7 @@ from whatsapp_vectordb_spark.functions.vector import (
 )
 from whatsapp_vectordb_spark.operators.search import topk, topk_batched
 
-from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _CHAT_LINE_SQL, _chat_lines_df, _oracle_scratch, _phash_sql, _register, _t, _tmp_scratch, _write_jsonl_corpus  # noqa: E501
+from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _CHAT_LINE_HE_SQL, _CHAT_LINE_SQL, _chat_lines_df, _chat_lines_he_df, _oracle_scratch, _phash_sql, _register, _t, _tmp_scratch, _write_jsonl_corpus  # noqa: E501
 
 
 
@@ -1081,6 +1081,62 @@ def compat_whatsapp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt = whatsapp_source.register(spark)
     return spark.read.format(fmt).load(path).select(
         "line_no", "ts_raw", "sender", "message", "parse_ok"
+    )
+
+
+# Round 8: the reference's second-language path (main.go:296-302 routes
+# `he` chat exports through the same parse) — Hebrew senders and message
+# prefixes through the full connector pipeline: fixture FILE on disk →
+# Python DataSource partition read → regex parse → per-sender rollup. The
+# rollup (multi-byte sender strings as group keys, character — not byte —
+# message lengths) goes through the driver's Arrow value-hash, so a UTF-8
+# mangle anywhere in the path (file encoding, Arrow transfer, regex capture)
+# breaks the hash.
+@_register(
+    "compat_whatsapp_source_he",
+    f"""
+WITH lines AS ({_CHAT_LINE_HE_SQL})
+SELECT sender,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(message_raw)) AS BIGINT) AS chars_total
+FROM (
+  SELECT trim(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 2)) AS sender,
+         regexp_replace(regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 3), '\\s+', ' ', 'g') AS message_raw,
+         regexp_extract(value, '^\\[(\\d{{2}}\\.\\d{{2}}\\.\\d{{2}}, \\d{{2}}:\\d{{2}}:\\d{{2}})\\] ~?\\s*([^:]+): (.*)$', 1) <> '' AS ok
+  FROM lines
+)
+WHERE ok
+GROUP BY 1
+""",
+)
+def compat_whatsapp_source_he(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hebrew chat export through the registered Python data source:
+    per-sender parsed-line counts and total message characters (UTF-8
+    code points, identical semantics to DuckDB ``length``). Same scale
+    shape as compat_whatsapp_source — partition-per-file scan, map-only
+    parse, one skinny rollup."""
+    import os as _os
+
+    from whatsapp_vectordb_spark.sources import whatsapp_source
+
+    scratch = _oracle_scratch("whatsapp_source_he")
+    _os.makedirs(scratch, exist_ok=True)
+    path = _os.path.join(scratch, "chat_he.txt")
+    rows = _chat_lines_he_df(spark, sf_dir).orderBy("doc_id").collect()
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(r["value"] + "\n")
+
+    fmt = whatsapp_source.register(spark)
+    return (
+        spark.read.format(fmt)
+        .load(path)
+        .where(F.col("parse_ok"))
+        .groupBy("sender")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.length("message")).cast("long").alias("chars_total"),
+        )
     )
 
 

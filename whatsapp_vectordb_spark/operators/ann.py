@@ -1517,6 +1517,59 @@ def assign_cells_quantized(
     )
 
 
+def _kmeans_mapside_partials(qvecs: DataFrame, cents) -> DataFrame:
+    """Map-side partial sums for one Lloyd update: ONE Arrow-batched pass
+    over the pre-quantized vectors produces per-partition
+    ``(centroid, pos, n, qsum)`` rows — no N·d posexplode, no id join.
+
+    Bit-parity with the portable path by construction: the input is the
+    SAME Spark-quantized BIGINT component array the portable path
+    aggregates (quantization happens in the JVM via ``F.round`` BEFORE
+    this pass — no Python float rounding anywhere), and everything here
+    is int64 arithmetic. The argmin uses ``||c||² − 2 q·cᵀ`` (dropping
+    the per-row-constant ``||q||²``) in int64 matmul — with |q| ≤ scale
+    = 1e6 and d ≤ 2048 every term stays ≤ ~4e15, far inside int64, so
+    distances are EXACT integers, unlike the float matmul identity in
+    ``_argmin_sq``. Ties go to the lowest row index = lowest centroid id
+    (``cents`` is sorted ascending). Per-partition output is ≤ k·d rows
+    (the classic map-side combine), so the downstream shuffle is
+    k·d·num_partitions — independent of N — versus the portable path's
+    N·d-row join+shuffle per iteration.
+    """
+    import pandas as pd
+
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    c_mat = np.asarray([qc for _, qc in cents], dtype=np.int64)
+    k, d = c_mat.shape
+    cnorm = (c_mat * c_mat).sum(axis=1)
+
+    def part(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.asarray(pdf["_qv"].tolist(), dtype=np.int64)
+            assign = (cnorm[None, :] - 2 * (q @ c_mat.T)).argmin(axis=1)
+            counts += np.bincount(assign, minlength=k)
+            for j in np.unique(assign):
+                sums[j] += q[assign == j].sum(axis=0)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "centroid": np.repeat(cids[nz], d),
+                    "pos": np.tile(np.arange(d, dtype=np.int32), len(nz)),
+                    "n": np.repeat(counts[nz], d),
+                    "qsum": sums[nz].reshape(-1),
+                }
+            )
+
+    return qvecs.mapInPandas(
+        part, schema="centroid bigint, pos int, n bigint, qsum bigint"
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -1526,6 +1579,7 @@ def kmeans_lloyd(
     scale: int = 1_000_000,
     history: list | None = None,
     stop_when_stable: bool = False,
+    update_mode: str = "portable",
 ):
     """Multi-iteration Lloyd k-means with INTEGER-exact quantized
     arithmetic — the convergence loop over the single step that
@@ -1567,16 +1621,36 @@ def kmeans_lloyd(
     the iterations-to-stability evidence. ``stop_when_stable`` exits the
     loop early once an update moves no centroid (exact fixpoint; every
     later iteration would be identical).
+
+    ``update_mode`` selects HOW the per-iteration (centroid, pos) →
+    (count, qsum) aggregate is computed — the numbers are bit-identical
+    either way (pinned by ``tests/test_ann.py`` parity):
+
+    - ``"portable"`` (default, what the SQL oracle replays literally):
+      posexplode the quantized components once, then per iteration join
+      the assignment back by id and groupBy — an N·d-row shuffle per
+      iteration.
+    - ``"mapside"`` (the production path at scale): one
+      ``mapInPandas`` pass over the Spark-pre-quantized vectors computes
+      the exact-integer argmin AND the per-partition partial sums in the
+      same pass (``_kmeans_mapside_partials``); the shuffle per iteration
+      is k·d·num_partitions rows, independent of N — the map-side
+      combine MLlib's own KMeans uses.
     """
     import time as _time
 
+    if update_mode not in ("portable", "mapside"):
+        raise ValueError(f"update_mode must be portable|mapside, got {update_mode!r}")
     spark = df.sparkSession
-    qcomp = df.select(
-        id_col,
-        F.posexplode(
-            F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long"))
-        ).alias("pos", "qv"),
-    ).localCheckpoint()
+    _quant = F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    if update_mode == "portable":
+        qcomp = df.select(
+            id_col, F.posexplode(_quant).alias("pos", "qv")
+        ).localCheckpoint()
+    else:
+        qvecs = df.select(_quant.alias("_qv")).localCheckpoint()
 
     seeds = (
         df.orderBy(F.col(id_col).asc())
@@ -1601,13 +1675,21 @@ def kmeans_lloyd(
 
     for it in range(iters):
         t0 = _time.perf_counter()
-        assigned = _assign(cents)
-        agg = (
-            assigned.join(qcomp, id_col)
-            .groupBy("centroid", "pos")
-            .agg(F.count("*").alias("n"), F.sum("qv").alias("qsum"))
-            .collect()
-        )
+        if update_mode == "portable":
+            agg = (
+                _assign(cents)
+                .join(qcomp, id_col)
+                .groupBy("centroid", "pos")
+                .agg(F.count("*").alias("n"), F.sum("qv").alias("qsum"))
+                .collect()
+            )
+        else:
+            agg = (
+                _kmeans_mapside_partials(qvecs, cents)
+                .groupBy("centroid", "pos")
+                .agg(F.sum("n").alias("n"), F.sum("qsum").alias("qsum"))
+                .collect()
+            )
         upd: dict[int, dict[int, int]] = {}
         for r in agg:
             # floor(qsum/n + 0.5) on exact doubles — see docstring

@@ -164,10 +164,20 @@ def fingerprints(
     )
 
 
-def _bm25_frames(df, text_col: str, id_col: str):
+def _bm25_frames(df, text_col: str, id_col: str, materialize: bool = False):
     """(toked, lens, stats) — the three frames every BM25 variant reads.
-    Shared so the scoring formula below has exactly one definition."""
+    Shared so the scoring formula below has exactly one definition.
+
+    ``materialize=True`` localCheckpoints the tokenized frame so a caller
+    that consumes it MORE THAN ONCE (RM3's two BM25 passes + feedback-term
+    extraction) tokenizes the corpus exactly once instead of once per
+    consumer — Catalyst has no common-subplan elimination across separate
+    scan subtrees. The price is materializing the tokenized corpus to
+    executor-local storage; at 100 TB you'd persist the tokenized frame
+    as a table instead, which is the same contract with durable storage."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    if materialize:
+        toked = toked.localCheckpoint()
     lens = toked.select(id_col, F.size("_tk").alias("_dl"))
     stats = lens.agg(
         F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
@@ -222,6 +232,7 @@ def bm25_search(
     b: float = 0.75,
     top_n: int = 10,
     round_to: int = 6,
+    frames=None,
 ) -> DataFrame:
     """BM25 keyword retrieval: top-``top_n`` docs for a bag of query terms.
 
@@ -238,7 +249,7 @@ def bm25_search(
     scores round before the rank so the cut is engine-portable.
     """
     terms = [t.lower() for t in query_terms]
-    toked, lens, stats = _bm25_frames(df, text_col, id_col)
+    toked, lens, stats = frames or _bm25_frames(df, text_col, id_col)
     postings = toked.select(id_col, F.explode("_tk").alias("term")).where(
         F.col("term").isin(terms)
     )
@@ -255,6 +266,7 @@ def bm25_search_weighted(
     b: float = 0.75,
     top_n: int = 10,
     round_to: int = 6,
+    frames=None,
 ) -> DataFrame:
     """BM25 over a WEIGHTED term frame ``(term, w)`` — the general form
     behind query expansion: score(d) = Σ_t w_t · bm25_t(d).
@@ -264,7 +276,7 @@ def bm25_search_weighted(
     IN-list (the IN-list is kept there — a literal filter beats a join
     when the terms ARE literals) — still pruned before any shuffle; term
     frames are a handful of rows by construction."""
-    toked, lens, stats = _bm25_frames(df, text_col, id_col)
+    toked, lens, stats = frames or _bm25_frames(df, text_col, id_col)
     postings = toked.select(id_col, F.explode("_tk").alias("term")).join(
         F.broadcast(terms_df), "term"
     )
@@ -298,16 +310,30 @@ def rm3_search(
     Everything stays in the plan — the feedback set and the expansion
     terms are ≤ fb_k / ≤ n_expand-row frames that broadcast; no driver
     collect. Deterministic end to end: expansion selection is integer
-    counts + lexicographic tiebreak, scores round before the final cut."""
+    counts + lexicographic tiebreak, scores round before the final cut.
+
+    The corpus is tokenized ONCE: ``_bm25_frames(materialize=True)``
+    checkpoints the tokenized frame and all three consumers (seed BM25,
+    feedback-term extraction, weighted re-rank) read it — previously each
+    pass re-tokenized, making tokenization ~3× of an inherently
+    two-pass algorithm."""
     from pyspark.sql import Window
 
     seeds = [t.lower() for t in seed_terms]
+    frames = _bm25_frames(df, text_col, id_col, materialize=True)
+    toked = frames[0]
     fb = bm25_search(
-        df, seeds, text_col=text_col, id_col=id_col, top_n=fb_k, round_to=round_to
+        df,
+        seeds,
+        text_col=text_col,
+        id_col=id_col,
+        top_n=fb_k,
+        round_to=round_to,
+        frames=frames,
     ).select(id_col)
     fb_postings = (
-        df.join(fb, id_col)
-        .select(F.explode(tokens(text_col)).alias("term"))
+        toked.join(F.broadcast(fb), id_col)
+        .select(F.explode("_tk").alias("term"))
         .where(~F.col("term").isin(seeds) & (F.length("term") >= min_term_len))
     )
     counts = fb_postings.groupBy("term").agg(F.count("*").alias("_cnt"))
@@ -330,6 +356,7 @@ def rm3_search(
         id_col=id_col,
         top_n=top_n,
         round_to=round_to,
+        frames=frames,
     )
 
 
