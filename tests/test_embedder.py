@@ -75,3 +75,16 @@ def test_reference_dimension_1536(spark):
     hits = topk(emb, q, k=2, id_col="doc_id").collect()
     assert hits[0]["doc_id"] == 1 and hits[0]["score"] > 0.999
     assert hits[1]["doc_id"] == 2  # near text ranks above unrelated
+
+
+def test_non_ascii_text_embeds_on_ascii_residue():
+    """Multi-byte text must flow through the embedder without error. The
+    deterministic stand-in tokenizes [a-z0-9] only (the reference's
+    ada-002 handles all scripts; this is the documented fixture
+    simplification), so a mixed Hebrew/ASCII string embeds exactly as its
+    ASCII residue and a purely-Hebrew string embeds to NULL — both facts
+    the `he` connector query relies on."""
+    mixed = embed_text("שלום עולם data processing at scale")
+    ascii_only = embed_text("data processing at scale")
+    assert mixed == ascii_only
+    assert embed_text("שלום עולם") is None

@@ -468,3 +468,30 @@ def test_streaming_capstone_serving_broadcasts_queries(spark, sf_dir):
     p = plan(streaming_pipeline_capstone(spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_kmeans_mapside_agg_no_explode_no_join(spark, embeddings):
+    """The map-side Lloyd update's per-iteration aggregate must be ONE
+    Arrow pass + one hash aggregate on its k·d partials — no Generate
+    (posexplode) and no Join anywhere, which is the entire point vs the
+    portable N·d join+groupBy path."""
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import _kmeans_mapside_partials
+
+    df = embeddings.select("vec_id", "embedding").limit(100)
+    quant = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+    qvecs = df.select(quant.alias("_qv"))
+    cents = [(i, [0] * 64) for i in range(4)]
+    agg = (
+        _kmeans_mapside_partials(qvecs, cents)
+        .groupBy("centroid", "pos")
+        .agg(F.sum("n").alias("n"), F.sum("qsum").alias("qsum"))
+    )
+    p = plan(agg)
+    assert "Generate" not in p and "Join" not in p
+    assert "MapInPandas" in p
+    # partial+final hash aggregate around the single exchange
+    assert p.count("HashAggregate") >= 2
