@@ -195,3 +195,29 @@ def test_elect_canonical_unscored_members(spark):
     assert got[1] == (3, 2, 9)
     # cluster 7 fully unscored: present, min-id elected, NULL score
     assert got[7] == (2, 7, None)
+
+
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """A 120-link duplicate chain (diameter 120 > max_iter 20) — plain
+    1-hop label propagation could never converge inside the round budget;
+    pointer doubling must land it in O(log diameter) rounds with the
+    exact same per-component minimum labels."""
+    from whatsapp_vectordb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_connected_components_two_chains_stay_separate(spark):
+    from whatsapp_vectordb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(1000 + i, 1001 + i) for i in range(30)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert all(got[1000 + i] == 1000 for i in range(31))

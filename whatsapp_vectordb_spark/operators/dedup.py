@@ -467,11 +467,18 @@ def connected_components(
     This is the step that turns pairwise near-dup evidence (MinHash/SimHash/
     cosine pairs) into a keep/drop decision — one canonical doc per cluster.
 
-    Scale shape: each round is one join edges⋈labels + one min-groupBy —
-    shuffles keyed by node id, state is O(|V|), rounds are O(graph
-    diameter) ≈ O(log n) for the short near-dup chains dedup produces (the
-    large-star/small-star variant of Kiveris et al. would cut round count
-    for pathological chains). Iteration happens on the driver but every
+    Scale shape: each round is one join edges⋈labels + one min-groupBy,
+    followed by a POINTER-DOUBLING shortcut (label ← min(label,
+    label[label]) — the path-halving trick from Kiveris et al.'s
+    star-contraction family): shuffles are keyed by node id, state is
+    O(|V|), and rounds are O(log diameter) instead of O(diameter), so a
+    pathological 1000-link duplicate chain (a boilerplate page mutated
+    incrementally across a crawl) converges in ~10 rounds instead of
+    blowing past ``max_iter``. The shortcut cannot change the fixpoint:
+    labels only ever decrease, and label[v] is always the id of a node in
+    v's component (neighbor labels by edge-reachability, label-of-label by
+    transitivity), so the limit is the same per-component minimum the
+    plain propagation reaches. Iteration happens on the driver but every
     round is a distributed plan — no per-node Python. Each round's labels
     are cached and the previous round unpersisted; convergence is one
     count() of changed labels per round.
@@ -486,25 +493,56 @@ def connected_components(
         .dropDuplicates(["node", "nbr"])
         .cache()
     )
-    labels = und.select("node").dropDuplicates().withColumn("label", F.col("node")).cache()
+    # per-round lineage MUST be truncated to a leaf (localCheckpoint, not
+    # cache): the shortcut self-join puts the round's subtree in the plan
+    # TWICE, so with growing lineage the LOGICAL plan doubles per round —
+    # caching bounds execution but Catalyst still analyzes the whole tree,
+    # and analysis time/heap explodes exponentially (measured: round 5 of
+    # a 30-chain took 45 s and a 120-chain OOM'd the driver). A checkpoint
+    # leaf keeps every round's plan constant-size.
+    labels = (
+        und.select("node")
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     changed = 0
     for _ in range(max_iter):
         prop = und.join(
             labels.withColumnRenamed("node", "nbr").withColumnRenamed("label", "nbr_label"),
             "nbr",
         ).select("node", F.col("nbr_label").alias("label"))
-        new_labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
+        )
+        # pointer doubling: label ← min(label, label[label]). label[label]
+        # exists whenever label ≠ node (every propagated label is itself a
+        # node), so a LEFT join + coalesce keeps self-labeled roots intact.
+        new_labels = (
+            stepped.alias("l1")
+            .join(
+                stepped.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                ).alias("l2"),
+                F.col("l1.label") == F.col("_ln"),
+                "left",
+            )
+            .select(
+                F.col("l1.node").alias("node"),
+                F.least(
+                    F.col("l1.label"), F.coalesce(F.col("_ll"), F.col("l1.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
