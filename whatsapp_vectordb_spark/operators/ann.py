@@ -394,6 +394,14 @@ def portable_lsh_join(
     candidate set bit-reproducible in a SQL oracle. Recall follows the
     band S-curve: a true cos≈τ pair lands together w.p.
     1-(1-p^r)^b with p = 1 - θ/π; exact duplicates always collide.
+
+    Sizing: the defaults (16 planes / 4 bands = 4-bit chunks, 16 buckets
+    per band) are gate-scale; at n ≥ ~2k random collisions flood the band
+    join (~n²/16 pairs per band). Grow chunk width with n — 32 planes /
+    4 bands (8-bit chunks) measured 2.5× faster end-to-end at 2k+ rows
+    (BASELINE.md), and at larger n keep ~n per band bucket ≪ collision
+    budget by raising n_planes. Oracle-pinned queries pass these
+    explicitly, so the defaults stay stable.
     """
     rows_per_band = n_planes // bands
     dim = _resolve_dim(df, vec_col, dim)
