@@ -351,6 +351,14 @@ def main() -> None:
 
         cluster_kmeans_converge(spark, sf_dir).collect()
 
+    @timed("cluster_kmeans_mapside")
+    def _():
+        # the production update path (round 8) — timed next to its
+        # portable twin so the mapside/portable gap is a recorded ratio
+        from whatsapp_vectordb_spark.harness import cluster_kmeans_mapside
+
+        cluster_kmeans_mapside(spark, sf_dir).collect()
+
     @timed("streaming_pipeline_capstone")
     def _():
         from whatsapp_vectordb_spark.harness import streaming_pipeline_capstone
