@@ -207,8 +207,13 @@ def test_connected_components_long_chain_converges_log_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint"
     )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(121)}
+    # superseded rounds' checkpoints are freed eagerly: ~7 rounds must
+    # leave at most the final labels (+1 slack), not one block per round
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 2, f"checkpoint leak: {after - before} new stored RDDs"
 
 
 def test_connected_components_two_chains_stay_separate(spark):

@@ -104,8 +104,13 @@ def _capstone_replay(n_rows: int, n_batches: int) -> None:
         with open(os.path.join(drop, f"deliver_{b:03d}.jsonl"), "w") as fh:
             for i in range(per):
                 vid = lo + i
-                if b > 0 and i % 10 == 0:  # re-delivery of an already-indexed id
-                    vid = lo - per + i
+                # re-delivery of an id the previous batch actually WROTE:
+                # lo-per+i with i%10==0 is the slot the previous batch
+                # itself replaced with ITS re-delivery (never written), so
+                # +1 targets a genuinely-indexed id — without it, batches
+                # ≥2 contain zero duplicates and the anti-join is idle
+                if b > 0 and i % 10 == 0:
+                    vid = lo - per + i + 1
                 line = (
                     '{"vec_id": %d, "embedding": [%s]}'
                     % (vid, ",".join(repr(float(x)) for x in m[i]))

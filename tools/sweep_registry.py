@@ -58,11 +58,22 @@ def _prev_sweep() -> tuple[str, dict] | tuple[None, None]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    explicit_out = len(sys.argv) > 2
     out_path = (
         sys.argv[2]
-        if len(sys.argv) > 2
+        if explicit_out
         else os.path.join(REPO, f"SWEEP_r{_next_round():02d}.json")
     )
+    if not explicit_out and os.path.exists(out_path):
+        # _next_round infers from CORRECTNESS files, which lag the sweep
+        # within a round — a same-round rerun would silently destroy the
+        # committed baseline it is ABOUT to compare against
+        print(
+            f"refusing to overwrite {out_path} — pass an explicit out path "
+            "(e.g. /tmp/sweep.json) for a same-round re-run",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     prev_name, prev = _prev_sweep()
     prev_times = (prev or {}).get("times", {})
 

@@ -947,21 +947,20 @@ JOIN mv ON mv.centroid = f.centroid
 """
 
 
-@_register("cluster_kmeans_converge", _kmeans_converge_sql(_KM_K, _KM_ITERS, _KM_SCALE))
-def cluster_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The k-means convergence loop (operators/ann.kmeans_lloyd): each
-    iteration is one broadcast-argmin pass plus one k·d-bounded aggregate
-    collected to the driver (the MLlib contract — centroids live on the
-    driver, data never does), with empty-cell carry-forward and an exact
-    integer L1 movement per centroid. The oracle replays the SAME math as
-    unrolled CTEs; every value (memberships, centroid checksums, movement)
-    must match bit-for-bit, which it can because the update rule is
-    quantized-integer + exactly-rounded IEEE division, not float
-    accumulation."""
+def _kmeans_converge_summary(
+    spark: SparkSession, sf_dir: str, update_mode: str
+) -> DataFrame:
+    """Shared body of the converge/mapside query pair: run kmeans_lloyd to
+    _KM_ITERS in the given update mode and emit the per-centroid summary
+    (member count, centroid checksums, L1 movement) the unrolled-CTE
+    oracle replays. ONE definition so a checksum tweak cannot land in one
+    twin and silently diverge the other's oracle."""
     from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, assigned, movement = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+    cents, assigned, movement = kmeans_lloyd(
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode=update_mode
+    )
     counts = assigned.groupBy("centroid").agg(F.count("*").cast("long").alias("n_members"))
     summary = spark.createDataFrame(
         [
@@ -985,6 +984,20 @@ def cluster_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "movement",
         )
     )
+
+
+@_register("cluster_kmeans_converge", _kmeans_converge_sql(_KM_K, _KM_ITERS, _KM_SCALE))
+def cluster_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means convergence loop (operators/ann.kmeans_lloyd): each
+    iteration is one broadcast-argmin pass plus one k·d-bounded aggregate
+    collected to the driver (the MLlib contract — centroids live on the
+    driver, data never does), with empty-cell carry-forward and an exact
+    integer L1 movement per centroid. The oracle replays the SAME math as
+    unrolled CTEs; every value (memberships, centroid checksums, movement)
+    must match bit-for-bit, which it can because the update rule is
+    quantized-integer + exactly-rounded IEEE division, not float
+    accumulation."""
+    return _kmeans_converge_summary(spark, sf_dir, "portable")
 
 
 # Round 8: the PRODUCTION k-means update path under the SAME unrolled-CTE
@@ -1002,35 +1015,7 @@ def cluster_kmeans_mapside(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the SAME unrolled-CTE replay of the portable formula —
     passing means the scale path and the analytic spec agree bit-for-bit
     on centroids, memberships, and movement."""
-    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
-
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, assigned, movement = kmeans_lloyd(
-        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="mapside"
-    )
-    counts = assigned.groupBy("centroid").agg(F.count("*").cast("long").alias("n_members"))
-    summary = spark.createDataFrame(
-        [
-            (
-                cid,
-                sum(qc),
-                sum((j + 1) * x for j, x in enumerate(qc)),
-                movement[cid],
-            )
-            for cid, qc in cents
-        ],
-        "centroid bigint, qc_sum bigint, qc_sum_weighted bigint, movement bigint",
-    )
-    return (
-        summary.join(counts, "centroid", "left")
-        .select(
-            "centroid",
-            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
-            "qc_sum",
-            "qc_sum_weighted",
-            "movement",
-        )
-    )
+    return _kmeans_converge_summary(spark, sf_dir, "mapside")
 
 
 # ==========================================================================

@@ -1557,7 +1557,17 @@ def _kmeans_mapside_partials(qvecs: DataFrame, cents) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            q = np.asarray(pdf["_qv"].tolist(), dtype=np.int64)
+            # NULL vectors contribute nothing — exactly what the portable
+            # path's posexplode does (explode of NULL yields zero rows),
+            # so NULL-row parity holds. Wrong-length vectors are dropped
+            # here too: the portable explode would PARTIALLY count a
+            # ragged vector's leading positions, which is meaningless —
+            # fixed-dim is the operator contract (component-level NULLs
+            # are likewise out of contract for both paths).
+            vals = [v for v in pdf["_qv"] if v is not None and len(v) == d]
+            if not vals:
+                continue
+            q = np.asarray(vals, dtype=np.int64)
             assign = (cnorm[None, :] - 2 * (q @ c_mat.T)).argmin(axis=1)
             counts += np.bincount(assign, minlength=k)
             for j in np.unique(assign):

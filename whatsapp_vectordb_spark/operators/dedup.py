@@ -452,6 +452,20 @@ def benchmark_contamination(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a SUPERSEDED localCheckpoint's storage
+    blocks. ContextCleaner only frees checkpoint blocks on driver GC of
+    the RDD handle, which for an iterative loop means O(rounds·|V|) rows
+    piling up in executor storage. The frame is unusable afterwards (the
+    blocks ARE its only lineage) — call exclusively on frames that are
+    never read again. Best-effort: the internal accessor is version-
+    sensitive, so failures fall back to GC cleanup."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -479,8 +493,10 @@ def connected_components(
     v's component (neighbor labels by edge-reachability, label-of-label by
     transitivity), so the limit is the same per-component minimum the
     plain propagation reaches. Iteration happens on the driver but every
-    round is a distributed plan — no per-node Python. Each round's labels
-    are cached and the previous round unpersisted; convergence is one
+    round is a distributed plan — no per-node Python. Each round's label
+    frames are checkpointed (see the plan-size note at the loop) and every
+    SUPERSEDED round's blocks are released eagerly, so live storage is
+    ≤ 2 copies of the O(|V|) label table at any time; convergence is one
     count() of changed labels per round.
     """
     if max_iter < 1:
@@ -543,6 +559,10 @@ def connected_components(
             .where(F.col("label") != F.col("old"))
             .count()
         )
+        # new_labels is materialized (eager checkpoint) and changed is
+        # counted — this round's stepped and the previous labels are dead
+        _free_local_checkpoint(stepped)
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
