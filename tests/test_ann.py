@@ -437,3 +437,22 @@ def test_kmeans_mapside_empty_cell_carries_forward(spark):
     assert by_id[1] == [0, 0]
     assert movement[1] == 0 and movement[0] > 0
     assert by_id[0] == [75000, 0]
+
+
+def test_kmeans_mapside_null_rows_match_portable(spark):
+    """A NULL-embedding row must be ignored by BOTH update paths (the
+    portable posexplode of NULL yields zero rows; the mapside pass
+    filters it) — identical centroids and movement on the dirty frame."""
+    from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, None),
+        (3, [0.2, 0.0]),
+        (4, [0.9, 1.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents_p, _, mov_p = kmeans_lloyd(df, k=2, iters=2, update_mode="portable")
+    cents_m, _, mov_m = kmeans_lloyd(df, k=2, iters=2, update_mode="mapside")
+    assert cents_p == cents_m and mov_p == mov_m
