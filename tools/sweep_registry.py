@@ -45,6 +45,23 @@ def _next_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _flag_regressions(times: dict, prev_times: dict) -> dict:
+    """Queries whose time grew > FLAG_RATIO× vs the previous sweep.
+    Sub-floor pairs (both runs < FLAG_FLOOR_S) are timer noise and never
+    flag; queries absent from the previous sweep have no baseline."""
+    flagged = {}
+    for name, sec in times.items():
+        old = prev_times.get(name)
+        if (
+            old is not None
+            and max(old, sec) >= FLAG_FLOOR_S
+            and old > 0
+            and sec / old > FLAG_RATIO
+        ):
+            flagged[name] = {"prev_s": old, "now_s": sec, "ratio": round(sec / old, 2)}
+    return flagged
+
+
 def _prev_sweep() -> tuple[str, dict] | tuple[None, None]:
     paths = sorted(
         glob.glob(os.path.join(REPO, "SWEEP_r*.json")),
@@ -98,16 +115,7 @@ def main() -> None:
         if i % 20 == 0:
             print(f"... {i}/{len(qs)}", file=sys.stderr, flush=True)
 
-    flagged = {}
-    for name, sec in times.items():
-        old = prev_times.get(name)
-        if (
-            old is not None
-            and max(old, sec) >= FLAG_FLOOR_S
-            and old > 0
-            and sec / old > FLAG_RATIO
-        ):
-            flagged[name] = {"prev_s": old, "now_s": sec, "ratio": round(sec / old, 2)}
+    flagged = _flag_regressions(times, prev_times)
 
     out = {
         "metric": "registry_sweep",
