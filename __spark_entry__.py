@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries repaired since their last driver row — pinned to the very front
 # so the driver's ~50-row sample re-verifies them next round. Empty since
 # round 5 (no driver-row failures since); the ordering falls through to
-# never-sampled-first (round 7 adds five) then stalest-green-first, which
-# drains the remaining r3 cohort this round and starts on r4.
+# never-sampled-first (round 8 adds four) then stalest-green-first, which
+# closes the 36-row r4 cohort this round and starts on r5.
 _FRONTLOAD: list[str] = []
 
 
