@@ -1,8 +1,15 @@
-"""Unit tests for the driver-side tooling (no Spark session needed)."""
+"""Unit tests for the driver-side tooling (no Spark session needed).
+
+These tests are hermetic: they seed a tmp directory with synthetic
+CORRECTNESS_r*/SWEEP_r* artifacts instead of asserting against the live
+repo's artifact set (which the driver mutates every round — a test pinned
+to "current round == N" breaks the moment the next round's files land).
+"""
 
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -33,14 +40,41 @@ def test_sweep_flags_only_material_regressions():
     assert got["d"]["prev_s"] == 0.2 and got["d"]["now_s"] == 0.9
 
 
-def test_sweep_next_round_tracks_correctness_files():
+def test_sweep_next_round_tracks_correctness_files(tmp_path):
     sweep = _load_sweep()
-    # this repo has CORRECTNESS_r01..r07 -> the sweep labels itself r08
-    assert sweep._next_round() == 8
+    # empty dir -> round 1
+    assert sweep._next_round(str(tmp_path)) == 1
+    for r in (1, 2, 3, 7):
+        (tmp_path / f"CORRECTNESS_r{r:02d}.json").write_text("{}")
+    assert sweep._next_round(str(tmp_path)) == 8
 
 
-def test_sweep_prev_sweep_reads_newest():
+def test_sweep_next_round_defaults_to_live_repo():
+    """The default repo root must still be the real repo (sanity: the
+    answer is one more than the newest CORRECTNESS file, whatever round
+    the driver is on)."""
+    import glob
+    import re
+
     sweep = _load_sweep()
-    name, data = sweep._prev_sweep()
-    assert name == "SWEEP_r08.json"
-    assert data["n_queries"] == 190 and len(data["times"]) == 190
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "driver artifacts missing entirely?"
+    assert sweep._next_round() == max(rounds) + 1
+
+
+def test_sweep_prev_sweep_reads_newest(tmp_path):
+    sweep = _load_sweep()
+    # no sweeps yet -> (None, None)
+    assert sweep._prev_sweep(str(tmp_path)) == (None, None)
+    (tmp_path / "SWEEP_r08.json").write_text(
+        json.dumps({"n_queries": 2, "times": {"a": 1.0, "b": 2.0}})
+    )
+    (tmp_path / "SWEEP_r09.json").write_text(
+        json.dumps({"n_queries": 3, "times": {"a": 1.0, "b": 2.0, "c": 3.0}})
+    )
+    name, data = sweep._prev_sweep(str(tmp_path))
+    assert name == "SWEEP_r09.json"
+    assert data["n_queries"] == 3 and len(data["times"]) == 3

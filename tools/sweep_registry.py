@@ -36,10 +36,10 @@ FLAG_RATIO = 3.0
 FLAG_FLOOR_S = 0.5  # both runs under this → timer noise, never flag
 
 
-def _next_round() -> int:
+def _next_round(repo: str = REPO) -> int:
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         if (m := re.search(r"r(\d+)", os.path.basename(p)))
     ]
     return (max(rounds) + 1) if rounds else 1
@@ -62,9 +62,9 @@ def _flag_regressions(times: dict, prev_times: dict) -> dict:
     return flagged
 
 
-def _prev_sweep() -> tuple[str, dict] | tuple[None, None]:
+def _prev_sweep(repo: str = REPO) -> tuple[str, dict] | tuple[None, None]:
     paths = sorted(
-        glob.glob(os.path.join(REPO, "SWEEP_r*.json")),
+        glob.glob(os.path.join(repo, "SWEEP_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not paths:
