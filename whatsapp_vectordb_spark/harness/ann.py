@@ -2065,7 +2065,11 @@ def ann_ivf_portable_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, assigned, _ = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+    # explicit portable: this query's oracle replays the BUILD as unrolled
+    # CTEs of the portable formula (production default is mapside)
+    cents, assigned, _ = kmeans_lloyd(
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+    )
 
     # query's quantized components, via the same F.round path as the build
     q0 = (
@@ -2165,7 +2169,11 @@ def ann_ivf_portable_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     from whatsapp_vectordb_spark.operators.ann import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, assigned, _ = kmeans_lloyd(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+    # explicit portable: the sweep's oracle replays the BUILD (see
+    # _ivf_portable_sweep_sql); production default is mapside
+    cents, assigned, _ = kmeans_lloyd(
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+    )
 
     q0 = (
         emb.where(F.col("vec_id") == 0)

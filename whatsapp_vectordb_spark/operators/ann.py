@@ -500,9 +500,12 @@ class IvfIndex:
     ) -> "IvfIndex":
         """Engine-portable build: the coarse quantizer is ``kmeans_lloyd``
         (integer-exact quantized Lloyd — seeds are the ``n_centroids``
-        smallest ids, updates are HALF_UP integer math), so the ENTIRE
-        build is replayable bit-for-bit by a SQL oracle with no persisted
-        state (harness ``ann_ivf_portable_build_probe``). MLlib's
+        smallest ids, updates are ``floor(qsum/n + 0.5)`` half-toward-+inf
+        integer math), so the ENTIRE build is replayable bit-for-bit by a
+        SQL oracle with no persisted state (harness
+        ``ann_ivf_portable_build_probe``). The update runs in the
+        map-side mode (bit-equal to the portable formula the oracle
+        unrolls; the portable N·d join is oracle plumbing only). MLlib's
         ``build`` stays the default for speed/quality at high k; this is
         the verifiable twin. Assignment comes back from the same loop —
         one extra map pass joins the vectors for the cell layout."""
@@ -1597,7 +1600,7 @@ def kmeans_lloyd(
     scale: int = 1_000_000,
     history: list | None = None,
     stop_when_stable: bool = False,
-    update_mode: str = "portable",
+    update_mode: str = "mapside",
 ):
     """Multi-iteration Lloyd k-means with INTEGER-exact quantized
     arithmetic — the convergence loop over the single step that
@@ -1644,11 +1647,12 @@ def kmeans_lloyd(
     (count, qsum) aggregate is computed — the numbers are bit-identical
     either way (pinned by ``tests/test_ann.py`` parity):
 
-    - ``"portable"`` (default, what the SQL oracle replays literally):
-      posexplode the quantized components once, then per iteration join
-      the assignment back by id and groupBy — an N·d-row shuffle per
-      iteration.
-    - ``"mapside"`` (the production path at scale): one
+    - ``"portable"`` (what the SQL oracle replays literally; oracle
+      plumbing, NOT the at-scale plan — at 200k×1536 its N·d exploded
+      frame needed ~90 GB of driver-adjacent heap): posexplode the
+      quantized components once, then per iteration join the assignment
+      back by id and groupBy — an N·d-row shuffle per iteration.
+    - ``"mapside"`` (default — the production path at scale): one
       ``mapInPandas`` pass over the Spark-pre-quantized vectors computes
       the exact-integer argmin AND the per-partition partial sums in the
       same pass (``_kmeans_mapside_partials``); the shuffle per iteration
