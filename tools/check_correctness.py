@@ -17,6 +17,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Per-process oracle-scratch isolation (VERDICT r8 #3): two concurrent
+# harness processes on one box must not share the fixed persisted-oracle
+# scratch (paths are baked into oracle SQL at harness import time, below).
+# Respects an explicit caller override.
+if "SPARK_GRAFT_ORACLE_SCRATCH" not in os.environ:
+    import atexit
+    import shutil
+    import tempfile
+
+    _scratch = tempfile.mkdtemp(prefix="wvs-scratch-gate-")
+    os.environ["SPARK_GRAFT_ORACLE_SCRATCH"] = _scratch
+    atexit.register(shutil.rmtree, _scratch, ignore_errors=True)
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
