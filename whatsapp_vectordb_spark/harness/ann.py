@@ -2146,7 +2146,15 @@ appr AS (
     WHERE list_cosine_similarity(e.embedding::DOUBLE[], qvec.v) IS NOT NULL
   ) WHERE r <= 10
 ),
-nc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+-- LEFT JOIN from np, counting cand.vec_id: an nprobe level whose probed
+-- cells are ALL empty (a carried-forward empty centroid nearest the query)
+-- must still yield a row (n_candidates=0, recall 0.0) to match the Spark
+-- side's unconditional per-nprobe aggregate (ADVICE r8)
+nc AS (
+  SELECT np.nprobe, CAST(COUNT(c.vec_id) AS BIGINT) AS n_candidates
+  FROM np LEFT JOIN cand c ON c.nprobe = np.nprobe
+  GROUP BY 1
+),
 hits AS (
   SELECT a.nprobe, COUNT(*) AS h FROM appr a JOIN exact x ON x.vec_id = a.vec_id
   GROUP BY 1

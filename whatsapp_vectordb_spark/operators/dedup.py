@@ -452,18 +452,10 @@ def benchmark_contamination(
     )
 
 
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Deterministically release a SUPERSEDED localCheckpoint's storage
-    blocks. ContextCleaner only frees checkpoint blocks on driver GC of
-    the RDD handle, which for an iterative loop means O(rounds·|V|) rows
-    piling up in executor storage. The frame is unusable afterwards (the
-    blocks ARE its only lineage) — call exclusively on frames that are
-    never read again. Best-effort: the internal accessor is version-
-    sensitive, so failures fall back to GC cleanup."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# shared with textops.rm3_search — see operators/_checkpoint.py
+from whatsapp_vectordb_spark.operators._checkpoint import (  # noqa: E402
+    free_local_checkpoint as _free_local_checkpoint,
+)
 
 
 def connected_components(

@@ -349,7 +349,7 @@ def rm3_search(
     spark = df.sparkSession
     seeds_df = spark.createDataFrame([(t, 1.0) for t in seeds], "term string, w double")
     terms_df = seeds_df.unionByName(expansion)
-    return bm25_search_weighted(
+    out = bm25_search_weighted(
         df,
         terms_df,
         text_col=text_col,
@@ -358,6 +358,18 @@ def rm3_search(
         round_to=round_to,
         frames=frames,
     )
+    # Run the weighted re-rank NOW into a ≤top_n-row checkpoint (the
+    # tokenized checkpoint is the plan's only lineage), then release the
+    # corpus-sized tokenized blocks eagerly — ContextCleaner frees them
+    # only on driver GC of the RDD handle, so repeated rm3 calls in one
+    # session (registry sweep + driver suite) would otherwise accumulate
+    # one tokenized-corpus copy per call (ADVICE r8). The tokenization
+    # was already eager (materialize=True), so this adds no extra pass.
+    out = out.localCheckpoint()
+    from whatsapp_vectordb_spark.operators._checkpoint import free_local_checkpoint
+
+    free_local_checkpoint(toked)
+    return out
 
 
 # PII scrub patterns — deliberately simple, RE2/Java-regex-portable
