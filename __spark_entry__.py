@@ -45,8 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries repaired since their last driver row — pinned to the very front
 # so the driver's ~50-row sample re-verifies them next round. Empty since
 # round 5 (no driver-row failures since); the ordering falls through to
-# never-sampled-first (round 8 adds four) then stalest-green-first, which
-# closes the 36-row r4 cohort this round and starts on r5.
+# never-sampled-first (none — all 190 have rows) then stalest-green-first,
+# which this round drains the entire remaining r5 cohort (40 rows) plus
+# the 10 oldest r6 rows — after r9 no latest row should be older than r6.
 _FRONTLOAD: list[str] = []
 
 

@@ -424,7 +424,34 @@ def main() -> None:
             .collect()
         )
 
+    # --- Hebrew chat export through the same connector (VERDICT r8 #8):
+    # multi-byte senders/messages exercise the UTF-8 path of the Python
+    # source's regex + Arrow transfer; a mangle or slow-path regression in
+    # multi-byte handling shows up here as a number, separate from the
+    # ASCII read above. Same shard layout, synthesis untimed.
+    from whatsapp_vectordb_spark.harness import _chat_lines_he_df
+
+    chat_he_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_he_")
+    he_rows = _chat_lines_he_df(spark, sf_dir).orderBy("doc_id").collect()
+    shards = [open(os.path.join(chat_he_dir, f"chat_{i:02d}.txt"), "w", encoding="utf-8") for i in range(32)]
+    for i, r in enumerate(he_rows):
+        shards[i % 32].write(r["value"] + "\n")
+    for f in shards:
+        f.close()
+
+    @timed("whatsapp_source_read_he")
+    def _():
+        (
+            spark.read.format(ws_fmt)
+            .load(chat_he_dir)
+            .where(F.col("parse_ok"))
+            .groupBy("sender")
+            .agg(F.count("*"), F.sum(F.length("message")))
+            .collect()
+        )
+
     shutil.rmtree(chat_dir, ignore_errors=True)
+    shutil.rmtree(chat_he_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     print(
