@@ -12,7 +12,7 @@ API), so super-linear blow-ups show up in bytes even when wall time is
 noisy on a shared host.
 
     python tools/stress_pipelines.py [replicas ...]   # default: 50 100 200
-    python tools/stress_pipelines.py --capstone [n_rows] [n_batches]
+    python tools/stress_pipelines.py --capstone [n_rows] [n_batches] [preseed]
 
 ``--capstone`` instead replays the streaming capstone's ingest loop
 (JSONL drop → validity filter → within-batch dropDuplicates → anti-join
@@ -65,7 +65,7 @@ def _shuffle_delta_mb(before: tuple[int, int] | None, after: tuple[int, int] | N
     return (round((after[0] - before[0]) / 1e6, 1), round((after[1] - before[1]) / 1e6, 1))
 
 
-def _capstone_replay(n_rows: int, n_batches: int) -> None:
+def _capstone_replay(n_rows: int, n_batches: int, preseed: int = 0) -> None:
     """Streaming-capstone ingest at stress scale: one JSONL file per
     micro-batch (``n_rows / n_batches`` rows each, dim-64 vectors, ~3%
     malformed lines, 10% of each batch re-delivering ids from the previous
@@ -97,6 +97,30 @@ def _capstone_replay(n_rows: int, n_batches: int) -> None:
     per = n_rows // n_batches
     dim = 64
     rng = np.random.default_rng(11)
+
+    preseed_s = 0.0
+    if preseed:
+        # Pre-seed the persisted index at `preseed` rows (id space disjoint
+        # from the stream's) so the replay measures per-batch cost against
+        # a LARGE existing index — the anti-join's right side is the id
+        # projection of `preseed + appended` rows, and flat batch numbers
+        # here pin that the scan is column-pruned (id-only) and the join
+        # stays sub-linear in index size per batch (VERDICT r8 #7).
+        t0 = time.perf_counter()
+        (
+            spark.range(10_000_000, 10_000_000 + preseed)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(1, {dim}), "
+                    "j -> round(sin(id * j * 0.7182818), 4))"
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(index_path)
+        )
+        preseed_s = round(time.perf_counter() - t0, 1)
+
     t0 = time.perf_counter()
     for b in range(n_batches):
         lo = b * per
@@ -165,6 +189,8 @@ def _capstone_replay(n_rows: int, n_batches: int) -> None:
                 "metric": "capstone_stream_stress",
                 "n_rows": n_rows,
                 "n_batches": n_batches,
+                "preseed": preseed,
+                "preseed_s": preseed_s,
                 "synth_s": synth_s,
                 "n_indexed": n_indexed,
                 "batches": batch_rows,
@@ -178,7 +204,9 @@ def main() -> None:
     if "--capstone" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         _capstone_replay(
-            int(args[0]) if args else 120_000, int(args[1]) if len(args) > 1 else 12
+            int(args[0]) if args else 120_000,
+            int(args[1]) if len(args) > 1 else 12,
+            preseed=int(args[2]) if len(args) > 2 else 0,
         )
         return
     levels = [int(a) for a in sys.argv[1:]] or [50, 100, 200]
