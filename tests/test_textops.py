@@ -248,3 +248,26 @@ def test_bigram_loglik_scores_fluency(spark):
     out = {r["doc_id"]: r["avg_logprob"] for r in bigram_loglik(docs).collect()}
     assert out[0] > out[99]
     assert all(out[i] == out[0] for i in range(10))
+
+
+def test_rm3_releases_tokenized_checkpoint(spark, documents):
+    """ADVICE r8: rm3_search localCheckpoints the tokenized corpus for its
+    three consumers but must release those blocks eagerly — otherwise each
+    call in a session leaks one tokenized-corpus copy until driver GC.
+    After a call, only the ≤top_n-row result checkpoint may persist, and
+    results stay deterministic across repeated calls (the release must not
+    cut lineage the returned frame still needs)."""
+    from whatsapp_vectordb_spark.operators.textops import rm3_search
+
+    def storage_mem() -> int:
+        return sum(
+            i.memSize() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
+
+    before = storage_mem()
+    a = rm3_search(documents, ["spark", "join"], top_n=5).collect()
+    b = rm3_search(documents, ["spark", "join"], top_n=5).collect()
+    assert a == b and len(a) == 5
+    # two ≤5-row result checkpoints may remain; the tokenized corpus
+    # (hundreds of docs × tokens) must not
+    assert storage_mem() - before < 50_000
