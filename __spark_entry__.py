@@ -42,13 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries repaired since their last driver row — pinned to the very front
-# so the driver's ~50-row sample re-verifies them next round. Empty since
-# round 5 (no driver-row failures since); the ordering falls through to
-# never-sampled-first (none — all 190 have rows) then stalest-green-first,
-# which this round drains the entire remaining r5 cohort (40 rows) plus
-# the 10 oldest r6 rows — after r9 no latest row should be older than r6.
-_FRONTLOAD: list[str] = []
+# RULE (VERDICT r9 #2): any query whose oracle SQL or implementation
+# changed since its latest driver row goes here THE SAME ROUND the change
+# lands — a green driver row that predates the change verifies nothing.
+# Clear entries once their fresh row lands.
+#
+# r10: ann_ivf_portable_nprobe_sweep's oracle changed in r9 (dae6a7e,
+# LEFT JOIN fix for the empty-probed-cell row drop) but its latest driver
+# row is r8 (pre-change); stalest-first wouldn't resample it until ~r11.
+# The rest of the ordering falls through to stalest-green-first, draining
+# the r6 cohort (40 rows) — after r10 no latest row should be older
+# than r7.
+_FRONTLOAD: list[str] = ["ann_ivf_portable_nprobe_sweep"]
 
 
 def _driver_status() -> dict[str, tuple[int, bool]]:

@@ -454,20 +454,44 @@ def main() -> None:
     shutil.rmtree(chat_he_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_all": timings_all,
-                "reps": reps,
-                "sf": sf,
-                "n_embeddings": n_emb,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_all": timings_all,
+        "reps": reps,
+        "sf": sf,
+        "n_embeddings": n_emb,
+    }
+    # The driver's BENCH_r*.json capture keeps only a truncated stdout
+    # tail, losing the head of this one-line JSON (the first ~4 queries'
+    # timings were unrecoverable from r9's artifact — VERDICT r9 #4). Also
+    # write the complete dict to a repo file, pretty-printed, committed
+    # per round so the full record survives. Round inferred from the
+    # newest CORRECTNESS_r*.json (this bench runs before the driver
+    # writes the current round's file, so +1); overridable for ad-hoc
+    # runs via SPARK_GRAFT_BENCH_OUT.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"r(\d+)", os.path.basename(p)))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+        out_path = os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # stdout line is still the contract; the file is belt+braces
+    print(json.dumps(payload))
     spark.stop()
 
 

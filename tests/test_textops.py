@@ -256,18 +256,30 @@ def test_rm3_releases_tokenized_checkpoint(spark, documents):
     call in a session leaks one tokenized-corpus copy until driver GC.
     After a call, only the ≤top_n-row result checkpoint may persist, and
     results stay deterministic across repeated calls (the release must not
-    cut lineage the returned frame still needs)."""
+    cut lineage the returned frame still needs).
+
+    This is also the PRIVATE-API CANARY for ``free_local_checkpoint``
+    (operators/_checkpoint.py): it asserts the tokenized blocks drop to
+    ZERO — no new cached RDD bigger than a result checkpoint exists at
+    all — so a Spark upgrade that breaks the internal accessor fails here
+    loudly instead of silently falling back to GC cleanup. The helper
+    unpersists blocking (ADVICE r9), so no poll/retry is needed."""
     from whatsapp_vectordb_spark.operators.textops import rm3_search
 
-    def storage_mem() -> int:
-        return sum(
-            i.memSize() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        )
+    def cached() -> dict[int, int]:
+        return {
+            i.id(): i.memSize()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
-    before = storage_mem()
+    before = cached()
     a = rm3_search(documents, ["spark", "join"], top_n=5).collect()
     b = rm3_search(documents, ["spark", "join"], top_n=5).collect()
     assert a == b and len(a) == 5
-    # two ≤5-row result checkpoints may remain; the tokenized corpus
-    # (hundreds of docs × tokens) must not
-    assert storage_mem() - before < 50_000
+    new = {rid: sz for rid, sz in cached().items() if rid not in before}
+    # the two ≤5-row result checkpoints may remain; the tokenized corpus
+    # (hundreds of docs × tokens, >>25 KB) must be GONE, not just shrunk
+    assert len(new) <= 2, f"unexpected cached RDDs: {new}"
+    assert all(sz < 25_000 for sz in new.values()), (
+        f"tokenized-corpus-sized block survived release: {new}"
+    )

@@ -50,19 +50,12 @@ def test_sweep_next_round_tracks_correctness_files(tmp_path):
 
 
 def test_sweep_next_round_defaults_to_live_repo():
-    """The default repo root must still be the real repo (sanity: the
-    answer is one more than the newest CORRECTNESS file, whatever round
-    the driver is on)."""
-    import glob
-    import re
-
+    """The default repo root must still be the real repo. Deliberately
+    weak (ADVICE r9): the live CORRECTNESS_r*.json set is mutable driver
+    state, so only assert the default resolves to a positive round — the
+    exact-arithmetic case is covered hermetically above."""
     sweep = _load_sweep()
-    rounds = [
-        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-    ]
-    assert rounds, "driver artifacts missing entirely?"
-    assert sweep._next_round() == max(rounds) + 1
+    assert sweep._next_round() >= 1
 
 
 def test_sweep_prev_sweep_reads_newest(tmp_path):

@@ -444,8 +444,10 @@ LIMIT 10
 def text_search_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query expansion the Anserini/Lucene way (RM3 lineage): the whole
     feedback loop — retrieve, mine expansion terms, weighted re-rank —
-    stays in ONE plan; the feedback set and term weights are tiny
-    broadcast frames, never a driver collect (textops.rm3_search)."""
+    runs eagerly in two checkpointed phases sharing ONE tokenization
+    (tokenized corpus checkpointed, released after the re-rank lands in a
+    ≤top_n-row result checkpoint); the feedback set and term weights are
+    tiny broadcast frames, never a driver collect (textops.rm3_search)."""
     from whatsapp_vectordb_spark.operators.textops import rm3_search
 
     return rm3_search(

@@ -307,16 +307,23 @@ def rm3_search(
     engine-portable stopword guard; ties by term ascending) join the
     query at ``expand_weight``, and a weighted BM25 re-ranks.
 
-    Everything stays in the plan — the feedback set and the expansion
-    terms are ≤ fb_k / ≤ n_expand-row frames that broadcast; no driver
-    collect. Deterministic end to end: expansion selection is integer
-    counts + lexicographic tiebreak, scores round before the final cut.
+    No driver collect anywhere — the feedback set and the expansion terms
+    are ≤ fb_k / ≤ n_expand-row frames that broadcast. Deterministic end
+    to end: expansion selection is integer counts + lexicographic
+    tiebreak, scores round before the final cut.
 
-    The corpus is tokenized ONCE: ``_bm25_frames(materialize=True)``
-    checkpoints the tokenized frame and all three consumers (seed BM25,
-    feedback-term extraction, weighted re-rank) read it — previously each
-    pass re-tokenized, making tokenization ~3× of an inherently
-    two-pass algorithm."""
+    EXECUTES EAGERLY, in two checkpointed phases (not one lazy plan): the
+    corpus is tokenized ONCE into a localCheckpoint
+    (``_bm25_frames(materialize=True)``) shared by all three consumers
+    (seed BM25, feedback-term extraction, weighted re-rank) — previously
+    each pass re-tokenized, ~3× the tokenization cost — then the weighted
+    re-rank runs at construction time into a ≤ ``top_n``-row result
+    checkpoint so the corpus-sized tokenized blocks can be released
+    before returning (no per-call storage residue; see the canary test
+    ``tests/test_textops.py::test_rm3_releases_tokenized_checkpoint``).
+    Consequence: calling this costs a full job even if the returned frame
+    is only schema-inspected; what you get back is a tiny materialized
+    result, so composing over it is cheap."""
     from pyspark.sql import Window
 
     seeds = [t.lower() for t in seed_terms]
