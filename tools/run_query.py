@@ -1,10 +1,14 @@
 """Run any registered query by name and show its result (dev loop).
 
-    python tools/run_query.py <name> [sf_dir] [--explain] [--oracle]
+    python tools/run_query.py <name> [sf_dir] [--explain] [--oracle] [--time[=N]]
 
 - default sf_dir: /root/testdata/sf0.001 (fast)
 - --explain: also print the formatted physical plan
 - --oracle:  also run the DuckDB oracle side-by-side
+- --time[=N]: quiet-box timing mode — N reps (default 3) of
+  ``.count()`` on a fresh plan each rep (the bench protocol's action for
+  count-style entries), print per-rep seconds + median, skip the
+  show/oracle output. Used to (re)level BASELINE.md tripwires.
 - no name:   list all registered query names
 """
 
@@ -38,6 +42,22 @@ def main() -> None:
 
     spark = get_spark(app_name=f"run-{name}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    timing = next((a for a in flags if a.startswith("--time")), None)
+    if timing is not None:
+        import time
+
+        n_reps = int(timing.split("=", 1)[1]) if "=" in timing else 3
+        spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+        times = []
+        for i in range(n_reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            times.append(round(time.perf_counter() - t0, 3))
+            print(f"rep {i + 1}: {times[-1]}s", flush=True)
+        print(f"median: {sorted(times)[len(times) // 2]}s over {n_reps} reps")
+        return
+
     df = QUERIES[name](spark, sf_dir)
     if "--explain" in flags:
         em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
