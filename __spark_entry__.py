@@ -47,13 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # lands — a green driver row that predates the change verifies nothing.
 # Clear entries once their fresh row lands.
 #
-# r10: ann_ivf_portable_nprobe_sweep's oracle changed in r9 (dae6a7e,
-# LEFT JOIN fix for the empty-probed-cell row drop) but its latest driver
-# row is r8 (pre-change); stalest-first wouldn't resample it until ~r11.
-# The rest of the ordering falls through to stalest-green-first, draining
-# the r6 cohort (40 rows) — after r10 no latest row should be older
-# than r7.
-_FRONTLOAD: list[str] = ["ann_ivf_portable_nprobe_sweep"]
+# r11: ann_ivf_portable_nprobe_sweep's fresh row landed in r10 — cleared.
+# The three r10-written winnow/Bloom queries got registry entries this
+# round; they are never-sampled, so ordering rule 2 fronts them without
+# an entry here — listed explicitly anyway so the round's intent is
+# visible in the sample head. The rest falls through to
+# stalest-green-first (draining the r7 cohort; after r11 no latest row
+# should be older than r8).
+_FRONTLOAD: list[str] = [
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_bloom_decontaminate",
+]
 
 
 def _driver_status() -> dict[str, tuple[int, bool]]:

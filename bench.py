@@ -153,6 +153,14 @@ def main() -> None:
 
         dedup_simhash_pairs(spark, sf_dir).count()
 
+    @timed("dedup_winnow_pairs")
+    def _():
+        # substring-level (winnowing) dup pairs — the registry query shape
+        # (augmented corpus, k=5/w=4/min_shared=2, no max_df at this scale)
+        from whatsapp_vectordb_spark.harness import dedup_winnow_pairs
+
+        dedup_winnow_pairs(spark, sf_dir).count()
+
     @timed("events_range_join")
     def _():
         from whatsapp_vectordb_spark.harness import events_range_join
@@ -468,10 +476,14 @@ def main() -> None:
     # tail, losing the head of this one-line JSON (the first ~4 queries'
     # timings were unrecoverable from r9's artifact — VERDICT r9 #4). Also
     # write the complete dict to a repo file, pretty-printed, committed
-    # per round so the full record survives. Round inferred from the
-    # newest CORRECTNESS_r*.json (this bench runs before the driver
-    # writes the current round's file, so +1); overridable for ad-hoc
-    # runs via SPARK_GRAFT_BENCH_OUT.
+    # per round so the full record survives. Round inference (fixed in
+    # r11 — the old flat "+1" misnamed the r10 driver run BENCH_LOCAL_r11
+    # because the driver writes CORRECTNESS_r{N} BEFORE running bench):
+    # let C = newest CORRECTNESS round. If BENCH_r{C}.json is absent we
+    # are INSIDE the driver's round C (correctness written, bench capture
+    # not yet) → this run measures round C. If it exists, round C is
+    # fully recorded and this is a local run during round C+1.
+    # Overridable for ad-hoc runs via SPARK_GRAFT_BENCH_OUT.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path is None:
         import glob as _glob
@@ -483,7 +495,12 @@ def main() -> None:
             for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
             if (m := _re.search(r"r(\d+)", os.path.basename(p)))
         ]
-        rnd = (max(rounds) + 1) if rounds else 1
+        if not rounds:
+            rnd = 1
+        else:
+            rnd = max(rounds)
+            if os.path.exists(os.path.join(here, f"BENCH_r{rnd:02d}.json")):
+                rnd += 1
         out_path = os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json")
     try:
         with open(out_path, "w") as f:

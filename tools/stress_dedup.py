@@ -26,6 +26,7 @@ def main() -> None:
         exact_duplicates,
         minhash_near_duplicates,
         simhash_pairs,
+        winnow_duplicate_pairs,
     )
     from whatsapp_vectordb_spark.session import get_spark
 
@@ -66,6 +67,22 @@ def main() -> None:
     t0 = time.perf_counter()
     out["simhash_pairs"] = simhash_pairs(corpus, bits=48, band_bits=12, max_hamming=3).count()
     out["simhash_s"] = round(time.perf_counter() - t0, 2)
+
+    # Winnowing substring pairs at duplicate-heavy scale. Ungated, every
+    # replicated doc links its R-1 twins through every shared fingerprint
+    # (expected pairs ≈ C(R,2)·n_base, same order as the MinHash tier);
+    # with max_df below R the guard drops the cross-replica fingerprints
+    # (df = R or 2R here) and the pair count must collapse to ~0 — the
+    # boilerplate-suppression behavior pinned at 100k docs.
+    t0 = time.perf_counter()
+    out["winnow_pairs"] = winnow_duplicate_pairs(corpus, k=5, w=4, min_shared=2).count()
+    out["winnow_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["winnow_pairs_max_df"] = winnow_duplicate_pairs(
+        corpus, k=5, w=4, min_shared=2, max_df=replicas // 2
+    ).count()
+    out["winnow_max_df_s"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(out))
     spark.stop()

@@ -200,19 +200,6 @@ def _phash_sql(expr: str, seed: int = 0, nibbles: int = 8) -> str:
     return f"('0x' || substr(md5('{seed}:' || {expr}), 1, {nibbles}))::BIGINT"
 
 
-def _sh_pos_sql(n: int) -> str:
-    """POSITIONAL n-gram shingles over token list `tk` (no list_distinct —
-    winnowing needs every occurrence in sequence order; zip with
-    ``unnest(range(0, len(shingles)))`` for the 0-based position)."""
-    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
-    gram = gram.replace("tk[i+0]", "tk[i]")
-    return (
-        f"CASE WHEN len(tk) >= {n} THEN "
-        f"list_transform(range(1, len(tk) - {n - 2}), i -> {gram}) "
-        f"ELSE [array_to_string(tk, ' ')] END"
-    )
-
-
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     exact = (

@@ -744,3 +744,131 @@ def dedup_canonical_unscored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.length("text").cast("int").alias("score")
     )
     return elect_canonical(clusters, scores)
+
+
+# --- winnowing substring dedup + Bloom decontamination (r11 wiring) ----------
+
+_WINNOW_PB = 1 << 20  # mirrors operators.dedup._WINNOW_PBASE
+
+
+def _winnow_fp_sql(k: int, w: int, source: str) -> str:
+    """DuckDB replay of operators.dedup.winnow_fingerprints: positional
+    k-gram shingles → portable hash packed with (PBASE-1-pos) → plain
+    windowed MIN over w consecutive hashes (rightmost-on-ties falls out
+    of the packing, exactly as in Spark) → full-window filter with the
+    short-document (n < w) degenerate case → distinct unpacked
+    (fp_pos, fp_hash)."""
+    pb = _WINNOW_PB
+    return f"""
+WITH corpus AS ({source}),
+toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_pos_sh_sql(k)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS gram,
+              unnest(range(0, len(shingles))) AS pos FROM shl),
+keyed AS (SELECT doc_id, pos,
+                 {_phash_sql('gram')} * {pb} + ({pb - 1} - pos) AS hkey FROM ex),
+win AS (SELECT doc_id, pos,
+               MIN(hkey) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM keyed),
+picked AS (SELECT doc_id, m FROM win
+           WHERE pos <= n - {w} OR (n < {w} AND pos = 0))
+SELECT DISTINCT doc_id, {pb - 1} - (m % {pb}) AS fp_pos, m // {pb} AS fp_hash
+FROM picked
+"""
+
+
+def _winnow_pairs_sql(k: int, w: int, min_shared: int, source: str) -> str:
+    return f"""
+WITH fps AS (
+  SELECT DISTINCT doc_id, fp_hash FROM ({_winnow_fp_sql(k, w, source)})
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+@_register(
+    "dedup_winnow_fingerprints",
+    _winnow_fp_sql(5, 4, "SELECT doc_id, text FROM documents"),
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection at operator defaults
+    (k=5-token shingles, w=4 windows): every selected (position, hash)
+    per document — the building block the pair query joins on. The
+    oracle replays the packed-int64 window MIN verbatim, so the
+    rightmost-tie rule and the short-document degenerate case are both
+    hash-checked."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=5, w=4
+    )
+
+
+@_register("dedup_winnow_pairs", _winnow_pairs_sql(5, 4, 2, _AUG_SQL))
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate pairs over the augmented corpus (exact
+    copies at +1e6, trailing-append near copies at +2e6 — the latter are
+    EXACTLY the case document-level MinHash can miss and winnowing
+    guarantees: every shared ≥ w+k-1-token run yields a shared
+    fingerprint). min_shared=2, no max_df (gate scale) so the oracle is
+    a straight 3-CTE replay; at 100 TB set max_df to a few hundred."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_duplicate_pairs
+
+    return winnow_duplicate_pairs(
+        _augmented_docs(spark, sf_dir), k=5, w=4, min_shared=2
+    )
+
+
+def _bloom_sql(shingle_n: int, m_bits: int, k_hashes: int, bench_mod: int) -> str:
+    """DuckDB replay of operators.dedup.bloom_decontaminate: the SAME
+    Kirsch-Mitzenmacher bits (md5-half double hashing, bit_j =
+    (x1 + j·x2) & (m-1)) are set from the bench side and tested per
+    corpus shingle, so every false positive reproduces bit-for-bit."""
+    mask = m_bits - 1
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+shl AS (SELECT doc_id, {_sh_sql(shingle_n)} AS shingles FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+hs AS (SELECT doc_id, s,
+              ('0x' || substr(md5(s), 1, 8))::BIGINT AS x1,
+              ('0x' || substr(md5(s), 9, 8))::BIGINT AS x2 FROM ex),
+bench_bits AS (
+  SELECT DISTINCT (x1 + j * x2) & {mask} AS bit
+  FROM hs, range(0, {k_hashes}) t(j) WHERE doc_id % {bench_mod} = 0
+),
+cb AS (SELECT doc_id, s, (x1 + j * x2) & {mask} AS bit
+       FROM hs, range(0, {k_hashes}) t(j)),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM (
+    SELECT cb.doc_id, cb.s
+    FROM cb LEFT JOIN bench_bits b ON b.bit = cb.bit
+    GROUP BY cb.doc_id, cb.s
+    HAVING COUNT(b.bit) = {k_hashes}
+  ) GROUP BY 1
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hs GROUP BY 1)
+SELECT z.doc_id, z.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0)::DOUBLE / z.n_shingles, 6) AS contamination
+FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+"""
+
+
+# m=2^14 is deliberately UNDERSIZED for the gate corpus so the filter
+# produces real false positives — the hash check then proves the Bloom
+# bits reproduce bit-for-bit against the SQL replay, not just that the
+# exact-join answer survives. Same bench split (every 37th doc) and
+# 5-gram rule as dedup_benchmark_contamination, so the two queries
+# diff cleanly: bloom n_hits ≥ exact n_hits, gap = false positives.
+@_register("dedup_bloom_decontaminate", _bloom_sql(5, 1 << 14, 3, 37))
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whatsapp_vectordb_spark.operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return bloom_decontaminate(docs, bench, shingle_n=5, m_bits=1 << 14, k_hashes=3)

@@ -504,6 +504,20 @@ def winnow_fingerprints(
         id_col,
         F.posexplode(shingles_from_tokens(F.col("_tk"), k)).alias("pos", "gram"),
     )
+    # Loud failure instead of silent key corruption: pos ≥ PBASE would
+    # drive (PBASE-1-pos) negative, breaking both the window MIN ordering
+    # and the fp_pos/fp_hash unpack. assert_true evaluates to NULL on
+    # every valid row (so the filter keeps them all) and fails the job on
+    # the first over-long document — chunk such docs upstream.
+    posed = posed.where(
+        F.assert_true(
+            F.col("pos") < _WINNOW_PBASE,
+            F.lit(
+                f"winnow_fingerprints: document exceeds {_WINNOW_PBASE} "
+                "shingles; chunk over-long documents upstream"
+            ),
+        ).isNull()
+    )
     h = portable_hash("gram")
     keyed = posed.select(
         id_col,
@@ -627,13 +641,42 @@ def bloom_decontaminate(
 
     import numpy as np
 
-    bench_bits = (
+    # Build the bitmap EXECUTOR-SIDE as packed byte chunks (1 bit per bit,
+    # not numpy-bool's byte per bit): group set bits by 64 Kbit chunk,
+    # pack each chunk to its 8 KiB byte image in an Arrow-batched
+    # grouped-map UDF, and OR-assemble the ≤ m/2¹⁶ chunk rows on the
+    # driver. Driver transfer is O(m/8) bytes FLAT — never
+    # O(|bench shingles|·k) rows (at the 10⁷-shingle eval suites above,
+    # a per-bit collect would be ~3·10⁷ driver Rows; this is ≤ 128 MiB
+    # at m=2³⁰ no matter how large the bench side grows).
+    chunk_bits = min(m_bits, 1 << 16)
+    chunk_bytes = chunk_bits >> 3
+    chunk_shift = chunk_bits.bit_length() - 1
+
+    def _pack_chunk(pdf):
+        import pandas as pd
+
+        arr = np.zeros(chunk_bytes, dtype=np.uint8)
+        off = pdf["_off"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(arr, off >> 3, (1 << (off & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"_chunk": pdf["_chunk"].iloc[:1], "_packed": [arr.tobytes()]}
+        )
+
+    parts = (
         bits_of(_hashed_shingles(bench_df, text_col, id_col, shingle_n))
-        .dropDuplicates(["_bit"])
+        .select(
+            F.shiftright("_bit", chunk_shift).alias("_chunk"),
+            F.col("_bit").bitwiseAND(chunk_bits - 1).alias("_off"),
+        )
+        .groupBy("_chunk")
+        .applyInPandas(_pack_chunk, "_chunk long, _packed binary")
         .collect()
     )
-    bitmap = np.zeros(m_bits, dtype=bool)
-    bitmap[[r["_bit"] for r in bench_bits]] = True
+    bitmap = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for row in parts:
+        lo = row["_chunk"] * chunk_bytes
+        bitmap[lo : lo + chunk_bytes] = np.frombuffer(row["_packed"], dtype=np.uint8)
     bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
     from pyspark.sql.functions import pandas_udf
@@ -642,11 +685,12 @@ def bloom_decontaminate(
     def bloom_contains(x1, x2):  # pd.Series[int64] × 2 → pd.Series[bool]
         import pandas as pd
 
-        bmap = bc.value
+        bmap = bc.value  # packed: bit p lives at bmap[p >> 3], lane p & 7
         a = x1.to_numpy(dtype=np.int64)
         b = x2.to_numpy(dtype=np.int64)
         pos = (a[:, None] + np.arange(k_hashes, dtype=np.int64)[None, :] * b[:, None]) & mask
-        return pd.Series(bmap[pos].all(axis=1))
+        hit = (bmap[pos >> 3] >> (pos & 7)) & 1
+        return pd.Series(hit.all(axis=1).astype(bool))
 
     d = _hashed_shingles(df, text_col, id_col, shingle_n)
     flagged = d.select(id_col, bloom_contains("_x1", "_x2").alias("_hit"))
