@@ -456,3 +456,37 @@ def test_kmeans_mapside_null_rows_match_portable(spark):
     cents_p, _, mov_p = kmeans_lloyd(df, k=2, iters=2, update_mode="portable")
     cents_m, _, mov_m = kmeans_lloyd(df, k=2, iters=2, update_mode="mapside")
     assert cents_p == cents_m and mov_p == mov_m
+
+
+def test_ivf_cell_stats_flags_degenerate_layout(spark, embeddings):
+    """cell_stats is the mega-cell tripwire (BASELINE round 11: MLlib
+    KMeans at 1M×1536 noise converges to one ~100% cell, making every
+    probe a hidden full scan). A hand-built degenerate assignment must
+    read max_share ≈ 1; a balanced one must not."""
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    n = embeddings.count()
+    cents = np.zeros((4, 4))
+    degenerate = IvfIndex(
+        embeddings.select("vec_id", "embedding", F.lit(0).alias("centroid")),
+        cents,
+        "vec_id",
+        "embedding",
+    ).cell_stats()
+    assert degenerate["nonempty"] == 1
+    assert degenerate["max_share"] == 1.0
+    assert degenerate["total"] == n
+
+    balanced = IvfIndex(
+        embeddings.select(
+            "vec_id", "embedding", (F.col("vec_id") % 4).cast("int").alias("centroid")
+        ),
+        cents,
+        "vec_id",
+        "embedding",
+    ).cell_stats()
+    assert balanced["nonempty"] == 4
+    assert balanced["max_share"] < 0.3
+    assert abs(sum(balanced["top5_shares"]) - 1.0) < 1e-6

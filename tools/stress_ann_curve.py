@@ -230,10 +230,27 @@ def main() -> None:
                     "nprobe": nprobe,
                     "probe_median_s": round(statistics.median(lats), 3),
                     "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                    # per-query split: planted queries (0, 1000) have real
+                    # cluster structure to exploit; noise queries (1, 2)
+                    # have none — a balanced layout CANNOT co-locate their
+                    # top-10 (isotropic high-dim neighbors are directionless),
+                    # so their recall measures honesty of pruning, not
+                    # index quality. A degenerate layout (one mega-cell)
+                    # fakes 1.0 here by scanning everything.
+                    "recall_per_query": {
+                        str(qid): round(r, 2)
+                        for qid, r in zip(queries.keys(), recalls)
+                    },
                 }
             )
             print(json.dumps({"ivf": curve[-1]}), flush=True)
         out["ivf_curve"] = curve
+        # cell-balance fingerprint of the layout the curve probed — the
+        # r11 diagnosis dimension: MLlib KMeans at 1M×1536 isotropic
+        # collapses to one ~100% cell (probe == hidden full scan) while
+        # the Lloyd/mapside quantizer yields ~1/64 shares (real pruning)
+        out["ivf_cell_balance"] = ivf.cell_stats()
+        print(json.dumps({"ivf_cell_balance": out["ivf_cell_balance"]}), flush=True)
 
     if skip_pq:
         out["ivfpq_curve"] = "skipped"

@@ -464,6 +464,35 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def cell_stats(self) -> dict:
+        """Layout-balance fingerprint: {n_cells, nonempty, total, max_share,
+        top5_shares}. One groupBy-count (k rows to the driver).
+
+        Why it exists (round 11): MLlib KMeans at 1M×1536 isotropic noise
+        CONVERGES to one ~100%-occupancy mega-cell (its k-means|| seeds
+        collapse toward the data mean in high dimension) — every probe of
+        such a layout silently degrades to a full scan, which *looks* like
+        recall 1.0 at any nprobe while pruning nothing. The deterministic
+        Lloyd builder (``build_portable``) yields ~1/k shares on the same
+        data. Check ``max_share`` after building: a value near 1.0 means
+        the index is a scan in disguise — rebuild with ``build_portable``
+        or raise the sample/iteration budget."""
+        counts = [
+            r["c"]
+            for r in self.assigned.groupBy("centroid")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        counts.sort(reverse=True)
+        total = sum(counts)
+        return {
+            "n_cells": int(self.centroids.shape[0]),
+            "nonempty": len(counts),
+            "total": total,
+            "max_share": round(counts[0] / total, 4) if total else 0.0,
+            "top5_shares": [round(c / total, 4) for c in counts[:5]],
+        }
+
     @classmethod
     def build(
         cls,

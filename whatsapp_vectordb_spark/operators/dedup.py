@@ -476,8 +476,10 @@ def winnow_fingerprints(
     SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
     POSITIONAL ``k``-token shingle, slide a window of ``w`` consecutive
     hashes over the sequence, and in each window select the minimum hash
-    (rightmost occurrence on ties, per the paper — fewer fingerprints on
-    runs of equal hashes). Guarantee: any verbatim run of at least
+    (rightmost occurrence on ties, per the paper — the fixed tie rule is
+    what makes selections REPRODUCIBLE across documents, so two copies of
+    a tie-heavy passage still pick the same positions). Guarantee: any
+    verbatim run of at least
     ``w + k - 1`` shared tokens between two documents yields at least one
     SHARED selected fingerprint, so substring-level duplication is
     detectable from the fingerprint sets alone — unlike
@@ -567,15 +569,27 @@ def winnow_duplicate_pairs(
     hundred; the gate-scale registry query leaves it off so the oracle
     stays a 3-CTE replay.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
-        id_col, "fp_hash"
-    ).distinct()
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
     if max_df is not None:
-        freq = fps.groupBy("fp_hash").agg(F.count("*").alias("_df"))
-        fps = fps.join(
-            F.broadcast(freq.where(F.col("_df") <= max_df).select("fp_hash")),
-            "fp_hash",
+        # ONE fingerprint build serves the df count AND the join (the
+        # per-doc window pass is the expensive part — cache it). Guard in
+        # the max_shingle_freq idiom: broadcast the HOT set and anti-join.
+        # Hot boilerplate fingerprints are the rare case by construction,
+        # so the broadcast stays small; broadcasting the QUALIFYING set
+        # instead would be O(all distinct fingerprints) — unbroadcastable
+        # at corpus scale.
+        fps = fps.cache()
+        hot = (
+            fps.groupBy("fp_hash")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp_hash")
         )
+        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
     a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
     b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
     return (
