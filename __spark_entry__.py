@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONTLOAD: list[str] = [
     "dedup_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "dedup_winnow_spans",
     "dedup_bloom_decontaminate",
 ]
 

@@ -237,3 +237,71 @@ def test_bloom_large_bench_side_builds_executor_side(spark):
     # fill ≈ 114k·3 / 4.2M ≈ 8% → per-shingle FP ≈ 0.08³ ≈ 5e-4
     novel = [rows[10_000 + i]["contamination"] for i in range(50)]
     assert max(novel) < 0.1
+
+
+# --- span-level reporting -----------------------------------------------------
+
+
+def test_shared_spans_locate_planted_paragraph(spark):
+    """A paragraph planted at KNOWN token offsets in two otherwise-disjoint
+    documents must come back as one span per side covering it (within the
+    k-1 shingle-boundary tolerance), at the right offset delta."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_shared_spans
+
+    k, w = 3, 4
+    para = " ".join(f"p{j}" for j in range(30))  # 30-token shared paragraph
+    a_pre = " ".join(f"a{j}" for j in range(10))   # para at tokens 10..39 in A
+    b_pre = " ".join(f"b{j}" for j in range(25))   # para at tokens 25..54 in B
+    df = spark.createDataFrame(
+        [
+            (1, f"{a_pre} {para} " + " ".join(f"az{j}" for j in range(12))),
+            (2, f"{b_pre} {para} " + " ".join(f"bz{j}" for j in range(7))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = winnow_shared_spans(df, k=k, w=w).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["id_a"], s["id_b"]) == (1, 2)
+    # span must sit inside the planted region and cover most of it
+    assert 10 <= s["start_a"] and s["end_a"] <= 39
+    assert s["end_a"] - s["start_a"] >= 30 - (w + k - 1)
+    # constant offset: B-side bounds are the A-side bounds shifted by -15
+    assert s["start_b"] == s["start_a"] + 15
+    assert s["end_b"] == s["end_a"] + 15
+
+
+def test_shared_spans_two_separate_runs_two_islands(spark):
+    """Two distinct shared paragraphs separated by unshared text must
+    yield two spans, not one merged blob."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_shared_spans
+
+    k, w = 3, 4
+    p1 = " ".join(f"x{j}" for j in range(20))
+    p2 = " ".join(f"y{j}" for j in range(20))
+    mid_a = " ".join(f"am{j}" for j in range(30))
+    mid_b = " ".join(f"bm{j}" for j in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{p1} {mid_a} {p2}"), (2, f"{p1} {mid_b} {p2}")],
+        "doc_id long, text string",
+    )
+    spans = winnow_shared_spans(df, k=k, w=w).collect()
+    # p1 at offset 0; p2 at offset 22 (mid_a 30 vs mid_b 8) — two islands
+    assert len(spans) == 2
+    offs = sorted(s["start_a"] - s["start_b"] for s in spans)
+    assert offs == [0, 22]
+
+
+def test_shared_spans_min_fps_drops_coincidences(spark):
+    """A single shared k-gram (one fingerprint at most) is below min_fps=2
+    and must not produce a span."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_shared_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + " ".join(f"u{j}" for j in range(20))),
+            (2, " ".join(f"v{j}" for j in range(20)) + " alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    assert winnow_shared_spans(df, k=3, w=4, min_fps=2).collect() == []

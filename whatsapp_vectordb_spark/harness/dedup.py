@@ -872,3 +872,47 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 37 == 0)
     return bloom_decontaminate(docs, bench, shingle_n=5, m_bits=1 << 14, k_hashes=3)
+
+
+def _winnow_spans_sql(k: int, w: int, min_fps: int, source: str) -> str:
+    """Replay of winnow_shared_spans: collinear shared fingerprints
+    (constant pos_a - pos_b offset) island-split on pos_a gaps > w,
+    reported as inclusive token spans."""
+    return f"""
+WITH fp AS ({_winnow_fp_sql(k, w, source)}),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp_pos AS pos_a,
+         a.fp_pos - b.fp_pos AS off
+  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+),
+g AS (
+  SELECT *, CASE WHEN pos_a - LAG(pos_a) OVER (
+                   PARTITION BY id_a, id_b, off ORDER BY pos_a) > {w}
+                 THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY id_a, id_b, off ORDER BY pos_a
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM g
+)
+SELECT id_a, id_b, MIN(pos_a) AS start_a, MAX(pos_a) + {k - 1} AS end_a,
+       MIN(pos_a) - off AS start_b, MAX(pos_a) + {k - 1} - off AS end_b,
+       COUNT(*) AS n_fps
+FROM isl GROUP BY id_a, id_b, off, isl HAVING COUNT(*) >= {min_fps}
+"""
+
+
+@_register("dedup_winnow_spans", _winnow_spans_sql(5, 4, 2, _AUG_SQL))
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level substring dedup over the augmented corpus: each exact
+    copy (+1e6) and trailing-append near copy (+2e6) must report WHERE
+    it matches its base — inclusive token bounds on both sides from
+    collinear winnowing fingerprints. The oracle replays the offset
+    grouping and island split verbatim, so span boundaries are
+    hash-checked, not just pair existence."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_shared_spans
+
+    return winnow_shared_spans(
+        _augmented_docs(spark, sf_dir), k=5, w=4, min_fps=2
+    )
