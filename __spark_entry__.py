@@ -59,6 +59,7 @@ _FRONTLOAD: list[str] = [
     "dedup_winnow_pairs",
     "dedup_winnow_spans",
     "dedup_bloom_decontaminate",
+    "text_bpe_learn",
 ]
 
 

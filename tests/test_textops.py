@@ -283,3 +283,72 @@ def test_rm3_releases_tokenized_checkpoint(spark, documents):
     assert all(sz < 25_000 for sz in new.values()), (
         f"tokenized-corpus-sized block survived release: {new}"
     )
+
+
+# --- BPE tokenizer training ---------------------------------------------------
+
+
+def _ref_bpe(texts, n_merges):
+    """Reference Sennrich-style BPE: word-freq table, leftmost
+    non-overlapping merge application, count-DESC/lexicographic argmax."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-zA-Z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    out = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, l, r, c))
+        nxt = {}
+        for sym, f in vocab.items():
+            ns, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(sym[i])
+                    i += 1
+            nxt[tuple(ns)] = nxt.get(tuple(ns), 0) + f
+        vocab = nxt
+    return out
+
+
+def test_bpe_learn_matches_reference(spark):
+    from whatsapp_vectordb_spark.operators.textops import bpe_learn
+
+    texts = [
+        "low lower lowest low low newer newest new new new wider wide wide",
+        "the quick brown fox the lazy dog the end the they them there",
+        "banana bandana ban banana banana band bands banding",
+        "aaaa aaa aa a aaaa aaaa",  # odd-run leftmost-merge stress: aaaa -> (aa)(aa), aaa -> (aa)a
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn(df, n_merges=8).collect()
+    ]
+    assert got == _ref_bpe(texts, 8)
+
+
+def test_bpe_learn_stops_when_no_pairs_remain(spark):
+    from whatsapp_vectordb_spark.operators.textops import bpe_learn
+
+    # single two-char word: exactly one merge is learnable, then every
+    # word is a single symbol and the loop must stop early, not error
+    df = spark.createDataFrame([(1, "ab a b ab")], "doc_id long, text string")
+    rows = bpe_learn(df, n_merges=5).collect()
+    assert [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [
+        (0, "a", "b", 2)
+    ]

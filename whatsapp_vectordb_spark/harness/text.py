@@ -1351,3 +1351,58 @@ def text_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("overestimate")
         .agg(F.count("*").cast("long").alias("n_tokens"))
     )
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """DuckDB replay of operators.textops.bpe_learn, rounds unrolled as
+    CTEs: word-freq once, then per round (pair counts over the zipped
+    symbol unnest → argmax with the count DESC / lexicographic tie-break
+    → literal boundary-anchored string replace, whose left-to-right
+    continue-after-replacement scan IS BPE's leftmost merge order)."""
+    ctes = [
+        f"toks AS (SELECT {_TOKS.format(c='text')} AS tk FROM documents)",
+        "wf AS (SELECT w, COUNT(*) AS freq FROM "
+        "(SELECT unnest(tk) AS w FROM toks) GROUP BY w)",
+        "w0 AS (SELECT chr(31) || array_to_string("
+        "list_transform(range(1, len(w) + 1), i -> w[i]), chr(31)) "
+        "|| chr(31) AS ws, freq FROM wf)",
+    ]
+    finals = []
+    for n in range(n_merges):
+        ctes.append(
+            f"""p{n} AS (
+  SELECT lhs, rhs, SUM(freq) AS pair_count FROM (
+    SELECT unnest(list_transform(range(1, len(sym)), i -> sym[i])) AS lhs,
+           unnest(list_transform(range(1, len(sym)), i -> sym[i + 1])) AS rhs,
+           freq
+    FROM (SELECT list_filter(string_split(ws, chr(31)), s -> s <> '') AS sym,
+                 freq FROM w{n})
+  ) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"m{n} AS (SELECT lhs, rhs, pair_count FROM p{n} "
+            "ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"w{n + 1} AS (SELECT replace(ws, "
+            "chr(31) || lhs || chr(31) || rhs || chr(31), "
+            "chr(31) || lhs || rhs || chr(31)) AS ws, freq "
+            f"FROM w{n}, m{n})"
+        )
+        finals.append(
+            f"SELECT {n} AS merge_rank, lhs, rhs, "
+            f"CAST(pair_count AS BIGINT) AS pair_count FROM m{n}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@_register("text_bpe_learn", _bpe_sql(8))
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the documents corpus, 8 merge rounds —
+    selection AND application replayed bit-for-bit by the unrolled-CTE
+    oracle (the one iterative-training op alongside kmeans_lloyd with a
+    fully-analytic replay)."""
+    from whatsapp_vectordb_spark.operators.textops import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)

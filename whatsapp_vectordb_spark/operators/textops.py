@@ -1101,3 +1101,108 @@ def rake_keywords(
         .where(F.col("_rk") == 1)
         .select(F.col(id_col), "phrase", "score_micro", F.col("phrase_pos").cast("long").alias("phrase_pos"))
     )
+
+
+# Unit separator: cannot occur inside tokens (TOKEN_SPLIT_RE admits only
+# letter/digit ranges), so it is a safe symbol-boundary marker for the
+# BPE merge-by-string-replace representation below.
+BPE_SEP = "\x1f"
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """TRAIN a byte-pair-encoding tokenizer on the corpus (Sennrich et al.
+    2016): reduce the corpus to a word-frequency table once, then
+    repeatedly merge the highest-count adjacent symbol pair (ties broken
+    deterministically: count DESC, then lexicographic lhs, rhs).
+    Complements ``tokenization_fertility``-style ops, which only MEASURE
+    an existing tokenizer. Returns the learned merge table
+    ``(merge_rank, lhs, rhs, pair_count)`` — merge_rank 0 is the first
+    merge learned.
+
+    Engine-portable representation (and why there is no UDF): each word
+    is one string with every symbol wrapped in ``BPE_SEP`` boundaries
+    (``␟h␟e␟y␟``), so applying merge (a,b)→ab is a LITERAL string
+    replace of ``␟a␟b␟`` with ``␟ab␟`` — and both the JVM and DuckDB
+    scan left-to-right continuing AFTER each replacement, which is
+    exactly BPE's leftmost-non-overlapping merge order (``a a a`` →
+    ``aa a``). The SQL oracle unrolls the rounds as CTEs and replays
+    merge selection AND application bit-for-bit.
+
+    Scale shape: the merge loop runs over the DISTINCT-WORD table, not
+    the corpus — the corpus is touched exactly once (tokenize → explode →
+    word count, one shuffle on words). Each round is one map-side pair
+    explode + one (lhs, rhs)-keyed aggregate over the word table, a
+    1-row argmax collect (bounded like the k·d k-means collect), and a
+    map-only replace; the word table is re-cached per round and the
+    previous round's cache released, so plans stay constant-size. At
+    100 TB the word table is ~10⁷ rows — trivially distributable, and
+    tiny next to the corpus scan that builds it.
+    """
+    sep = BPE_SEP
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(sep),
+                F.array_join(F.filter(F.split("w", ""), lambda s: s != ""), sep),
+                F.lit(sep),
+            ).alias("ws"),
+            "freq",
+        )
+        .cache()
+    )
+    words.count()
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    prev = words
+    for rank in range(n_merges):
+        pairs = (
+            prev.select(
+                F.filter(F.split("ws", sep), lambda s: s != "").alias("sym"), "freq"
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(sym) >= 2 THEN "
+                        "transform(sequence(0, size(sym) - 2), "
+                        "i -> struct(sym[i] AS lhs, sym[i + 1] AS rhs)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.col("pair_count").desc(), "lhs", "rhs").limit(1).collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        merges.append((rank, lhs, rhs, int(cnt)))
+        nxt = prev.select(
+            F.replace(
+                F.col("ws"),
+                F.lit(f"{sep}{lhs}{sep}{rhs}{sep}"),
+                F.lit(f"{sep}{lhs}{rhs}{sep}"),
+            ).alias("ws"),
+            "freq",
+        ).cache()
+        nxt.count()
+        if prev is not words:
+            prev.unpersist(blocking=True)
+        prev = nxt
+    if prev is not words:
+        prev.unpersist(blocking=True)
+    words.unpersist(blocking=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
