@@ -60,6 +60,7 @@ _FRONTLOAD: list[str] = [
     "dedup_winnow_spans",
     "dedup_bloom_decontaminate",
     "text_bpe_learn",
+    "text_bpe_fertility",
 ]
 
 

@@ -333,6 +333,7 @@ def test_bpe_learn_matches_reference(spark):
         "the quick brown fox the lazy dog the end the they them there",
         "banana bandana ban banana banana band bands banding",
         "aaaa aaa aa a aaaa aaaa",  # odd-run leftmost-merge stress: aaaa -> (aa)(aa), aaa -> (aa)a
+        "baba bababa baba bab",  # adjacent-pair stress: ba+ba must BOTH merge (the double-separator case)
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     got = [
@@ -352,3 +353,52 @@ def test_bpe_learn_stops_when_no_pairs_remain(spark):
     assert [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [
         (0, "a", "b", 2)
     ]
+
+
+def test_bpe_segment_fertility_matches_reference(spark):
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_learn,
+        bpe_segment_fertility,
+    )
+
+    texts = [
+        "low lower lowest low low newer newest new new new wider wide wide",
+        "banana bandana ban banana banana band bands banding",
+        "aaaa aaa aa a aaaa aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_learn(df, n_merges=6).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"], r["fertility"])
+        for r in bpe_segment_fertility(df, merges).collect()
+    }
+
+    # reference application: leftmost non-overlapping merges in rank order
+    import re
+
+    def seg(word):
+        sym = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-zA-Z0-9]+", t.lower()) if w]
+        n_pieces = sum(seg(w) for w in toks)
+        assert got[i][0] == len(toks)
+        assert got[i][1] == n_pieces
+        assert got[i][2] == round(n_pieces / len(toks), 6)
+    # trained tokenizer compresses: fertility strictly below chars/word
+    assert all(v[1] < sum(len(w) for w in re.split(r"[^a-z0-9]+", texts[i])) for i, v in got.items())

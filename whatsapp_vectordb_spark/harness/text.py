@@ -1353,19 +1353,24 @@ def text_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(n_merges: int) -> str:
-    """DuckDB replay of operators.textops.bpe_learn, rounds unrolled as
-    CTEs: word-freq once, then per round (pair counts over the zipped
-    symbol unnest → argmax with the count DESC / lexicographic tie-break
-    → literal boundary-anchored string replace, whose left-to-right
-    continue-after-replacement scan IS BPE's leftmost merge order)."""
+def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
+    """Shared CTE builder for the BPE oracles: word-freq once, then per
+    round (pair counts over the zipped symbol unnest → argmax with the
+    count DESC / lexicographic tie-break → literal boundary-anchored
+    string replace, whose left-to-right continue-after-replacement scan
+    IS BPE's leftmost merge order). Returns (ctes, per-round merge-row
+    selects)."""
     ctes = [
         f"toks AS (SELECT {_TOKS.format(c='text')} AS tk FROM documents)",
         "wf AS (SELECT w, COUNT(*) AS freq FROM "
         "(SELECT unnest(tk) AS w FROM toks) GROUP BY w)",
-        "w0 AS (SELECT chr(31) || array_to_string("
-        "list_transform(range(1, len(w) + 1), i -> w[i]), chr(31)) "
-        "|| chr(31) AS ws, freq FROM wf)",
+        # DOUBLE separators between symbols (and at the ends): each merge
+        # replace consumes one separator per side and leaves the other
+        # for the neighboring match, so adjacent occurrences (abab, aaa)
+        # merge exactly as BPE's leftmost scan requires
+        "w0 AS (SELECT chr(31) || chr(31) || array_to_string("
+        "list_transform(range(1, len(w) + 1), i -> w[i]), chr(31) || chr(31)) "
+        "|| chr(31) || chr(31) AS ws, freq FROM wf)",
     ]
     finals = []
     for n in range(n_merges):
@@ -1386,7 +1391,7 @@ def _bpe_sql(n_merges: int) -> str:
         )
         ctes.append(
             f"w{n + 1} AS (SELECT replace(ws, "
-            "chr(31) || lhs || chr(31) || rhs || chr(31), "
+            "chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31), "
             "chr(31) || lhs || rhs || chr(31)) AS ws, freq "
             f"FROM w{n}, m{n})"
         )
@@ -1394,7 +1399,50 @@ def _bpe_sql(n_merges: int) -> str:
             f"SELECT {n} AS merge_rank, lhs, rhs, "
             f"CAST(pair_count AS BIGINT) AS pair_count FROM m{n}"
         )
+    return ctes, finals
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """DuckDB replay of operators.textops.bpe_learn (the merge table)."""
+    ctes, finals = _bpe_ctes(n_merges)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_fertility_sql(n_merges: int) -> str:
+    """Replay of learn-then-segment: the same merge CTEs, then every
+    document token is ␟-bounded, run through the n replaces in rank
+    order (nested innermost-first), and piece-counted."""
+    ctes, _ = _bpe_ctes(n_merges)
+    expr = "ws"
+    for n in range(n_merges):
+        expr = (
+            f"replace({expr}, chr(31) || m{n}.lhs || chr(31) || chr(31) || "
+            f"m{n}.rhs || chr(31), chr(31) || m{n}.lhs || m{n}.rhs || chr(31))"
+        )
+    merge_tables = ", ".join(f"m{n}" for n in range(n_merges))
+    ctes.append(
+        "dtoks AS (SELECT doc_id, "
+        f"{_TOKS.format(c='text')} AS tk FROM documents)"
+    )
+    ctes.append(
+        "dws AS (SELECT doc_id, chr(31) || chr(31) || array_to_string("
+        "list_transform(range(1, len(w) + 1), i -> w[i]), chr(31) || chr(31)) "
+        "|| chr(31) || chr(31) AS ws "
+        "FROM (SELECT doc_id, unnest(tk) AS w FROM dtoks))"
+    )
+    ctes.append(
+        f"seg AS (SELECT doc_id, len(list_filter(string_split({expr}, chr(31)), "
+        f"s -> s <> '')) AS n_p FROM dws, {merge_tables})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_p) AS BIGINT) AS n_pieces,
+       ROUND(SUM(n_p)::DOUBLE / COUNT(*), 6) AS fertility
+FROM seg GROUP BY doc_id
+"""
+    )
 
 
 @_register("text_bpe_learn", _bpe_sql(8))
@@ -1406,3 +1454,20 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.textops import bpe_learn
 
     return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@_register("text_bpe_fertility", _bpe_fertility_sql(8))
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: learn 8 merges on the documents corpus, segment
+    the same corpus with them, report per-doc piece counts + fertility.
+    The oracle replays the whole composition (learn CTEs + nested
+    replaces + piece counts), so the segmentation itself is
+    hash-checked, not just the merge table."""
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_learn,
+        bpe_segment_fertility,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_learn(docs, n_merges=8).collect()]
+    return bpe_segment_fertility(docs, merges)

@@ -1125,13 +1125,18 @@ def bpe_learn(
     merge learned.
 
     Engine-portable representation (and why there is no UDF): each word
-    is one string with every symbol wrapped in ``BPE_SEP`` boundaries
-    (``␟h␟e␟y␟``), so applying merge (a,b)→ab is a LITERAL string
-    replace of ``␟a␟b␟`` with ``␟ab␟`` — and both the JVM and DuckDB
-    scan left-to-right continuing AFTER each replacement, which is
-    exactly BPE's leftmost-non-overlapping merge order (``a a a`` →
-    ``aa a``). The SQL oracle unrolls the rounds as CTEs and replays
-    merge selection AND application bit-for-bit.
+    is one string with DOUBLE ``BPE_SEP`` boundaries between symbols
+    (``␟␟h␟␟e␟␟y␟␟``), and merge (a,b)→ab is the LITERAL replace of
+    ``␟a␟␟b␟`` with ``␟ab␟``. The doubled boundary is load-bearing:
+    each match consumes ONE separator from each side's pair and leaves
+    the other for the neighboring match, so adjacent occurrences
+    (``abab`` → ``ab ab``, ``aaa`` → ``aa a``) merge exactly as BPE's
+    leftmost-non-overlapping scan requires — a single-separator
+    representation silently skips every other adjacent occurrence
+    because the shared boundary is consumed. Both the JVM and DuckDB
+    replace scan left-to-right continuing AFTER each replacement, so
+    the SQL oracle unrolls the rounds as CTEs and replays merge
+    selection AND application bit-for-bit.
 
     Scale shape: the merge loop runs over the DISTINCT-WORD table, not
     the corpus — the corpus is touched exactly once (tokenize → explode →
@@ -1150,9 +1155,11 @@ def bpe_learn(
         .agg(F.count("*").alias("freq"))
         .select(
             F.concat(
-                F.lit(sep),
-                F.array_join(F.filter(F.split("w", ""), lambda s: s != ""), sep),
-                F.lit(sep),
+                F.lit(sep * 2),
+                F.array_join(
+                    F.filter(F.split("w", ""), lambda s: s != ""), sep * 2
+                ),
+                F.lit(sep * 2),
             ).alias("ws"),
             "freq",
         )
@@ -1191,7 +1198,7 @@ def bpe_learn(
         nxt = prev.select(
             F.replace(
                 F.col("ws"),
-                F.lit(f"{sep}{lhs}{sep}{rhs}{sep}"),
+                F.lit(f"{sep}{lhs}{sep}{sep}{rhs}{sep}"),
                 F.lit(f"{sep}{lhs}{rhs}{sep}"),
             ).alias("ws"),
             "freq",
@@ -1205,4 +1212,57 @@ def bpe_learn(
     words.unpersist(blocking=True)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_segment_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned BPE merge table (rank order) and measure real
+    tokenizer fertility per document: ``(doc_id, n_tokens, n_pieces,
+    fertility)`` where fertility = subword pieces per word — the
+    trained-tokenizer replacement for the ``BPE_PIECE_RE`` regex proxy
+    in ``token_stats``. Together with ``bpe_learn`` this closes the
+    train → apply → measure loop.
+
+    Map-only: each token is ␟-bounded (the ``bpe_learn`` representation)
+    and run through the merges as a chain of literal replaces inside a
+    ``transform`` lambda — leftmost-non-overlapping application for
+    free, no UDF, no shuffle except the nothing-shuffles of a per-row
+    projection. Documents with zero tokens are omitted (mirrors the
+    oracle's explode-then-group shape)."""
+    sep = BPE_SEP
+
+    def pieces(t):
+        w = F.concat(
+            F.lit(sep * 2),
+            F.array_join(F.filter(F.split(t, ""), lambda s: s != ""), sep * 2),
+            F.lit(sep * 2),
+        )
+        for lhs, rhs in merges:
+            w = F.replace(
+                w,
+                F.lit(f"{sep}{lhs}{sep}{sep}{rhs}{sep}"),
+                F.lit(f"{sep}{lhs}{rhs}{sep}"),
+            )
+        return F.size(F.filter(F.split(w, sep), lambda s: s != ""))
+
+    t = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    return (
+        t.where(F.size("_tk") > 0)
+        .select(
+            id_col,
+            F.size("_tk").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform(F.col("_tk"), pieces), F.lit(0), lambda a, x: a + x
+            )
+            .cast("long")
+            .alias("n_pieces"),
+        )
+        .withColumn(
+            "fertility", F.round(F.col("n_pieces") / F.col("n_tokens"), 6)
+        )
     )
