@@ -490,3 +490,36 @@ def test_ivf_cell_stats_flags_degenerate_layout(spark, embeddings):
     assert balanced["nonempty"] == 4
     assert balanced["max_share"] < 0.3
     assert abs(sum(balanced["top5_shares"]) - 1.0) < 1e-6
+
+
+def test_ivf_build_balanced_falls_back_on_mega_cell(spark, embeddings, monkeypatch):
+    """When the MLlib quantizer degenerates (one cell > max_share), the
+    balanced builder must rebuild with the Lloyd quantizer; when the
+    layout is fine it must keep the MLlib result untouched."""
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.ann import IvfIndex
+
+    degenerate = IvfIndex(
+        embeddings.select("vec_id", "embedding", F.lit(0).alias("centroid")),
+        np.zeros((8, 64)),
+        "vec_id",
+        "embedding",
+    )
+    monkeypatch.setattr(IvfIndex, "build", classmethod(lambda cls, df, **kw: degenerate))
+    idx = IvfIndex.build_balanced(embeddings, n_centroids=8)
+    stats = idx.cell_stats()
+    assert stats["max_share"] <= 0.5  # rebuilt via build_portable
+    assert stats["nonempty"] > 1
+
+    # healthy path: build returns a balanced layout, no rebuild happens
+    healthy = IvfIndex(
+        embeddings.select(
+            "vec_id", "embedding", (F.col("vec_id") % 8).cast("int").alias("centroid")
+        ),
+        np.zeros((8, 64)),
+        "vec_id",
+        "embedding",
+    )
+    monkeypatch.setattr(IvfIndex, "build", classmethod(lambda cls, df, **kw: healthy))
+    assert IvfIndex.build_balanced(embeddings, n_centroids=8) is healthy

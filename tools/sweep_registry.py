@@ -11,6 +11,11 @@ newest previous sweep (single-run noise on this shared box is ±50%, so 3×
 is far outside noise for all but sub-100ms entries; those are additionally
 guarded by the absolute floor).
 
+CADENCE RULE (VERDICT r10 item 8): run the sweep EVERY ROUND, or at the
+latest every other round, so the 3× tripwire always compares against a
+≤2-round-old baseline (r8 → r10 → r11 → …). A sweep older than that
+re-opens the blind spot this tool exists to close.
+
 Usage::
 
     python tools/sweep_registry.py [sf_dir] [out_json]

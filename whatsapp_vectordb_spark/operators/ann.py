@@ -518,6 +518,37 @@ class IvfIndex:
         return cls(assigned, centroids, id_col, vec_col)
 
     @classmethod
+    def build_balanced(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 10,
+        iters: int = 5,
+        max_share: float = 0.5,
+    ) -> "IvfIndex":
+        """MLlib build with a degenerate-layout tripwire: if the fitted
+        quantizer puts more than ``max_share`` of the vectors in one cell
+        (the 1M×1536 mega-cell failure — BASELINE.md round 11: MLlib's
+        k-means|| collapses on high-dim isotropic data, turning every
+        probe into a hidden full scan), rebuild with the deterministic
+        Lloyd quantizer (``build_portable``), which produced ~1/k shares
+        on the same data. Costs one extra groupBy-count over the
+        assignment; use where the data's clusterability is unknown."""
+        idx = cls.build(
+            df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            seed=seed, max_iter=max_iter,
+        )
+        if idx.cell_stats()["max_share"] > max_share:
+            idx = cls.build_portable(
+                df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+                iters=iters,
+            )
+        return idx
+
+    @classmethod
     def build_portable(
         cls,
         df: DataFrame,
