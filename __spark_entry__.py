@@ -61,6 +61,7 @@ _FRONTLOAD: list[str] = [
     "dedup_bloom_decontaminate",
     "text_bpe_learn",
     "text_bpe_fertility",
+    "dedup_incremental_winnow_index",
 ]
 
 

@@ -65,3 +65,49 @@ def test_add_batch_reingest_is_noop(spark, documents, tmp_path):
     copy = docs.limit(1).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
     pairs = idx.add_batch(copy).collect()
     assert any(r["id_b"] >= 5000 for r in pairs)
+
+
+# --- WinnowDedupIndex --------------------------------------------------------
+
+
+def test_winnow_index_two_batches_equal_one_shot(spark, tmp_path):
+    from whatsapp_vectordb_spark.operators.dedup import winnow_duplicate_pairs
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    import random
+
+    rng = random.Random(21)
+    base = [
+        (i, " ".join(f"w{rng.randrange(40)}" for _ in range(30))) for i in range(40)
+    ]
+    copies = [(100 + i, t + " tail extra") for i, (_, t) in enumerate(base[:10])]
+    docs = spark.createDataFrame(base + copies, "doc_id long, text string")
+
+    one_shot = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_duplicate_pairs(docs, k=3, w=4, min_shared=2).collect()
+    }
+    idx = WinnowDedupIndex(spark, str(tmp_path / "widx"), k=3, w=4, min_shared=2)
+    p1 = idx.add_batch(docs.where("doc_id % 2 = 0"))
+    p2 = idx.add_batch(docs.where("doc_id % 2 = 1"))
+    incremental = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in p1.unionByName(p2).collect()
+    }
+    assert incremental == one_shot
+    assert one_shot  # non-vacuous: the planted copies must pair up
+
+
+def test_winnow_index_reingest_is_noop(spark, tmp_path):
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx = WinnowDedupIndex(spark, str(tmp_path / "widx2"), k=3, w=4, min_shared=1)
+    first = idx.add_batch(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in first} == {(1, 2)}
+    # re-ingesting the same ids must produce no new pairs and not corrupt state
+    assert idx.add_batch(docs).collect() == []

@@ -916,3 +916,25 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_shared_spans(
         _augmented_docs(spark, sf_dir), k=5, w=4, min_fps=2
     )
+
+
+@_register("dedup_incremental_winnow_index", _winnow_pairs_sql(5, 4, 2, _AUG_SQL))
+def dedup_incremental_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent winnow-fingerprint index fed the augmented corpus
+    in TWO batches (even doc_ids, then odd + the synthetic copies); the
+    union of the incremental pair sets must equal the one-shot
+    ``winnow_duplicate_pairs`` — the oracle is literally
+    ``dedup_winnow_pairs``'s SQL. Ingest-time substring dedup: each
+    batch probes the stored fingerprint inverted index and appends only
+    its own rows."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    path = _oracle_scratch("winnow_incr_oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = WinnowDedupIndex(spark, path, k=5, w=4, min_shared=2)
+    p1 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 0))
+    p2 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 1))
+    return p1.unionByName(p2)

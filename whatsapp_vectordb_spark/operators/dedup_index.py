@@ -179,3 +179,121 @@ class MinHashDedupIndex:
                         )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+
+class WinnowDedupIndex:
+    """Persistent winnowing-fingerprint index — incremental SUBSTRING-level
+    dedup, the ingest-time twin of ``winnow_duplicate_pairs`` exactly as
+    ``MinHashDedupIndex`` is the twin of ``minhash_near_duplicates``.
+
+    State is ONE parquet table ``fingerprints``: the selected
+    ``(doc_id, fp_pos, fp_hash)`` rows — ~10-20 rows/doc at the default
+    k=5/w=4 (the winnowing density is ~2/(w+1) of shingles), so the
+    stored index is orders of magnitude smaller than the shingle state
+    the MinHash index must keep for Jaccard verification; winnowing
+    needs no verify table because each shared hash IS the evidence (a
+    shared ≥k-token run).
+
+    ``add_batch`` computes the batch's fingerprints once, probes
+    batch↔corpus and batch↔batch via the fp_hash equi-join (inverted
+    index, never O(n²)), and appends only the batch's rows — O(batch)
+    growth, the corpus is never rescanned. Documents are immutable, so a
+    pair is discovered exactly when its LATER member is ingested, with
+    the earlier member's fingerprints already stored — hence the union
+    of per-batch pair sets equals the one-shot batch operator
+    bit-for-bit (asserted in tests). ``max_df`` is deliberately not
+    offered here: an incremental df changes as the corpus grows, which
+    would break that batch-equality contract; apply hot-fingerprint
+    filtering downstream if needed.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 5,
+        w: int = 4,
+        min_shared: int = 2,
+    ):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.w = w
+        self.min_shared = min_shared
+
+    @property
+    def _fp_path(self) -> str:
+        return os.path.join(self.path, "fingerprints")
+
+    def _stored(self) -> DataFrame | None:
+        p = self._fp_path
+        if not os.path.exists(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
+    def add_batch(self, batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """Returns the verified pairs ``(id_a, id_b, n_shared)`` with at
+        least one batch-side member, then folds the batch in. Re-ingest
+        safe (already-stored ids are anti-joined out) and crash safe
+        (staged write + rename, the ``MinHashDedupIndex`` protocol)."""
+        from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
+
+        stored = self._stored()
+        if stored is not None:
+            batch = batch.join(
+                stored.select(F.col("doc_id").alias(id_col)).dropDuplicates(),
+                id_col,
+                "left_anti",
+            )
+        fp_new = winnow_fingerprints(
+            batch, id_col=id_col, k=self.k, w=self.w
+        ).select(F.col(id_col).alias("doc_id"), "fp_pos", "fp_hash")
+        fp_new = fp_new.cache()
+        all_fp = fp_new if stored is None else stored.unionByName(fp_new)
+
+        a = fp_new.select("doc_id", "fp_hash").distinct().alias("a")
+        b = all_fp.select("doc_id", "fp_hash").distinct().alias("b")
+        pairs = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.fp_hash") == F.col("b.fp_hash"),
+                    F.col("a.doc_id") != F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+                F.col("a.fp_hash").alias("fp_hash"),
+            )
+            .dropDuplicates(["id_a", "id_b", "fp_hash"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+        )
+        # pin before the append mutates the stored dir (same hazard the
+        # MinHash index documents: lazily-read state + append = corruption)
+        pairs = pairs.localCheckpoint(eager=True)
+        self._commit_append(fp_new)
+        fp_new.unpersist()
+        return pairs
+
+    def _commit_append(self, fp_new: DataFrame) -> None:
+        import shutil
+        import uuid
+
+        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        stage_fp = os.path.join(stage, "fingerprints")
+        try:
+            fp_new.write.mode("overwrite").parquet(stage_fp)
+            os.makedirs(self._fp_path, exist_ok=True)
+            for fname in os.listdir(stage_fp):
+                if fname.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(stage_fp, fname),
+                        os.path.join(self._fp_path, fname),
+                    )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
