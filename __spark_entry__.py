@@ -62,6 +62,7 @@ _FRONTLOAD: list[str] = [
     "text_bpe_learn",
     "text_bpe_fertility",
     "dedup_incremental_winnow_index",
+    "ann_sq8_topk",
 ]
 
 

@@ -523,3 +523,73 @@ def test_ivf_build_balanced_falls_back_on_mega_cell(spark, embeddings, monkeypat
     )
     monkeypatch.setattr(IvfIndex, "build", classmethod(lambda cls, df, **kw: healthy))
     assert IvfIndex.build_balanced(embeddings, n_centroids=8) is healthy
+
+
+def test_sq8_integer_scores_match_numpy_reference(spark, embeddings):
+    """The SQ8 integer ADC must equal a numpy transcription of the same
+    min/delta + half-up rules exactly (not approximately — integers)."""
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    rows = emb.collect()
+    qvec = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+
+    mn = np.array(mins)
+    dl = np.array(deltas)
+    w = np.floor(np.array([float(q) for q in qvec]) * dl * 1_000_000_000 + 0.5).astype(
+        np.int64
+    )
+    ref = {}
+    for r in rows:
+        x = np.array([float(v) for v in r["embedding"]])
+        c = np.clip(np.floor((x - mn) / dl + 0.5), 0, 255).astype(np.int64)
+        ref[r["vec_id"]] = int((c * w).sum())
+
+    got = sq8_topk(sq8_encode(emb, mins, deltas), qvec, deltas, k=10).collect()
+    for r in got:
+        assert r["score_int"] == ref[r["vec_id"]]
+    # and the ranking is the reference ranking
+    ref_top = sorted(ref, key=lambda i: (-ref[i], i))[:10]
+    assert [r["vec_id"] for r in got] == ref_top
+
+
+def test_sq8_recall_vs_exact_dot(spark, embeddings):
+    """8 bits/dim keeps enough fidelity that SQ8 top-10 by (rank-shifted)
+    dot product recovers most of the exact dot-product top-10."""
+    from whatsapp_vectordb_spark.functions.vector import dot_product
+    from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    approx = [
+        r["vec_id"]
+        for r in sq8_topk(sq8_encode(emb, mins, deltas), qvec, deltas, k=10).collect()
+    ]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", dot_product("embedding", q).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert len(set(approx) & set(exact)) >= 8
+    assert approx[0] == 0  # the query vector itself ranks first
+
+
+def test_sq8_constant_dimension_is_safe(spark):
+    from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0]), (3, [1.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    mins, deltas = sq8_train(df)
+    assert deltas[0] == 1.0  # constant dim: delta pinned, no div-by-zero
+    codes = {r["vec_id"]: r["sq8_codes"] for r in sq8_encode(df, mins, deltas).collect()}
+    assert all(c[0] == 0 for c in codes.values())  # constant dim codes to 0
+    assert codes[1][1] == 0 and codes[2][1] == 255  # full range used

@@ -2217,3 +2217,51 @@ def ann_ivf_portable_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# SQ8: the ONE quantization tier whose BUILD is analytic (per-dim
+# min/max, one aggregate), so train + encode + integer-ADC scoring are
+# all replayed by the oracle — no persisted state, no rows-only carve-out
+# like the k-means-built tiers. The floor(z+0.5) half-up rule and the
+# left-associated double products are written identically on both sides.
+_SQ8_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM ex GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, q
+),
+scores AS (
+  SELECT e.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((e.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM ex e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(score_int AS BIGINT) AS score_int
+FROM scores ORDER BY score_int DESC, vec_id LIMIT 10
+"""
+
+
+@_register("ann_sq8_topk", _SQ8_SQL)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization end-to-end: per-dim min/delta trained on
+    the corpus, int8 codes, integer-weight ADC top-10 for the vec_id=0
+    query — every stage inside the hash check."""
+    from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    codes = sq8_encode(emb, mins, deltas)
+    return sq8_topk(codes, qvec, deltas, k=10)

@@ -1943,3 +1943,86 @@ def binary_hamming_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq8_train(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, delta) for 8-bit scalar quantization (the
+    FAISS ``SQ8`` tier): delta = (max-min)/255, constant dims get
+    delta=1 so their code is exactly 0. Training is ONE aggregate —
+    fully analytic, no RNG, no iteration — which is what lets the whole
+    SQ8 tier (train + encode + score) be replayed end-to-end by a SQL
+    oracle, unlike the k-means-built tiers whose build is opaque. The
+    collect is dim-bounded (one row per dimension)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    mins = [r["mn"] for r in rows]
+    deltas = [((r["mx"] - r["mn"]) / 255.0) if r["mx"] > r["mn"] else 1.0 for r in rows]
+    return mins, deltas
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    deltas: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 codes: c_d = clamp(floor((x_d - min_d)/delta_d + 0.5), 0, 255)
+    — 4× smaller than float32 at far higher fidelity than PQ's 16-byte
+    codes (sub-1% quantization error per dim vs centroid error). The
+    floor(z + 0.5) form (not round()) is the engine-portable half-up
+    rule shared with kmeans_lloyd's update. Map-only; pure zip_with."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    dl = F.array(*[F.lit(float(v)) for v in deltas])
+    centered = F.zip_with(
+        F.col(vec_col), mn, lambda x, m: x.cast("double") - m
+    )
+    codes = F.zip_with(
+        centered,
+        dl,
+        lambda d, s: F.least(
+            F.lit(255).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.floor(d / s + F.lit(0.5))),
+        ),
+    )
+    return df.select(F.col(id_col), codes.alias("sq8_codes"))
+
+
+def sq8_topk(
+    codes_df: DataFrame,
+    query_vec,
+    deltas: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Integer ADC over SQ8 codes: dot(x̂, q) = Σ min_d·q_d (constant —
+    rank-irrelevant, dropped) + Σ c_d·(delta_d·q_d); the per-dim weights
+    w_d = floor(delta_d·q_d·scale + 0.5) are int64 literals, so the
+    whole scan is Σ c_d·w_d integer arithmetic — exact in any engine,
+    no float fold order to diverge. Codes ≤ 255, |w| ≤ ~|q|·Δ·10⁹,
+    dim ≤ 4k: comfortably inside int64. Ties break by id.
+    ``TakeOrderedAndProject`` keeps the k-heap per task — the codes
+    table is the ONLY thing scanned (the float vectors never load)."""
+    w = [int(np.floor(float(q) * d * scale + 0.5)) for q, d in zip(query_vec, deltas)]
+    warr = F.array(*[F.lit(v).cast("long") for v in w])
+    score = F.aggregate(
+        F.zip_with(F.col("sq8_codes"), warr, lambda c, wv: c * wv),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        codes_df.select(F.col(id_col), score.alias("score_int"))
+        .orderBy(F.col("score_int").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
