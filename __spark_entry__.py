@@ -63,6 +63,7 @@ _FRONTLOAD: list[str] = [
     "text_bpe_fertility",
     "dedup_incremental_winnow_index",
     "ann_sq8_topk",
+    "dedup_winnow_cut",
 ]
 
 

@@ -305,3 +305,51 @@ def test_shared_spans_min_fps_drops_coincidences(spark):
         "doc_id long, text string",
     )
     assert winnow_shared_spans(df, k=3, w=4, min_fps=2).collect() == []
+
+
+def test_cut_duplicates_removes_copy_from_higher_id_only(spark):
+    from whatsapp_vectordb_spark.operators.dedup import winnow_cut_duplicates
+
+    k, w = 3, 4
+    para = " ".join(f"p{j}" for j in range(30))
+    a = f"{' '.join(f'a{j}' for j in range(10))} {para}"
+    b = f"{' '.join(f'b{j}' for j in range(8))} {para} {' '.join(f'c{j}' for j in range(6))}"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnow_cut_duplicates(df, k=k, w=w).collect()}
+    # lower id keeps everything
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_deduped"] == a
+    # higher id loses (most of) the planted paragraph, nothing else
+    assert out[2]["n_tokens"] == 44
+    removed = out[2]["n_removed"]
+    assert 30 - (w + k - 1) <= removed <= 30
+    kept = out[2]["text_deduped"].split()
+    assert all(t.startswith(("b", "c")) or t.startswith("p") for t in kept)
+    assert {t for t in kept if t[0] in "bc"} == {f"b{j}" for j in range(8)} | {
+        f"c{j}" for j in range(6)
+    }  # every non-shared token survives
+    # total duplicated mass survives exactly once
+    assert f" {para} " in f" {out[1]['text_deduped']} "
+
+
+def test_cut_duplicates_merges_overlapping_spans(spark):
+    """Three docs sharing the same paragraph: doc 1 keeps it; docs 2 and 3
+    each produce b-side spans against BOTH lower docs — the overlapping
+    cut regions must merge, never double-count n_removed."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_cut_duplicates
+
+    para = " ".join(f"q{j}" for j in range(25))
+    rows = [
+        (1, f"one unique head {para}"),
+        (2, f"two other head {para}"),
+        (3, f"{para} three tail here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnow_cut_duplicates(df, k=3, w=4).collect()}
+    assert out[1]["n_removed"] == 0
+    for d in (2, 3):
+        assert out[d]["n_removed"] <= 25  # merged, not summed over pair partners
+        assert out[d]["n_removed"] >= 25 - 6
+    # the non-shared tokens of every doc survive
+    assert "three tail here" in out[3]["text_deduped"]
+    assert out[2]["text_deduped"].startswith("two other head")

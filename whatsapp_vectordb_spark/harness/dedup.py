@@ -938,3 +938,54 @@ def dedup_incremental_winnow_index(spark: SparkSession, sf_dir: str) -> DataFram
     p1 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 0))
     p2 = idx.add_batch(aug.where(F.col("doc_id") % 2 == 1))
     return p1.unionByName(p2)
+
+
+def _winnow_cut_sql(k: int, w: int, min_fps: int, source: str) -> str:
+    """Replay of winnow_cut_duplicates: b-side span regions, per-doc
+    interval merge (running-max island split, +1 adjacency), positional
+    anti-filter, ordered token re-join."""
+    return f"""
+WITH spans AS ({_winnow_spans_sql(k, w, min_fps, source)}),
+cuts AS (SELECT DISTINCT id_b AS doc_id, start_b AS s, end_b AS e FROM spans),
+g AS (
+  SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM cuts
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS isl
+  FROM g
+),
+mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, isl),
+corpus AS ({source}),
+dtoks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+pos AS (SELECT doc_id, unnest(tk) AS tok,
+               unnest(range(0, len(tk))) AS p FROM dtoks),
+kept AS (
+  SELECT doc_id, tok, p FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM mg
+                    WHERE mg.doc_id = pos.doc_id AND pos.p BETWEEN mg.s AND mg.e)
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS text_deduped
+        FROM kept GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM pos GROUP BY doc_id)
+SELECT z.doc_id, z.n_tokens,
+       z.n_tokens - COALESCE(a.n_kept, 0) AS n_removed,
+       COALESCE(a.text_deduped, '') AS text_deduped
+FROM sizes z LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@_register("dedup_winnow_cut", _winnow_cut_sql(5, 4, 2, _AUG_SQL))
+def dedup_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ExactSubstr cut over the augmented corpus: every exact
+    copy (+1e6) and trailing-append near copy (+2e6) loses its copied
+    region to the base doc (min-id keeps); the reconstructed per-doc
+    text itself is inside the hash check, so the cut boundaries AND the
+    surviving tokens are verified, not just counts."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_cut_duplicates
+
+    return winnow_cut_duplicates(_augmented_docs(spark, sf_dir), k=5, w=4, min_fps=2)

@@ -1977,11 +1977,17 @@ def sq8_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """int8 codes: c_d = clamp(floor((x_d - min_d)/delta_d + 0.5), 0, 255)
-    — 4× smaller than float32 at far higher fidelity than PQ's 16-byte
-    codes (sub-1% quantization error per dim vs centroid error). The
+    """8-bit codes: c_d = clamp(floor((x_d - min_d)/delta_d + 0.5), 0, 255)
+    at far higher per-dim fidelity than PQ's 16-byte whole-vector codes
+    (sub-1% quantization error per dim vs centroid error). The
     floor(z + 0.5) form (not round()) is the engine-portable half-up
-    rule shared with kmeans_lloyd's update. Map-only; pure zip_with."""
+    rule shared with kmeans_lloyd's update. Map-only; pure zip_with.
+
+    Storage: the column is ``array<smallint>`` (Spark has no unsigned
+    byte; 0..255 overflows tinyint) — 2 B/dim logical, and parquet's
+    bit-packed/RLE encoding of the ≤8-bit values lands at ~1 B/dim on
+    disk, the ~4× cut vs float32 that makes the codes table the thing
+    you scan."""
     mn = F.array(*[F.lit(float(v)) for v in mins])
     dl = F.array(*[F.lit(float(v)) for v in deltas])
     centered = F.zip_with(
@@ -1995,7 +2001,9 @@ def sq8_encode(
             F.greatest(F.lit(0).cast("long"), F.floor(d / s + F.lit(0.5))),
         ),
     )
-    return df.select(F.col(id_col), codes.alias("sq8_codes"))
+    return df.select(
+        F.col(id_col), codes.cast("array<smallint>").alias("sq8_codes")
+    )
 
 
 def sq8_topk(

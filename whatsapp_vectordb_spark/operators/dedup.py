@@ -1443,3 +1443,79 @@ def elect_canonical(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def winnow_cut_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    max_gap: int | None = None,
+    min_fps: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ExactSubstr dedup end-to-end (Lee et al. 2022): not just find the
+    copied regions (``winnow_shared_spans``) but CUT them — the lower id
+    of each pair keeps its text, the higher id loses the shared span, so
+    every duplicated passage survives exactly once in the corpus.
+    Returns ``(doc_id, n_tokens, n_removed, text_deduped)`` for EVERY
+    input document (uncut docs pass through with n_removed = 0);
+    ``text_deduped`` is the kept tokens space-joined — a tokenizer-level
+    reconstruction (case/punctuation normalize away), which is the right
+    currency for a training corpus that tokenizes anyway.
+
+    Shape: spans → b-side cut regions → per-doc interval merge (sorted
+    window + running-max island split, bounded per doc) → one HOF filter
+    over each doc's token array against its interval ARRAY (collected
+    per doc — spans per doc are few by construction; no position-level
+    join, so no non-equi join blow-up at scale).
+    """
+    spans = winnow_shared_spans(
+        df, text_col, id_col, k=k, w=w, max_gap=max_gap,
+        min_fps=min_fps, max_df=max_df,
+    )
+    cuts = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("_s"),
+        F.col("end_b").alias("_e"),
+    ).distinct()
+    # merge overlapping/adjacent intervals: island = running max of _e
+    # over earlier rows; a gap strictly wider than 1 token starts a new one
+    wseq = Window.partitionBy(id_col).orderBy("_s", "_e")
+    prevmax = F.max("_e").over(wseq.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cuts.withColumn(
+            "_brk",
+            F.when(prevmax.isNull() | (F.col("_s") > prevmax + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "_isl", F.sum("_brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("_s", "_e")).alias("_ivs"))
+    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    joined = toks.join(merged, id_col, "left").select(
+        id_col,
+        "_tk",
+        F.coalesce(
+            F.col("_ivs"), F.array().cast("array<struct<_s:bigint,_e:bigint>>")
+        ).alias("_ivs"),
+    )
+    kept_pos = F.filter(
+        F.sequence(F.lit(0), F.size("_tk") - 1),
+        lambda i: ~F.exists(
+            F.col("_ivs"), lambda iv: (i >= iv["_s"]) & (i <= iv["_e"])
+        ),
+    )
+    return joined.where(F.size("_tk") > 0).select(
+        id_col,
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept_pos)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept_pos, lambda i: F.element_at("_tk", i + 1)), " "
+        ).alias("text_deduped"),
+    )
