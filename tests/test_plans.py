@@ -495,3 +495,62 @@ def test_kmeans_mapside_agg_no_explode_no_join(spark, embeddings):
     assert "MapInPandas" in p
     # partial+final hash aggregate around the single exchange
     assert p.count("HashAggregate") >= 2
+
+
+def test_winnow_pairs_and_spans_never_go_cartesian(documents):
+    """The winnow candidate join must be an equi-join on fp_hash (an
+    inverted index) for the pair, span, and cut forms alike; the window
+    passes must partition by document, never globally."""
+    from whatsapp_vectordb_spark.operators.dedup import (
+        winnow_cut_duplicates,
+        winnow_duplicate_pairs,
+        winnow_shared_spans,
+    )
+
+    for df in (
+        winnow_duplicate_pairs(documents.limit(100), k=5, w=4, max_df=50),
+        winnow_shared_spans(documents.limit(100), k=5, w=4),
+        winnow_cut_duplicates(documents.limit(100), k=5, w=4),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "fp_hash" in p
+        # no global (empty-partition-spec) window: every WindowExec line
+        # that mentions a specification partitions by something
+        for ln in p.splitlines():
+            if "windowspecdefinition()" in ln.replace(" ", ""):
+                raise AssertionError(f"global window in plan: {ln}")
+
+
+def test_bloom_decontaminate_corpus_side_is_pure_map(documents):
+    """After the broadcast bitmap is built, the corpus side must be scan →
+    shingle → hash → pandas membership → aggregate: no join, no shuffle
+    except the final per-doc aggregate."""
+    from whatsapp_vectordb_spark.operators.dedup import bloom_decontaminate
+
+    bench = documents.limit(20)
+    p = plan(bloom_decontaminate(documents.limit(100), bench, shingle_n=5, m_bits=1 << 16))
+    assert "Join" not in p  # membership is the broadcast bitmap UDF, not a join
+    assert "ArrowEvalPython" in p  # the ONE pandas UDF, Arrow-batched
+    assert "BatchEvalPython" not in p  # never row-at-a-time Python
+    # exchanges: the per-doc shingle dedup + the final per-doc aggregate —
+    # nothing else (formatted explain names each node twice, tree+detail,
+    # so count the detail headers)
+    import re
+
+    n_exch = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n_exch <= 3, p
+
+
+def test_sq8_scan_reads_codes_only_take_ordered(embeddings):
+    """The SQ8 query path must scan the codes table with a k-heap
+    (TakeOrderedAndProject), entirely JVM-side."""
+    from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    p = plan(sq8_topk(sq8_encode(emb, mins, deltas), qvec, deltas, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p  # pure expressions, no Python
