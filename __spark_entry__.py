@@ -64,6 +64,7 @@ _FRONTLOAD: list[str] = [
     "dedup_incremental_winnow_index",
     "ann_sq8_topk",
     "dedup_winnow_cut",
+    "streaming_winnow_index",
 ]
 
 

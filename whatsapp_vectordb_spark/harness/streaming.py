@@ -676,3 +676,51 @@ def streaming_pipeline_capstone(
         F.count("*").cast("int").alias("rank"),
     )
     return answers.unionByName(checksum)
+
+
+@_register("streaming_winnow_index", ORACLES["dedup_winnow_pairs"])
+def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SUBSTRING dedup as a real Structured Streaming
+    pipeline — the winnow twin of ``streaming_dedup_index``: the
+    augmented corpus replayed file-per-trigger through foreachBatch,
+    each micro-batch probing the stored fingerprint inverted index
+    (operators/dedup_index.py WinnowDedupIndex.add_batch) and appending
+    only its own rows, pair output idempotently keyed by batch_id.
+    Union of batch pair sets ≡ one-shot ``winnow_duplicate_pairs``
+    under ANY batch split — the oracle IS the batch query's SQL."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    root = _oracle_scratch("stream_winnow")
+    shutil.rmtree(root, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    src = os.path.join(root, "src")
+    aug.repartition(3).write.mode("overwrite").parquet(src)
+
+    idx = WinnowDedupIndex(spark, os.path.join(root, "idx"), k=5, w=4, min_shared=2)
+    pairs_dir = os.path.join(root, "pairs")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            idx.add_batch(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return (
+        spark.read.schema("id_a long, id_b long, n_shared long, batch_id long")
+        .parquet(pairs_dir)
+        .drop("batch_id")
+    )
