@@ -593,3 +593,23 @@ def test_sq8_constant_dimension_is_safe(spark):
     codes = {r["vec_id"]: r["sq8_codes"] for r in sq8_encode(df, mins, deltas).collect()}
     assert all(c[0] == 0 for c in codes.values())  # constant dim codes to 0
     assert codes[1][1] == 0 and codes[2][1] == 255  # full range used
+
+
+def test_sq8_numpy_impl_matches_expr_impl(spark, embeddings):
+    """Both SQ8 scoring paths are exact int64 arithmetic — results must be
+    identical rows, not merely close."""
+    from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    codes = sq8_encode(emb, mins, deltas)
+    expr_rows = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk(codes, qvec, deltas, k=10, impl="expr").collect()
+    ]
+    np_rows = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk(codes, qvec, deltas, k=10, impl="numpy").collect()
+    ]
+    assert expr_rows == np_rows

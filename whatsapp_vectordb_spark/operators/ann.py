@@ -2013,6 +2013,7 @@ def sq8_topk(
     k: int = 10,
     id_col: str = "vec_id",
     scale: int = 1_000_000_000,
+    impl: str = "expr",
 ) -> DataFrame:
     """Integer ADC over SQ8 codes: dot(x̂, q) = Σ min_d·q_d (constant —
     rank-irrelevant, dropped) + Σ c_d·(delta_d·q_d); the per-dim weights
@@ -2021,11 +2022,43 @@ def sq8_topk(
     no float fold order to diverge. Codes ≤ 255, |w| ≤ ~|q|·Δ·10⁹,
     dim ≤ 4k: comfortably inside int64. Ties break by id.
     ``TakeOrderedAndProject`` keeps the k-heap per task — the codes
-    table is the ONLY thing scanned (the float vectors never load)."""
+    table is the ONLY thing scanned (the float vectors never load).
+
+    ``impl``: ``"expr"`` (default) scores with the zip_with/aggregate HOF
+    — SQL-oracle-parity form, fine to a few hundred dims; ``"numpy"``
+    does the same integer dot as one Arrow-batched matmul per partition
+    plus a per-partition k-heap (``mapInPandas`` emitting ≤k rows each)
+    — the at-scale path at ada-002 dimensionality, bit-identical scores
+    (both are exact int64 arithmetic, pinned by test)."""
     w = [int(np.floor(float(q) * d * scale + 0.5)) for q, d in zip(query_vec, deltas)]
+    if impl == "numpy":
+        wv = np.asarray(w, dtype=np.int64)
+        kk = k
+
+        def part_topk(batches):
+            import pandas as pd
+
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                c = np.vstack(pdf["sq8_codes"].to_numpy()).astype(np.int64)
+                s = c @ wv
+                cur = pd.DataFrame({id_col: pdf[id_col], "score_int": s})
+                best = cur if best is None else pd.concat((best, cur))
+                best = best.sort_values(
+                    ["score_int", id_col], ascending=[False, True]
+                ).head(kk)
+            if best is not None:
+                yield best
+
+        partial = codes_df.select(id_col, "sq8_codes").mapInPandas(
+            part_topk, schema=f"{id_col} long, score_int long"
+        )
+        return partial.orderBy(
+            F.col("score_int").desc(), F.col(id_col).asc()
+        ).limit(k)
     warr = F.array(*[F.lit(v).cast("long") for v in w])
     score = F.aggregate(
-        F.zip_with(F.col("sq8_codes"), warr, lambda c, wv: c * wv),
+        F.zip_with(F.col("sq8_codes"), warr, lambda c, wv_: c * wv_),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
