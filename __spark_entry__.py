@@ -48,12 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Clear entries once their fresh row lands.
 #
 # r11: ann_ivf_portable_nprobe_sweep's fresh row landed in r10 — cleared.
-# The three r10-written winnow/Bloom queries got registry entries this
-# round; they are never-sampled, so ordering rule 2 fronts them without
-# an entry here — listed explicitly anyway so the round's intent is
-# visible in the sample head. The rest falls through to
-# stalest-green-first (draining the r7 cohort; after r11 no latest row
-# should be older than r8).
+# Every query registered this round (the winnow family incl. spans/cut/
+# incremental/streaming, the Bloom decontaminator, the BPE pair, SQ8) is
+# never-sampled, so ordering rule 2 fronts them without an entry here —
+# listed explicitly anyway so the round's intent is visible in the
+# sample head. The rest falls through to stalest-green-first (draining
+# the r7 cohort; after r11 no latest row should be older than r8).
 _FRONTLOAD: list[str] = [
     "dedup_winnow_fingerprints",
     "dedup_winnow_pairs",
