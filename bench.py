@@ -153,6 +153,17 @@ def main() -> None:
 
         dedup_simhash_pairs(spark, sf_dir).count()
 
+    @timed("ann_sq8_topk")
+    def _():
+        # SQ8 end-to-end (train + encode + integer ADC top-10) — the
+        # registry query shape; at scale train/encode amortize and only
+        # the codes scan recurs
+        from whatsapp_vectordb_spark.operators.ann import sq8_encode, sq8_topk, sq8_train
+
+        mins, deltas = sq8_train(emb)
+        codes = sq8_encode(emb, mins, deltas)
+        sq8_topk(codes, qvec, deltas, k=10).collect()
+
     @timed("dedup_winnow_pairs")
     def _():
         # substring-level (winnowing) dup pairs — the registry query shape
