@@ -334,3 +334,33 @@ def test_capstone_invariant_to_micro_batching(spark):
     )
     assert one_per == all_in_one
     assert len(one_per) == 13  # 4 queries x top-3 + checksum row
+
+
+def test_winnow_index_stream_invariant_to_micro_batching(spark):
+    """The streaming winnow index's pair union must not depend on how the
+    corpus was micro-batched — file-per-trigger (3 batches) vs all-in-one
+    (1 batch) — and both must equal the one-shot batch operator (the
+    registry oracle's form)."""
+    from whatsapp_vectordb_spark.harness import (
+        _augmented_docs,
+        streaming_winnow_index,
+    )
+    from whatsapp_vectordb_spark.operators.dedup import winnow_duplicate_pairs
+
+    sf = "/root/testdata/sf0.001"
+    per_file = sorted(
+        map(tuple, streaming_winnow_index(spark, sf, max_files_per_trigger=1).collect())
+    )
+    one_shot_stream = sorted(
+        map(tuple, streaming_winnow_index(spark, sf, max_files_per_trigger=3).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            winnow_duplicate_pairs(
+                _augmented_docs(spark, sf), k=5, w=4, min_shared=2
+            ).collect(),
+        )
+    )
+    assert per_file == one_shot_stream == batch
+    assert batch  # non-vacuous

@@ -679,7 +679,9 @@ def streaming_pipeline_capstone(
 
 
 @_register("streaming_winnow_index", ORACLES["dedup_winnow_pairs"])
-def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_winnow_index(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """Ingest-time SUBSTRING dedup as a real Structured Streaming
     pipeline — the winnow twin of ``streaming_dedup_index``: the
     augmented corpus replayed file-per-trigger through foreachBatch,
@@ -713,7 +715,7 @@ def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(aug.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(src)
     )
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
