@@ -48,6 +48,11 @@ SHOWN = [
     ("ann_ivf_portable_build_probe", "portable IVF probe: cell IN-filter prunes the member join, TakeOrderedAndProject top-k (build = iters x map-assign + k*d aggregate, upstream of this plan)"),
     ("ann_ivf_portable_nprobe_sweep", "analytic nprobe sweep: per-level cell-pruned member joins + TakeOrderedAndProject, union of three k-row recall frames"),
     ("dedup_canonical_unscored", "left-join election: skinny id join, one cluster-keyed window, NULLS-LAST score rank"),
+    ("dedup_winnow_pairs", "winnow substring pairs: doc-partitioned min-windows -> fp_hash inverted-index equi-join (no cartesian) -> pair aggregate"),
+    ("dedup_winnow_cut", "ExactSubstr cut: span islands -> per-doc interval arrays (collect_list) -> HOF positional filter; no position-level join"),
+    ("dedup_bloom_decontaminate", "Bloom decontamination: corpus side is scan -> shingle dedup -> ONE Arrow pandas membership UDF -> per-doc aggregate; no join"),
+    ("ann_sq8_topk", "SQ8 integer ADC: codes-only scan, zip_with int64 dot, TakeOrderedAndProject k-heap; zero Python"),
+    ("text_bpe_fertility", "BPE apply: merge chain as literal replaces inside one transform lambda -- map-only projection, no shuffle"),
 ]
 
 
