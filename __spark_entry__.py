@@ -65,6 +65,7 @@ _FRONTLOAD: list[str] = [
     "ann_sq8_topk",
     "dedup_winnow_cut",
     "streaming_winnow_index",
+    "ann_sq8_euclidean_topk",
 ]
 
 

@@ -613,3 +613,34 @@ def test_sq8_numpy_impl_matches_expr_impl(spark, embeddings):
         for r in sq8_topk(codes, qvec, deltas, k=10, impl="numpy").collect()
     ]
     assert expr_rows == np_rows
+
+
+def test_sq8_euclidean_recall_and_self_first(spark, embeddings):
+    """SQ8 euclidean ranking must recover the exact squared-L2 top-10 at
+    8-bit fidelity; the query vector itself (distance 0) ranks first."""
+    from whatsapp_vectordb_spark.functions.vector import euclidean_distance
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk_euclidean,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    approx = [
+        r["vec_id"]
+        for r in sq8_topk_euclidean(
+            sq8_encode(emb, mins, deltas), qvec, mins, deltas, k=10
+        ).collect()
+    ]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", euclidean_distance("embedding", q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert approx[0] == 0
+    assert len(set(approx) & set(exact)) >= 8

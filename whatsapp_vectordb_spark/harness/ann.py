@@ -2265,3 +2265,52 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     codes = sq8_encode(emb, mins, deltas)
     return sq8_topk(codes, qvec, deltas, k=10)
+
+
+_SQ8_EUCLID_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM ex GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(s.dl * s.dl * 1000000000 + 0.5) AS BIGINT) AS a,
+         CAST(floor(2 * s.dl * (s.mn - qe[s.d]::DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS b
+  FROM sd s, q
+),
+cb AS (
+  SELECT e.vec_id,
+         LEAST(255, GREATEST(0,
+           CAST(floor((e.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) AS c,
+         g.a, g.b
+  FROM ex e JOIN wgt g ON g.d = e.d
+),
+scores AS (SELECT vec_id, SUM(c * c * a + c * b) AS score_int FROM cb GROUP BY vec_id)
+SELECT vec_id, CAST(score_int AS BIGINT) AS score_int
+FROM scores ORDER BY score_int ASC, vec_id LIMIT 10
+"""
+
+
+@_register("ann_sq8_euclidean_topk", _SQ8_EUCLID_SQL)
+def ann_sq8_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 under the euclidean metric (the reference's second metric,
+    upsert.go:27): same analytic build, ascending integer scores from
+    the expanded-square weights — train + encode + score all inside the
+    hash check."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk_euclidean,
+        sq8_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    codes = sq8_encode(emb, mins, deltas)
+    return sq8_topk_euclidean(codes, qvec, mins, deltas, k=10)

@@ -2067,3 +2067,46 @@ def sq8_topk(
         .orderBy(F.col("score_int").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq8_topk_euclidean(
+    codes_df: DataFrame,
+    query_vec,
+    mins: list[float],
+    deltas: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Euclidean twin of ``sq8_topk`` — the SQ8 tier speaks all three of
+    the reference's metrics (upsert.go:27 lists cosine/euclidean/
+    dotproduct; cosine over SQ8 = this dot form on pre-normalized
+    vectors). Rank by the expanded square with the query-only constant
+    dropped: ‖x̂-q‖² ∝ Σ a_d·c_d² + b_d·c_d with a_d = ⌊Δ_d²·S+½⌋ and
+    b_d = ⌊2Δ_d(min_d - q_d)·S+½⌋ — per-dim int64 weights, ASCENDING
+    integer scores, same exact-in-any-engine property as the dot form.
+    c² ≤ 65025 with dim·a_d ≪ 2⁶³ keeps the fold inside int64."""
+    a = [int(np.floor(d * d * scale + 0.5)) for d in deltas]
+    b = [
+        int(np.floor(2 * d * (m - float(q)) * scale + 0.5))
+        for q, m, d in zip(query_vec, mins, deltas)
+    ]
+    aarr = F.array(*[F.lit(v).cast("long") for v in a])
+    barr = F.array(*[F.lit(v).cast("long") for v in b])
+    s_sq = F.aggregate(
+        F.zip_with(
+            F.col("sq8_codes"), aarr, lambda c, av: c.cast("long") * c * av
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    s_lin = F.aggregate(
+        F.zip_with(F.col("sq8_codes"), barr, lambda c, bv: c.cast("long") * bv),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(F.col(id_col), (s_sq + s_lin).alias("score_int"))
+        .orderBy(F.col("score_int").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
