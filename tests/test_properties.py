@@ -109,3 +109,30 @@ def test_round_half_up_matches_decimal(vals, r):
             )
         )
         assert abs(g - dec) <= step + 1e-12
+
+
+# Winnowing coverage guarantee (SIGMOD'03 §3): any two token sequences
+# sharing a verbatim run of >= w+k-1 tokens share at least one selected
+# fingerprint. Property-tested on the pure reference winnower; the Spark
+# operator is pinned row-equal to it by
+# tests/test_winnow.py::test_matches_reference_winnower, so the chain
+# covers the distributed op without a Spark session per example.
+@given(
+    st.integers(min_value=2, max_value=5),  # k
+    st.integers(min_value=2, max_value=5),  # w
+    st.integers(min_value=0, max_value=8),  # extra shared run length
+    st.lists(st.integers(0, 40), max_size=25),  # a-prefix vocab ids
+    st.lists(st.integers(0, 40), max_size=25),  # a-suffix
+    st.lists(st.integers(0, 40), max_size=25),  # b-prefix
+    st.lists(st.integers(0, 40), max_size=25),  # b-suffix
+)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_shared_run_guarantee(k, w, extra, ap, asfx, bp, bsfx):
+    from test_winnow import _ref_winnow
+
+    shared = " ".join(f"shared{i}" for i in range(w + k - 1 + extra))
+    a = " ".join([*(f"xa{i}" for i in ap), shared, *(f"ya{i}" for i in asfx)])
+    b = " ".join([*(f"xb{i}" for i in bp), shared, *(f"yb{i}" for i in bsfx)])
+    fa = {h for _, h in _ref_winnow(a, k, w)}
+    fb = {h for _, h in _ref_winnow(b, k, w)}
+    assert fa & fb
