@@ -111,3 +111,60 @@ def test_winnow_index_reingest_is_noop(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in first} == {(1, 2)}
     # re-ingesting the same ids must produce no new pairs and not corrupt state
     assert idx.add_batch(docs).collect() == []
+
+
+def test_winnow_index_crash_retry_keeps_pairs_durable(spark, tmp_path):
+    """The add_batch durability contract (ADVICE r11): with pairs_path,
+    pairs land durably BEFORE the fingerprint append commits, and a
+    post-commit retry (which recomputes an empty pair set) must NOT
+    clobber the committed batch's pair file — union of the durable
+    per-batch pair files ≡ one-shot under a crash at either side of the
+    commit point."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_duplicate_pairs
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight"),
+            (4, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    one_shot = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_duplicate_pairs(docs, k=3, w=4, min_shared=1).collect()
+    }
+
+    idx = WinnowDedupIndex(spark, str(tmp_path / "widx3"), k=3, w=4, min_shared=1)
+    pairs_dir = str(tmp_path / "pairs")
+    b1 = docs.where("doc_id <= 2")
+    b2 = docs.where("doc_id >= 3")
+
+    # batch 0: crash AFTER the durable pairs write, BEFORE the append commit
+    real_commit = idx._commit_append
+    def boom(fp_new):
+        raise RuntimeError("simulated crash before fingerprint commit")
+    idx._commit_append = boom
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        idx.add_batch(b1, pairs_path=pairs_dir, batch_key=0)
+    idx._commit_append = real_commit
+    # retry: docs not yet stored, so the batch recomputes and overwrites
+    idx.add_batch(b1, pairs_path=pairs_dir, batch_key=0)
+
+    # batch 1: commits fully, then a spurious retry (crash after commit,
+    # e.g. the stream checkpoint didn't advance) replays the same batch
+    idx.add_batch(b2, pairs_path=pairs_dir, batch_key=1)
+    retried = idx.add_batch(b2, pairs_path=pairs_dir, batch_key=1)
+    assert retried.count() == 0  # anti-joined out, as documented
+
+    durable = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in spark.read.schema(
+            "id_a long, id_b long, n_shared long, batch_id long"
+        ).parquet(pairs_dir).drop("batch_id").collect()
+    }
+    assert durable == one_shot
+    assert {(a, b) for a, b, _ in durable} == {(1, 2), (3, 4)}  # non-vacuous

@@ -508,7 +508,11 @@ def test_winnow_pairs_and_spans_never_go_cartesian(documents):
     )
 
     for df in (
-        winnow_duplicate_pairs(documents.limit(100), k=5, w=4, max_df=50),
+        # release_cache=False: the eager-checkpoint default would collapse
+        # the plan to an ExistingRDD scan — audit the lazy plan instead
+        winnow_duplicate_pairs(
+            documents.limit(100), k=5, w=4, max_df=50, release_cache=False
+        ),
         winnow_shared_spans(documents.limit(100), k=5, w=4),
         winnow_cut_duplicates(documents.limit(100), k=5, w=4),
     ):

@@ -402,3 +402,48 @@ def test_bpe_segment_fertility_matches_reference(spark):
         assert got[i][2] == round(n_pieces / len(toks), 6)
     # trained tokenizer compresses: fertility strictly below chars/word
     assert all(v[1] < sum(len(w) for w in re.split(r"[^a-z0-9]+", texts[i])) for i, v in got.items())
+
+
+def test_bpe_oracles_survive_degenerate_corpus(spark):
+    """ADVICE r11: a corpus with fewer learnable merges than n_merges used
+    to EMPTY the oracle CTE chain (empty m{n} cross-joined everything
+    away) while the operator correctly segmented with the shorter merge
+    list. The chr(30) sentinel fallback must make oracle and operator
+    degrade identically — on merge table AND fertility."""
+    import duckdb
+
+    from whatsapp_vectordb_spark.harness.text import _bpe_fertility_sql, _bpe_sql
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_learn,
+        bpe_segment_fertility,
+    )
+
+    # one two-char word: exactly ONE learnable merge, then pairs run dry
+    rows = [(1, "ab a b ab"), (2, "ab ab b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    got_merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn(df, n_merges=8).collect()
+    ]
+    want_merges = [
+        tuple(r) for r in con.execute(_bpe_sql(8)).fetchall()
+    ]
+    assert got_merges == want_merges == [(0, "a", "b", 4)]
+
+    merges = [(l, r) for _, l, r, _ in got_merges]
+    got_fert = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"], round(r["fertility"], 6))
+        for r in bpe_segment_fertility(df, merges).collect()
+    }
+    want_fert = {
+        d: (n, p, f)
+        for d, n, p, f in con.execute(_bpe_fertility_sql(8)).fetchall()
+    }
+    assert got_fert == want_fert
+    # doc 1: [ab, a, b, ab] — every word one piece after the (a,b) merge
+    assert want_fert[1] == (4, 4, 1.0)

@@ -353,3 +353,33 @@ def test_cut_duplicates_merges_overlapping_spans(spark):
     # the non-shared tokens of every doc survive
     assert "three tail here" in out[3]["text_deduped"]
     assert out[2]["text_deduped"].startswith("two other head")
+
+
+def test_winnow_pairs_releases_fingerprint_cache(spark):
+    """The max_df branch caches the fingerprint table; with the default
+    release_cache=True the cache must be dropped before the call returns
+    (ADVICE r11: long-lived sessions otherwise accumulate one cached
+    fingerprint table per call). Storage-level assert, not folklore."""
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(20)]
+    shared = " ".join(f"s{j}" for j in range(20))
+    rows += [(100, f"head {shared}"), (101, f"{shared} tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    out = winnow_duplicate_pairs(df, k=3, w=4, max_df=50)
+    # exactly ONE persistent entry remains: the checkpointed RESULT
+    # (bounded pair rows); the fingerprint cache itself is gone
+    assert n_cached() == base + 1
+    assert out.where((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+
+    lazy = winnow_duplicate_pairs(
+        df, k=3, w=4, max_df=50, release_cache=False
+    )
+    lazy.count()
+    assert n_cached() == base + 2  # legacy lazy path: caller clears the cache
+    spark.catalog.clearCache()

@@ -704,14 +704,11 @@ def streaming_winnow_index(
     pairs_dir = os.path.join(root, "pairs")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            idx.add_batch(batch_df)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(pairs_dir)
-        )
+        # pairs_path + batch_key: add_batch persists this batch's pairs
+        # durably BEFORE committing the fingerprint append, closing the
+        # crash window where a committed append + lost pair output broke
+        # the union ≡ one-shot contract (ADVICE r11)
+        idx.add_batch(batch_df, pairs_path=pairs_dir, batch_key=batch_id)
 
     stream = (
         spark.readStream.schema(aug.schema)

@@ -1385,9 +1385,19 @@ def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
   ) GROUP BY 1, 2
 )"""
         )
+        # Degenerate-corpus guard (ADVICE r11): if the corpus runs out of
+        # learnable pairs before round n, p{n} is empty and a bare LIMIT 1
+        # would empty m{n} — and every downstream CTE that cross-joins it.
+        # Fall back to a chr(30) sentinel pair instead: tokens are
+        # [a-z0-9]+ so its replace can never match (a no-op round), which
+        # is exactly how bpe_learn degrades (it stops merging). The learn
+        # oracle filters sentinel rows out of its output below.
         ctes.append(
-            f"m{n} AS (SELECT lhs, rhs, pair_count FROM p{n} "
-            "ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+            f"m{n} AS (SELECT lhs, rhs, pair_count FROM ("
+            f"  SELECT * FROM (SELECT lhs, rhs, pair_count, 0 AS _pri FROM p{n} "
+            "   ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+            "  UNION ALL SELECT chr(30), chr(30), 0, 1"
+            ") ORDER BY _pri LIMIT 1)"
         )
         ctes.append(
             f"w{n + 1} AS (SELECT replace(ws, "
@@ -1397,7 +1407,8 @@ def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
         )
         finals.append(
             f"SELECT {n} AS merge_rank, lhs, rhs, "
-            f"CAST(pair_count AS BIGINT) AS pair_count FROM m{n}"
+            f"CAST(pair_count AS BIGINT) AS pair_count FROM m{n} "
+            "WHERE lhs <> chr(30)"
         )
     return ctes, finals
 

@@ -2040,6 +2040,10 @@ def sq8_topk(
 
             best: pd.DataFrame | None = None
             for pdf in batches:
+                if len(pdf) == 0:
+                    # Arrow batch boundaries can emit empty batches;
+                    # np.vstack([]) raises (ADVICE r11)
+                    continue
                 c = np.vstack(pdf["sq8_codes"].to_numpy()).astype(np.int64)
                 s = c @ wv
                 cur = pd.DataFrame({id_col: pdf[id_col], "score_int": s})

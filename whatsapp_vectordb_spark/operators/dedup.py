@@ -553,6 +553,7 @@ def winnow_duplicate_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = None,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Substring-level duplicate pairs from shared winnowing fingerprints:
     documents sharing at least ``min_shared`` distinct selected hashes
@@ -568,12 +569,23 @@ def winnow_duplicate_pairs(
     ``max_shingle_freq`` in the Jaccard path). At 100 TB set it to a few
     hundred; the gate-scale registry query leaves it off so the oracle
     stays a 3-CTE replay.
+
+    Cache lifecycle: the ``max_df`` branch caches the fingerprint table
+    (one expensive window pass serves both the hot-set aggregation and
+    the candidate join). With ``release_cache=True`` (default) the result
+    is eagerly materialized via ``localCheckpoint`` and the cache dropped
+    before returning — long-lived sessions / incremental pipelines don't
+    accumulate cached fingerprint partitions per call (ADVICE r11).
+    Pass ``release_cache=False`` to keep the whole computation lazy (the
+    fingerprint cache then lives until the caller clears it — plan-audit
+    and single-query sessions only).
     """
     fps = (
         winnow_fingerprints(df, text_col, id_col, k=k, w=w)
         .select(id_col, "fp_hash")
         .distinct()
     )
+    cached = None
     if max_df is not None:
         # ONE fingerprint build serves the df count AND the join (the
         # per-doc window pass is the expensive part — cache it). Guard in
@@ -582,7 +594,7 @@ def winnow_duplicate_pairs(
         # so the broadcast stays small; broadcasting the QUALIFYING set
         # instead would be O(all distinct fingerprints) — unbroadcastable
         # at corpus scale.
-        fps = fps.cache()
+        cached = fps = fps.cache()
         hot = (
             fps.groupBy("fp_hash")
             .agg(F.count("*").alias("_df"))
@@ -592,13 +604,20 @@ def winnow_duplicate_pairs(
         fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
     a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
     b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
-    return (
+    pairs = (
         a.join(b, "fp_hash")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+    if cached is not None and release_cache:
+        # pairs is bounded (duplicate pairs above min_shared, not corpus
+        # rows) — materialize it, then drop the fingerprint cache so it
+        # can't pile up across calls in a long-lived session
+        pairs = pairs.localCheckpoint(eager=True)
+        cached.unpersist()
+    return pairs
 
 
 def winnow_shared_spans(
@@ -610,6 +629,7 @@ def winnow_shared_spans(
     max_gap: int | None = None,
     min_fps: int = 2,
     max_df: int | None = None,
+    release_cache: bool = True,
 ) -> DataFrame:
     """WHERE the copy is, not just that it exists: collinear shared
     winnowing fingerprints grouped into maximal spans — the span-level
@@ -636,8 +656,9 @@ def winnow_shared_spans(
     """
     gap = w if max_gap is None else max_gap
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    cached = None
     if max_df is not None:
-        fps = fps.cache()
+        cached = fps = fps.cache()
         hot = (
             fps.select(id_col, "fp_hash")
             .distinct()
@@ -673,7 +694,7 @@ def winnow_shared_spans(
             F.sum("_brk").over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    return (
+    spans = (
         isl.groupBy("id_a", "id_b", "_off", "_isl")
         .agg(
             F.min("pos_a").alias("start_a"),
@@ -691,6 +712,12 @@ def winnow_shared_spans(
             "n_fps",
         )
     )
+    if cached is not None and release_cache:
+        # same lifecycle as winnow_duplicate_pairs: spans are bounded by
+        # actual duplication, so eager-materialize and drop the cache
+        spans = spans.localCheckpoint(eager=True)
+        cached.unpersist()
+    return spans
 
 
 def bloom_decontaminate(
@@ -1454,6 +1481,7 @@ def winnow_cut_duplicates(
     max_gap: int | None = None,
     min_fps: int = 2,
     max_df: int | None = None,
+    release_cache: bool = True,
 ) -> DataFrame:
     """ExactSubstr dedup end-to-end (Lee et al. 2022): not just find the
     copied regions (``winnow_shared_spans``) but CUT them — the lower id
@@ -1473,7 +1501,7 @@ def winnow_cut_duplicates(
     """
     spans = winnow_shared_spans(
         df, text_col, id_col, k=k, w=w, max_gap=max_gap,
-        min_fps=min_fps, max_df=max_df,
+        min_fps=min_fps, max_df=max_df, release_cache=release_cache,
     )
     cuts = spans.select(
         F.col("id_b").alias(id_col),

@@ -233,11 +233,36 @@ class WinnowDedupIndex:
             return None
         return self.spark.read.parquet(p)
 
-    def add_batch(self, batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def add_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        pairs_path: str | None = None,
+        batch_key=None,
+    ) -> DataFrame:
         """Returns the verified pairs ``(id_a, id_b, n_shared)`` with at
         least one batch-side member, then folds the batch in. Re-ingest
         safe (already-stored ids are anti-joined out) and crash safe
-        (staged write + rename, the ``MinHashDedupIndex`` protocol)."""
+        (staged write + single-file rename).
+
+        DURABILITY CONTRACT (ADVICE r11): the fingerprint append commits
+        at the END of this call, and once it commits a retry anti-joins
+        the batch's docs out — so pairs returned lazily to a caller that
+        crashes AFTER this call but BEFORE persisting them are gone (the
+        retry sees an already-ingested batch and returns an empty set).
+        Two ways to hold the union-of-batches ≡ one-shot guarantee across
+        retries:
+
+        * pass ``pairs_path`` (+ a stable ``batch_key``, e.g. the
+          foreachBatch batch_id): pairs are then written durably to
+          ``pairs_path/batch_id=<batch_key>`` BEFORE the append commits,
+          and a post-commit retry (which recomputes an empty pair set)
+          will NOT clobber the committed batch's pair file. Consumers
+          read ``pairs_path``; the return value is best-effort on retry.
+        * or treat the returned (eagerly materialized) pairs as part of
+          the batch's output transaction: persist them durably before
+          acknowledging the batch anywhere.
+        """
         from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
 
         stored = self._stored()
@@ -276,24 +301,46 @@ class WinnowDedupIndex:
         # pin before the append mutates the stored dir (same hazard the
         # MinHash index documents: lazily-read state + append = corruption)
         pairs = pairs.localCheckpoint(eager=True)
+        if pairs_path is not None:
+            if batch_key is None:
+                raise ValueError("pairs_path requires a stable batch_key")
+            dest = os.path.join(pairs_path, f"batch_id={batch_key}")
+            # post-commit retry guard: if the whole batch was already
+            # ingested (crash after both commits), fp_new is empty and
+            # pairs with it — keep the committed attempt's pair file
+            # rather than clobbering it with the empty recompute
+            if not fp_new.isEmpty() or not os.path.exists(dest):
+                pairs.write.mode("overwrite").parquet(dest)
         self._commit_append(fp_new)
         fp_new.unpersist()
         return pairs
 
     def _commit_append(self, fp_new: DataFrame) -> None:
+        """Stage the batch's fingerprints, then commit with ONE rename.
+
+        Single-file on purpose: a multi-file rename loop has a crash
+        window where only SOME of a doc's fingerprint rows land — the
+        re-ingest anti-join (which keys on stored doc ids) would then
+        skip the doc with an incomplete posting list and silently miss
+        pairs forever. One file = one atomic rename = a batch is either
+        fully in or fully out. Cost: the staged write is one task — fine
+        for an incremental micro-batch append (~10-20 fp rows/doc reading
+        cached blocks); the bulk path is the one-shot batch operator."""
         import shutil
         import uuid
 
         stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         stage_fp = os.path.join(stage, "fingerprints")
         try:
-            fp_new.write.mode("overwrite").parquet(stage_fp)
+            fp_new.coalesce(1).write.mode("overwrite").parquet(stage_fp)
+            parts = [
+                f for f in os.listdir(stage_fp) if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, f"expected one staged file, got {parts}"
             os.makedirs(self._fp_path, exist_ok=True)
-            for fname in os.listdir(stage_fp):
-                if fname.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(stage_fp, fname),
-                        os.path.join(self._fp_path, fname),
-                    )
+            os.rename(
+                os.path.join(stage_fp, parts[0]),
+                os.path.join(self._fp_path, f"{uuid.uuid4().hex}.parquet"),
+            )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
