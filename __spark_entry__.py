@@ -47,25 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # lands — a green driver row that predates the change verifies nothing.
 # Clear entries once their fresh row lands.
 #
-# r11: ann_ivf_portable_nprobe_sweep's fresh row landed in r10 — cleared.
-# Every query registered this round (the winnow family incl. spans/cut/
-# incremental/streaming, the Bloom decontaminator, the BPE pair, SQ8) is
-# never-sampled, so ordering rule 2 fronts them without an entry here —
-# listed explicitly anyway so the round's intent is visible in the
-# sample head. The rest falls through to stalest-green-first (draining
-# the r7 cohort; after r11 no latest row should be older than r8).
+# r12: the r11 registrations all landed green rows — cleared. This
+# round's entries: (a) the LAST two r7-stale rows (VERDICT r11 #3 —
+# the r10 staleness target "none older than r8" finally lands),
+# (b) streaming_winnow_index, whose implementation changed this round
+# (add_batch pairs_path durability ordering), (c) the queries whose
+# implementation or oracle is new this round (SQ8 cosine, BPE one-stage
+# training) — never-sampled, fronted by rule 2 anyway, listed for
+# visibility.
 _FRONTLOAD: list[str] = [
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_winnow_spans",
-    "dedup_bloom_decontaminate",
-    "text_bpe_learn",
-    "text_bpe_fertility",
-    "dedup_incremental_winnow_index",
-    "ann_sq8_topk",
-    "dedup_winnow_cut",
+    "streaming_ivf_maintenance",
+    "streaming_pipeline_capstone",
     "streaming_winnow_index",
-    "ann_sq8_euclidean_topk",
+    "ann_sq8_cosine_topk",
+    "text_bpe_learn_full",
 ]
 
 

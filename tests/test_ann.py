@@ -644,3 +644,63 @@ def test_sq8_euclidean_recall_and_self_first(spark, embeddings):
     ]
     assert approx[0] == 0
     assert len(set(approx) & set(exact)) >= 8
+
+
+def test_sq8_cosine_recall_scale_invariance_and_zero_query(spark, embeddings):
+    """SQ8 cosine (normalize-at-encode): top-10 recovers most of the exact
+    cosine top-10; scaling the query by an exact power of two changes
+    NOTHING (bit-identical scores — q/‖q‖ is scale-free); both impls
+    agree exactly; a zero query is rejected."""
+    import pytest as _pt
+
+    from whatsapp_vectordb_spark.functions.vector import (
+        cosine_similarity,
+        l2_normalize,
+    )
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk_cosine,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    embn = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    mins, deltas = sq8_train(embn)
+    codes = sq8_encode(embn, mins, deltas)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+
+    got = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk_cosine(codes, qvec, deltas, k=10).collect()
+    ]
+    approx = [v for v, _ in got]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", cosine_similarity("embedding", q).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert len(set(approx) & set(exact)) >= 8
+    assert approx[0] == 0  # the query vector itself: cosine 1.0
+
+    # power-of-two query scaling is exactly invisible after normalization
+    scaled = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk_cosine(
+            codes, [4.0 * float(v) for v in qvec], deltas, k=10
+        ).collect()
+    ]
+    assert scaled == got
+
+    np_rows = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk_cosine(codes, qvec, deltas, k=10, impl="numpy").collect()
+    ]
+    assert np_rows == got
+
+    with _pt.raises(ValueError):
+        sq8_topk_cosine(codes, [0.0] * len(qvec), deltas, k=10)

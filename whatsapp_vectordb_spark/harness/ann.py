@@ -2267,6 +2267,78 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(codes, qvec, deltas, k=10)
 
 
+# Cosine over SQ8 (the reference's ACTIVE metric, main.go:28):
+# normalize-at-encode, then the SAME integer dot ADC with weights from
+# the normalized query. The norm replay is the bit-parity crux: Spark's
+# l2_normalize folds the element squares left-to-right from 0.0
+# (functions/vector.py dot_product), and DuckDB's list_reduce folds
+# left-to-right from the FIRST element — equal because 0.0 + p1 == p1
+# exactly in IEEE doubles. Everything downstream (min/max stats, delta,
+# floor(z+0.5) codes, int64 weights) is the proven _SQ8_SQL machinery
+# over the normalized values.
+_SQ8_COS_SQL = """
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(embedding) AS xr,
+         unnest(range(1, len(embedding) + 1)) AS d, nrm
+  FROM nv WHERE nrm > 0
+),
+exn AS (SELECT vec_id, d, xr::DOUBLE / nrm AS x FROM ex),
+stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM exn GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+q AS (
+  SELECT embedding AS qe,
+         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                          (a, b) -> a + b)) AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE / qn * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, q
+),
+scores AS (
+  SELECT e.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((e.x - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM exn e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(score_int AS BIGINT) AS score_int
+FROM scores ORDER BY score_int DESC, vec_id LIMIT 10
+"""
+
+
+@_register("ann_sq8_cosine_topk", _SQ8_COS_SQL)
+def ann_sq8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 under COSINE — the reference's active metric (main.go:28),
+    closing the quantized metric triple: L2-normalize, train + encode on
+    the normalized vectors, integer dot ADC with normalized-query
+    weights. Train, encode, normalization, and scoring all inside the
+    hash check."""
+    from whatsapp_vectordb_spark.functions.vector import l2_normalize
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk_cosine,
+        sq8_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    embn = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+    mins, deltas = sq8_train(embn)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]  # RAW: the operator normalizes
+    codes = sq8_encode(embn, mins, deltas)
+    return sq8_topk_cosine(codes, qvec, deltas, k=10)
+
+
 _SQ8_EUCLID_SQL = """
 WITH ex AS (
   SELECT vec_id, unnest(embedding) AS x,

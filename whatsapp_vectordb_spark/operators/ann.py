@@ -2073,6 +2073,43 @@ def sq8_topk(
     )
 
 
+def sq8_topk_cosine(
+    codes_df: DataFrame,
+    query_vec,
+    deltas: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    scale: int = 1_000_000_000,
+    impl: str = "expr",
+) -> DataFrame:
+    """Cosine over SQ8 — the reference's ACTIVE metric (main.go:28),
+    completing the quantized metric triple (dot, euclidean, cosine).
+
+    Normalize-at-encode: the codes table must hold vectors quantized
+    AFTER L2 normalization (``l2_normalize`` at encode time — the
+    store-once, score-many form the float index uses too). Then
+    cos(x, q) = dot(x/‖x‖, q/‖q‖), so cosine ranking IS the integer dot
+    ADC of ``sq8_topk`` with weights built from the NORMALIZED query —
+    same codes-only scan, same exact-in-any-engine int64 arithmetic, no
+    per-row float division anywhere. This function normalizes q with the
+    same left-to-right fold ``l2_normalize`` uses (element square
+    products, then sequential adds from 0.0) so the SQL oracle's
+    ``list_reduce`` replay is bit-identical, and delegates to
+    ``sq8_topk``. Zero-norm queries are rejected (no direction = no
+    cosine); zero-norm CORPUS vectors normalize to NULL and never
+    surface in the top-k (NULL scores sort last under DESC)."""
+    acc = 0.0
+    for v in query_vec:
+        acc += float(v) * float(v)
+    if acc <= 0.0:
+        raise ValueError("cosine top-k needs a non-zero query vector")
+    nrm = math.sqrt(acc)
+    qn = [float(v) / nrm for v in query_vec]
+    return sq8_topk(
+        codes_df, qn, deltas, k=k, id_col=id_col, scale=scale, impl=impl
+    )
+
+
 def sq8_topk_euclidean(
     codes_df: DataFrame,
     query_vec,
