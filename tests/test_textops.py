@@ -447,3 +447,71 @@ def test_bpe_oracles_survive_degenerate_corpus(spark):
     assert got_fert == want_fert
     # doc 1: [ab, a, b, ab] — every word one piece after the (a,b) merge
     assert want_fert[1] == (4, 4, 1.0)
+
+
+def test_bpe_learn_local_twin_equality(spark):
+    """The one-stage local trainer must equal the per-round distributed
+    variant merge-for-merge — same argmax tie-break, same leftmost
+    application, same early stop — on a rich corpus AND a degenerate
+    one (VERDICT r11 #1: twin-equality pinned for the first merges)."""
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_learn,
+        bpe_learn_local,
+    )
+
+    texts = [
+        "low lower lowest low low newer newest new new new wider wide wide",
+        "the quick brown fox the lazy dog the end the they them there",
+        "banana bandana ban banana banana band bands banding",
+        "aaaa aaa aa a aaaa aaaa",
+        "baba bababa baba bab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    dist = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn(df, n_merges=12).collect()
+    ]
+    local = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn_local(df, n_merges=12).collect()
+    ]
+    assert local == dist and len(local) == 12
+
+    tiny = spark.createDataFrame([(1, "ab a b ab")], "doc_id long, text string")
+    assert [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn_local(tiny, n_merges=5).collect()
+    ] == [(0, "a", "b", 2)]  # stops when pairs run dry, like the twin
+
+
+def test_bpe_inmem_trainer_matches_reference_at_depth():
+    """Deep-merge equivalence of the incremental trainer against the
+    O(rounds·corpus) recount reference — the incremental delta updates
+    (the whole point of the local trainer) must never drift."""
+    import random
+
+    from whatsapp_vectordb_spark.operators.textops import _bpe_train_inmem
+
+    rng = random.Random(7)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randrange(2, 9)))
+             for _ in range(300)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(40)) for _ in range(50)]
+    got = _bpe_train_inmem(
+        _word_freqs(texts), 60
+    )
+    assert got == _ref_bpe(texts, 60)
+    assert len(got) == 60  # non-vacuous: the corpus supports 60 merges
+
+
+def _word_freqs(texts):
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-zA-Z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    return list(words.items())

@@ -71,3 +71,21 @@ def test_sweep_prev_sweep_reads_newest(tmp_path):
     name, data = sweep._prev_sweep(str(tmp_path))
     assert name == "SWEEP_r09.json"
     assert data["n_queries"] == 3 and len(data["times"]) == 3
+
+
+def test_sweep_registry_gap_detects_post_sweep_registrations():
+    """VERDICT r11 #4: the parity check must flag any registered query
+    with no sweep row — including against pre-r12 sweeps that lack the
+    query_names field (fallback to times∪errors keys)."""
+    sweep = _load_sweep()
+    reg = {"a", "b", "c"}
+    # modern sweep with explicit name list
+    assert sweep.registry_sweep_gap(reg, {"query_names": ["a", "b", "c"]}) == []
+    assert sweep.registry_sweep_gap(reg, {"query_names": ["a", "b"]}) == ["c"]
+    # legacy sweep: covered = times ∪ errors (an errored row still counts
+    # as swept — the error field is the loud signal there, not absence)
+    assert sweep.registry_sweep_gap(
+        reg, {"times": {"a": 1.0}, "errors": {"b": "boom"}}
+    ) == ["c"]
+    # no sweep at all: everything is uncovered
+    assert sweep.registry_sweep_gap(reg, None) == ["a", "b", "c"]

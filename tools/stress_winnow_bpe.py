@@ -38,7 +38,7 @@ def main() -> None:
 
     from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
     from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
-    from whatsapp_vectordb_spark.operators.textops import bpe_learn
+    from whatsapp_vectordb_spark.operators.textops import bpe_learn, bpe_learn_local
     from whatsapp_vectordb_spark.session import get_spark
 
     spark = get_spark(app_name="winnow-bpe-stress")
@@ -71,6 +71,19 @@ def main() -> None:
     merges = bpe_learn(corpus, n_merges=8).collect()
     out["bpe_learn_s"] = round(time.perf_counter() - t0, 2)
     out["bpe_merges"] = [(m["lhs"], m["rhs"], m["pair_count"]) for m in merges]
+    print(json.dumps(out), flush=True)
+
+    # r12: the at-scale trainer — 1000 merges in ONE applyInPandas stage
+    # over the distributed word count (vs 1000 driver jobs for the
+    # per-round loop). Twin-equality asserted on the first 8 merges
+    # against the distributed run above.
+    t0 = time.perf_counter()
+    local = bpe_learn_local(corpus, n_merges=1000).collect()
+    out["bpe_local_1k_s"] = round(time.perf_counter() - t0, 2)
+    out["bpe_local_merges"] = len(local)
+    got8 = [(m["lhs"], m["rhs"], m["pair_count"]) for m in local[:8]]
+    assert got8 == out["bpe_merges"], f"twin mismatch: {got8}"
+    out["bpe_twin_equal_first8"] = True
     print(json.dumps(out), flush=True)
 
     # seeded-index probe flatness: backfill the store directly (the

@@ -16,9 +16,17 @@ latest every other round, so the 3× tripwire always compares against a
 ≤2-round-old baseline (r8 → r10 → r11 → …). A sweep older than that
 re-opens the blind spot this tool exists to close.
 
+PARITY RULE (VERDICT r11 item 4): the sweep records the exact query-name
+set it ran (``query_names``), and ``--check`` compares the CURRENT
+registry against the newest sweep — exit 1 if any registered query has
+no sweep row (the r11 gap: ann_sq8_euclidean_topk registered after the
+sweep ran, and nothing flagged it). Run ``--check`` as the LAST gate of
+a round, after the final registration and the final sweep.
+
 Usage::
 
     python tools/sweep_registry.py [sf_dir] [out_json]
+    python tools/sweep_registry.py --check
 
 Defaults: sf_dir=/root/testdata/sf0.01, out=SWEEP_r{max_round+1}.json
 (round inferred from existing CORRECTNESS_r*.json). Exit code 1 if any
@@ -91,7 +99,43 @@ def _prev_sweep(repo: str = REPO) -> tuple[str, dict] | tuple[None, None]:
         return os.path.basename(paths[-1]), json.load(f)
 
 
+def registry_sweep_gap(registry_names: set, sweep: dict | None) -> list[str]:
+    """Names in the current registry with NO row in the given sweep —
+    the set that must be empty for the round to close. Uses the sweep's
+    recorded ``query_names`` when present (r12+), else falls back to
+    times∪errors keys (older sweeps)."""
+    if sweep is None:
+        return sorted(registry_names)
+    covered = set(
+        sweep.get("query_names")
+        or (list(sweep.get("times", {})) + list(sweep.get("errors", {})))
+    )
+    return sorted(registry_names - covered)
+
+
+def check() -> None:
+    """--check: refuse a round whose newest registration postdates the
+    newest sweep. Imports the registry WITHOUT starting Spark."""
+    prev_name, prev = _prev_sweep()
+    import __spark_entry__ as entry
+
+    gap = registry_sweep_gap(set(entry.queries()), prev)
+    if gap:
+        print(
+            f"PARITY FAIL: {len(gap)} registered quer"
+            f"{'y has' if len(gap) == 1 else 'ies have'} no row in "
+            f"{prev_name or '<no sweep found>'}: {', '.join(gap)}\n"
+            "Run tools/sweep_registry.py again before closing the round.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    print(f"parity OK: every registry query has a row in {prev_name}")
+    sys.exit(0)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        check()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     explicit_out = len(sys.argv) > 2
     out_path = (
@@ -138,6 +182,7 @@ def main() -> None:
     out = {
         "metric": "registry_sweep",
         "sf_dir": sf_dir,
+        "query_names": sorted(qs),
         "n_queries": len(qs),
         "n_ok": len(times),
         "total_s": round(sum(times.values()), 1),

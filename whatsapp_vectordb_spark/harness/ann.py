@@ -252,7 +252,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    idx = IvfIndex.build(emb.select("vec_id", "embedding"), n_centroids=8).save(
+    idx = IvfIndex.build_balanced(emb.select("vec_id", "embedding"), n_centroids=8).save(
         _IVF_ORACLE_DIR
     )
     # probe the SAVED index (file-level partition pruning on centroid), and
@@ -346,7 +346,7 @@ def _build_ivfpq_state(spark: SparkSession, sf_dir: str, out_dir: str, nprobe: i
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    ivf = IvfIndex.build(emb, n_centroids=8)
+    ivf = IvfIndex.build_balanced(emb, n_centroids=8)
     pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
     # the deployed layout: codes + centroid, partitioned by centroid
     cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
@@ -1735,7 +1735,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    IvfIndex.build(emb, n_centroids=8).save(_IVF_SWEEP_DIR)
+    IvfIndex.build_balanced(emb, n_centroids=8).save(_IVF_SWEEP_DIR)
     loaded = IvfIndex.load(spark, _IVF_SWEEP_DIR)
 
     sweep = (1, 2, 4)
@@ -1894,7 +1894,7 @@ def ann_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.ann import IvfIndex
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    IvfIndex.build(emb, n_centroids=8).save(_IVF_BATCH_DIR)
+    IvfIndex.build_balanced(emb, n_centroids=8).save(_IVF_BATCH_DIR)
     loaded = IvfIndex.load(spark, _IVF_BATCH_DIR)
     queries = [
         (r["vec_id"], r["embedding"])

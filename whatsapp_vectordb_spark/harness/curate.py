@@ -331,7 +331,7 @@ def sample_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.sampling import stratified_cap
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    built = IvfIndex.build(emb, n_centroids=8)
+    built = IvfIndex.build_balanced(emb, n_centroids=8)
     cents_path = os.path.join(_DIVERSE_DIR, "centroids")
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],

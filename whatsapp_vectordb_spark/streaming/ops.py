@@ -552,7 +552,7 @@ def run_ivf_maintenance_stream(
     emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
     bootstrap = emb.where(F.col("vec_id") % 2 == 0)
 
-    built = IvfIndex.build(bootstrap, n_centroids=n_centroids)
+    built = IvfIndex.build_balanced(bootstrap, n_centroids=n_centroids)
     cents_df = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
         "centroid bigint, cvec array<double>",
