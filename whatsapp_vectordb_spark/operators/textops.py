@@ -1340,6 +1340,106 @@ def bpe_learn_local(
     )
 
 
+def bpe_apply_word(w: str, merge_list: list, ranks: dict) -> list[str]:
+    """Segment ONE word with a trained merge table: repeatedly apply the
+    LOWEST-RANK merge whose pair is present, exhaustively left-to-right
+    (continue after each replacement). Provably equal to applying every
+    merge once in rank order (the training rewrite and the F.replace
+    chain of ``bpe_segment_fertility``): a merge's output symbol l+r is
+    strictly longer than either side, so applying a later merge can
+    never create an occurrence of an earlier merge's pair — priority
+    order and sequential order coincide. Cost is O(|word|) amortized and
+    INDEPENDENT of merge-table size (dict lookups), which is the whole
+    point at a 30k-merge vocabulary."""
+    s = list(w)
+    while len(s) >= 2:
+        best = None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        lhs, rhs = merge_list[best]
+        merged = lhs + rhs
+        ns: list[str] = []
+        i = 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == lhs and s[i + 1] == rhs:
+                ns.append(merged)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = ns
+    return s
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a trained merge table at REAL vocabulary scale — the encode
+    twin of ``bpe_learn_local``. ``bpe_segment_fertility`` chains one
+    ``F.replace`` per merge inside a single expression: exact and
+    oracle-replayable, but the expression tree is n_merges deep — fine
+    at the ≤16-round gate, pathological for Catalyst at a 30k-merge
+    vocabulary. This is the Arrow path: tokenization stays the shared
+    Spark expression (``tokens``, so the two paths can never disagree on
+    word boundaries), then ONE pandas UDF segments each token with the
+    rank-dict priority algorithm (``bpe_apply_word``) and a per-batch
+    word→pieces cache (corpus cost ~O(distinct words), like the trainer).
+    Returns ``(doc_id, n_tokens, n_pieces, pieces)`` with ``pieces`` the
+    space-joined subword stream in document order — hash-comparable
+    against the expression path and the SQL replay (pinned by the
+    ``text_bpe_encode_arrow`` registry row at gate scale).
+
+    Scale shape: map-only (no shuffle, no state); the merge table ships
+    once per task as a closure (a 30k-merge vocab is ~1 MB — broadcast
+    territory, far under task overhead); zero-token documents are
+    omitted, mirroring the explode-then-group oracle shape."""
+    merge_list = [(str(l), str(r)) for l, r in merges]
+    ranks = {p: i for i, p in enumerate(merge_list)}
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_pieces: long, pieces: string>")
+    def seg(tok_col):
+        import pandas as pd
+
+        cache: dict = {}
+        n_out, p_out = [], []
+        for toks in tok_col:
+            pieces: list[str] = []
+            for w in toks:
+                got = cache.get(w)
+                if got is None:
+                    got = bpe_apply_word(w, merge_list, ranks)
+                    cache[w] = got
+                pieces.extend(got)
+            n_out.append(len(pieces))
+            p_out.append(" ".join(pieces))
+        return pd.DataFrame({"n_pieces": n_out, "pieces": p_out})
+
+    t = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    return (
+        t.where(F.size("_tk") > 0)
+        .select(
+            id_col,
+            F.size("_tk").cast("long").alias("n_tokens"),
+            seg("_tk").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("_s.n_pieces").alias("n_pieces"),
+            F.col("_s.pieces").alias("pieces"),
+        )
+    )
+
+
 def bpe_segment_fertility(
     df: DataFrame,
     merges: list[tuple[str, str]],
