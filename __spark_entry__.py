@@ -61,6 +61,7 @@ _FRONTLOAD: list[str] = [
     "streaming_winnow_index",
     "ann_sq8_cosine_topk",
     "text_bpe_learn_full",
+    "text_bpe_encode_arrow",
 ]
 
 

@@ -515,3 +515,64 @@ def _word_freqs(texts):
             if w:
                 words[w] += 1
     return list(words.items())
+
+
+def test_bpe_encode_matches_expression_path_and_reference(spark):
+    """The Arrow priority-apply path (bpe_encode) must produce the same
+    piece counts as the F.replace expression chain
+    (bpe_segment_fertility) AND the same segmentation content as a
+    direct sequential-apply reference — including merge-created
+    adjacency (aaa/abab) and words untouched by any merge."""
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_apply_word,
+        bpe_encode,
+        bpe_learn,
+        bpe_segment_fertility,
+    )
+
+    texts = [
+        "low lower lowest low low newer newest new new new wider wide wide",
+        "banana bandana ban banana banana band bands banding",
+        "aaaa aaa aa a aaaa aaaa",
+        "baba bababa baba bab",
+        "zq xv zq",  # words no merge ever touches
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_learn(df, n_merges=8).collect()]
+
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    fert = {r["doc_id"]: r for r in bpe_segment_fertility(df, merges).collect()}
+    assert set(got) == set(fert)
+    for d in got:
+        assert got[d]["n_tokens"] == fert[d]["n_tokens"]
+        assert got[d]["n_pieces"] == fert[d]["n_pieces"]
+
+    # content check vs a sequential-apply reference (rank order, one
+    # exhaustive leftmost pass per merge — the training rewrite)
+    def seq_apply(w):
+        s = list(w)
+        for l, r in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    import re
+
+    for d, t in enumerate(texts):
+        words = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        want = " ".join(p for w in words for p in seq_apply(w))
+        assert got[d]["pieces"] == want
+
+    # and the unit: priority apply == sequential apply word-by-word
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["banana", "aaaa", "bababa", "lowest", "zq"]:
+        assert bpe_apply_word(w, merges, ranks) == seq_apply(w)

@@ -1462,6 +1462,77 @@ FROM seg GROUP BY doc_id
     )
 
 
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Replay of learn-then-ENCODE: the merge CTEs, then every document
+    token (kept in document order) run through the n replaces in rank
+    order; output per doc is the piece count AND an md5 over the ordered
+    space-joined subword stream — so the Arrow priority-apply path is
+    hash-pinned on full segmentation CONTENT, not just counts."""
+    ctes, _ = _bpe_ctes(n_merges)
+    expr = "ws"
+    for n in range(n_merges):
+        expr = (
+            f"replace({expr}, chr(31) || m{n}.lhs || chr(31) || chr(31) || "
+            f"m{n}.rhs || chr(31), chr(31) || m{n}.lhs || m{n}.rhs || chr(31))"
+        )
+    merge_tables = ", ".join(f"m{n}" for n in range(n_merges))
+    ctes.append(
+        "dtoks AS MATERIALIZED (SELECT doc_id, "
+        f"{_TOKS.format(c='text')} AS tk FROM documents)"
+    )
+    # parallel unnest zips word with its 1-based document position
+    ctes.append(
+        "dws AS MATERIALIZED (SELECT doc_id, i, "
+        "chr(31) || chr(31) || array_to_string("
+        "list_transform(range(1, len(w) + 1), j -> w[j]), chr(31) || chr(31)) "
+        "|| chr(31) || chr(31) AS ws "
+        "FROM (SELECT doc_id, unnest(tk) AS w, "
+        "unnest(range(1, len(tk) + 1)) AS i FROM dtoks))"
+    )
+    ctes.append(
+        f"seg AS MATERIALIZED (SELECT doc_id, i, "
+        f"list_filter(string_split({expr}, chr(31)), s -> s <> '') AS ps "
+        f"FROM dws, {merge_tables})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(ps)) AS BIGINT) AS n_pieces,
+       md5(string_agg(array_to_string(ps, ' '), ' ' ORDER BY i)) AS pieces_hash
+FROM seg GROUP BY doc_id
+"""
+    )
+
+
+@_register("text_bpe_encode_arrow", _bpe_encode_sql(16))
+def text_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 16 merges with the at-scale trainer, then segment the corpus
+    with the at-scale APPLY path (operators/textops.py bpe_encode: one
+    pandas UDF, rank-dict priority application, cost independent of
+    merge-table depth) and hash the full ordered subword stream per doc.
+    The oracle replays learn + the sequential replace chain — a green
+    row proves priority-apply ≡ sequential-apply ≡ SQL on content."""
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_encode,
+        bpe_learn_local,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_local(docs, n_merges=16).collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_pieces",
+        F.md5(F.col("pieces")).alias("pieces_hash"),
+    )
+
+
 @_register("text_bpe_learn", _bpe_sql(8))
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the documents corpus, 8 merge rounds —
