@@ -168,3 +168,28 @@ def test_winnow_index_crash_retry_keeps_pairs_durable(spark, tmp_path):
     }
     assert durable == one_shot
     assert {(a, b) for a, b, _ in durable} == {(1, 2), (3, 4)}  # non-vacuous
+
+
+def test_minhash_index_durable_pairs_survive_post_commit_retry(spark, tmp_path):
+    """MinHash twin of the winnow durability test: with pairs_path, a
+    spurious replay of a fully-committed batch must not clobber the
+    committed pair file with the (empty) recompute."""
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_dur"), threshold=0.5)
+    pairs_dir = str(tmp_path / "mh_pairs")
+    first = idx.add_batch(docs, pairs_path=pairs_dir, batch_key=0)
+    assert first.count() == 1
+    retried = idx.add_batch(docs, pairs_path=pairs_dir, batch_key=0)
+    assert retried.count() == 0  # anti-joined out (documented)
+    durable = spark.read.schema(
+        "id_a long, id_b long, jaccard double, batch_id long"
+    ).parquet(pairs_dir)
+    assert [(r["id_a"], r["id_b"]) for r in durable.collect()] == [(1, 2)]

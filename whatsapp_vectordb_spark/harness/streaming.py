@@ -459,14 +459,9 @@ def streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_dir = os.path.join(root, "pairs")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            idx.add_batch(batch_df)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(pairs_dir)
-        )
+        # durable-pairs ordering: pairs persist BEFORE the state appends
+        # commit (the add_batch durability contract, ADVICE r11)
+        idx.add_batch(batch_df, pairs_path=pairs_dir, batch_key=batch_id)
 
     stream = (
         spark.readStream.schema(aug.schema)

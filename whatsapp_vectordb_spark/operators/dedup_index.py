@@ -90,11 +90,26 @@ class MinHashDedupIndex:
             return None
         return self.spark.read.parquet(p)
 
-    def add_batch(self, batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def add_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        pairs_path: str | None = None,
+        batch_key=None,
+    ) -> DataFrame:
         """Dedup-check ``batch`` against the stored corpus AND itself, then
         fold it into the index. Returns verified near-dup pairs
         ``(id_a, id_b, jaccard)`` where at least one side is a batch doc;
         pairs order (id_a < id_b) regardless of which side is new.
+
+        ``pairs_path`` + ``batch_key``: same durability contract as
+        ``WinnowDedupIndex.add_batch`` — pairs land durably in
+        ``pairs_path/batch_id=<batch_key>`` BEFORE the state appends
+        commit, and a post-commit retry (whose anti-join recomputes an
+        empty pair set) never clobbers the committed batch's pair file.
+        Without it, callers must persist the returned pairs before
+        acknowledging the batch, or a crash-after-commit retry silently
+        loses them.
 
         Re-ingest-safe: doc_ids already in the index are anti-joined out of
         the batch before anything is computed — without this, re-running a
@@ -151,6 +166,12 @@ class MinHashDedupIndex:
         # the doubled state: inflated n_common, even zero denominators).
         # localCheckpoint(eager) cuts the lineage at materialized blocks.
         pairs = pairs.localCheckpoint(eager=True)
+        if pairs_path is not None:
+            if batch_key is None:
+                raise ValueError("pairs_path requires a stable batch_key")
+            dest = os.path.join(pairs_path, f"batch_id={batch_key}")
+            if not banded_new.isEmpty() or not os.path.exists(dest):
+                pairs.write.mode("overwrite").parquet(dest)
         self._commit_appends(banded_new, sh_new)
         banded_new.unpersist()
         sh_new.unpersist()
