@@ -519,7 +519,9 @@ FROM cand
 WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
 """,
 )
-def multimodal_decode_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_phash_near_dup(
+    spark: SparkSession, sf_dir: str, band_bits: int = 16
+) -> DataFrame:
     """Decoder → hash → join in a single plan: synthesize real P5 payloads
     executor-side (every 25th doc also gets a re-encode variant with its
     first 8 pixels shifted +128 mod 256), decode actual bytes with
@@ -587,4 +589,11 @@ def multimodal_decode_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFr
             "embedding", lambda x: F.lit(64.0) * x.cast("double") - total
         ).alias("embedding"),
     )
-    return binary_near_dup_pairs(centered, id_col="media_id", dim=64, max_hamming=3)
+    # band_bits is a sensitivity knob for tools/stress_phash_bands.py
+    # (VERDICT r11 #6): recall is pigeonhole-guaranteed at both 8 and 16
+    # (n_bands > max_hamming), so the verified pair set is identical —
+    # only candidate volume moves. The registry/oracle row always runs
+    # the default 16.
+    return binary_near_dup_pairs(
+        centered, id_col="media_id", dim=64, band_bits=band_bits, max_hamming=3
+    )
