@@ -62,6 +62,7 @@ _FRONTLOAD: list[str] = [
     "ann_sq8_cosine_topk",
     "text_bpe_learn_full",
     "text_bpe_encode_arrow",
+    "ann_ivf_sq8_topk",
 ]
 
 

@@ -558,3 +558,34 @@ def test_sq8_scan_reads_codes_only_take_ordered(embeddings):
     p = plan(sq8_topk(sq8_encode(emb, mins, deltas), qvec, deltas, k=10))
     assert "TakeOrderedAndProject" in p
     assert "EvalPython" not in p  # pure expressions, no Python
+
+
+def test_ivf_sq8_probe_is_partition_pruned(spark, embeddings, tmp_path):
+    """The IVF-SQ8 probe must reach the codes scan as PARTITION pruning
+    (centroid is the partition column of the deployed layout) — probed
+    bytes scale with nprobe/k, and the float vector column never appears
+    in the scan schema."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    path = str(tmp_path / "ivf_sq8_codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    df = ivf_sq8_topk(spark.read.parquet(path), [0, 2], qvec, deltas, k=5)
+    p = plan(df)
+    assert "PartitionFilters" in p and "centroid" in p
+    assert "embedding" not in p  # codes-only scan: vectors never load
+    assert "TakeOrderedAndProject" in p  # per-task k-heap, no global sort
+    got = df.collect()
+    assert len(got) == 5

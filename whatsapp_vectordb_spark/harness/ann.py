@@ -2267,6 +2267,111 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(codes, qvec, deltas, k=10)
 
 
+_IVFSQ8_NPROBE = 2
+_IVF_SQ8_DIR = _oracle_scratch("ivf_sq8")
+
+# IVF-SQ8: the one COMPOSITE index tier whose every stage is analytic —
+# the Lloyd coarse quantizer (integer-exact, the _kmeans_prefix_sql
+# machinery) picks the probed cells, and the SQ8 integer ADC scores only
+# their members. Unlike the IVF-PQ rows (whose k-means build is persisted
+# state the oracle reads back), build + train + encode + prune + score
+# here replay end-to-end from the raw table. The kmeans prefix already
+# binds CTE name `q` (per-dim quantized vectors), so the SQ8 query-vector
+# CTE is `qv8` here.
+
+
+def _ivf_sq8_sql() -> str:
+    return f"""
+WITH {_kmeans_prefix_sql(_KM_K, _KM_ITERS, _KM_SCALE, 64)},
+qq AS (SELECT pos, qv FROM q WHERE vec_id = 0),
+pd AS (
+  SELECT c.centroid, SUM((qq.qv - c.qc) * (qq.qv - c.qc)) AS d2
+  FROM c{_KM_ITERS} c JOIN qq ON qq.pos = c.pos GROUP BY 1
+),
+pr AS (
+  SELECT centroid FROM (
+    SELECT centroid, ROW_NUMBER() OVER (ORDER BY d2 ASC, centroid ASC) AS r
+    FROM pd
+  ) WHERE r <= {_IVFSQ8_NPROBE}
+),
+cand AS (SELECT a.vec_id FROM afin a JOIN pr ON pr.centroid = a.centroid),
+ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM ex GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+scores AS (
+  SELECT e.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((e.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM ex e
+  JOIN cand ON cand.vec_id = e.vec_id
+  JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(score_int AS BIGINT) AS score_int
+FROM scores ORDER BY score_int DESC, vec_id LIMIT 10
+"""
+
+
+@_register("ann_ivf_sq8_topk", _ivf_sq8_sql())
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composite: portable Lloyd coarse quantizer → SQ8 codes
+    persisted ``partitionBy(centroid)`` (the deployed layout) → probe the
+    {nprobe} nearest cells by integer centroid distance → exact integer
+    dot ADC over only those cells' codes. Build, train, encode, prune,
+    and score ALL inside the hash check — no persisted-state carve-out.
+    At 100 TB: probed bytes = (nprobe/k) of a 4×-compressed codes table,
+    file-level partition pruning, float vectors never load."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, _ = kmeans_lloyd(
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+    )
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    # quantized query via the SAME Spark expression the oracle replays
+    # (F.round is HALF_UP; Python round is banker's — don't swap them)
+    q0 = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+            ).alias("qv")
+        )
+        .head()["qv"]
+    )
+    ranked = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q0, qc)), cid) for cid, qc in cents
+    )
+    cells = [cid for _, cid in ranked[:_IVFSQ8_NPROBE]]
+
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    path = os.path.join(_IVF_SQ8_DIR, "codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    return ivf_sq8_topk(spark.read.parquet(path), cells, qvec, deltas, k=10)
+
+
 # Cosine over SQ8 (the reference's ACTIVE metric, main.go:28):
 # normalize-at-encode, then the SAME integer dot ADC with weights from
 # the normalized query. The norm replay is the bit-parity crux: Spark's

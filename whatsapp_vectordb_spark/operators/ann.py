@@ -2073,6 +2073,43 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    codes_df: DataFrame,
+    probe_cells,
+    query_vec,
+    deltas: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid",
+    scale: int = 1_000_000_000,
+    impl: str = "expr",
+) -> DataFrame:
+    """IVF-SQ8 (the FAISS ``IVFx,SQ8`` composite): coarse-quantizer cell
+    pruning over a codes table — the two scale levers stacked. The codes
+    carry their cell id; the probe filters to ``probe_cells`` and runs
+    the exact integer dot ADC of ``sq8_topk`` over ONLY those cells.
+    When ``codes_df`` reads a ``partitionBy(centroid)`` layout the
+    ``isin`` filter is file-level partition pruning — probed bytes
+    scale with nprobe/k of (already 4×-compressed) codes, and the float
+    vectors never load at all. Both stages are analytic (Lloyd quantizer
+    + per-dim min/delta), so build + train + encode + prune + score all
+    replay inside one SQL oracle — the only fully-hash-gated composite
+    index tier (the k-means-built IVF-PQ rows carve the build out as
+    persisted state)."""
+    pruned = codes_df.where(
+        F.col(centroid_col).isin([int(c) for c in probe_cells])
+    )
+    return sq8_topk(
+        pruned.select(id_col, "sq8_codes"),
+        query_vec,
+        deltas,
+        k=k,
+        id_col=id_col,
+        scale=scale,
+        impl=impl,
+    )
+
+
 def sq8_topk_cosine(
     codes_df: DataFrame,
     query_vec,
