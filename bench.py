@@ -164,6 +164,47 @@ def main() -> None:
         codes = sq8_encode(emb, mins, deltas)
         sq8_topk(codes, qvec, deltas, k=10).collect()
 
+    @timed("ann_sq8_cosine_topk")
+    def _():
+        # r12: the quantized COSINE path (normalize-at-encode; the
+        # reference's active metric) — same codes-only integer ADC
+        from whatsapp_vectordb_spark.functions.vector import l2_normalize
+        from whatsapp_vectordb_spark.operators.ann import (
+            sq8_encode,
+            sq8_topk_cosine,
+            sq8_train,
+        )
+
+        embn = emb.select("vec_id", l2_normalize("embedding").alias("embedding"))
+        mins, deltas = sq8_train(embn)
+        codes = sq8_encode(embn, mins, deltas)
+        sq8_topk_cosine(codes, qvec, deltas, k=10).collect()
+
+    @timed("ann_ivf_sq8_topk")
+    def _():
+        # r12: the composite tier — Lloyd coarse quantizer + SQ8 codes,
+        # probe 2 of 8 cells (registry shape, build included; production
+        # amortizes the build via the persisted partitioned layout)
+        from whatsapp_vectordb_spark.harness import ann_ivf_sq8_topk
+
+        ann_ivf_sq8_topk(spark, sf_dir).collect()
+
+    @timed("text_bpe_learn_full")
+    def _():
+        # r12: the at-scale trainer — 16 merges in ONE applyInPandas
+        # stage over the distributed word count (registry shape)
+        from whatsapp_vectordb_spark.operators.textops import bpe_learn_local
+
+        bpe_learn_local(docs, n_merges=16).collect()
+
+    @timed("text_bpe_encode_arrow")
+    def _():
+        # r12: train 16 + segment the corpus with the rank-dict pandas
+        # UDF (registry shape incl. the per-doc stream hash)
+        from whatsapp_vectordb_spark.harness import text_bpe_encode_arrow
+
+        text_bpe_encode_arrow(spark, sf_dir).count()
+
     @timed("dedup_winnow_pairs")
     def _():
         # substring-level (winnowing) dup pairs — the registry query shape

@@ -704,3 +704,31 @@ def test_sq8_cosine_recall_scale_invariance_and_zero_query(spark, embeddings):
 
     with _pt.raises(ValueError):
         sq8_topk_cosine(codes, [0.0] * len(qvec), deltas, k=10)
+
+
+def test_sq8_euclidean_numpy_impl_matches_expr_impl(spark, embeddings):
+    """Euclidean twin of the dot-path parity test: both impls are exact
+    int64 arithmetic — identical rows, not merely close."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk_euclidean,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    codes = sq8_encode(emb, mins, deltas)
+    expr_rows = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk_euclidean(
+            codes, qvec, mins, deltas, k=10, impl="expr"
+        ).collect()
+    ]
+    np_rows = [
+        (r["vec_id"], r["score_int"])
+        for r in sq8_topk_euclidean(
+            codes, qvec, mins, deltas, k=10, impl="numpy"
+        ).collect()
+    ]
+    assert expr_rows == np_rows and len(expr_rows) == 10

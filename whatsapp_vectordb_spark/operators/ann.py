@@ -2155,6 +2155,7 @@ def sq8_topk_euclidean(
     k: int = 10,
     id_col: str = "vec_id",
     scale: int = 1_000_000_000,
+    impl: str = "expr",
 ) -> DataFrame:
     """Euclidean twin of ``sq8_topk`` — the SQ8 tier speaks all three of
     the reference's metrics (upsert.go:27 lists cosine/euclidean/
@@ -2163,12 +2164,45 @@ def sq8_topk_euclidean(
     dropped: ‖x̂-q‖² ∝ Σ a_d·c_d² + b_d·c_d with a_d = ⌊Δ_d²·S+½⌋ and
     b_d = ⌊2Δ_d(min_d - q_d)·S+½⌋ — per-dim int64 weights, ASCENDING
     integer scores, same exact-in-any-engine property as the dot form.
-    c² ≤ 65025 with dim·a_d ≪ 2⁶³ keeps the fold inside int64."""
+    c² ≤ 65025 with dim·a_d ≪ 2⁶³ keeps the fold inside int64.
+
+    ``impl="numpy"``: the same integer arithmetic as two matmuls per
+    Arrow batch ((C∘C)·a + C·b) with a per-partition k-heap — the
+    at-scale path at ada-002 dimensionality, bit-identical scores
+    (pinned by test), mirroring ``sq8_topk``'s two implementations."""
     a = [int(np.floor(d * d * scale + 0.5)) for d in deltas]
     b = [
         int(np.floor(2 * d * (m - float(q)) * scale + 0.5))
         for q, m, d in zip(query_vec, mins, deltas)
     ]
+    if impl == "numpy":
+        av = np.asarray(a, dtype=np.int64)
+        bv = np.asarray(b, dtype=np.int64)
+        kk = k
+
+        def part_topk(batches):
+            import pandas as pd
+
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = np.vstack(pdf["sq8_codes"].to_numpy()).astype(np.int64)
+                s = (c * c) @ av + c @ bv
+                cur = pd.DataFrame({id_col: pdf[id_col], "score_int": s})
+                best = cur if best is None else pd.concat((best, cur))
+                best = best.sort_values(
+                    ["score_int", id_col], ascending=[True, True]
+                ).head(kk)
+            if best is not None:
+                yield best
+
+        partial = codes_df.select(id_col, "sq8_codes").mapInPandas(
+            part_topk, schema=f"{id_col} long, score_int long"
+        )
+        return partial.orderBy(
+            F.col("score_int").asc(), F.col(id_col).asc()
+        ).limit(k)
     aarr = F.array(*[F.lit(v).cast("long") for v in a])
     barr = F.array(*[F.lit(v).cast("long") for v in b])
     s_sq = F.aggregate(
