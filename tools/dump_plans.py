@@ -53,6 +53,8 @@ SHOWN = [
     ("dedup_bloom_decontaminate", "Bloom decontamination: corpus side is scan -> shingle dedup -> ONE Arrow pandas membership UDF -> per-doc aggregate; no join"),
     ("ann_sq8_topk", "SQ8 integer ADC: codes-only scan, zip_with int64 dot, TakeOrderedAndProject k-heap; zero Python"),
     ("text_bpe_fertility", "BPE apply: merge chain as literal replaces inside one transform lambda -- map-only projection, no shuffle"),
+    ("ann_ivf_sq8_topk", "IVF-SQ8 composite: PartitionFilters on centroid (probed cells only) -> integer ADC over 4x-compressed codes; float vectors never scanned"),
+    ("text_bpe_encode_arrow", "BPE encode at merge-table scale: shared tokenization expression -> ONE ArrowEvalPython segmentation -> map-only hash; no shuffle"),
 ]
 
 
