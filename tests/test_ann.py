@@ -732,3 +732,19 @@ def test_sq8_euclidean_numpy_impl_matches_expr_impl(spark, embeddings):
         ).collect()
     ]
     assert expr_rows == np_rows and len(expr_rows) == 10
+
+
+def test_sq8_train_numpy_impl_is_bit_identical(spark, embeddings):
+    """The Arrow train path must produce the SAME mins/deltas as the
+    posexplode aggregate — min/max are exact under any association, so
+    this is equality, not tolerance. Includes a constant dim."""
+    from whatsapp_vectordb_spark.operators.ann import sq8_train
+
+    emb = embeddings.select("vec_id", "embedding")
+    assert sq8_train(emb, impl="numpy") == sq8_train(emb, impl="expr")
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0]), (3, [1.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    assert sq8_train(df, impl="numpy") == sq8_train(df, impl="expr")

@@ -1946,7 +1946,7 @@ def binary_hamming_topk(
 
 
 def sq8_train(
-    df: DataFrame, vec_col: str = "embedding"
+    df: DataFrame, vec_col: str = "embedding", impl: str = "expr"
 ) -> tuple[list[float], list[float]]:
     """Per-dimension (min, delta) for 8-bit scalar quantization (the
     FAISS ``SQ8`` tier): delta = (max-min)/255, constant dims get
@@ -1954,7 +1954,46 @@ def sq8_train(
     fully analytic, no RNG, no iteration — which is what lets the whole
     SQ8 tier (train + encode + score) be replayed end-to-end by a SQL
     oracle, unlike the k-means-built tiers whose build is opaque. The
-    collect is dim-bounded (one row per dimension)."""
+    collect is dim-bounded (one row per dimension).
+
+    ``impl="expr"`` (default, oracle-parity form) aggregates over a
+    posexplode — N·dim rows through a dim-keyed partial aggregate; fine
+    at gate scale, but at 1M×1536 that is 1.5B exploded rows.
+    ``impl="numpy"`` computes per-PARTITION min/max vectors in one Arrow
+    pass (``mapInPandas`` emitting one 2×dim row per partition) and
+    folds them driver-side — bit-identical output (min/max are exact in
+    any association) with the explode and the shuffle gone; the at-scale
+    train for the same reason the scoring paths have numpy twins."""
+    if impl == "numpy":
+        def part_minmax(batches):
+            import pandas as pd
+
+            mn = mx = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                pmn, pmx = m.min(axis=0), m.max(axis=0)
+                mn = pmn if mn is None else np.minimum(mn, pmn)
+                mx = pmx if mx is None else np.maximum(mx, pmx)
+            if mn is not None:
+                yield pd.DataFrame({"mn": [mn.tolist()], "mx": [mx.tolist()]})
+
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(
+                part_minmax, schema="mn array<double>, mx array<double>"
+            )
+            .collect()
+        )
+        mn = np.min(np.array([r["mn"] for r in parts]), axis=0)
+        mx = np.max(np.array([r["mx"] for r in parts]), axis=0)
+        mins = [float(v) for v in mn]
+        deltas = [
+            ((float(b) - float(a)) / 255.0) if b > a else 1.0
+            for a, b in zip(mn, mx)
+        ]
+        return mins, deltas
     rows = (
         df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
         .groupBy("d")
