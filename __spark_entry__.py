@@ -56,13 +56,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # training) — never-sampled, fronted by rule 2 anyway, listed for
 # visibility.
 _FRONTLOAD: list[str] = [
+    # (a) the LAST two r7-stale rows + this round's new registrations
     "streaming_ivf_maintenance",
     "streaming_pipeline_capstone",
-    "streaming_winnow_index",
     "ann_sq8_cosine_topk",
     "text_bpe_learn_full",
     "text_bpe_encode_arrow",
     "ann_ivf_sq8_topk",
+    # (b) implementation changed this round: add_batch durable-pairs
+    # ordering (both incremental indexes' streaming twins), winnow cache
+    # release + single-file index commit, SQ8 zero-row batch guard
+    "streaming_winnow_index",
+    "streaming_dedup_index",
+    "dedup_winnow_pairs",
+    "dedup_winnow_spans",
+    "dedup_winnow_cut",
+    "dedup_incremental_winnow_index",
+    "dedup_incremental_index",
+    "ann_sq8_topk",
+    "ann_sq8_euclidean_topk",
+    # (c) oracle changed this round: BPE CTEs materialized + the
+    # degenerate-corpus sentinel guard
+    "text_bpe_learn",
+    "text_bpe_fertility",
+    # (d) build path changed this round: registry IVF builds route
+    # through build_balanced
+    "ann_ivf_topk",
+    "ann_ivf_nprobe_sweep",
+    "ann_ivf_batched",
+    "ann_ivfpq_topk",
+    "sample_diverse_embeddings",
+    "pipeline_curate_corpus",
 ]
 
 
