@@ -10,6 +10,10 @@ duplicate-heavy pair path at 100k).
 Stages (all timed, one JSON line each as they land):
   1. winnow_fingerprints over the full corpus (count only);
   2. bpe_learn, 8 merges (merge table collected);
+  2b. (r12) bpe_learn_local, 1000 merges in ONE applyInPandas stage,
+      twin-equality asserted on the first 8 against stage 2;
+  2c. (r12) bpe_encode of the full corpus with the 1k-merge vocab —
+      the Arrow apply path; corpus-wide fertility aggregated;
   3. WinnowDedupIndex probe flatness: seed the persisted fingerprint
      table with stage 1's output, then three successive 5k-doc
      add_batch calls — two near-dup batches (each emits ~1M verified
@@ -38,7 +42,11 @@ def main() -> None:
 
     from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
     from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
-    from whatsapp_vectordb_spark.operators.textops import bpe_learn, bpe_learn_local
+    from whatsapp_vectordb_spark.operators.textops import (
+        bpe_encode,
+        bpe_learn,
+        bpe_learn_local,
+    )
     from whatsapp_vectordb_spark.session import get_spark
 
     spark = get_spark(app_name="winnow-bpe-stress")
@@ -84,6 +92,24 @@ def main() -> None:
     got8 = [(m["lhs"], m["rhs"], m["pair_count"]) for m in local[:8]]
     assert got8 == out["bpe_merges"], f"twin mismatch: {got8}"
     out["bpe_twin_equal_first8"] = True
+    print(json.dumps(out), flush=True)
+
+    # r12: ENCODE the full corpus with the 1k-merge vocab — the Arrow
+    # apply path (rank-dict priority segmentation, cost independent of
+    # merge-table depth; the F.replace expression chain would be a
+    # 1000-deep expression tree). One aggregate over the result keeps
+    # the measured work the segmentation, not a million-row collect.
+    merges_1k = [(m["lhs"], m["rhs"]) for m in local]
+    t0 = time.perf_counter()
+    enc = bpe_encode(corpus, merges_1k)
+    agg = enc.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum("n_pieces").alias("pieces"),
+    ).collect()[0]
+    out["bpe_encode_1k_s"] = round(time.perf_counter() - t0, 2)
+    out["bpe_encode_docs"] = int(agg["docs"])
+    out["bpe_encode_fertility"] = round(agg["pieces"] / agg["tok"], 4)
     print(json.dumps(out), flush=True)
 
     # seeded-index probe flatness: backfill the store directly (the
