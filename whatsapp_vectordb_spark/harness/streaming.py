@@ -718,3 +718,103 @@ def streaming_winnow_index(
         .parquet(pairs_dir)
         .drop("batch_id")
     )
+
+
+# ==========================================================================
+# Round 12: streaming SQ8 index maintenance — the one streaming index row
+# with NO persisted-state carve-out. The quantizer (per-dim min/delta) is
+# trained ONCE on the bootstrap half and frozen (the production contract:
+# immutable between rebuilds); every micro-batch encodes with the frozen
+# params and appends ONLY its own codes (map-only, no state reads,
+# idempotent per batch dir). Because SQ8 train is analytic, the oracle
+# replays the ENTIRE maintained index: bootstrap-half train + all-row
+# encode + integer ADC top-10 — bit-for-bit, including the clamping of
+# streamed values that fall outside the bootstrap's per-dim range.
+# ==========================================================================
+
+_SQ8_STREAM_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (
+  SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx
+  FROM ex WHERE vec_id < 250 GROUP BY d
+),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, q
+),
+scores AS (
+  SELECT e.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((e.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM ex e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(score_int AS BIGINT) AS score_int
+FROM scores ORDER BY score_int DESC, vec_id LIMIT 10
+"""
+
+
+@_register("streaming_sq8_index", _SQ8_STREAM_SQL)
+def streaming_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 codes table maintained by a real Structured Streaming
+    pipeline: train on the bootstrap half (vec_id < 250, frozen), replay
+    the other half file-per-trigger through foreachBatch — each batch a
+    map-only encode + append of its own codes — then answer the top-10
+    over bootstrap + streamed codes. Streamed values outside the
+    bootstrap's per-dim range clamp to 0/255 exactly as the oracle's
+    LEAST/GREATEST replays. Scale shape: per-batch cost is O(batch)
+    encode + one file append; the stored codes are never re-read during
+    ingest (contrast the winnow index, which probes its store — here
+    query-time IS the only store read)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    root = _oracle_scratch("stream_sq8")
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    boot = emb.where(F.col("vec_id") < 250)
+    rest = emb.where(F.col("vec_id") >= 250)
+    src = os.path.join(root, "src")
+    rest.repartition(3).write.mode("overwrite").parquet(src)
+
+    mins, deltas = sq8_train(boot)
+    codes_dir = os.path.join(root, "codes")
+    sq8_encode(boot, mins, deltas).write.mode("overwrite").parquet(
+        os.path.join(codes_dir, "batch_id=-1")
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sq8_encode(batch_df, mins, deltas).write.mode("overwrite").parquet(
+            os.path.join(codes_dir, f"batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    codes = (
+        spark.read.schema("vec_id long, sq8_codes array<smallint>, batch_id long")
+        .parquet(codes_dir)
+        .drop("batch_id")
+    )
+    return sq8_topk(codes, qvec, deltas, k=10)
