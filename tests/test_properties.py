@@ -136,3 +136,104 @@ def test_winnowing_shared_run_guarantee(k, w, extra, ap, asfx, bp, bsfx):
     fa = {h for _, h in _ref_winnow(a, k, w)}
     fb = {h for _, h in _ref_winnow(b, k, w)}
     assert fa & fb
+
+
+# --- round 12: BPE trainer + apply properties (pure Python, no Spark) -------
+
+_bpe_words = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ref_bpe_recount(word_freqs, n_merges):
+    """O(rounds·corpus) recount reference for the incremental trainer."""
+    from collections import Counter
+
+    vocab = Counter()
+    for w, f in word_freqs:
+        if w:
+            vocab[tuple(w)] += f
+    out = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, l, r, c))
+        nxt = Counter()
+        for sym, f in vocab.items():
+            ns, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(sym[i])
+                    i += 1
+            nxt[tuple(ns)] += f
+        vocab = nxt
+    return out
+
+
+@given(_bpe_words, st.integers(min_value=1, max_value=12))
+@settings(max_examples=150, deadline=None)
+def test_bpe_incremental_trainer_equals_recount(word_freqs, n_merges):
+    """The incremental pair-count trainer (the bpe_learn_local core) must
+    equal the recount-everything reference merge-for-merge on ARBITRARY
+    word-frequency tables — duplicate words, runs of one letter,
+    degenerate single-char vocabularies, early exhaustion."""
+    from whatsapp_vectordb_spark.operators.textops import _bpe_train_inmem
+
+    assert _bpe_train_inmem(list(word_freqs), n_merges) == _ref_bpe_recount(
+        word_freqs, n_merges
+    )
+
+
+@given(_bpe_words, st.integers(min_value=1, max_value=10))
+@settings(max_examples=150, deadline=None)
+def test_bpe_priority_apply_equals_sequential_apply(word_freqs, n_merges):
+    """For any SELF-CONSISTENT merge table (one actually learned from a
+    corpus — each merge's sides exist before it), priority-order
+    application (bpe_apply_word, what bpe_encode ships) must equal
+    applying every merge once in rank order (the training rewrite and
+    the F.replace chain) — the equivalence bpe_encode's oracle relies
+    on, here exercised on every word of the training corpus plus unseen
+    recombinations."""
+    from whatsapp_vectordb_spark.operators.textops import (
+        _bpe_train_inmem,
+        bpe_apply_word,
+    )
+
+    learned = _bpe_train_inmem(list(word_freqs), n_merges)
+    merges = [(l, r) for _, l, r, _ in learned]
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def seq_apply(w):
+        s = list(w)
+        for l, r in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    probe = [w for w, _ in word_freqs] + [
+        w2 + w1 for (w1, _), (w2, _) in zip(word_freqs, reversed(word_freqs))
+    ]
+    for w in probe:
+        got = bpe_apply_word(w, merges, ranks)
+        assert got == seq_apply(w)
+        assert "".join(got) == w  # segmentation is a partition of the word
