@@ -748,3 +748,27 @@ def test_sq8_train_numpy_impl_is_bit_identical(spark, embeddings):
         "vec_id long, embedding array<float>",
     ).repartition(3)
     assert sq8_train(df, impl="numpy") == sq8_train(df, impl="expr")
+
+
+def test_sq8_train_numpy_empty_and_ivf_sq8_no_cells_guard(spark, embeddings):
+    """Edge contracts: the Arrow train path returns ([], []) on an empty
+    frame exactly like the expr path; an empty probe-cell list raises
+    instead of silently returning zero rows."""
+    import pytest as _pt
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_topk,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    empty = emb.where("vec_id < 0")
+    assert sq8_train(empty, impl="numpy") == ([], [])
+    assert sq8_train(empty, impl="expr") == ([], [])
+
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).withColumn("centroid", F.lit(0))
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    with _pt.raises(ValueError):
+        ivf_sq8_topk(codes, [], qvec, deltas, k=5)

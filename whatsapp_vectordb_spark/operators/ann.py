@@ -1986,6 +1986,8 @@ def sq8_train(
             )
             .collect()
         )
+        if not parts:
+            return [], []  # empty input: match the expr path's ([], [])
         mn = np.min(np.array([r["mn"] for r in parts]), axis=0)
         mx = np.max(np.array([r["mx"] for r in parts]), axis=0)
         mins = [float(v) for v in mn]
@@ -2135,9 +2137,12 @@ def ivf_sq8_topk(
     replay inside one SQL oracle — the only fully-hash-gated composite
     index tier (the k-means-built IVF-PQ rows carve the build out as
     persisted state)."""
-    pruned = codes_df.where(
-        F.col(centroid_col).isin([int(c) for c in probe_cells])
-    )
+    cells = [int(c) for c in probe_cells]
+    if not cells:
+        # an empty isin would silently return zero rows — indistinguishable
+        # from "no matches"; a probe with no cells is a caller bug
+        raise ValueError("ivf_sq8_topk needs at least one probe cell")
+    pruned = codes_df.where(F.col(centroid_col).isin(cells))
     return sq8_topk(
         pruned.select(id_col, "sq8_codes"),
         query_vec,
