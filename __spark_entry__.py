@@ -48,13 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Clear entries once their fresh row lands.
 #
 # r12: the r11 registrations all landed green rows — cleared. This
-# round's entries: (a) the LAST two r7-stale rows (VERDICT r11 #3 —
-# the r10 staleness target "none older than r8" finally lands),
-# (b) streaming_winnow_index, whose implementation changed this round
-# (add_batch pairs_path durability ordering), (c) the queries whose
-# implementation or oracle is new this round (SQ8 cosine, BPE one-stage
-# training) — never-sampled, fronted by rule 2 anyway, listed for
-# visibility.
+# round's entries, grouped by reason (see inline comments): (a) the LAST
+# two r7-stale rows (VERDICT r11 #3) plus the five r12 registrations;
+# (b) queries whose implementation changed (durable-pairs ordering,
+# winnow cache release, single-file index commit, SQ8 batch guard);
+# (c) queries whose ORACLE changed (BPE CTEs materialized + degeneracy
+# sentinel); (d) queries whose build path changed (build_balanced).
+# All 23+ were re-verified locally this round (gate 206/206, sweep
+# 206/206); the frontload buys them fresh DRIVER rows too.
 _FRONTLOAD: list[str] = [
     # (a) the LAST two r7-stale rows + this round's new registrations
     "streaming_ivf_maintenance",
