@@ -65,6 +65,7 @@ _FRONTLOAD: list[str] = [
     "text_bpe_encode_arrow",
     "ann_ivf_sq8_topk",
     "streaming_sq8_index",
+    "ann_sq8_rerank_topk",
     # (b) implementation changed this round: add_batch durable-pairs
     # ordering (both incremental indexes' streaming twins), winnow cache
     # release + single-file index commit, SQ8 zero-row batch guard

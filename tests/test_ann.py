@@ -772,3 +772,45 @@ def test_sq8_train_numpy_empty_and_ivf_sq8_no_cells_guard(spark, embeddings):
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     with _pt.raises(ValueError):
         ivf_sq8_topk(codes, [], qvec, deltas, k=5)
+
+
+def test_sq8_rerank_covering_shortlist_equals_exact_scan(spark, embeddings):
+    """With a covering shortlist the two-stage result must equal the full
+    exact scan BIT-FOR-BIT (same ids, same rounded scores); with the
+    production shortlist it must still place the query vector first and
+    emit exact-domain scores."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_rerank_topk,
+        sq8_train,
+    )
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = embeddings.select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    codes = sq8_encode(emb, mins, deltas)
+
+    n = emb.count()
+    covering = [
+        (r["vec_id"], r["score"])
+        for r in sq8_rerank_topk(
+            codes, emb, qvec, deltas, k=10, shortlist=n
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in topk(emb, qvec, k=10, metric="dotproduct", round_to=6).collect()
+    ]
+    assert covering == exact
+
+    prod = [
+        (r["vec_id"], r["score"])
+        for r in sq8_rerank_topk(
+            codes, emb, qvec, deltas, k=10, shortlist=100
+        ).collect()
+    ]
+    assert prod[0][0] == 0  # the query vector itself survives both stages
+    assert len(set(v for v, _ in prod) & set(v for v, _ in exact)) >= 8
+    # scores come from the EXACT stage (float domain), not score_int
+    assert all(isinstance(s, float) for _, s in prod)

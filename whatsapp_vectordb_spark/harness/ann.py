@@ -2267,6 +2267,65 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(codes, qvec, deltas, k=10)
 
 
+# SQ8 shortlist → exact re-rank: stage 1 is the proven integer-ADC SQL,
+# stage 2 the proven exact-dot SQL — the oracle replays BOTH, so a wrong
+# shortlist cut, a broken semi-join, or a score from the quantized domain
+# leaking into the output all break the hash.
+_SQ8_RERANK_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM ex GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+iscores AS (
+  SELECT e.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((e.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM ex e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 100),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q
+WHERE list_dot_product(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_sq8_rerank_topk", _SQ8_RERANK_SQL)
+def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 integer-ADC shortlist (top-100 over the codes table only) →
+    exact dot re-rank of just those 100 float vectors — the two-stage
+    production serving shape, both stages inside the hash check. At
+    100 TB the float table contributes 100 point reads per query; the
+    scan is entirely on the compressed codes."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        sq8_encode,
+        sq8_rerank_topk,
+        sq8_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mins, deltas = sq8_train(emb)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    codes = sq8_encode(emb, mins, deltas)
+    return sq8_rerank_topk(codes, emb, qvec, deltas, k=10, shortlist=100)
+
+
 _IVFSQ8_NPROBE = 2
 _IVF_SQ8_DIR = _oracle_scratch("ivf_sq8")
 

@@ -2154,6 +2154,45 @@ def ivf_sq8_topk(
     )
 
 
+def sq8_rerank_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    query_vec,
+    deltas: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "dotproduct",
+    round_to: int | None = 6,
+    impl: str = "expr",
+) -> DataFrame:
+    """Quantized-shortlist → exact re-rank: THE production serving shape
+    (FAISS two-stage search; the SQ8 twin of ``pq_topk_rerank``). Stage 1
+    scans ONLY the 4×-compressed codes table with the integer ADC and
+    keeps a ``shortlist`` of ids; stage 2 pages in just those
+    ``shortlist`` float vectors (broadcast semi-join — the big vectors
+    table never shuffles) and ranks them exactly. Final scores are the
+    EXACT metric — quantization error can only cost recall (a true
+    neighbor missing the shortlist), never corrupt a returned score; with
+    a covering shortlist the result equals the full exact scan
+    bit-for-bit (pinned by test and by the registry oracle, which
+    replays shortlist AND re-rank)."""
+    short = sq8_topk(
+        codes_df, query_vec, deltas, k=shortlist, id_col=id_col, impl=impl
+    ).select(id_col)
+    cand = vectors_df.join(F.broadcast(short), id_col)
+    return topk(
+        cand,
+        query_vec,
+        k=k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )
+
+
 def sq8_topk_cosine(
     codes_df: DataFrame,
     query_vec,
