@@ -750,6 +750,32 @@ def test_sq8_train_numpy_impl_is_bit_identical(spark, embeddings):
     assert sq8_train(df, impl="numpy") == sq8_train(df, impl="expr")
 
 
+def test_sq8_train_numpy_matches_spark_nan_semantics(spark):
+    """ADVICE r12: Spark orders NaN ABOVE every double, so F.min skips a
+    NaN (returns the smallest real value) while F.max returns NaN when
+    one is present; plain numpy min/max would propagate NaN to both
+    sides. Parity must hold on dirty vectors too — dim 0 has one NaN
+    (min real, max NaN → delta falls back to 1.0), dim 1 is clean, dim 2
+    is all-NaN (both sides NaN)."""
+    import math
+
+    from whatsapp_vectordb_spark.operators.ann import sq8_train
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, [2.0, 10.0, nan]), (2, [nan, 30.0, nan]), (3, [5.0, 20.0, nan])],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+
+    def norm(t):  # NaN != NaN, so compare via a token
+        return [["NaN" if isinstance(v, float) and math.isnan(v) else v for v in side] for side in t]
+
+    got_expr = sq8_train(df, impl="expr")
+    got_np = sq8_train(df, impl="numpy")
+    assert norm(got_np) == norm(got_expr)
+    assert norm(got_expr) == [[2.0, 10.0, "NaN"], [1.0, 20.0 / 255.0, 1.0]]
+
+
 def test_sq8_train_numpy_empty_and_ivf_sq8_no_cells_guard(spark, embeddings):
     """Edge contracts: the Arrow train path returns ([], []) on an empty
     frame exactly like the expr path; an empty probe-cell list raises

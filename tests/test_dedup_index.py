@@ -53,18 +53,49 @@ def test_add_batch_reingest_is_noop(spark, documents, tmp_path):
     docs = documents.select("doc_id", "text").limit(40).cache()
     idx = MinHashDedupIndex(spark, str(tmp_path / "mh_idx"), threshold=0.5)
     idx.add_batch(docs)
-    sh_before = spark.read.parquet(str(tmp_path / "mh_idx" / "shingles")).count()
+    sh_before = idx._stored("shingles").count()
 
     # the whole batch again: no pairs, no state growth
     again = idx.add_batch(docs)
     assert again.count() == 0
-    sh_after = spark.read.parquet(str(tmp_path / "mh_idx" / "shingles")).count()
+    sh_after = idx._stored("shingles").count()
     assert sh_after == sh_before
 
     # a genuine copy under a NEW id is still caught against the stored corpus
     copy = docs.limit(1).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
     pairs = idx.add_batch(copy).collect()
     assert any(r["id_b"] >= 5000 for r in pairs)
+
+
+def test_minhash_commit_is_atomic_per_batch(spark, tmp_path):
+    """ADVICE r12: both state tables commit together via ONE dir rename —
+    every visible batch dir holds BOTH tables, and an un-renamed staging
+    dir (a simulated mid-commit crash) is invisible to ``_stored``."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_atomic"), threshold=0.5)
+    idx.add_batch(docs)
+
+    batches_dir = tmp_path / "mh_atomic" / "batches"
+    batch_dirs = [d for d in os.listdir(batches_dir)]
+    assert len(batch_dirs) == 1
+    for b in batch_dirs:  # a committed batch always carries both tables
+        assert (batches_dir / b / "signatures").is_dir()
+        assert (batches_dir / b / "shingles").is_dir()
+
+    # simulate a crash BEFORE the commit rename: a fully-written staging
+    # dir must not leak into reads — the doc stays re-ingestable
+    n_sig = idx._stored("signatures").count()
+    stage = tmp_path / "mh_atomic" / "_staging" / "deadbeef" / "signatures"
+    os.makedirs(stage)
+    idx._stored("signatures").limit(1).write.mode("overwrite").parquet(str(stage))
+    assert idx._stored("signatures").count() == n_sig
 
 
 # --- WinnowDedupIndex --------------------------------------------------------

@@ -1963,8 +1963,24 @@ def sq8_train(
     pass (``mapInPandas`` emitting one 2×dim row per partition) and
     folds them driver-side — bit-identical output (min/max are exact in
     any association) with the explode and the shuffle gone; the at-scale
-    train for the same reason the scoring paths have numpy twins."""
+    train for the same reason the scoring paths have numpy twins.
+
+    NaN parity (ADVICE r12): Spark orders NaN GREATER than every other
+    double, so ``F.min`` skips NaN (returns the smallest real value;
+    NaN only if the whole column is NaN) while ``F.max`` returns NaN
+    whenever one is present. numpy's plain min/max propagate NaN to
+    BOTH sides, which would silently break the expr/numpy parity
+    contract on dirty vectors — so the numpy fold reduces min under
+    the same NaN-as-greater-than-all ordering (``_spark_min_fold``;
+    plain max already matches Spark's propagate-on-max)."""
     if impl == "numpy":
+        def _spark_min_fold(m: "np.ndarray") -> "np.ndarray":
+            # columnwise min under Spark's ordering: NaN ranks above +inf,
+            # so it never wins a min unless the whole column is NaN
+            isnan = np.isnan(m)
+            out = np.where(isnan, np.inf, m).min(axis=0)
+            return np.where(isnan.all(axis=0), np.nan, out)
+
         def part_minmax(batches):
             import pandas as pd
 
@@ -1973,8 +1989,8 @@ def sq8_train(
                 if len(pdf) == 0:
                     continue
                 m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                pmn, pmx = m.min(axis=0), m.max(axis=0)
-                mn = pmn if mn is None else np.minimum(mn, pmn)
+                pmn, pmx = _spark_min_fold(m), m.max(axis=0)
+                mn = pmn if mn is None else _spark_min_fold(np.vstack([mn, pmn]))
                 mx = pmx if mx is None else np.maximum(mx, pmx)
             if mn is not None:
                 yield pd.DataFrame({"mn": [mn.tolist()], "mx": [mx.tolist()]})
@@ -1988,8 +2004,10 @@ def sq8_train(
         )
         if not parts:
             return [], []  # empty input: match the expr path's ([], [])
-        mn = np.min(np.array([r["mn"] for r in parts]), axis=0)
-        mx = np.max(np.array([r["mx"] for r in parts]), axis=0)
+        # collect() surfaces a NaN array element as None — cast back to
+        # float64 (None -> NaN) before folding
+        mn = _spark_min_fold(np.array([r["mn"] for r in parts], dtype=np.float64))
+        mx = np.max(np.array([r["mx"] for r in parts], dtype=np.float64), axis=0)
         mins = [float(v) for v in mn]
         deltas = [
             ((float(b) - float(a)) / 255.0) if b > a else 1.0

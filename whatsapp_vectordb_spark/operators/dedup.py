@@ -579,6 +579,17 @@ def winnow_duplicate_pairs(
     Pass ``release_cache=False`` to keep the whole computation lazy (the
     fingerprint cache then lives until the caller clears it — plan-audit
     and single-query sessions only).
+
+    DURABILITY CAVEAT (ADVICE r12): ``release_cache=True`` also changes
+    the failure semantics, not just the lifecycle — the call becomes
+    EAGER (the pairs job runs here, at call time) and the returned frame
+    is pinned to ``localCheckpoint`` blocks, which are NOT fault
+    tolerant: they live on executors with no lineage to recompute from,
+    so losing an executor after return fails any later action on the
+    result instead of transparently recomputing it. For long jobs that
+    consume the pairs much later (or must survive executor churn), write
+    the bounded pair set to a scratch parquet and read it back instead
+    of holding the returned handle.
     """
     fps = (
         winnow_fingerprints(df, text_col, id_col, k=k, w=w)
@@ -652,7 +663,12 @@ def winnow_shared_spans(
     Scale shape: identical to ``winnow_duplicate_pairs`` up to the
     inverted-index equi-join (``max_df`` hot-fingerprint anti-join guard
     included); the island windows partition by (id_a, id_b, offset) —
-    bounded by per-document fingerprint counts, never global.
+    bounded by per-document fingerprint counts, never global. The
+    ``release_cache`` semantics — including the eager-execution and
+    non-fault-tolerant ``localCheckpoint`` caveat for long-lived
+    consumers — are exactly ``winnow_duplicate_pairs``'s (ADVICE r12:
+    write the spans to scratch parquet if the result must survive
+    executor loss).
     """
     gap = w if max_gap is None else max_gap
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)

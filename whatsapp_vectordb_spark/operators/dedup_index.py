@@ -9,6 +9,10 @@ on disk and checks each NEW batch against it:
 - ``shingles`` parquet: per-doc 60-bit hashed shingle ids — the exact
   Jaccard verify input (the only per-token state, ~8 bytes/shingle).
 
+On disk both tables live under ``batches/<uuid>/{signatures,shingles}``
+— one dir per committed batch, committed with a single atomic dir
+rename so the two tables can never be observed half-appended.
+
 ``add_batch`` computes the batch's keys/shingles once, finds candidate
 pairs batch↔corpus AND batch↔batch by band-key equi-join, verifies
 exact Jaccard on the stored shingle ids, then appends the batch's state
@@ -50,12 +54,8 @@ class MinHashDedupIndex:
         self.threshold = threshold
 
     @property
-    def _sig_path(self) -> str:
-        return os.path.join(self.path, "signatures")
-
-    @property
-    def _sh_path(self) -> str:
-        return os.path.join(self.path, "shingles")
+    def _batches_path(self) -> str:
+        return os.path.join(self.path, "batches")
 
     def _banded(self, df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
         """(banded keys, hashed shingles) for a document frame."""
@@ -83,12 +83,25 @@ class MinHashDedupIndex:
         return banded, sh.select(F.col(id_col).alias("doc_id"), "_x1", "_x2", "_h")
 
     def _stored(self, which: str) -> DataFrame | None:
-        p = self._sig_path if which == "signatures" else self._sh_path
-        if not os.path.exists(p) or not any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ):
+        """Union of ``which`` ("signatures" | "shingles") across committed
+        batch dirs. A batch dir only exists once its single commit rename
+        succeeded, so everything listed here is complete — both tables,
+        all files."""
+        root = self._batches_path
+        if not os.path.exists(root):
             return None
-        return self.spark.read.parquet(p)
+        paths = [
+            os.path.join(root, b, which)
+            for b in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, b, which))
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(root, b, which))
+            )
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
 
     def add_batch(
         self,
@@ -115,11 +128,13 @@ class MinHashDedupIndex:
         the batch before anything is computed — without this, re-running a
         failed/duplicate ingest would double-count the doc's shingles in
         the Jaccard COUNT(*) sizes and silently corrupt every future pair
-        involving it. Crash-safe: both state appends are staged to a temp
-        dir and only file-renamed into the live index after BOTH writes
-        succeed, so a mid-append failure can't leave signatures without
-        their shingles (the rename window is two metadata-only loops, not
-        two distributed writes)."""
+        involving it. Crash-safe (ADVICE r12): both tables are staged
+        under ONE batch directory and committed with a SINGLE atomic
+        ``os.rename`` of that directory — signatures and shingles become
+        visible together or not at all, so there is no window where a doc
+        has band rows without its shingles (anti-joined out forever with
+        a broken verify side) or shingles without its signatures
+        (re-ingested and double-counted)."""
         stored_ids = self._stored("signatures")
         if stored_ids is not None:
             batch = batch.join(
@@ -178,28 +193,34 @@ class MinHashDedupIndex:
         return pairs
 
     def _commit_appends(self, banded_new: DataFrame, sh_new: DataFrame) -> None:
-        """Stage both state writes, then rename part-files into the live
-        dirs — a failure before the rename loop leaves the index untouched.
-        Spark's part-file names carry a per-write UUID, so renames can't
-        collide with existing files."""
+        """Stage BOTH tables under one batch directory, then commit with a
+        SINGLE atomic directory rename into ``batches/<uuid>/``.
+
+        The previous scheme renamed part-files into two live dirs in a
+        loop; a crash mid-loop could leave a doc with signatures but no
+        shingles — the re-ingest anti-join (keyed on stored signature
+        doc_ids) would then skip the doc forever while its Jaccard verify
+        side stayed broken. One dir-level rename has no such window: a
+        batch is either fully in (both tables, all files) or fully out.
+        No coalesce needed — any number of part files inside the staged
+        dir commits atomically with it. Cost: ``_stored`` unions per-batch
+        dirs (micro-batch counts; compact offline if listing ever
+        matters)."""
         import shutil
         import uuid
 
-        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
-        stage_sig = os.path.join(stage, "signatures")
-        stage_sh = os.path.join(stage, "shingles")
+        batch_id = uuid.uuid4().hex
+        stage = os.path.join(self.path, "_staging", batch_id)
         try:
-            banded_new.write.mode("overwrite").parquet(stage_sig)
-            sh_new.write.mode("overwrite").parquet(stage_sh)
-            for src_dir, live_dir in ((stage_sig, self._sig_path), (stage_sh, self._sh_path)):
-                os.makedirs(live_dir, exist_ok=True)
-                for fname in os.listdir(src_dir):
-                    if fname.endswith(".parquet"):
-                        os.rename(
-                            os.path.join(src_dir, fname), os.path.join(live_dir, fname)
-                        )
-        finally:
+            banded_new.write.mode("overwrite").parquet(
+                os.path.join(stage, "signatures")
+            )
+            sh_new.write.mode("overwrite").parquet(os.path.join(stage, "shingles"))
+            os.makedirs(self._batches_path, exist_ok=True)
+            os.rename(stage, os.path.join(self._batches_path, batch_id))
+        except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
+            raise
 
 
 class WinnowDedupIndex:
@@ -357,7 +378,15 @@ class WinnowDedupIndex:
             parts = [
                 f for f in os.listdir(stage_fp) if f.endswith(".parquet")
             ]
-            assert len(parts) == 1, f"expected one staged file, got {parts}"
+            if len(parts) != 1:
+                # Explicit raise, not assert: under ``python -O`` an assert
+                # vanishes, and renaming only parts[0] while the finally
+                # rmtree deletes the rest would be permanent fingerprint
+                # loss. coalesce(1) guarantees one file; anything else
+                # means the invariant broke and the commit must abort.
+                raise RuntimeError(
+                    f"single-file commit invariant broken: staged {parts}"
+                )
             os.makedirs(self._fp_path, exist_ok=True)
             os.rename(
                 os.path.join(stage_fp, parts[0]),
