@@ -42,54 +42,54 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# RULE (VERDICT r9 #2): any query whose oracle SQL or implementation
-# changed since its latest driver row goes here THE SAME ROUND the change
-# lands — a green driver row that predates the change verifies nothing.
-# Clear entries once their fresh row lands.
+# RULE (README round policy §3): frontload slots go FIRST to queries
+# whose implementation or oracle changed since their latest driver row
+# (a green row that predates the change verifies nothing) and to new
+# registrations, THEN to the oldest stale cohort. Clear entries once
+# their fresh row lands.
 #
-# r12: the r11 registrations all landed green rows — cleared. This
-# round's entries, grouped by reason (see inline comments): (a) the LAST
-# two r7-stale rows (VERDICT r11 #3) plus the five r12 registrations;
-# (b) queries whose implementation changed (durable-pairs ordering,
-# winnow cache release, single-file index commit, SQ8 batch guard);
-# (c) queries whose ORACLE changed (BPE CTEs materialized + degeneracy
-# sentinel); (d) queries whose build path changed (build_balanced).
-# All 23+ were re-verified locally this round (gate 206/206, sweep
-# 206/206); the frontload buys them fresh DRIVER rows too.
+# r13: all 26 r12 entries landed green r12 rows — cleared (VERDICT r12
+# #7). This round's entries: (a) the two new registrations (the composed
+# serving stack + its batched twin, VERDICT #3/#6); (b) queries whose
+# executed code changed this round (the dedup index classes' atomic
+# batch-dir commit / assert→raise — ADVICE r12); (c) the ENTIRE r8-stale
+# cohort, 23 rows, drained per VERDICT r12 #1 so the oldest latest-row
+# moves to r9. 29 total; the remaining ~21 driver slots fall to the r9
+# cohort via the stalest-greens-first ordering below.
 _FRONTLOAD: list[str] = [
-    # (a) the LAST two r7-stale rows + this round's new registrations
-    "streaming_ivf_maintenance",
-    "streaming_pipeline_capstone",
-    "ann_sq8_cosine_topk",
-    "text_bpe_learn_full",
-    "text_bpe_encode_arrow",
-    "ann_ivf_sq8_topk",
-    "streaming_sq8_index",
-    "ann_sq8_rerank_topk",
-    # (b) implementation changed this round: add_batch durable-pairs
-    # ordering (both incremental indexes' streaming twins), winnow cache
-    # release + single-file index commit, SQ8 zero-row batch guard
-    "streaming_winnow_index",
-    "streaming_dedup_index",
-    "dedup_winnow_pairs",
-    "dedup_winnow_spans",
-    "dedup_winnow_cut",
-    "dedup_incremental_winnow_index",
+    # (a) new registrations this round
+    "ann_ivf_sq8_rerank_topk",
+    "ann_ivf_sq8_batched_topk",
+    # (b) implementation changed this round: MinHash/Winnow index commit
+    # paths (atomic batch-dir rename; explicit single-file raise)
     "dedup_incremental_index",
-    "ann_sq8_topk",
-    "ann_sq8_euclidean_topk",
-    # (c) oracle changed this round: BPE CTEs materialized + the
-    # degenerate-corpus sentinel guard
-    "text_bpe_learn",
-    "text_bpe_fertility",
-    # (d) build path changed this round: registry IVF builds route
-    # through build_balanced
-    "ann_ivf_topk",
-    "ann_ivf_nprobe_sweep",
-    "ann_ivf_batched",
-    "ann_ivfpq_topk",
-    "sample_diverse_embeddings",
-    "pipeline_curate_corpus",
+    "dedup_incremental_winnow_index",
+    "streaming_dedup_index",
+    "streaming_winnow_index",
+    # (c) the r8-stale cohort, oldest-first drain (VERDICT r12 #1)
+    "customer_scd2_versions",
+    "docs_snapshot_diff",
+    "events_funnel",
+    "events_range_join",
+    "events_sessionized_counts",
+    "events_sliding_windows",
+    "events_value_histogram",
+    "multimodal_audio_chunks",
+    "multimodal_chunk_search",
+    "multimodal_cross_search",
+    "rel_distinct_customers",
+    "rel_price_quantiles",
+    "rel_revenue_rollup",
+    "rel_running_revenue",
+    "sample_temperature_mix",
+    "streaming_distinct_keys",
+    "streaming_drift_monitor",
+    "streaming_hourly_windows",
+    "streaming_session_windows",
+    "streaming_sessionized",
+    "streaming_stream_stream_join",
+    "text_bigram_loglik",
+    "text_line_dedup",
 ]
 
 

@@ -840,3 +840,88 @@ def test_sq8_rerank_covering_shortlist_equals_exact_scan(spark, embeddings):
     assert len(set(v for v, _ in prod) & set(v for v, _ in exact)) >= 8
     # scores come from the EXACT stage (float domain), not score_int
     assert all(isinstance(s, float) for _, s in prod)
+
+
+def test_ivf_sq8_rerank_all_cells_covering_equals_exact(spark, embeddings):
+    """The composed prune→shortlist→re-rank stack with ALL cells probed
+    and a covering shortlist must equal the full exact scan bit-for-bit
+    — both approximations removed, the plumbing contributes zero error."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_rerank_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_sq8_rerank_topk(
+            codes, emb, [0, 1, 2, 3], qvec, deltas, k=10, shortlist=n
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in topk(emb, qvec, k=10, metric="dotproduct", round_to=6).collect()
+    ]
+    assert got == exact
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ivf_sq8_rerank_topk(codes, emb, [], qvec, deltas, k=10)
+
+
+def test_ivf_sq8_batched_matches_per_query_probes(spark, embeddings):
+    """Each query's rows from the ONE-scan batched probe must equal its
+    separate ``ivf_sq8_topk`` call bit-for-bit — same ids, same exact
+    int64 ADC scores, same tie order."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_batched_topk,
+        ivf_sq8_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    probe_map = {0: [0, 1], 1: [1, 2], 2: [0, 3]}
+
+    batched = ivf_sq8_batched_topk(codes, queries, probe_map, deltas, k=5)
+    rows = batched.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score_int"]))
+    for qid in by_q:  # canonical (score desc, id asc) order per query
+        by_q[qid].sort(key=lambda t: (-t[1], t[0]))
+
+    for qid, vec in queries:
+        solo = [
+            (r["vec_id"], r["score_int"])
+            for r in ivf_sq8_topk(
+                codes, probe_map[qid], vec, deltas, k=5
+            ).collect()
+        ]
+        assert by_q[qid] == solo, f"query {qid} diverged"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ivf_sq8_batched_topk(codes, queries, {}, deltas, k=5)

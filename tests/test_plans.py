@@ -589,3 +589,85 @@ def test_ivf_sq8_probe_is_partition_pruned(spark, embeddings, tmp_path):
     assert "TakeOrderedAndProject" in p  # per-task k-heap, no global sort
     got = df.collect()
     assert len(got) == 5
+
+
+def test_ivf_sq8_rerank_prunes_partitions_and_broadcasts_shortlist(
+    spark, embeddings, tmp_path
+):
+    """VERDICT r12 #3 plan contract for the composed serving stack: the
+    shortlist stage scans the codes layout with file-level
+    PartitionFilters (probed bytes ~ nprobe/k), and the exact re-rank
+    side joins the shortlist by BROADCAST — the big float table never
+    shuffles."""
+    import re
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_rerank_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    path = str(tmp_path / "ivf_sq8_rr_codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    df = ivf_sq8_rerank_topk(
+        spark.read.parquet(path), emb, [0, 2], qvec, deltas, k=5, shortlist=20
+    )
+    p = plan(df)
+    assert "PartitionFilters" in p and "centroid" in p
+    assert "BroadcastHashJoin" in p  # shortlist broadcasts into the floats
+    # no shuffle of the float vectors table: every Exchange is either a
+    # broadcast or the bounded post-shortlist rank, never a hash
+    # repartition of `embedding` rows
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", p), p
+    assert len(df.collect()) == 5
+
+
+def test_ivf_sq8_batched_is_one_codes_scan(spark, embeddings, tmp_path):
+    """VERDICT r12 #6 plan contract: N queries = ONE scan of the codes
+    layout (pruned to the union of probed cells), with the probe map and
+    per-query weight LUTs broadcast — never one scan per query."""
+    import re
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_batched_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    path = str(tmp_path / "ivf_sq8_b_codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    probe_map = {0: [0, 1], 1: [1, 2], 2: [0, 3]}
+    df = ivf_sq8_batched_topk(
+        spark.read.parquet(path), queries, probe_map, deltas, k=3
+    )
+    p = plan(df)
+    # exactly ONE scan of the codes parquet, partition-pruned to the
+    # union of probed cells; the float vectors never load
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 1, p
+    assert "PartitionFilters" in p and "centroid" in p
+    assert "embedding" not in p
+    assert "BroadcastHashJoin" in p  # probe map + weight LUTs broadcast
+    got = df.collect()
+    assert len(got) == 9  # 3 queries x k=3

@@ -2211,6 +2211,128 @@ def sq8_rerank_topk(
     )
 
 
+def ivf_sq8_rerank_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    probe_cells,
+    query_vec,
+    deltas: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid",
+    metric: str = "dotproduct",
+    round_to: int | None = 6,
+    impl: str = "expr",
+) -> DataFrame:
+    """The full FAISS-style production serving stack in one call
+    (``IVFx,SQ8`` + refine): (1) PRUNE — file-level partition filtering
+    to the ``probe_cells`` of a ``partitionBy(centroid)`` codes layout;
+    (2) SHORTLIST — integer-ADC top-``shortlist`` over ONLY those cells'
+    4×-compressed codes (``sq8_topk``; the float vectors never scan);
+    (3) REFINE — exact re-rank of just the shortlist's float vectors via
+    broadcast semi-join (``sq8_rerank_topk``; the big table never
+    shuffles). Final scores are the EXACT metric, so the two
+    approximations (cell pruning, quantization) can only cost recall —
+    never corrupt a returned score. This is what a 100 TB query actually
+    runs: probed bytes = (nprobe/k) of the codes table, plus
+    ``shortlist`` float point-reads. Every stage is analytic (Lloyd
+    cells + per-dim min/delta + exact dot), so the whole pipeline
+    replays inside one SQL oracle, like its component tiers."""
+    cells = [int(c) for c in probe_cells]
+    if not cells:
+        # an empty isin would silently return zero rows (see ivf_sq8_topk)
+        raise ValueError("ivf_sq8_rerank_topk needs at least one probe cell")
+    pruned = codes_df.where(F.col(centroid_col).isin(cells))
+    return sq8_rerank_topk(
+        pruned.select(id_col, "sq8_codes"),
+        vectors_df,
+        query_vec,
+        deltas,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+        round_to=round_to,
+        impl=impl,
+    )
+
+
+def ivf_sq8_batched_topk(
+    codes_df: DataFrame,
+    queries: list,
+    probe_map: dict,
+    deltas: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Batched IVF-SQ8 probe: top-k for MANY queries in ONE scan over
+    the union of their probed cells (the SQ8 twin of
+    ``IvfIndex.probe_batched`` — per-query rescans of shared cells are
+    what a 1000-query serving batch can't afford). ``queries`` is
+    ``[(query_id, vector)]``; ``probe_map`` maps each query_id to its
+    probed cell ids (computed driver-side against the in-memory
+    centroids, as the single-query path does).
+
+    The per-query integer weight LUTs w_d = ⌊q_d·Δ_d·scale+½⌋ (|Q|·dim
+    int64s) broadcast with the (query, cell) probe map; each code row is
+    scored only against the queries that probed ITS cell, with the same
+    exact int64 zip_with fold as ``sq8_topk`` — so per-query results
+    equal |Q| separate ``ivf_sq8_topk`` calls bit-for-bit (pinned by
+    test). Ranking is one shuffle keyed by query_id, bounded per query
+    by its probed-cell rows. The codes table is scanned ONCE, pruned to
+    the union of probed cells (file-level PartitionFilters on a
+    ``partitionBy(centroid)`` layout); float vectors never load."""
+    from pyspark.sql import Window
+
+    probe_rows = [
+        (int(qid), int(c)) for qid, cells in probe_map.items() for c in cells
+    ]
+    if not probe_rows:
+        raise ValueError("ivf_sq8_batched_topk needs at least one probe cell")
+    spark = codes_df.sparkSession
+    wdf = spark.createDataFrame(
+        [
+            (
+                int(qid),
+                [
+                    int(np.floor(float(q) * d * scale + 0.5))
+                    for q, d in zip(vec, deltas)
+                ],
+            )
+            for qid, vec in queries
+        ],
+        "query_id long, _w array<bigint>",
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _pcell bigint"
+    ).join(F.broadcast(wdf), "query_id")
+    cells = sorted({c for _, c in probe_rows})
+    subset = codes_df.where(F.col(centroid_col).isin(cells))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("sq8_codes"), F.col("_w"), lambda c, wv: c.cast("long") * wv
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = subset.join(
+        F.broadcast(probes), F.col(centroid_col) == F.col("_pcell")
+    ).select("query_id", F.col(id_col), score.alias("score_int"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def sq8_topk_cosine(
     codes_df: DataFrame,
     query_vec,
