@@ -925,3 +925,49 @@ def test_ivf_sq8_batched_matches_per_query_probes(spark, embeddings):
 
     with _pt.raises(ValueError):
         ivf_sq8_batched_topk(codes, queries, {}, deltas, k=5)
+
+
+def test_ivf_sq8_batched_rerank_covering_equals_per_query_exact(spark, embeddings):
+    """The batched two-stage pipeline with ALL cells probed and a
+    covering shortlist must equal each query's full exact scan
+    bit-for-bit — both approximations removed per query, the batching
+    plumbing contributes zero error."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_batched_rerank_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    all_cells = [0, 1, 2, 3]
+    probe_map = {qid: all_cells for qid, _ in queries}
+    n = emb.count()
+
+    rows = ivf_sq8_batched_rerank_topk(
+        codes, emb, queries, probe_map, deltas, k=5, shortlist=n
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in by_q:
+        by_q[qid].sort(key=lambda t: (-t[1], t[0]))
+
+    for qid, vec in queries:
+        exact = [
+            (r["vec_id"], r["score"])
+            for r in topk(
+                emb, vec, k=5, metric="dotproduct", round_to=6
+            ).collect()
+        ]
+        assert by_q[qid] == exact, f"query {qid} diverged"

@@ -671,3 +671,49 @@ def test_ivf_sq8_batched_is_one_codes_scan(spark, embeddings, tmp_path):
     assert "BroadcastHashJoin" in p  # probe map + weight LUTs broadcast
     got = df.collect()
     assert len(got) == 9  # 3 queries x k=3
+
+
+def test_ivf_sq8_batched_rerank_never_shuffles_floats(spark, embeddings, tmp_path):
+    """Batched two-stage serving plan contract: ONE partition-pruned
+    codes scan feeds every query's shortlist, and the exact re-rank
+    joins the |Q|·shortlist pair set into the float table by BROADCAST —
+    the float table is never hash-repartitioned."""
+    import re
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_batched_rerank_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    _, assigned, _ = kmeans_lloyd(emb, k=4, iters=1, update_mode="portable")
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    path = str(tmp_path / "ivf_sq8_brr_codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1)).collect()
+    ]
+    probe_map = {0: [0, 1], 1: [1, 2]}
+    df = ivf_sq8_batched_rerank_topk(
+        spark.read.parquet(path), emb, queries, probe_map, deltas, k=3, shortlist=10
+    )
+    p = plan(df)
+    # exactly TWO parquet scans — the codes layout (pruned, scanned once
+    # for BOTH queries) and the float table (scanned once for the whole
+    # re-rank) — and the shortlist joins into the floats by broadcast;
+    # the only hash exchanges are the bounded query_id-keyed window
+    # ranks, never a vec_id repartition of the float rows
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 2, p
+    assert "PartitionFilters" in p and "centroid" in p
+    assert "BroadcastHashJoin" in p
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", p), p
+    got = df.collect()
+    assert len(got) == 6  # 2 queries x k=3

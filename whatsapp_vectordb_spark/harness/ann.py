@@ -2672,6 +2672,110 @@ def ann_ivf_sq8_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SQ8_BRR_DIR = _oracle_scratch("ivf_sq8_batched_rr")
+_IVFSQ8_BATCH_SHORT = 50
+
+# Batched serving end-to-end: ONE codes scan -> per-query quantized
+# shortlists -> ONE float pass exact-re-ranks them all. Still fully
+# analytic: the oracle replays per-query prune + per-query integer-ADC
+# shortlist + per-query exact re-rank on top of the kmeans build.
+
+
+def _ivf_sq8_batched_rerank_sql() -> str:
+    qids = ", ".join(str(q) for q in _IVFSQ8_BATCH_QIDS)
+    base = _ivf_sq8_batched_sql()
+    # reuse the batched CTE chain up to `scores`, swap the final select
+    head = base.rsplit("ranked AS (", 1)[0].rstrip().rstrip(",")
+    return f"""{head},
+shortq AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_int DESC, vec_id ASC
+           ) AS rs
+    FROM scores
+  ) WHERE rs <= {_IVFSQ8_BATCH_SHORT}
+),
+qvf AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+rer AS (
+  SELECT s.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qvf.qv), 6) AS score
+  FROM embeddings e
+  JOIN shortq s ON s.vec_id = e.vec_id
+  JOIN qvf ON qvf.query_id = s.query_id
+  WHERE list_dot_product(e.embedding::DOUBLE[], qvf.qv) IS NOT NULL
+),
+rk AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS r
+  FROM rer
+)
+SELECT query_id, vec_id, score FROM rk WHERE r <= 5
+"""
+
+
+@_register("ann_ivf_sq8_batched_rerank_topk", _ivf_sq8_batched_rerank_sql())
+def ann_ivf_sq8_batched_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving end-to-end: 3 queries get quantized shortlists
+    from ONE partition-pruned codes scan, then ONE float pass exact
+    re-ranks all shortlists (the |Q|·shortlist pair set broadcasts; the
+    vectors table never shuffles). Exact final scores; build + train +
+    encode + per-query prune + shortlist + re-rank all inside the hash
+    check."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        ivf_sq8_batched_rerank_topk,
+        kmeans_lloyd,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned, _ = kmeans_lloyd(
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+    )
+    qrows = (
+        emb.where(F.col("vec_id").isin(*_IVFSQ8_BATCH_QIDS))
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+            ).alias("_qq"),
+        )
+        .collect()
+    )
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+    probe_map = {}
+    for r in qrows:
+        ranked = sorted(
+            (sum((a - b) ** 2 for a, b in zip(r["_qq"], qc)), cid)
+            for cid, qc in cents
+        )
+        probe_map[r["vec_id"]] = [cid for _, cid in ranked[:_IVFSQ8_NPROBE]]
+
+    mins, deltas = sq8_train(emb)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assigned.select("vec_id", "centroid"), "vec_id"
+    )
+    path = os.path.join(_IVF_SQ8_BRR_DIR, "codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    return ivf_sq8_batched_rerank_topk(
+        spark.read.parquet(path),
+        emb,
+        queries,
+        probe_map,
+        deltas,
+        k=5,
+        shortlist=_IVFSQ8_BATCH_SHORT,
+    )
+
+
 # Cosine over SQ8 (the reference's ACTIVE metric, main.go:28):
 # normalize-at-encode, then the SAME integer dot ADC with weights from
 # the normalized query. The norm replay is the bit-parity crux: Spark's

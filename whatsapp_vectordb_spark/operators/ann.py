@@ -2333,6 +2333,75 @@ def ivf_sq8_batched_topk(
     )
 
 
+def ivf_sq8_batched_rerank_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    queries: list,
+    probe_map: dict,
+    deltas: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid",
+    metric: str = "dotproduct",
+    round_to: int | None = 6,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """The batched production serving shape end-to-end: ONE codes scan
+    answers every query's quantized shortlist
+    (``ivf_sq8_batched_topk``), then ONE pass over the float table
+    re-ranks all shortlists exactly — the |Q|·``shortlist`` (query, id)
+    pairs broadcast into the vectors table (it never shuffles), each
+    candidate scores against its own query's float vector, and a
+    query_id-keyed window keeps the top ``k``. Final scores are the
+    EXACT metric, so cell pruning and quantization can only cost recall
+    (per query), never corrupt a score. At 100 TB and a 1000-query
+    batch: (union-of-probed-cells / k) of the compressed codes scanned
+    once + |Q|·``shortlist`` float point-reads — vs |Q| full serving
+    round-trips for the one-at-a-time path."""
+    from pyspark.sql import Window
+
+    from whatsapp_vectordb_spark.functions.vector import (
+        metric_ascending,
+        similarity_score,
+    )
+
+    short = ivf_sq8_batched_topk(
+        codes_df,
+        queries,
+        probe_map,
+        deltas,
+        k=shortlist,
+        id_col=id_col,
+        centroid_col=centroid_col,
+        scale=scale,
+    ).select("query_id", id_col)
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id long, _qv array<double>",
+    )
+    score = similarity_score(F.col(vec_col), F.col("_qv"), metric)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        vectors_df.join(F.broadcast(short), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", F.col(id_col), score.alias("score"))
+        .where(F.col("score").isNotNull())
+    )
+    order = (
+        F.col("score").asc() if metric_ascending(metric) else F.col("score").desc()
+    )
+    w = Window.partitionBy("query_id").orderBy(order, F.col(id_col).asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def sq8_topk_cosine(
     codes_df: DataFrame,
     query_vec,

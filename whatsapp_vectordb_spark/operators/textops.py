@@ -1308,11 +1308,18 @@ def bpe_learn_local(
     Scale shape: the word table is ~10⁷ distinct rows at 100 TB —
     megabytes per executor after the count shuffle, far below task
     memory; one Arrow transfer in, a merge-table out. The trainer is
-    incremental (per merge it touches only words containing the winning
-    pair), which is what makes n_merges=30k minutes, not hours. The
+    incremental: per merge it touches only words CONTAINING the winning
+    pair, so per-merge cost is O(affected words), not O(vocab) — but
+    that is a corpus-shape bound, not a constant (measured r13,
+    BASELINE.md "BPE at vocabulary merge counts": 1k merges in 244 s vs
+    8k in 1,916 s on the adversarial 1M-distinct-word stress corpus
+    where popular pairs touch ~1M words each — ~240 ms marginal per
+    merge there; Zipfian natural corpora sit far below). The
     single-task stage is a deliberate serial section: training has a
     sequential dependency between merges, and shipping it to ONE
-    executor beats 30k scheduler round-trips by orders of magnitude."""
+    executor beats 30k scheduler round-trips by orders of magnitude
+    regardless (the measured 8k-merge loop ≈ 32 min vs an extrapolated
+    ~14 h of driver jobs)."""
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
