@@ -199,46 +199,24 @@ def main() -> None:
         ann_ivf_sq8_rerank_topk(spark, sf_dir).collect()
 
     # --- untimed setup for the probe-only serving measurement (VERDICT
-    # r12 #5): persist the IVF-SQ8 layout ONCE so the next entry records
+    # r12 #5): persist the IVF-SQ8 artifact ONCE so the next entry records
     # the RECURRING per-query cost — load + prune + shortlist + re-rank —
     # the number the build-inclusive rows above should not be read as.
-    from whatsapp_vectordb_spark.operators.ann import (
-        ivf_sq8_rerank_topk as _ivf_sq8_rr,
-        kmeans_lloyd as _kml,
-        sq8_encode as _sq8e,
-        sq8_train as _sq8t,
-    )
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index as _IvfSq8
 
-    _cents, _assigned, _ = _kml(emb, k=8, iters=2, scale=1_000_000)
-    _mins, _deltas = _sq8t(emb)
     _ivfsq8_path = os.path.join(
-        os.environ["SPARK_GRAFT_ORACLE_SCRATCH"], "bench_ivf_sq8", "codes"
+        os.environ["SPARK_GRAFT_ORACLE_SCRATCH"], "bench_ivf_sq8"
     )
-    _sq8e(emb, _mins, _deltas).join(
-        _assigned.select("vec_id", "centroid"), "vec_id"
-    ).write.partitionBy("centroid").mode("overwrite").parquet(_ivfsq8_path)
-    _q0 = [round(float(v) * 1_000_000) for v in qvec]
-    _cells = [
-        cid
-        for _, cid in sorted(
-            (sum((a - b) ** 2 for a, b in zip(_q0, qc)), cid)
-            for cid, qc in _cents
-        )[:2]
-    ]
+    _IvfSq8.build(emb, n_centroids=8).save(_ivfsq8_path)
 
     @timed("ann_ivf_sq8_probe_only")
     def _():
         # r13: SERVING cost of the composed stack against the persisted
-        # layout — what recurs per query at 100 TB (the build-inclusive
-        # twin above is the registry-contract shape)
-        _ivf_sq8_rr(
-            spark.read.parquet(_ivfsq8_path),
-            emb,
-            _cells,
-            qvec,
-            _deltas,
-            k=10,
-            shortlist=100,
+        # artifact — load + prune + shortlist + exact re-rank, what
+        # recurs per query at 100 TB (the build-inclusive twin above is
+        # the registry-contract shape)
+        _IvfSq8.load(spark, _ivfsq8_path).search(
+            emb, qvec, k=10, nprobe=2, shortlist=100
         ).collect()
 
     @timed("text_bpe_learn_full")

@@ -927,6 +927,81 @@ def test_ivf_sq8_batched_matches_per_query_probes(spark, embeddings):
         ivf_sq8_batched_topk(codes, queries, {}, deltas, k=5)
 
 
+def test_ivf_sq8_index_roundtrip_and_search(spark, embeddings, tmp_path):
+    """The persisted composite serving artifact: build → save → load
+    must preserve the scaler/centroids exactly; a loaded ``search``
+    with all cells probed and a covering shortlist equals the exact
+    scan; ``probe`` on the loaded layout equals the inline operator;
+    frozen-quantizer ``add_batch`` makes new vectors findable."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index, ivf_sq8_topk
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfSq8Index.build(emb, n_centroids=4)
+    st = idx.cell_stats()
+    # not a mega-cell scan-in-disguise (the build_balanced tripwire)
+    assert st["max_share"] < 0.9 and st["nonempty"] >= 2
+
+    path = str(tmp_path / "ivf_sq8_idx")
+    idx.save(path)
+    loaded = IvfSq8Index.load(spark, path)
+    assert loaded.mins == idx.mins and loaded.deltas == idx.deltas
+    assert (loaded.centroids == idx.centroids).all()
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+    got = [
+        (r["vec_id"], r["score"])
+        for r in loaded.search(
+            emb, qvec, k=10, nprobe=4, shortlist=n
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in topk(emb, qvec, k=10, metric="dotproduct", round_to=6).collect()
+    ]
+    assert got == exact
+
+    # probe (quantized domain) on the LOADED layout == the inline operator
+    cells = loaded.probe_centroid_ids(qvec, nprobe=2)
+    via_idx = [(r["vec_id"], r["score_int"]) for r in loaded.probe(qvec, k=5).collect()]
+    via_op = [
+        (r["vec_id"], r["score_int"])
+        for r in ivf_sq8_topk(loaded.codes, cells, qvec, loaded.deltas, k=5).collect()
+    ]
+    assert via_idx == via_op
+
+    # batched serving == per-query search, bit-for-bit
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1)).collect()
+    ]
+    brows = loaded.search_batched(emb, queries, k=5, nprobe=2, shortlist=20).collect()
+    by_q = {}
+    for r in brows:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in by_q:
+        by_q[qid].sort(key=lambda t: (-t[1], t[0]))
+    for qid, vec in queries:
+        solo = [
+            (r["vec_id"], r["score"])
+            for r in loaded.search(emb, vec, k=5, nprobe=2, shortlist=20).collect()
+        ]
+        assert by_q[qid] == solo
+
+    # frozen-quantizer ingest: an exact copy of vec 0 under a new id is
+    # immediately findable at rank ≤2 (it ties the original exactly)
+    copy = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    loaded.add_batch(copy, path=path)
+    re = IvfSq8Index.load(spark, path)  # the append landed on disk too
+    ids = [r["vec_id"] for r in re.search(
+        emb.unionByName(copy), qvec, k=3, nprobe=2, shortlist=50
+    ).collect()]
+    assert 90000 in ids[:2]
+
+
 def test_ivf_sq8_batched_rerank_covering_equals_per_query_exact(spark, embeddings):
     """The batched two-stage pipeline with ALL cells probed and a
     covering shortlist must equal each query's full exact scan

@@ -195,6 +195,52 @@ def main() -> None:
         print(json.dumps({"ivf_sq8": curve[-1]}), flush=True)
     out["ivf_sq8_curve"] = curve
 
+    # --- r13: the RE-RANK lever on top (the composed serving stack,
+    # ivf_sq8_rerank_topk): prune -> integer-ADC shortlist(100) over
+    # codes only -> exact re-rank of just those floats via broadcast
+    # semi-join against the 1M x 1536 float parquet (the "100 point
+    # reads" story, measured). Exact final scores mean within-shortlist
+    # ordering is perfect — recall vs the exact truth is the ONLY loss,
+    # and it can only match or beat the pure-ADC top-10 at the same
+    # nprobe (the shortlist is a superset of the ADC top-10).
+    from whatsapp_vectordb_spark.operators.ann import ivf_sq8_rerank_topk
+
+    rr_curve = []
+    for nprobe in NPROBES[:3]:
+        def probe_cells(qv):
+            d = ((cents - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+            return np.argsort(d, kind="stable")[:nprobe].tolist()
+
+        for qv in queries.values():  # warm pass
+            ivf_sq8_rerank_topk(
+                stored, index, probe_cells(qv), qv, deltas,
+                k=10, shortlist=100, impl="numpy",
+            ).collect()
+        lats, recalls, rq = [], [], {}
+        for qid, qv in queries.items():
+            t0 = time.perf_counter()
+            hits = [
+                r["vec_id"]
+                for r in ivf_sq8_rerank_topk(
+                    stored, index, probe_cells(qv), qv, deltas,
+                    k=10, shortlist=100, impl="numpy",
+                ).collect()
+            ]
+            lats.append(time.perf_counter() - t0)
+            rec = len(set(hits) & set(exact[qid])) / 10
+            recalls.append(rec)
+            rq[str(qid)] = round(rec, 2)
+        rr_curve.append(
+            {
+                "nprobe": nprobe,
+                "rerank_median_s": round(statistics.median(lats), 3),
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                "recall_per_query": rq,
+            }
+        )
+        print(json.dumps({"ivf_sq8_rerank": rr_curve[-1]}), flush=True)
+    out["ivf_sq8_rerank_curve"] = rr_curve
+
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

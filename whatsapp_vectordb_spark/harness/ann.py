@@ -2672,6 +2672,83 @@ def ann_ivf_sq8_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SQ8_IDX_DIR = _oracle_scratch("ivf_sq8_index")
+
+# The persisted serving ARTIFACT (IvfSq8Index): build -> save -> load ->
+# search. The build's coarse quantizer is MLlib-or-portable (not oracle-
+# replayable), so the oracle reads the SAVED codes layout + the persisted
+# probe-cell choice — but recomputes the SQ8 scaler analytically from the
+# raw table, which gates the artifact's save/load scaler roundtrip: a
+# corrupted meta.json (or a stale codes dir) breaks the hash. Downstream
+# of the build, prune + ADC + shortlist + exact re-rank replay fully.
+
+
+@_register(
+    "ann_ivf_sq8_index_serving",
+    f"""
+WITH codes AS (
+  SELECT * FROM read_parquet('{_IVF_SQ8_IDX_DIR}/codes/*/*.parquet', hive_partitioning = 1)
+),
+probe AS (SELECT centroid FROM read_parquet('{_IVF_SQ8_IDX_DIR}/probe/*.parquet')),
+exf AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+sd AS (SELECT d,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+exc AS (
+  SELECT c.vec_id, unnest(c.sq8_codes) AS cd,
+         unnest(range(1, len(c.sq8_codes) + 1)) AS d
+  FROM codes c JOIN probe p ON CAST(c.centroid AS BIGINT) = p.centroid
+),
+iscores AS (
+  SELECT e.vec_id, SUM(e.cd::BIGINT * g.w) AS score_int
+  FROM exc e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q2
+WHERE list_dot_product(e.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_ivf_sq8_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted serving artifact end-to-end: ``IvfSq8Index.build``
+    (balanced quantizer + analytic SQ8 scaler) → ``save`` (codes
+    partitionBy(centroid) + meta.json) → ``load`` → ``search`` (prune +
+    integer-ADC shortlist-50 + exact re-rank). The oracle reads the
+    saved codes + the persisted probe choice and recomputes the scaler
+    analytically — a corrupted save/load roundtrip breaks the hash."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(_IVF_SQ8_IDX_DIR)
+    loaded = IvfSq8Index.load(spark, _IVF_SQ8_IDX_DIR)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    cells = loaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVF_SQ8_IDX_DIR, "probe")
+    )
+    return loaded.search(
+        emb, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
+    )
+
+
 _IVF_SQ8_BRR_DIR = _oracle_scratch("ivf_sq8_batched_rr")
 _IVFSQ8_BATCH_SHORT = 50
 

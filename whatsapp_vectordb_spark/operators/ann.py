@@ -22,6 +22,7 @@ Recall is tested against exact top-k in tests/test_ann.py.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -449,6 +450,35 @@ def portable_lsh_join(
     )
 
 
+def assign_nearest_centroid(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    """Map-only nearest-centroid (Euclidean) assignment against a FROZEN
+    centroid matrix — one Arrow-batched argmin per partition, no re-fit,
+    no shuffle. Shared by ``IvfIndex.assign`` and ``IvfSq8Index``: the
+    coarse quantizer is immutable between rebuilds, so ingesting new
+    vectors is a pure map."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.float64)  # (C, dim)
+    cent_sq = (cent * cent).sum(axis=1)  # |c|^2, reused per batch
+    # NB: StructType.add mutates in place — never call it on df.schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("centroid", IntegerType(), False)]
+    )
+
+    def nearest(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c); |v|^2 constant per row
+            d = cent_sq[None, :] - 2.0 * (v @ cent.T)
+            out = pdf.copy()
+            out["centroid"] = d.argmin(axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(nearest, schema=out_schema)
+
+
 class IvfIndex:
     """Inverted-file index: coarse k-means quantizer + centroid-partitioned
     vectors. Build once, probe per query.
@@ -625,30 +655,7 @@ class IvfIndex:
         matrix — one Arrow-batched argmin per partition, no re-fit, no
         shuffle. This is how an IVF index ingests a stream of additions at
         scale: the coarse quantizer is immutable between rebuilds."""
-        import pandas as pd
-
-        from pyspark.sql.types import IntegerType, StructField, StructType
-
-        cent = np.asarray(self.centroids, dtype=np.float64)  # (C, dim)
-        cent_sq = (cent * cent).sum(axis=1)  # |c|^2, reused per batch
-        vec_col = self.vec_col
-        # NB: StructType.add mutates in place — never call it on df.schema
-        out_schema = StructType(
-            list(df.schema.fields) + [StructField("centroid", IntegerType(), False)]
-        )
-
-        def nearest(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-                # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c); |v|^2 constant per row
-                d = cent_sq[None, :] - 2.0 * (v @ cent.T)
-                out = pdf.copy()
-                out["centroid"] = d.argmin(axis=1).astype("int32")
-                yield out
-
-        return df.mapInPandas(nearest, schema=out_schema)
+        return assign_nearest_centroid(df, self.centroids, self.vec_col)
 
     def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfIndex":
         """Incremental maintenance: assign a batch to the existing cells
@@ -2400,6 +2407,244 @@ def ivf_sq8_batched_rerank_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+class IvfSq8Index:
+    """The persisted FAISS-style ``IVFx,SQ8`` serving artifact — the
+    production form the registry rows (`ann_ivf_sq8_*`) build inline.
+    One object owns the three frozen components a serving fleet ships:
+    the coarse centroid matrix (probe decisions, driver-side), the
+    per-dim SQ8 ``(mins, deltas)`` (encode/ADC weights), and the codes
+    table persisted ``partitionBy(centroid)`` (file-level pruning).
+
+    Build once (``build``), ``save``/``load`` the layout, then per query:
+    ``probe`` (integer-ADC top-k over pruned codes — quantized scores),
+    ``search`` (probe + exact re-rank of the shortlist floats — exact
+    scores; the serving default), ``search_batched`` (N queries, one
+    codes scan). ``add_batch`` ingests new vectors map-only against the
+    frozen quantizer+scaler — the streaming maintenance story
+    (``streaming_sq8_index`` is its foreachBatch twin).
+
+    At 100 TB: the codes directory is ~1 B/dim·N (4× under float32 on
+    disk, more after parquet byte-packing), a query reads nprobe/k of
+    it plus ``shortlist`` float point-reads, and the driver state is
+    k·dim centroids + 2·dim scaler floats — kilobytes."""
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        centroids,
+        mins: list[float],
+        deltas: list[float],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.codes = codes  # (id_col, sq8_codes, centroid)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.mins = list(mins)
+        self.deltas = list(deltas)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 5,
+        train_impl: str = "expr",
+        sample_rows: int | None = None,
+        seed: int = 1,
+    ) -> "IvfSq8Index":
+        """Quantizer via ``IvfIndex.build_balanced`` (the degenerate-layout
+        tripwire included — a mega-cell composite would be a hidden full
+        scan), optionally fit on a ``sample_rows`` sample (the 1M×1536
+        protocol); SQ8 trained on the FULL corpus (one aggregate);
+        encode+assign are each one map pass."""
+        fit_on = df
+        if sample_rows is not None:
+            n = df.count()
+            if n > sample_rows:
+                fit_on = df.sample(fraction=sample_rows / n, seed=seed)
+        proto = IvfIndex.build_balanced(
+            fit_on, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            iters=iters,
+        )
+        mins, deltas = sq8_train(df, vec_col=vec_col, impl=train_impl)
+        codes = sq8_encode(df, mins, deltas, id_col=id_col, vec_col=vec_col).join(
+            assign_nearest_centroid(df, proto.centroids, vec_col).select(
+                id_col, "centroid"
+            ),
+            id_col,
+        )
+        return cls(codes, proto.centroids, mins, deltas, id_col, vec_col)
+
+    def save(self, path: str) -> "IvfSq8Index":
+        """Codes ``partitionBy(centroid)`` + one meta json (centroids,
+        scaler, column names). The float vectors are deliberately NOT
+        part of the artifact — they stay in the source table, paged in
+        only for re-rank shortlists."""
+        import json as _json
+
+        self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
+            "centroid"
+        ).mode("overwrite").parquet(os.path.join(path, "codes"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            _json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "mins": self.mins,
+                    "deltas": self.deltas,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfSq8Index":
+        import json as _json
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = _json.load(f)
+        return cls(
+            spark.read.parquet(os.path.join(path, "codes")),
+            meta["centroids"],
+            meta["mins"],
+            meta["deltas"],
+            meta["id_col"],
+            meta["vec_col"],
+        )
+
+    def cell_stats(self) -> dict:
+        """Same balance fingerprint as ``IvfIndex.cell_stats`` (max_share
+        near 1.0 = the composite is a full scan in disguise)."""
+        counts = [
+            r["c"]
+            for r in self.codes.groupBy("centroid")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        counts.sort(reverse=True)
+        total = sum(counts)
+        return {
+            "n_cells": int(self.centroids.shape[0]),
+            "nonempty": len(counts),
+            "total": total,
+            "max_share": round(counts[0] / total, 4) if total else 0.0,
+            "top5_shares": [round(c / total, 4) for c in counts[:5]],
+        }
+
+    def probe_centroid_ids(self, query_vec, nprobe: int = 2) -> list[int]:
+        """Euclidean nearest cells (the quantizer's own metric) —
+        driver-side over the kilobyte centroid matrix."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        d = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    def probe(
+        self, query_vec, k: int = 10, nprobe: int = 2, impl: str = "expr"
+    ) -> DataFrame:
+        """Quantized-domain top-k: prune + integer ADC over codes only
+        (``ivf_sq8_topk``). Scores are int64 ADC values — use ``search``
+        when exact scores must leave the system."""
+        return ivf_sq8_topk(
+            self.codes,
+            self.probe_centroid_ids(query_vec, nprobe),
+            query_vec,
+            self.deltas,
+            k=k,
+            id_col=self.id_col,
+            impl=impl,
+        )
+
+    def search(
+        self,
+        vectors_df: DataFrame,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 2,
+        shortlist: int = 100,
+        metric: str = "dotproduct",
+        round_to: int | None = 6,
+        impl: str = "expr",
+    ) -> DataFrame:
+        """The serving default: prune + ADC shortlist + exact re-rank of
+        the shortlist floats from ``vectors_df`` (broadcast semi-join;
+        the float table never shuffles). Exact final scores."""
+        return ivf_sq8_rerank_topk(
+            self.codes,
+            vectors_df,
+            self.probe_centroid_ids(query_vec, nprobe),
+            query_vec,
+            self.deltas,
+            k=k,
+            shortlist=shortlist,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            metric=metric,
+            round_to=round_to,
+            impl=impl,
+        )
+
+    def search_batched(
+        self,
+        vectors_df: DataFrame,
+        queries: list,
+        k: int = 10,
+        nprobe: int = 2,
+        shortlist: int = 100,
+        metric: str = "dotproduct",
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """N queries, ONE codes scan over the union of probed cells, ONE
+        float pass re-ranking every shortlist (``ivf_sq8_batched_rerank_
+        topk``). ``queries`` is ``[(query_id, vector)]``."""
+        probe_map = {
+            qid: self.probe_centroid_ids(vec, nprobe) for qid, vec in queries
+        }
+        return ivf_sq8_batched_rerank_topk(
+            self.codes,
+            vectors_df,
+            queries,
+            probe_map,
+            self.deltas,
+            k=k,
+            shortlist=shortlist,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            metric=metric,
+            round_to=round_to,
+        )
+
+    def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfSq8Index":
+        """Frozen-quantizer, frozen-scaler ingest: assign + encode the
+        batch map-only and append (to the in-memory union and — with
+        ``path`` — to the saved ``codes`` directory, touching only the
+        assigned cells' partitions). Out-of-range values clamp to 0/255
+        by ``sq8_encode``'s contract; monitor clamp rates and scaler
+        drift, rebuild when they degrade — same maintenance posture as
+        ``IvfIndex.add_batch``/``drift``."""
+        enc = sq8_encode(
+            batch, self.mins, self.deltas, id_col=self.id_col, vec_col=self.vec_col
+        ).join(
+            assign_nearest_centroid(batch, self.centroids, self.vec_col).select(
+                self.id_col, "centroid"
+            ),
+            self.id_col,
+        )
+        if path is not None:
+            enc.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
+                "centroid"
+            ).mode("append").parquet(os.path.join(path, "codes"))
+        self.codes = self.codes.unionByName(
+            enc.select(self.id_col, "sq8_codes", "centroid"),
+            allowMissingColumns=True,
+        )
+        return self
 
 
 def sq8_topk_cosine(
