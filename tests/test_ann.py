@@ -1002,6 +1002,61 @@ def test_ivf_sq8_index_roundtrip_and_search(spark, embeddings, tmp_path):
     assert 90000 in ids[:2]
 
 
+def test_ivf_sq8_index_colocated_vectors(spark, embeddings, tmp_path):
+    """save(store_vectors=True) persists the co-located float store; a
+    loaded index then serves search/search_batched with NO external
+    table, the float side pruned to the probed cells — results equal the
+    explicit-vectors_df path exactly (the shortlist is a subset of the
+    probed cells, so pruning is lossless), and the pruned float scan
+    carries PartitionFilters."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_sq8_colo")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    loaded = IvfSq8Index.load(spark, path)
+    assert loaded.vectors is not None
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    colo = [
+        (r["vec_id"], r["score"])
+        for r in loaded.search(query_vec=qvec, k=5, nprobe=2, shortlist=20).collect()
+    ]
+    explicit = [
+        (r["vec_id"], r["score"])
+        for r in loaded.search(emb, qvec, k=5, nprobe=2, shortlist=20).collect()
+    ]
+    assert colo == explicit and len(colo) == 5
+
+    # the pruned float side reaches the vectors scan as PartitionFilters
+    cells = loaded.probe_centroid_ids(qvec, nprobe=2)
+    side = loaded._rerank_side(None, cells)
+    em = side.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = side._jdf.queryExecution().explainString(em)
+    assert "PartitionFilters" in p and "centroid" in p
+
+    # batched: co-located == explicit, per query
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1)).collect()
+    ]
+    b_colo = {
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in loaded.search_batched(
+            queries=queries, k=3, nprobe=2, shortlist=15
+        ).collect()
+    }
+    b_exp = {
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in loaded.search_batched(
+            emb, queries, k=3, nprobe=2, shortlist=15
+        ).collect()
+    }
+    assert b_colo == b_exp and len(b_colo) == 6
+
+
 def test_ivf_sq8_batched_rerank_covering_equals_per_query_exact(spark, embeddings):
     """The batched two-stage pipeline with ALL cells probed and a
     covering shortlist must equal each query's full exact scan

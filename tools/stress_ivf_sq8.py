@@ -196,50 +196,76 @@ def main() -> None:
     out["ivf_sq8_curve"] = curve
 
     # --- r13: the RE-RANK lever on top (the composed serving stack,
-    # ivf_sq8_rerank_topk): prune -> integer-ADC shortlist(100) over
-    # codes only -> exact re-rank of just those floats via broadcast
-    # semi-join against the 1M x 1536 float parquet (the "100 point
-    # reads" story, measured). Exact final scores mean within-shortlist
-    # ordering is perfect — recall vs the exact truth is the ONLY loss,
+    # ivf_sq8_rerank_topk), in BOTH float-storage layouts:
+    #
+    #   flat      — the floats are a plain parquet table: the broadcast
+    #               semi-join avoids a SHUFFLE but NOT the scan, so the
+    #               re-rank pays a full float-column read per query (the
+    #               first r13 run measured ~9 s — the honest cost of
+    #               "100 point reads" against storage with no point
+    #               access path);
+    #   colocated — the floats are ALSO persisted partitionBy(centroid)
+    #               (FAISS keeps raw vectors inside the IVF lists for
+    #               exactly this refine step): the shortlist is a subset
+    #               of the probed cells by construction, so pruning the
+    #               float side to the same cells is lossless and the
+    #               re-rank reads nprobe/k of the float bytes.
+    #
+    # Exact final scores either way — recall vs truth is the only loss,
     # and it can only match or beat the pure-ADC top-10 at the same
     # nprobe (the shortlist is a superset of the ADC top-10).
     from whatsapp_vectordb_spark.operators.ann import ivf_sq8_rerank_topk
 
-    rr_curve = []
-    for nprobe in NPROBES[:3]:
-        def probe_cells(qv):
-            d = ((cents - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
-            return np.argsort(d, kind="stable")[:nprobe].tolist()
+    t0 = time.perf_counter()
+    floats_pc_path = os.path.join(root, "floats_pc")
+    stored.select("vec_id", "centroid").join(index, "vec_id").write.partitionBy(
+        "centroid"
+    ).mode("overwrite").parquet(floats_pc_path)
+    out["floats_colocate_save_s"] = round(time.perf_counter() - t0, 1)
+    floats_pc = spark.read.parquet(floats_pc_path)
 
-        for qv in queries.values():  # warm pass
-            ivf_sq8_rerank_topk(
-                stored, index, probe_cells(qv), qv, deltas,
-                k=10, shortlist=100, impl="numpy",
-            ).collect()
-        lats, recalls, rq = [], [], {}
-        for qid, qv in queries.items():
-            t0 = time.perf_counter()
-            hits = [
-                r["vec_id"]
-                for r in ivf_sq8_rerank_topk(
-                    stored, index, probe_cells(qv), qv, deltas,
+    for variant, rr_key in (("flat", "ivf_sq8_rerank_curve"),
+                            ("colocated", "ivf_sq8_rerank_colocated_curve")):
+        rr_curve = []
+        for nprobe in NPROBES[:3]:
+            def probe_cells(qv):
+                d = ((cents - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+                return np.argsort(d, kind="stable")[:nprobe].tolist()
+
+            def rerank(qv):
+                cells_q = probe_cells(qv)
+                vec_side = (
+                    index
+                    if variant == "flat"
+                    else floats_pc.where(F.col("centroid").isin(cells_q)).select(
+                        "vec_id", "embedding"
+                    )
+                )
+                return ivf_sq8_rerank_topk(
+                    stored, vec_side, cells_q, qv, deltas,
                     k=10, shortlist=100, impl="numpy",
-                ).collect()
-            ]
-            lats.append(time.perf_counter() - t0)
-            rec = len(set(hits) & set(exact[qid])) / 10
-            recalls.append(rec)
-            rq[str(qid)] = round(rec, 2)
-        rr_curve.append(
-            {
-                "nprobe": nprobe,
-                "rerank_median_s": round(statistics.median(lats), 3),
-                "recall_at_10": round(sum(recalls) / len(recalls), 3),
-                "recall_per_query": rq,
-            }
-        )
-        print(json.dumps({"ivf_sq8_rerank": rr_curve[-1]}), flush=True)
-    out["ivf_sq8_rerank_curve"] = rr_curve
+                )
+
+            for qv in queries.values():  # warm pass
+                rerank(qv).collect()
+            lats, recalls, rq = [], [], {}
+            for qid, qv in queries.items():
+                t0 = time.perf_counter()
+                hits = [r["vec_id"] for r in rerank(qv).collect()]
+                lats.append(time.perf_counter() - t0)
+                rec = len(set(hits) & set(exact[qid])) / 10
+                recalls.append(rec)
+                rq[str(qid)] = round(rec, 2)
+            rr_curve.append(
+                {
+                    "nprobe": nprobe,
+                    "rerank_median_s": round(statistics.median(lats), 3),
+                    "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                    "recall_per_query": rq,
+                }
+            )
+            print(json.dumps({f"ivf_sq8_rerank_{variant}": rr_curve[-1]}), flush=True)
+        out[rr_key] = rr_curve
 
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)

@@ -2438,6 +2438,7 @@ class IvfSq8Index:
         deltas: list[float],
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        vectors: DataFrame | None = None,
     ):
         self.codes = codes  # (id_col, sq8_codes, centroid)
         self.centroids = np.asarray(centroids, dtype=np.float64)
@@ -2445,6 +2446,15 @@ class IvfSq8Index:
         self.deltas = list(deltas)
         self.id_col = id_col
         self.vec_col = vec_col
+        # optional CO-LOCATED float store (id, vec, centroid), persisted
+        # partitionBy(centroid) next to the codes: the re-rank shortlist
+        # is a subset of the probed cells by construction, so pruning the
+        # float side to the same cells is lossless — re-rank reads
+        # nprobe/k of the float bytes instead of scanning the whole float
+        # table (measured: BASELINE.md r13, flat ~9 s vs colocated
+        # sub-second at 1M×1536). FAISS keeps raw vectors inside the IVF
+        # lists for exactly this refine step.
+        self.vectors = vectors
 
     @classmethod
     def build(
@@ -2473,24 +2483,38 @@ class IvfSq8Index:
             iters=iters,
         )
         mins, deltas = sq8_train(df, vec_col=vec_col, impl=train_impl)
+        assigned = assign_nearest_centroid(df, proto.centroids, vec_col)
         codes = sq8_encode(df, mins, deltas, id_col=id_col, vec_col=vec_col).join(
-            assign_nearest_centroid(df, proto.centroids, vec_col).select(
-                id_col, "centroid"
-            ),
-            id_col,
+            assigned.select(id_col, "centroid"), id_col
         )
-        return cls(codes, proto.centroids, mins, deltas, id_col, vec_col)
+        return cls(
+            codes, proto.centroids, mins, deltas, id_col, vec_col,
+            vectors=assigned.select(id_col, vec_col, "centroid"),
+        )
 
-    def save(self, path: str) -> "IvfSq8Index":
+    def save(self, path: str, store_vectors: bool = False) -> "IvfSq8Index":
         """Codes ``partitionBy(centroid)`` + one meta json (centroids,
-        scaler, column names). The float vectors are deliberately NOT
-        part of the artifact — they stay in the source table, paged in
-        only for re-rank shortlists."""
+        scaler, column names). ``store_vectors=True`` additionally
+        persists the CO-LOCATED float store (``vectors/``, same
+        partitioning) so a loaded index re-ranks against nprobe/k of the
+        float bytes with no external table — the FAISS keep-raw-in-list
+        refine layout. Leave it off when the floats live in a source
+        table that supports its own pruning (then pass ``vectors_df`` to
+        ``search``); a flat external float table costs a full
+        float-column scan per re-rank (measured, BASELINE.md r13)."""
         import json as _json
 
         self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
             "centroid"
         ).mode("overwrite").parquet(os.path.join(path, "codes"))
+        if store_vectors:
+            if self.vectors is None:
+                raise ValueError("store_vectors=True but this index carries no vectors")
+            self.vectors.select(
+                self.id_col, self.vec_col, "centroid"
+            ).write.partitionBy("centroid").mode("overwrite").parquet(
+                os.path.join(path, "vectors")
+            )
         with open(os.path.join(path, "meta.json"), "w") as f:
             _json.dump(
                 {
@@ -2510,6 +2534,7 @@ class IvfSq8Index:
 
         with open(os.path.join(path, "meta.json")) as f:
             meta = _json.load(f)
+        vec_dir = os.path.join(path, "vectors")
         return cls(
             spark.read.parquet(os.path.join(path, "codes")),
             meta["centroids"],
@@ -2517,6 +2542,9 @@ class IvfSq8Index:
             meta["deltas"],
             meta["id_col"],
             meta["vec_col"],
+            vectors=(
+                spark.read.parquet(vec_dir) if os.path.isdir(vec_dir) else None
+            ),
         )
 
     def cell_stats(self) -> dict:
@@ -2561,10 +2589,27 @@ class IvfSq8Index:
             impl=impl,
         )
 
+    def _rerank_side(self, vectors_df: DataFrame | None, cells: list[int]) -> DataFrame:
+        """Float frame for the exact re-rank. With a co-located store and
+        no explicit ``vectors_df``, prune it to the probed cells — the
+        shortlist is a subset of those cells by construction, so this is
+        lossless and reads nprobe/k of the float bytes."""
+        if vectors_df is not None:
+            return vectors_df
+        if self.vectors is None:
+            raise ValueError(
+                "no vectors_df given and the index carries no co-located "
+                "float store (save with store_vectors=True, or pass the "
+                "source table)"
+            )
+        return self.vectors.where(F.col("centroid").isin(cells)).select(
+            self.id_col, self.vec_col
+        )
+
     def search(
         self,
-        vectors_df: DataFrame,
-        query_vec,
+        vectors_df: DataFrame | None = None,
+        query_vec=None,
         k: int = 10,
         nprobe: int = 2,
         shortlist: int = 100,
@@ -2572,13 +2617,20 @@ class IvfSq8Index:
         round_to: int | None = 6,
         impl: str = "expr",
     ) -> DataFrame:
-        """The serving default: prune + ADC shortlist + exact re-rank of
-        the shortlist floats from ``vectors_df`` (broadcast semi-join;
-        the float table never shuffles). Exact final scores."""
+        """The serving default: prune + ADC shortlist + exact re-rank.
+        The floats come from ``vectors_df`` when given (broadcast
+        semi-join; that table never shuffles — but a FLAT float table
+        costs a full float-column scan per query), else from the
+        co-located store pruned to the probed cells (nprobe/k of the
+        float bytes; BASELINE.md r13 measures the difference). Exact
+        final scores."""
+        if query_vec is None:
+            raise ValueError("query_vec is required")
+        cells = self.probe_centroid_ids(query_vec, nprobe)
         return ivf_sq8_rerank_topk(
             self.codes,
-            vectors_df,
-            self.probe_centroid_ids(query_vec, nprobe),
+            self._rerank_side(vectors_df, cells),
+            cells,
             query_vec,
             self.deltas,
             k=k,
@@ -2592,8 +2644,8 @@ class IvfSq8Index:
 
     def search_batched(
         self,
-        vectors_df: DataFrame,
-        queries: list,
+        vectors_df: DataFrame | None = None,
+        queries: list | None = None,
         k: int = 10,
         nprobe: int = 2,
         shortlist: int = 100,
@@ -2602,13 +2654,19 @@ class IvfSq8Index:
     ) -> DataFrame:
         """N queries, ONE codes scan over the union of probed cells, ONE
         float pass re-ranking every shortlist (``ivf_sq8_batched_rerank_
-        topk``). ``queries`` is ``[(query_id, vector)]``."""
+        topk``). ``queries`` is ``[(query_id, vector)]``. Without
+        ``vectors_df``, the co-located store pruned to the UNION of
+        probed cells serves the re-rank (every query's shortlist lives
+        inside its own probed cells ⊆ the union)."""
+        if not queries:
+            raise ValueError("queries is required")
         probe_map = {
             qid: self.probe_centroid_ids(vec, nprobe) for qid, vec in queries
         }
+        union_cells = sorted({c for cells in probe_map.values() for c in cells})
         return ivf_sq8_batched_rerank_topk(
             self.codes,
-            vectors_df,
+            self._rerank_side(vectors_df, union_cells),
             queries,
             probe_map,
             self.deltas,
@@ -2624,26 +2682,34 @@ class IvfSq8Index:
         """Frozen-quantizer, frozen-scaler ingest: assign + encode the
         batch map-only and append (to the in-memory union and — with
         ``path`` — to the saved ``codes`` directory, touching only the
-        assigned cells' partitions). Out-of-range values clamp to 0/255
-        by ``sq8_encode``'s contract; monitor clamp rates and scaler
+        assigned cells' partitions; a co-located float store is kept in
+        step the same way). Out-of-range values clamp to 0/255 by
+        ``sq8_encode``'s contract; monitor clamp rates and scaler
         drift, rebuild when they degrade — same maintenance posture as
         ``IvfIndex.add_batch``/``drift``."""
+        assigned = assign_nearest_centroid(batch, self.centroids, self.vec_col)
         enc = sq8_encode(
             batch, self.mins, self.deltas, id_col=self.id_col, vec_col=self.vec_col
-        ).join(
-            assign_nearest_centroid(batch, self.centroids, self.vec_col).select(
-                self.id_col, "centroid"
-            ),
-            self.id_col,
-        )
+        ).join(assigned.select(self.id_col, "centroid"), self.id_col)
         if path is not None:
             enc.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
                 "centroid"
             ).mode("append").parquet(os.path.join(path, "codes"))
+            if os.path.isdir(os.path.join(path, "vectors")):
+                assigned.select(
+                    self.id_col, self.vec_col, "centroid"
+                ).write.partitionBy("centroid").mode("append").parquet(
+                    os.path.join(path, "vectors")
+                )
         self.codes = self.codes.unionByName(
             enc.select(self.id_col, "sq8_codes", "centroid"),
             allowMissingColumns=True,
         )
+        if self.vectors is not None:
+            self.vectors = self.vectors.unionByName(
+                assigned.select(self.id_col, self.vec_col, "centroid"),
+                allowMissingColumns=True,
+            )
         return self
 
 
