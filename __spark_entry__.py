@@ -62,6 +62,7 @@ _FRONTLOAD: list[str] = [
     "ann_ivf_sq8_batched_topk",
     "ann_ivf_sq8_batched_rerank_topk",
     "ann_ivf_sq8_index_serving",
+    "streaming_ivf_sq8_index",
     # (b) implementation changed this round: MinHash/Winnow index commit
     # paths (atomic batch-dir rename; explicit single-file raise)
     "dedup_incremental_index",

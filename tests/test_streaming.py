@@ -211,6 +211,82 @@ def test_ivf_maintenance_invariant_to_batch_split(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
 
 
+def test_ivf_sq8_stream_equals_from_scratch_build(spark, sf_dir, tmp_path):
+    """The streamed composite index (per-batch assign+encode+append,
+    split across TWO micro-batch files) must answer the probe exactly
+    like a from-scratch one-shot build with the same frozen quantizer
+    and scaler — micro-batching is invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        assign_cells_quantized,
+        ivf_sq8_topk,
+        sq8_encode,
+        sq8_train,
+    )
+    from whatsapp_vectordb_spark.streaming.ops import run_ivf_sq8_index_stream
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    split_dir = tmp_path / "emb_split"
+    split_dir.mkdir()
+    for name, pred in (("a", 0), ("b", 1)):
+        out = tmp_path / f"w_{name}"
+        emb.where((F.col("vec_id") % 4 < 2) == (pred == 0)).coalesce(1).write.parquet(
+            str(out)
+        )
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        part.rename(split_dir / f"{name}.parquet")
+    idx = str(tmp_path / "ivf_sq8_stream")
+    got = [
+        (r["vec_id"], r["score_int"])
+        for r in run_ivf_sq8_index_stream(
+            spark, str(split_dir / "*.parquet"), idx, n_centroids=4
+        ).collect()
+    ]
+
+    # from-scratch: same persisted centroids, same bootstrap scaler,
+    # one-shot assign+encode of the WHOLE corpus, same probe choice
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    boot = emb.where(F.col("vec_id") < 250)
+    mins, deltas = sq8_train(boot)
+    codes = sq8_encode(emb, mins, deltas).join(
+        assign_cells_quantized(emb, cents).select("vec_id", "centroid"), "vec_id"
+    )
+    qgrid = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+            ).alias("qv")
+        )
+        .head()["qv"]
+    )
+    qcent = cents.select(
+        "centroid",
+        F.transform(
+            "cvec", lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+        ).alias("qc"),
+    ).collect()
+    cells = [
+        cid
+        for _, cid in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qgrid, r["qc"])), int(r["centroid"]))
+            for r in qcent
+        )[:2]
+    ]
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    expect = [
+        (r["vec_id"], r["score_int"])
+        for r in ivf_sq8_topk(codes, cells, qvec, deltas, k=10).collect()
+    ]
+    assert got == expect and len(got) == 10
+
+
 def test_foreachbatch_upsert_replay_is_idempotent(spark, tmp_path):
     """Exactly-once emulation: foreachBatch may REPLAY a batch after a
     failure (same batch_id). The index upsert keyed on (_ingest_seq =

@@ -764,6 +764,104 @@ FROM scores ORDER BY score_int DESC, vec_id LIMIT 10
 """
 
 
+_IVF_SQ8_STREAM_DIR = _oracle_scratch("stream_ivf_sq8")
+
+# Streaming maintenance of the COMPOSITE index: frozen quantizer
+# (persisted centroids — the same single carve-out as
+# streaming_ivf_maintenance) + frozen analytic SQ8 scaler (recomputed by
+# the oracle from the bootstrap rows) + per-batch assign/encode/append.
+# The oracle replays EVERYTHING downstream of the centroid values: the
+# integer-exact assignment of the whole corpus (stream ≡ from-scratch),
+# the probe-cell ranking for the query by the same quantized metric, the
+# bootstrap-trained scaler, the clamped encode of every vector, and the
+# pruned integer ADC.
+_IVF_SQ8_STREAM_SQL = f"""
+WITH cents AS (
+  SELECT centroid, cvec FROM read_parquet('{_IVF_SQ8_STREAM_DIR}/centroids/*.parquet')
+),
+qc AS (
+  SELECT centroid, i.i AS pos,
+         CAST(round(cvec[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM cents CROSS JOIN range(0, 64) i(i)
+),
+qv AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(round(embedding[i.i + 1]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(0, 64) i(i)
+),
+dd AS (
+  SELECT v.vec_id, c.centroid, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+  FROM qv v JOIN qc c ON v.pos = c.pos GROUP BY 1, 2
+),
+a AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid ASC) AS rn
+    FROM dd
+  ) WHERE rn = 1
+),
+pr AS (
+  SELECT centroid FROM (
+    SELECT centroid, ROW_NUMBER() OVER (ORDER BY dist ASC, centroid ASC) AS r
+    FROM dd WHERE vec_id = 0
+  ) WHERE r <= 2
+),
+cand AS (SELECT a.vec_id FROM a JOIN pr ON pr.centroid = a.centroid),
+exb AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings WHERE vec_id < 250
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exb GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+exall AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+scores AS (
+  SELECT e.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((e.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM exall e
+  JOIN cand ON cand.vec_id = e.vec_id
+  JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(score_int AS BIGINT) AS score_int
+FROM scores ORDER BY score_int DESC, vec_id LIMIT 10
+"""
+
+
+@_register("streaming_ivf_sq8_index", _IVF_SQ8_STREAM_SQL)
+def streaming_ivf_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE index maintained by a real stream: bootstrap fits
+    the coarse quantizer (persisted) and the SQ8 scaler (frozen,
+    analytic); every micro-batch assign+encode+appends its own codes
+    ``partitionBy(centroid)`` under ``batch_id=N`` (map-only, store
+    never read during ingest); the query probes 2 cells by the same
+    quantized integer metric and runs the ADC over only those cells'
+    codes across every batch dir. Stream ≡ from-scratch build, replayed
+    by the oracle from the persisted centroids alone."""
+    import shutil
+
+    from whatsapp_vectordb_spark.streaming.ops import run_ivf_sq8_index_stream
+
+    shutil.rmtree(_IVF_SQ8_STREAM_DIR, ignore_errors=True)
+    return run_ivf_sq8_index_stream(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), _IVF_SQ8_STREAM_DIR
+    )
+
+
 @_register("streaming_sq8_index", _SQ8_STREAM_SQL)
 def streaming_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 codes table maintained by a real Structured Streaming

@@ -591,6 +591,121 @@ def run_ivf_maintenance_stream(
     )
 
 
+def run_ivf_sq8_index_stream(
+    spark,
+    emb_path: str,
+    index_dir: str,
+    n_centroids: int = 8,
+    scale: int = 1_000_000,
+    nprobe: int = 2,
+    k: int = 10,
+    boot_below: int = 250,
+) -> DataFrame:
+    """Streaming maintenance of the COMPOSITE IVF-SQ8 index — the
+    foreachBatch twin of ``IvfSq8Index.add_batch`` and the composition
+    of the two existing streaming index rows (``streaming_ivf_
+    maintenance``: frozen quantizer + integer-exact assignment;
+    ``streaming_sq8_index``: frozen scaler + map-only encode).
+
+    Bootstrap (``vec_id < boot_below``): fit the coarse quantizer
+    (centroids PERSISTED — the one carve-out, exactly as the IVF
+    maintenance row), train the SQ8 scaler (analytic — the oracle
+    recomputes it from the bootstrap rows), encode+assign+write the
+    bootstrap codes ``partitionBy(centroid)``. Stream (the rest,
+    file-per-trigger): each micro-batch is a map-only
+    assign(integer-exact) + encode + partitioned append under its own
+    ``batch_id=N`` dir — the store is never read during ingest, appends
+    touch only the arriving rows' cells, and per-row determinism makes
+    the final codes tree invariant to micro-batching (≡ a from-scratch
+    build, which is what the oracle replays). Query time: probe the
+    ``nprobe`` cells nearest the stored query vector by the SAME
+    quantized integer metric, then the integer ADC over only those
+    cells' codes — file-level pruning on the centroid partition column
+    across every batch directory."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfIndex,
+        assign_cells_quantized,
+        ivf_sq8_topk,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    boot = emb.where(F.col("vec_id") < boot_below)
+
+    built = IvfIndex.build_balanced(boot, n_centroids=n_centroids)
+    cents_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
+        "centroid bigint, cvec array<double>",
+    )
+    cents_path = os.path.join(index_dir, "centroids")
+    codes_dir = os.path.join(index_dir, "codes")
+    cents_df.coalesce(1).write.mode("overwrite").parquet(cents_path)
+    cents = spark.read.parquet(cents_path)  # assign from the PERSISTED floats
+
+    mins, deltas = sq8_train(boot)  # frozen scaler; analytic, oracle-replayed
+
+    def encode_assign(df: DataFrame) -> DataFrame:
+        return sq8_encode(df, mins, deltas).join(
+            assign_cells_quantized(df, cents, scale=scale).select(
+                "vec_id", "centroid"
+            ),
+            "vec_id",
+        )
+
+    encode_assign(boot).write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(codes_dir, "batch_id=-1")
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(emb_path).schema)
+        .option("pathGlobFilter", os.path.basename(emb_path))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.dirname(emb_path))
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") >= boot_below)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        encode_assign(batch_df).write.partitionBy("centroid").mode(
+            "overwrite"
+        ).parquet(os.path.join(codes_dir, f"batch_id={batch_id}"))
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # probe-cell choice by the SAME Spark-quantized integer metric the
+    # assignment (and the oracle) uses — F.round is HALF_UP, Python
+    # round is banker's, so the quantization stays JVM-side
+    qgrid = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("qv")
+        )
+        .head()["qv"]
+    )
+    qcent = cents.select(
+        "centroid",
+        F.transform(
+            "cvec", lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("qc"),
+    ).collect()
+    ranked = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qgrid, r["qc"])), int(r["centroid"]))
+        for r in qcent
+    )
+    cells = [cid for _, cid in ranked[:nprobe]]
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    codes = spark.read.parquet(codes_dir).drop("batch_id")
+    return ivf_sq8_topk(codes, cells, qvec, deltas, k=k)
+
+
 def run_drift_monitor_stream(
     spark,
     events_path: str,
