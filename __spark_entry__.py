@@ -63,6 +63,7 @@ _FRONTLOAD: list[str] = [
     "ann_ivf_sq8_batched_rerank_topk",
     "ann_ivf_sq8_index_serving",
     "streaming_ivf_sq8_index",
+    "ann_ivf_sq8_rerank_recall_gate",
     # (b) implementation changed this round: MinHash/Winnow index commit
     # paths (atomic batch-dir rename; explicit single-file raise)
     "dedup_incremental_index",

@@ -2507,6 +2507,13 @@ def ann_ivf_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     All six stages inside the hash check. At 100 TB this is the
     per-query cost model: (nprobe/k) of a 4×-compressed codes table
     scanned + {shortlist} float point-reads; exact final scores."""
+    return _build_ivf_sq8_rerank(spark, sf_dir)
+
+
+def _build_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the serving row and its recall gate: the full composed
+    build + prune + shortlist + exact re-rank (deterministic end-to-end,
+    so both rows may overwrite the same scratch layout)."""
     from whatsapp_vectordb_spark.operators.ann import (
         ivf_sq8_rerank_topk,
         kmeans_lloyd,
@@ -2670,6 +2677,65 @@ def ann_ivf_sq8_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_sq8_batched_topk(
         spark.read.parquet(path), queries, probe_map, deltas, k=5
     )
+
+
+# Recall gate for the composed stack — completes the recall-gate family
+# (IVF-PQ, JL, MRL, BQ, LSH, now IVF-SQ8+re-rank): the serving answer's
+# QUALITY is itself hash-gated. Fully analytic like the serving row.
+
+
+def _ivf_sq8_rerank_gate_sql() -> str:
+    base = _ivf_sq8_rerank_sql()
+    head = base.rsplit("SELECT e.vec_id,", 1)[0].rstrip()
+    return f"""{head},
+rr AS (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q2.qv), 6) DESC,
+                    e.vec_id ASC
+         ) AS r
+  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q2
+  WHERE list_dot_product(e.embedding::DOUBLE[], q2.qv) IS NOT NULL
+),
+approx AS (SELECT vec_id FROM rr WHERE r <= 10),
+exact AS (
+  SELECT e.vec_id FROM embeddings e CROSS JOIN q2
+  WHERE list_dot_product(e.embedding::DOUBLE[], q2.qv) IS NOT NULL
+  ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q2.qv), 6) DESC,
+           e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(COUNT(x.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(x.vec_id) * 100000 AS BIGINT) AS recall_micro
+FROM approx a LEFT JOIN exact x ON a.vec_id = x.vec_id
+"""
+
+
+@_register("ann_ivf_sq8_rerank_recall_gate", _ivf_sq8_rerank_gate_sql())
+def ann_ivf_sq8_rerank_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed serving stack vs the exact scan, as an
+    integer (hits × 100000) — prune and quantization are the only loss
+    sources and this row pins exactly how much they cost at the gate
+    shape (nprobe=2 of 8 cells, shortlist 100)."""
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    approx = _build_ivf_sq8_rerank(spark, sf_dir).select("vec_id")
+    exact = topk(emb, _q0_vec(spark, sf_dir), k=10, round_to=ROUND_SCORE,
+                 metric="dotproduct").select("vec_id")
+    return (
+        approx.join(F.broadcast(exact).withColumn("_h", F.lit(1)), "vec_id", "left")
+        .agg(F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "hits",
+            (F.col("hits") * F.lit(100000)).cast("long").alias("recall_micro"),
+        )
+    )
+
+
+def _q0_vec(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).head()["embedding"]
 
 
 _IVF_SQ8_IDX_DIR = _oracle_scratch("ivf_sq8_index")
