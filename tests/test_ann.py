@@ -926,6 +926,18 @@ def test_ivf_sq8_batched_matches_per_query_probes(spark, embeddings):
     with _pt.raises(ValueError):
         ivf_sq8_batched_topk(codes, queries, {}, deltas, k=5)
 
+    # the Arrow matmul kernel is bit-identical to the expr HOF (both are
+    # exact int64), per query including tie order
+    np_rows = ivf_sq8_batched_topk(
+        codes, queries, probe_map, deltas, k=5, impl="numpy"
+    ).collect()
+    np_by_q = {}
+    for r in np_rows:
+        np_by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score_int"]))
+    for qid in np_by_q:
+        np_by_q[qid].sort(key=lambda t: (-t[1], t[0]))
+    assert np_by_q == by_q
+
 
 def test_ivf_sq8_index_roundtrip_and_search(spark, embeddings, tmp_path):
     """The persisted composite serving artifact: build → save → load

@@ -55,6 +55,8 @@ SHOWN = [
     ("text_bpe_fertility", "BPE apply: merge chain as literal replaces inside one transform lambda -- map-only projection, no shuffle"),
     ("ann_ivf_sq8_topk", "IVF-SQ8 composite: PartitionFilters on centroid (probed cells only) -> integer ADC over 4x-compressed codes; float vectors never scanned"),
     ("text_bpe_encode_arrow", "BPE encode at merge-table scale: shared tokenization expression -> ONE ArrowEvalPython segmentation -> map-only hash; no shuffle"),
+    ("ann_ivf_sq8_rerank_topk", "composed serving stack: PartitionFilters-pruned codes scan -> int ADC shortlist -> BroadcastHashJoin pages the shortlist floats in; the float table never hash-repartitions"),
+    ("ann_ivf_sq8_batched_topk", "batched probe: ONE codes scan (pruned to the union of probed cells) x broadcast (query, cell) map + weight LUTs, query_id-keyed window rank"),
 ]
 
 

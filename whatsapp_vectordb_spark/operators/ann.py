@@ -2276,6 +2276,7 @@ def ivf_sq8_batched_topk(
     id_col: str = "vec_id",
     centroid_col: str = "centroid",
     scale: int = 1_000_000_000,
+    impl: str = "expr",
 ) -> DataFrame:
     """Batched IVF-SQ8 probe: top-k for MANY queries in ONE scan over
     the union of their probed cells (the SQ8 twin of
@@ -2293,7 +2294,16 @@ def ivf_sq8_batched_topk(
     test). Ranking is one shuffle keyed by query_id, bounded per query
     by its probed-cell rows. The codes table is scanned ONCE, pruned to
     the union of probed cells (file-level PartitionFilters on a
-    ``partitionBy(centroid)`` layout); float vectors never load."""
+    ``partitionBy(centroid)`` layout); float vectors never load.
+
+    ``impl``: ``"expr"`` (default, SQL-oracle-parity form) scores every
+    (row, probing query) pair with the zip_with HOF; ``"numpy"`` groups
+    each Arrow batch by cell and scores ALL of that cell's probing
+    queries in ONE int64 matmul (C @ Wᵀ) with a per-(partition, query)
+    k-heap emitting ≤ k rows each — the at-scale path at ada-002
+    dimensionality (the HOF fold re-parses the weight array per pair;
+    the matmul amortizes the batch across queries). Bit-identical
+    scores (exact int64 both ways, pinned by test)."""
     from pyspark.sql import Window
 
     probe_rows = [
@@ -2302,24 +2312,68 @@ def ivf_sq8_batched_topk(
     if not probe_rows:
         raise ValueError("ivf_sq8_batched_topk needs at least one probe cell")
     spark = codes_df.sparkSession
+    wvecs = {
+        int(qid): [
+            int(np.floor(float(q) * d * scale + 0.5)) for q, d in zip(vec, deltas)
+        ]
+        for qid, vec in queries
+    }
+    cells = sorted({c for _, c in probe_rows})
+    subset = codes_df.where(F.col(centroid_col).isin(cells))
+    if impl == "numpy":
+        cell_qids: dict[int, list[int]] = {}
+        for qid, cs in probe_map.items():
+            for c in cs:
+                cell_qids.setdefault(int(c), []).append(int(qid))
+        wmat = {q: np.asarray(w, dtype=np.int64) for q, w in wvecs.items()}
+        kk = k
+
+        def part_topk(batches):
+            import pandas as pd
+
+            # per-(query) heap across the partition's batches
+            best: dict[int, pd.DataFrame] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for cell, grp in pdf.groupby(centroid_col):
+                    qids = cell_qids.get(int(cell))
+                    if not qids:
+                        continue
+                    c = np.vstack(grp["sq8_codes"].to_numpy()).astype(np.int64)
+                    wm = np.stack([wmat[q] for q in qids])  # (Qc, dim)
+                    s = c @ wm.T  # (rows, Qc) exact int64
+                    ids = grp[id_col].to_numpy()
+                    for j, qid in enumerate(qids):
+                        cur = pd.DataFrame({id_col: ids, "score_int": s[:, j]})
+                        prev = best.get(qid)
+                        cur = cur if prev is None else pd.concat((prev, cur))
+                        best[qid] = cur.sort_values(
+                            ["score_int", id_col], ascending=[False, True]
+                        ).head(kk)
+            for qid, b in best.items():
+                b = b.copy()
+                b.insert(0, "query_id", np.int64(qid))
+                yield b
+
+        partial = subset.select(id_col, "sq8_codes", centroid_col).mapInPandas(
+            part_topk, schema=f"query_id long, {id_col} long, score_int long"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_int").desc(), F.col(id_col).asc()
+        )
+        return (
+            partial.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
     wdf = spark.createDataFrame(
-        [
-            (
-                int(qid),
-                [
-                    int(np.floor(float(q) * d * scale + 0.5))
-                    for q, d in zip(vec, deltas)
-                ],
-            )
-            for qid, vec in queries
-        ],
+        [(qid, w) for qid, w in wvecs.items()],
         "query_id long, _w array<bigint>",
     )
     probes = spark.createDataFrame(
         probe_rows, "query_id long, _pcell bigint"
     ).join(F.broadcast(wdf), "query_id")
-    cells = sorted({c for _, c in probe_rows})
-    subset = codes_df.where(F.col(centroid_col).isin(cells))
     score = F.aggregate(
         F.zip_with(
             F.col("sq8_codes"), F.col("_w"), lambda c, wv: c.cast("long") * wv
@@ -2354,10 +2408,12 @@ def ivf_sq8_batched_rerank_topk(
     metric: str = "dotproduct",
     round_to: int | None = 6,
     scale: int = 1_000_000_000,
+    impl: str = "expr",
 ) -> DataFrame:
     """The batched production serving shape end-to-end: ONE codes scan
     answers every query's quantized shortlist
-    (``ivf_sq8_batched_topk``), then ONE pass over the float table
+    (``ivf_sq8_batched_topk``; ``impl`` selects its expr/numpy scoring
+    kernel), then ONE pass over the float table
     re-ranks all shortlists exactly — the |Q|·``shortlist`` (query, id)
     pairs broadcast into the vectors table (it never shuffles), each
     candidate scores against its own query's float vector, and a
@@ -2383,6 +2439,7 @@ def ivf_sq8_batched_rerank_topk(
         id_col=id_col,
         centroid_col=centroid_col,
         scale=scale,
+        impl=impl,
     ).select("query_id", id_col)
     spark = codes_df.sparkSession
     qdf = spark.createDataFrame(
@@ -2651,13 +2708,15 @@ class IvfSq8Index:
         shortlist: int = 100,
         metric: str = "dotproduct",
         round_to: int | None = 6,
+        impl: str = "expr",
     ) -> DataFrame:
         """N queries, ONE codes scan over the union of probed cells, ONE
         float pass re-ranking every shortlist (``ivf_sq8_batched_rerank_
-        topk``). ``queries`` is ``[(query_id, vector)]``. Without
-        ``vectors_df``, the co-located store pruned to the UNION of
-        probed cells serves the re-rank (every query's shortlist lives
-        inside its own probed cells ⊆ the union)."""
+        topk``; ``impl`` picks the shortlist scoring kernel). ``queries``
+        is ``[(query_id, vector)]``. Without ``vectors_df``, the
+        co-located store pruned to the UNION of probed cells serves the
+        re-rank (every query's shortlist lives inside its own probed
+        cells ⊆ the union)."""
         if not queries:
             raise ValueError("queries is required")
         probe_map = {
@@ -2676,6 +2735,7 @@ class IvfSq8Index:
             vec_col=self.vec_col,
             metric=metric,
             round_to=round_to,
+            impl=impl,
         )
 
     def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfSq8Index":
