@@ -58,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # cohort via the stalest-greens-first ordering below.
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
+    "ann_ivfpq_batched_topk",
     "ann_ivf_sq8_rerank_topk",
     "ann_ivf_sq8_batched_topk",
     "ann_ivf_sq8_batched_rerank_topk",

@@ -939,6 +939,59 @@ def test_ivf_sq8_batched_matches_per_query_probes(spark, embeddings):
     assert np_by_q == by_q
 
 
+def test_ivfpq_batched_matches_per_query_probes(spark, embeddings):
+    """Each query's rows from the ONE-scan batched IVF-PQ probe must
+    equal its separate raw-ADC ``ivfpq_topk(index_df=None)`` call
+    bit-for-bit — same ids, same exact int64 LUT sums, same tie order;
+    and the numpy gather kernel must match the expr HOF exactly."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfIndex,
+        PqIndex,
+        ivfpq_batched_topk,
+        ivfpq_topk,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    ivf = IvfIndex.build_balanced(emb, n_centroids=4)
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    codes = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    probe_map = {qid: ivf.probe_centroid_ids(vec, nprobe=2) for qid, vec in queries}
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append((r["vec_id"], r["score_int"]))
+        for qid in out:  # canonical (score desc, id asc) order per query
+            out[qid].sort(key=lambda t: (-t[1], t[0]))
+        return out
+
+    batched = by_query(
+        ivfpq_batched_topk(pq, codes, queries, probe_map, k=5).collect()
+    )
+    for qid, vec in queries:
+        solo = [
+            (r["vec_id"], r["score"])
+            for r in ivfpq_topk(
+                ivf, pq, codes, vec, k=5, nprobe=2, index_df=None
+            ).collect()
+        ]
+        assert batched[qid] == solo, f"query {qid} diverged"
+
+    np_batched = by_query(
+        ivfpq_batched_topk(pq, codes, queries, probe_map, k=5, impl="numpy").collect()
+    )
+    assert np_batched == batched
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ivfpq_batched_topk(pq, codes, queries, {}, k=5)
+
+
 def test_ivf_sq8_index_roundtrip_and_search(spark, embeddings, tmp_path):
     """The persisted composite serving artifact: build → save → load
     must preserve the scaler/centroids exactly; a loaded ``search``

@@ -673,6 +673,44 @@ def test_ivf_sq8_batched_is_one_codes_scan(spark, embeddings, tmp_path):
     assert len(got) == 9  # 3 queries x k=3
 
 
+def test_ivfpq_batched_is_one_codes_scan(spark, embeddings, tmp_path):
+    """Batched IVF-PQ plan contract (the PQ twin of the SQ8 one): N
+    queries = ONE scan of the 8-byte-code layout, partition-pruned to
+    the union of probed cells, probe map + per-query LUTs broadcast;
+    float vectors never load."""
+    import re
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfIndex,
+        PqIndex,
+        ivfpq_batched_topk,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    ivf = IvfIndex.build_balanced(emb, n_centroids=4)
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    codes = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
+    path = str(tmp_path / "ivfpq_b_codes")
+    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    probe_map = {0: [0, 1], 1: [1, 2], 2: [0, 3]}
+    df = ivfpq_batched_topk(
+        pq, spark.read.parquet(path), queries, probe_map, k=3
+    )
+    p = plan(df)
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 1, p
+    assert "PartitionFilters" in p and "centroid" in p
+    assert "embedding" not in p
+    assert "BroadcastHashJoin" in p
+    got = df.collect()
+    assert len(got) == 9  # 3 queries x k=3
+
+
 def test_ivf_sq8_batched_rerank_never_shuffles_floats(spark, embeddings, tmp_path):
     """Batched two-stage serving plan contract: ONE partition-pruned
     codes scan feeds every query's shortlist, and the exact re-rank

@@ -376,6 +376,95 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(ivf, pq, stored, qvec, k=10, nprobe=2, index_df=emb)
 
 
+_IVFPQ_B_DIR = _oracle_scratch("ivfpq_batched")
+_IVFPQ_BATCH_QIDS = (0, 1, 2)
+
+# Batched IVF-PQ: the PQ twin of ann_ivf_sq8_batched_topk — N queries,
+# ONE scan over the union of their probed cells, per-query integer ADC
+# LUTs, window rank. Persisted-state oracle like ann_ivfpq_topk: the
+# partitioned codes, the (query, cell) probe map, and the per-query LUTs
+# are all written to parquet, and DuckDB replays the identical probe
+# over the same files — every integer the ranking touches is on disk.
+
+_ANN_IVFPQ_BATCHED_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM read_parquet('{_IVFPQ_B_DIR}/cells/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT query_id, centroid FROM read_parquet('{_IVFPQ_B_DIR}/probe/*.parquet')
+),
+lut AS (
+  SELECT query_id, j, c, w FROM read_parquet('{_IVFPQ_B_DIR}/lut/*.parquet')
+),
+scores AS (
+  SELECT p.query_id, cl.vec_id, CAST(SUM(l.w) AS BIGINT) AS score_int
+  FROM cells cl
+  JOIN probes p ON CAST(cl.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0, 8) j(j)
+  JOIN lut l ON l.query_id = p.query_id AND l.j = j.j AND l.c = cl.codes[j.j + 1]
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, score_int FROM (
+  SELECT query_id, vec_id, score_int,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_int DESC, vec_id ASC
+         ) AS rk
+  FROM scores
+) WHERE rk <= 5
+"""
+
+
+@_register("ann_ivfpq_batched_topk", _ANN_IVFPQ_BATCHED_ORACLE)
+def ann_ivfpq_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ probe: 3 queries answered in ONE pass over the
+    union of their probed cells — per-query integer ADC LUTs and the
+    (query, cell) probe map broadcast, the 32×-compressed codes table
+    scanned once with file-level partition pruning, ranking one
+    query_id-keyed window. Completes the batched-serving family
+    (IVF float / IVF-SQ8 / now IVF-PQ); raw ADC scores by contract
+    (the re-rank composition is `ann_ivf_sq8_batched_rerank_topk`'s
+    shape and `ivfpq_topk(index_df=...)` for PQ)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfIndex,
+        PqIndex,
+        ivfpq_batched_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf = IvfIndex.build_balanced(emb, n_centroids=8)
+    pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
+    cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
+    cells.write.partitionBy("centroid").mode("overwrite").parquet(
+        os.path.join(_IVFPQ_B_DIR, "cells")
+    )
+    qrows = (
+        emb.where(F.col("vec_id").isin(*_IVFPQ_BATCH_QIDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+    probe_map = {
+        qid: ivf.probe_centroid_ids(vec, nprobe=2) for qid, vec in queries
+    }
+    spark.createDataFrame(
+        [(int(q), int(c)) for q, cs in probe_map.items() for c in cs],
+        "query_id bigint, centroid bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_IVFPQ_B_DIR, "probe"))
+    lut_rows = []
+    for qid, vec in queries:
+        lut = pq.lut_int(vec)
+        lut_rows.extend(
+            (int(qid), j, c, int(lut[j, c]))
+            for j in range(lut.shape[0])
+            for c in range(lut.shape[1])
+        )
+    spark.createDataFrame(lut_rows, "query_id bigint, j int, c int, w bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(_IVFPQ_B_DIR, "lut"))
+    stored = spark.read.parquet(os.path.join(_IVFPQ_B_DIR, "cells"))
+    return ivfpq_batched_topk(pq, stored, queries, probe_map, k=5)
+
+
 _RECALL_ORACLE_DIR = _oracle_scratch("ivfpq_recall_oracle")
 
 # VERDICT r02 #3: the reference's entire product is k-NN answer quality

@@ -1204,6 +1204,130 @@ def ivfpq_topk(
     return topk(sub, query_vec, k=k, id_col=pq.id_col, vec_col=pq.vec_col, round_to=6)
 
 
+def ivfpq_batched_topk(
+    pq: "PqIndex",
+    codes_assigned: DataFrame,
+    queries: list,
+    probe_map: dict,
+    k: int = 10,
+    centroid_col: str = "centroid",
+    impl: str = "expr",
+) -> DataFrame:
+    """Batched IVF-PQ probe: raw-ADC top-k for MANY queries in ONE scan
+    over the union of their probed cells — the PQ twin of
+    ``ivf_sq8_batched_topk`` (and of ``IvfIndex.probe_batched``).
+    ``queries`` is ``[(query_id, vector)]``; ``probe_map`` maps each
+    query_id to its probed cell ids (computed driver-side against the
+    in-memory coarse centroids, as the single-query ``ivfpq_topk`` does).
+
+    Each query's integer ADC LUT (``PqIndex.lut_int``: round(<q_j,
+    codebook_j[c]>·10⁶), m·ksub int64s) broadcasts with the (query, cell)
+    probe map; a code row is scored only against the queries that probed
+    ITS cell as the exact int64 sum ``Σ_j lut[j][code_j]`` — so per-query
+    results equal |Q| separate raw-ADC ``ivfpq_topk`` calls bit-for-bit
+    (pinned by test). The codes table (8 bytes/vector at m=8 — 32×
+    compressed) is scanned ONCE with file-level partition pruning on a
+    ``partitionBy(centroid)`` layout; float vectors never load. Ranking
+    is one shuffle keyed by query_id, bounded per query by its probed
+    cells' rows.
+
+    ``impl``: ``"expr"`` (default, SQL-oracle-parity form) scores every
+    (row, probing query) pair with a zip_with fold over a flattened
+    ``m·ksub`` LUT array; ``"numpy"`` groups each Arrow batch by cell and
+    scores all of that cell's probing queries with per-query LUT gathers
+    and a per-(partition, query) k-heap emitting ≤ k rows each — the
+    at-scale path (the HOF re-parses the LUT array per pair; the gather
+    amortizes the batch). Bit-identical scores (exact int64 both ways).
+    """
+    from pyspark.sql import Window
+
+    probe_rows = [
+        (int(qid), int(c)) for qid, cells in probe_map.items() for c in cells
+    ]
+    if not probe_rows:
+        raise ValueError("ivfpq_batched_topk needs at least one probe cell")
+    spark = codes_assigned.sparkSession
+    id_col = pq.id_col
+    m, ksub = pq.m, pq.codebooks.shape[1]
+    luts = {int(qid): pq.lut_int(vec) for qid, vec in queries}  # (m, ksub) int64
+    cells = sorted({c for _, c in probe_rows})
+    subset = codes_assigned.where(F.col(centroid_col).isin(cells))
+    if impl == "numpy":
+        cell_qids: dict[int, list[int]] = {}
+        for qid, cs in probe_map.items():
+            for c in cs:
+                cell_qids.setdefault(int(c), []).append(int(qid))
+        j_idx = np.arange(m)
+        kk = k
+
+        def part_topk(batches):
+            import pandas as pd
+
+            best: dict[int, pd.DataFrame] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for cell, grp in pdf.groupby(centroid_col):
+                    qids = cell_qids.get(int(cell))
+                    if not qids:
+                        continue
+                    codes = np.asarray(grp["codes"].tolist(), dtype=np.int64)
+                    ids = grp[id_col].to_numpy()
+                    for qid in qids:
+                        s = luts[qid][j_idx[None, :], codes].sum(axis=1)
+                        cur = pd.DataFrame({id_col: ids, "score_int": s})
+                        prev = best.get(qid)
+                        cur = cur if prev is None else pd.concat((prev, cur))
+                        best[qid] = cur.sort_values(
+                            ["score_int", id_col], ascending=[False, True]
+                        ).head(kk)
+            for qid, b in best.items():
+                b = b.copy()
+                b.insert(0, "query_id", np.int64(qid))
+                yield b
+
+        partial = subset.select(id_col, "codes", centroid_col).mapInPandas(
+            part_topk, schema=f"query_id long, {id_col} long, score_int long"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_int").desc(), F.col(id_col).asc()
+        )
+        return (
+            partial.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+    wdf = spark.createDataFrame(
+        [(qid, [int(x) for x in lut.ravel()]) for qid, lut in luts.items()],
+        "query_id long, _lut array<bigint>",
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _pcell bigint"
+    ).join(F.broadcast(wdf), "query_id")
+    # Σ_j lut[j·ksub + code_j] over the flattened per-query LUT (F.get is
+    # 0-based), the same exact int64 sum as PqIndex.adc_topk.
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.get(F.col("_lut"), j * ksub + c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = subset.join(
+        F.broadcast(probes), F.col(centroid_col) == F.col("_pcell")
+    ).select("query_id", F.col(id_col), score.alias("score_int"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 class IvfPqResidualIndex:
     """Residual IVF-PQ — the layout production vector stores (FAISS
     ``IVFxx,PQyy``) actually deploy: vectors are L2-normalized, assigned
