@@ -57,6 +57,7 @@ SHOWN = [
     ("text_bpe_encode_arrow", "BPE encode at merge-table scale: shared tokenization expression -> ONE ArrowEvalPython segmentation -> map-only hash; no shuffle"),
     ("ann_ivf_sq8_rerank_topk", "composed serving stack: PartitionFilters-pruned codes scan -> int ADC shortlist -> BroadcastHashJoin pages the shortlist floats in; the float table never hash-repartitions"),
     ("ann_ivf_sq8_batched_topk", "batched probe: ONE codes scan (pruned to the union of probed cells) x broadcast (query, cell) map + weight LUTs, query_id-keyed window rank"),
+    ("ann_ivfpq_batched_topk", "batched IVF-PQ probe: ONE 8-byte-codes scan (pruned to the probed-cell union) x broadcast probe map + per-query flattened ADC LUTs, query_id-keyed window rank"),
 ]
 
 
