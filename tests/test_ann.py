@@ -1166,3 +1166,153 @@ def test_ivf_sq8_batched_rerank_covering_equals_per_query_exact(spark, embedding
             ).collect()
         ]
         assert by_q[qid] == exact, f"query {qid} diverged"
+
+
+def test_ivf_sq8_index_atomic_save_and_batch_commit(spark, embeddings, tmp_path, monkeypatch):
+    """ADVICE r13: (a) an interrupted save never leaves new codes paired
+    with a stale scaler — the commit removes the old meta.json FIRST and
+    publishes the new one LAST via rename, so the crash window is LOUDLY
+    unreadable, not silently mis-scored; (b) add_batch(path=...) commits
+    codes + co-located vectors with ONE rename — a crash stages nothing
+    visible, so re-rank can never silently drop shortlisted ids whose
+    floats were missing; (c) save folds accumulated batch dirs back into
+    the base layout (compaction)."""
+    import os
+
+    import pytest
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_sq8_atomic")
+    idx = IvfSq8Index.build(emb, n_centroids=4)
+    idx.save(path, store_vectors=True)
+    loaded = IvfSq8Index.load(spark, path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    before = [
+        (r["vec_id"], r["score"])
+        for r in loaded.search(query_vec=qvec, k=5, nprobe=2, shortlist=20).collect()
+    ]
+
+    # (b) crash mid-add_batch: the staged dir never becomes visible and a
+    # reload serves exactly the pre-crash results
+    copy = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    real_rename = os.rename
+
+    def boom(src, dst):
+        raise OSError("simulated crash before batch commit rename")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        IvfSq8Index.load(spark, path).add_batch(copy, path=path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.isdir(os.path.join(path, "batches")) or not os.listdir(
+        os.path.join(path, "batches")
+    )
+    after_crash = IvfSq8Index.load(spark, path)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in after_crash.search(
+            query_vec=qvec, k=5, nprobe=2, shortlist=20
+        ).collect()
+    ]
+    assert got == before
+    # the orphaned staging dir is swept by the next successful commit
+    after_crash.add_batch(copy, path=path)
+    assert os.listdir(os.path.join(path, "_staging")) == []
+    # committed batch dir holds BOTH tables (codes + colocated floats)
+    (bdir,) = os.listdir(os.path.join(path, "batches"))
+    sub = sorted(os.listdir(os.path.join(path, "batches", bdir)))
+    assert sub == ["codes", "vectors"]
+    # a reload sees the appended vector — co-located re-rank included
+    re = IvfSq8Index.load(spark, path)
+    ids = [
+        r["vec_id"]
+        for r in re.search(query_vec=qvec, k=3, nprobe=2, shortlist=50).collect()
+    ]
+    assert 90000 in ids[:2]
+
+    # (c) save() compacts: batches fold into the base layout
+    re.save(path, store_vectors=True)
+    assert not os.path.isdir(os.path.join(path, "batches"))
+    folded = IvfSq8Index.load(spark, path)
+    ids2 = [
+        r["vec_id"]
+        for r in folded.search(query_vec=qvec, k=3, nprobe=2, shortlist=50).collect()
+    ]
+    assert ids2 == ids
+
+    # (a) interrupted save: meta removed, rename blocked → loud error
+    def boom2(src, dst):
+        if dst.endswith("meta.json"):
+            raise OSError("simulated crash before meta publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", boom2)
+    with pytest.raises(OSError):
+        folded.save(path, store_vectors=True)
+    monkeypatch.setattr(os, "rename", real_rename)
+    with pytest.raises(RuntimeError, match="interrupted save"):
+        IvfSq8Index.load(spark, path)
+
+
+def test_batched_probes_duplicate_cells_are_deduped(spark, embeddings):
+    """ADVICE r13: a repeated cell id in probe_map must not let one
+    vec_id fill multiple top-k slots — results with duplicated cells
+    equal results with clean cells, bit-for-bit, in both kernels and
+    both operators (SQ8 + PQ)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        PqIndex,
+        assign_nearest_centroid,
+        ivf_sq8_batched_topk,
+        ivfpq_batched_topk,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfSq8Index.build(emb, n_centroids=4)
+    rows = emb.where(F.col("vec_id").isin(0, 1)).collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in rows]
+    clean = {qid: idx.probe_centroid_ids(vec, 2) for qid, vec in queries}
+    dirty = {qid: cells + cells + [cells[0]] for qid, cells in clean.items()}
+
+    for impl in ("expr", "numpy"):
+        want = sorted(
+            map(tuple, ivf_sq8_batched_topk(
+                idx.codes, queries, clean, idx.deltas, k=5, impl=impl
+            ).collect())
+        )
+        got = sorted(
+            map(tuple, ivf_sq8_batched_topk(
+                idx.codes, queries, dirty, idx.deltas, k=5, impl=impl
+            ).collect())
+        )
+        assert got == want, impl
+        # non-vacuous: each query yields 5 DISTINCT ids
+        per_q = {}
+        for qid, vid, _ in got:
+            per_q.setdefault(qid, []).append(vid)
+        for qid, vids in per_q.items():
+            assert len(vids) == len(set(vids)) == 5
+
+    pq = PqIndex.build(emb, m=4, ksub=16)
+    assigned = pq.encode(emb).join(
+        assign_nearest_centroid(emb, idx.centroids, "embedding").select(
+            "vec_id", "centroid"
+        ),
+        "vec_id",
+    )
+    for impl in ("expr", "numpy"):
+        want = sorted(
+            map(tuple, ivfpq_batched_topk(
+                pq, assigned, queries, clean, k=5, impl=impl
+            ).collect())
+        )
+        got = sorted(
+            map(tuple, ivfpq_batched_topk(
+                pq, assigned, queries, dirty, k=5, impl=impl
+            ).collect())
+        )
+        assert got == want, impl

@@ -224,3 +224,211 @@ def test_minhash_index_durable_pairs_survive_post_commit_retry(spark, tmp_path):
         "id_a long, id_b long, jaccard double, batch_id long"
     ).parquet(pairs_dir)
     assert [(r["id_a"], r["id_b"]) for r in durable.collect()] == [(1, 2)]
+
+
+# ---------------------------------------------------------------- compact
+
+
+def test_minhash_index_compact_preserves_probe_results(spark, documents, tmp_path):
+    """VERDICT r13 #3: compact() merges the per-micro-batch dirs into one
+    without changing a single bit of state — probe results before/after
+    must be identical, and the pairs union must still equal the one-shot
+    batch dedup."""
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = documents.select("doc_id", "text").limit(90).cache()
+    b1 = docs.where(F.col("doc_id") < 30)
+    b2 = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+    copies = b1.where(F.col("doc_id").isin(3, 7)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    b3 = docs.where(F.col("doc_id") >= 60).unionByName(copies)
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_c"), threshold=0.5)
+    p1 = _pairs(idx.add_batch(b1))
+    p2 = _pairs(idx.add_batch(b2))
+    sig_fp = idx._content_fingerprint(idx._stored("signatures"))
+    sh_fp = idx._content_fingerprint(idx._stored("shingles"))
+
+    merged = idx.compact()
+    assert merged == 2
+    assert len(idx._live_batch_dirs()) == 1
+    # superseded dirs physically reclaimed too
+    import os
+
+    assert len(os.listdir(idx._batches_path)) == 1
+    # state bit-identical across the compaction
+    assert idx._content_fingerprint(idx._stored("signatures")) == sig_fp
+    assert idx._content_fingerprint(idx._stored("shingles")) == sh_fp
+    # idempotent: nothing left to merge
+    assert idx.compact() == 0
+
+    # a post-compaction batch probes the merged state correctly
+    p3 = _pairs(idx.add_batch(b3))
+    assert {(a, b) for a, b, _ in p3} >= {(3, 1003), (7, 1007)}
+    full = _pairs(
+        minhash_near_duplicates(
+            b1.unionByName(b2).unionByName(b3), threshold=0.5
+        )
+    )
+    assert p1 | p2 | p3 == full
+
+
+def test_minhash_index_crash_mid_compact_leaves_old_state_readable(
+    spark, documents, tmp_path, monkeypatch
+):
+    """A crash at ANY point before the commit rename leaves the old dirs
+    untouched and readable; a crash AFTER the rename but before the
+    old-dir deletion leaves the replaced dirs invisible by manifest (no
+    double-counted shingles)."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = documents.select("doc_id", "text").limit(40).cache()
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_crash"), threshold=0.5)
+    idx.add_batch(docs.where(F.col("doc_id") < 20))
+    idx.add_batch(docs.where(F.col("doc_id") >= 20))
+    sig_fp = idx._content_fingerprint(idx._stored("signatures"))
+    sh_fp = idx._content_fingerprint(idx._stored("shingles"))
+
+    # crash BEFORE the rename: old state intact, staging swept on retry
+    real_rename = os.rename
+
+    def boom(src, dst):
+        raise OSError("simulated crash before commit rename")
+
+    monkeypatch.setattr(os, "rename", boom)
+    try:
+        idx.compact()
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert len(idx._live_batch_dirs()) == 2
+    assert idx._content_fingerprint(idx._stored("signatures")) == sig_fp
+
+    # crash AFTER the rename, before deletion: replaced dirs still on
+    # disk but dead by manifest — state reads exactly once
+    monkeypatch.setattr(MinHashDedupIndex, "_gc_dead_batches", lambda self: None)
+    merged = idx.compact()
+    monkeypatch.undo()
+    assert merged == 2
+    assert len(os.listdir(idx._batches_path)) == 3  # 2 dead + 1 merged
+    assert len(idx._live_batch_dirs()) == 1
+    assert idx._content_fingerprint(idx._stored("signatures")) == sig_fp
+    assert idx._content_fingerprint(idx._stored("shingles")) == sh_fp
+    # next maintenance pass reclaims the dead dirs
+    idx._gc_dead_batches()
+    assert len(os.listdir(idx._batches_path)) == 1
+
+
+def test_winnow_index_compact_preserves_probe_results(spark, tmp_path):
+    """Winnow twin: loose per-batch files merge into one compact_<uuid>
+    dir; fingerprint state is bit-identical and later batches still pair
+    against pre-compaction docs."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+        WinnowDedupIndex,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs1 = spark.createDataFrame(
+        [(1, base + " one"), (2, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "another unrelated document about spark plans and shuffles")],
+        "doc_id long, text string",
+    )
+    docs3 = spark.createDataFrame(
+        [(4, base + " two")], "doc_id long, text string"
+    )  # shares a long run with doc 1 — must pair post-compaction
+
+    idx = WinnowDedupIndex(spark, str(tmp_path / "wn_c"), min_shared=2)
+    idx.add_batch(docs1)
+    idx.add_batch(docs2)
+    fp = MinHashDedupIndex._content_fingerprint(idx._stored())
+    assert len(idx._live_entries()) == 2
+
+    merged = idx.compact()
+    assert merged == 2
+    assert len(idx._live_entries()) == 1
+    assert len(os.listdir(idx._fp_path)) == 1
+    assert MinHashDedupIndex._content_fingerprint(idx._stored()) == fp
+    assert idx.compact() == 0
+
+    pairs = {(r["id_a"], r["id_b"]) for r in idx.add_batch(docs3).collect()}
+    assert (1, 4) in pairs
+
+
+def test_winnow_index_crash_mid_compact_leaves_old_state_readable(
+    spark, tmp_path, monkeypatch
+):
+    import os
+
+    from whatsapp_vectordb_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+        WinnowDedupIndex,
+    )
+
+    idx = WinnowDedupIndex(spark, str(tmp_path / "wn_crash"), min_shared=2)
+    idx.add_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+    )
+    idx.add_batch(
+        spark.createDataFrame(
+            [(2, "one two three four five six seven eight nine")],
+            "doc_id long, text string",
+        )
+    )
+    fp = MinHashDedupIndex._content_fingerprint(idx._stored())
+
+    def boom(src, dst):
+        raise OSError("simulated crash before commit rename")
+
+    monkeypatch.setattr(os, "rename", boom)
+    try:
+        idx.compact()
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert len(idx._live_entries()) == 2
+    assert MinHashDedupIndex._content_fingerprint(idx._stored()) == fp
+
+    # committed compaction with deletion suppressed: dead entries invisible
+    monkeypatch.setattr(WinnowDedupIndex, "_gc_dead_entries", lambda self: None)
+    assert idx.compact() == 2
+    monkeypatch.undo()
+    assert len(os.listdir(idx._fp_path)) == 3  # 2 dead files + 1 compact dir
+    assert len(idx._live_entries()) == 1
+    assert MinHashDedupIndex._content_fingerprint(idx._stored()) == fp
+    idx._gc_dead_entries()
+    assert len(os.listdir(idx._fp_path)) == 1
+
+
+def test_staging_gc_sweeps_orphaned_dirs(spark, tmp_path):
+    """ADVICE r13: a hard crash leaves _staging/<uuid> orphans; the next
+    add_batch sweeps them (they were never visible to reads)."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    root = tmp_path / "mh_gc"
+    orphan = root / "_staging" / "deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "junk.bin").write_bytes(b"x" * 128)
+
+    idx = MinHashDedupIndex(spark, str(root), threshold=0.5)
+    idx.add_batch(
+        spark.createDataFrame(
+            [(1, "some words to index here for the sweep test")],
+            "doc_id long, text string",
+        )
+    )
+    assert os.listdir(str(root / "_staging")) == []

@@ -1241,8 +1241,13 @@ def ivfpq_batched_topk(
     """
     from pyspark.sql import Window
 
+    # dedup per-query cells (ADVICE r13) — same duplicate-slot hazard as
+    # ``ivf_sq8_batched_topk``: a repeated cell id would double-score its
+    # rows for that query in both the expr join and the numpy grouping
     probe_rows = [
-        (int(qid), int(c)) for qid, cells in probe_map.items() for c in cells
+        (int(qid), c)
+        for qid, cells in probe_map.items()
+        for c in sorted({int(c) for c in cells})
     ]
     if not probe_rows:
         raise ValueError("ivfpq_batched_topk needs at least one probe cell")
@@ -1254,9 +1259,8 @@ def ivfpq_batched_topk(
     subset = codes_assigned.where(F.col(centroid_col).isin(cells))
     if impl == "numpy":
         cell_qids: dict[int, list[int]] = {}
-        for qid, cs in probe_map.items():
-            for c in cs:
-                cell_qids.setdefault(int(c), []).append(int(qid))
+        for qid, c in probe_rows:  # deduped above — one qid per (cell, query)
+            cell_qids.setdefault(c, []).append(qid)
         j_idx = np.arange(m)
         kk = k
 
@@ -2430,8 +2434,15 @@ def ivf_sq8_batched_topk(
     scores (exact int64 both ways, pinned by test)."""
     from pyspark.sql import Window
 
+    # Per-query cells are DEDUPED here (ADVICE r13): a repeated cell id in
+    # probe_map would otherwise score the same (query, row) pair once per
+    # repeat — duplicate rows in the expr join and duplicate qid entries in
+    # the numpy cell grouping — letting one vec_id fill multiple top-k
+    # slots. The single-query path gets this for free from ``isin``.
     probe_rows = [
-        (int(qid), int(c)) for qid, cells in probe_map.items() for c in cells
+        (int(qid), c)
+        for qid, cells in probe_map.items()
+        for c in sorted({int(c) for c in cells})
     ]
     if not probe_rows:
         raise ValueError("ivf_sq8_batched_topk needs at least one probe cell")
@@ -2446,9 +2457,8 @@ def ivf_sq8_batched_topk(
     subset = codes_df.where(F.col(centroid_col).isin(cells))
     if impl == "numpy":
         cell_qids: dict[int, list[int]] = {}
-        for qid, cs in probe_map.items():
-            for c in cs:
-                cell_qids.setdefault(int(c), []).append(int(qid))
+        for qid, c in probe_rows:  # deduped above — one qid per (cell, query)
+            cell_qids.setdefault(c, []).append(qid)
         wmat = {q: np.asarray(w, dtype=np.int64) for q, w in wvecs.items()}
         kk = k
 
@@ -2673,6 +2683,22 @@ class IvfSq8Index:
             vectors=assigned.select(id_col, vec_col, "centroid"),
         )
 
+    @staticmethod
+    def _gc_staging(path: str) -> None:
+        """Delete orphaned ``_staging/<uuid>`` dirs left by a hard crash
+        mid-save/mid-add_batch (ADVICE r13). They are invisible to reads
+        (only committed ``codes``/``batches/<uuid>`` dirs are ever
+        listed) so correctness never depended on this — it just stops
+        dead staging bytes accumulating forever. Safe to run any time
+        from the one writer this layout assumes (same single-writer
+        posture as ``MinHashDedupIndex``)."""
+        import shutil
+
+        stag = os.path.join(path, "_staging")
+        if os.path.isdir(stag):
+            for d in os.listdir(stag):
+                shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
+
     def save(self, path: str, store_vectors: bool = False) -> "IvfSq8Index":
         """Codes ``partitionBy(centroid)`` + one meta json (centroids,
         scaler, column names). ``store_vectors=True`` additionally
@@ -2682,50 +2708,131 @@ class IvfSq8Index:
         refine layout. Leave it off when the floats live in a source
         table that supports its own pruning (then pass ``vectors_df`` to
         ``search``); a flat external float table costs a full
-        float-column scan per re-rank (measured, BASELINE.md r13)."""
-        import json as _json
+        float-column scan per re-rank (measured, BASELINE.md r13).
 
-        self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
-            "centroid"
-        ).mode("overwrite").parquet(os.path.join(path, "codes"))
+        CRASH SAFETY (ADVICE r13): everything is staged under
+        ``_staging/<uuid>`` first (codes, vectors, meta.json), then
+        committed in an order with no silently-wrong window: the OLD
+        ``meta.json`` is removed FIRST (an interrupted save leaves the
+        index loudly unreadable — ``load`` raises — never new codes
+        scored with a stale scaler), the staged layouts rename in, and
+        the new meta.json renames into place LAST as the atomic publish.
+        Saving also folds any ``batches/<uuid>`` appends into the base
+        layout (``self.codes`` already carries them after ``load`` +
+        ``add_batch``), so ``save`` doubles as the compaction verb."""
+        import json as _json
+        import shutil
+        import uuid
+
+        self._gc_staging(path)
+        stage = os.path.join(path, "_staging", uuid.uuid4().hex)
+        try:
+            self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
+                "centroid"
+            ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+            if store_vectors:
+                if self.vectors is None:
+                    raise ValueError(
+                        "store_vectors=True but this index carries no vectors"
+                    )
+                self.vectors.select(
+                    self.id_col, self.vec_col, "centroid"
+                ).write.partitionBy("centroid").mode("overwrite").parquet(
+                    os.path.join(stage, "vectors")
+                )
+            with open(os.path.join(stage, "meta.json"), "w") as f:
+                _json.dump(
+                    {
+                        "centroids": self.centroids.tolist(),
+                        "mins": self.mins,
+                        "deltas": self.deltas,
+                        "id_col": self.id_col,
+                        "vec_col": self.vec_col,
+                    },
+                    f,
+                )
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        # staging fully materialized — now the commit sequence. Unreadable
+        # (loud) between the meta removal and the final rename; never a
+        # readable state whose meta mismatches the codes beside it.
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+        for sub in ("codes", "vectors", "batches"):
+            old = os.path.join(path, sub)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
         if store_vectors:
-            if self.vectors is None:
-                raise ValueError("store_vectors=True but this index carries no vectors")
-            self.vectors.select(
-                self.id_col, self.vec_col, "centroid"
-            ).write.partitionBy("centroid").mode("overwrite").parquet(
-                os.path.join(path, "vectors")
-            )
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            _json.dump(
-                {
-                    "centroids": self.centroids.tolist(),
-                    "mins": self.mins,
-                    "deltas": self.deltas,
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                },
-                f,
-            )
+            os.rename(os.path.join(stage, "vectors"), os.path.join(path, "vectors"))
+        os.rename(os.path.join(stage, "meta.json"), meta_path)
+        shutil.rmtree(stage, ignore_errors=True)
+        # re-point the lazy plans at the committed layout: an index loaded
+        # from THIS path had plans over the just-replaced dirs (a re-save
+        # without store_vectors on such an index drops its float store —
+        # any later co-located re-rank fails loudly on the missing dir,
+        # never reads stale floats)
+        spark = self.codes.sparkSession
+        self.codes = spark.read.parquet(os.path.join(path, "codes"))
+        if store_vectors:
+            self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
         return self
+
+    @staticmethod
+    def _read_layout(spark: SparkSession, path: str, sub: str) -> DataFrame | None:
+        """Base ``<sub>/`` layout unioned with every committed
+        ``batches/<uuid>/<sub>`` append. Each root is read separately
+        (partition discovery stays per-root, so ``centroid=N`` file
+        pruning pushes into every branch of the union); a batch dir only
+        exists once its single commit rename succeeded."""
+        from functools import reduce
+
+        roots = []
+        base = os.path.join(path, sub)
+        if os.path.isdir(base):
+            roots.append(base)
+        bdir = os.path.join(path, "batches")
+        if os.path.isdir(bdir):
+            roots.extend(
+                os.path.join(bdir, b, sub)
+                for b in sorted(os.listdir(bdir))
+                if os.path.isdir(os.path.join(bdir, b, sub))
+            )
+        if not roots:
+            return None
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            (spark.read.parquet(r) for r in roots),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfSq8Index":
         import json as _json
 
-        with open(os.path.join(path, "meta.json")) as f:
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_path):
+            if os.path.isdir(os.path.join(path, "codes")):
+                raise RuntimeError(
+                    f"IvfSq8Index at {path!r} has codes but no meta.json — "
+                    "an interrupted save; re-save from the builder (codes "
+                    "without their scaler must never be scored)"
+                )
+            raise FileNotFoundError(meta_path)
+        with open(meta_path) as f:
             meta = _json.load(f)
-        vec_dir = os.path.join(path, "vectors")
+        codes = cls._read_layout(spark, path, "codes")
+        if codes is None:
+            raise RuntimeError(f"IvfSq8Index at {path!r} has meta.json but no codes")
         return cls(
-            spark.read.parquet(os.path.join(path, "codes")),
+            codes,
             meta["centroids"],
             meta["mins"],
             meta["deltas"],
             meta["id_col"],
             meta["vec_col"],
-            vectors=(
-                spark.read.parquet(vec_dir) if os.path.isdir(vec_dir) else None
-            ),
+            vectors=cls._read_layout(spark, path, "vectors"),
         )
 
     def cell_stats(self) -> dict:
@@ -2865,26 +2972,48 @@ class IvfSq8Index:
     def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfSq8Index":
         """Frozen-quantizer, frozen-scaler ingest: assign + encode the
         batch map-only and append (to the in-memory union and — with
-        ``path`` — to the saved ``codes`` directory, touching only the
-        assigned cells' partitions; a co-located float store is kept in
-        step the same way). Out-of-range values clamp to 0/255 by
-        ``sq8_encode``'s contract; monitor clamp rates and scaler
-        drift, rebuild when they degrade — same maintenance posture as
-        ``IvfIndex.add_batch``/``drift``."""
+        ``path`` — to the saved layout). Out-of-range values clamp to
+        0/255 by ``sq8_encode``'s contract; monitor clamp rates and
+        scaler drift, rebuild when they degrade — same maintenance
+        posture as ``IvfIndex.add_batch``/``drift``.
+
+        CRASH SAFETY (ADVICE r13): the on-disk append stages the batch's
+        codes AND (when the saved index carries a float store) its
+        co-located vectors under ONE ``_staging/<uuid>`` dir and commits
+        with a SINGLE ``os.rename`` into ``batches/<uuid>`` — the two
+        previous independent ``mode('append')`` writes had a window
+        where new codes landed without their floats, and the exact
+        re-rank's inner join would then silently DROP those ids from
+        results. One rename = both tables visible together or not at
+        all. ``save`` folds accumulated batch dirs back into the base
+        layout (compaction)."""
+        import shutil
+        import uuid
+
         assigned = assign_nearest_centroid(batch, self.centroids, self.vec_col)
         enc = sq8_encode(
             batch, self.mins, self.deltas, id_col=self.id_col, vec_col=self.vec_col
         ).join(assigned.select(self.id_col, "centroid"), self.id_col)
         if path is not None:
-            enc.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
-                "centroid"
-            ).mode("append").parquet(os.path.join(path, "codes"))
-            if os.path.isdir(os.path.join(path, "vectors")):
-                assigned.select(
-                    self.id_col, self.vec_col, "centroid"
-                ).write.partitionBy("centroid").mode("append").parquet(
-                    os.path.join(path, "vectors")
-                )
+            self._gc_staging(path)
+            batch_id = uuid.uuid4().hex
+            stage = os.path.join(path, "_staging", batch_id)
+            try:
+                enc.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
+                    "centroid"
+                ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+                if os.path.isdir(os.path.join(path, "vectors")):
+                    assigned.select(
+                        self.id_col, self.vec_col, "centroid"
+                    ).write.partitionBy("centroid").mode("overwrite").parquet(
+                        os.path.join(stage, "vectors")
+                    )
+                bdir = os.path.join(path, "batches")
+                os.makedirs(bdir, exist_ok=True)
+                os.rename(stage, os.path.join(bdir, batch_id))
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
         self.codes = self.codes.unionByName(
             enc.select(self.id_col, "sq8_codes", "centroid"),
             allowMissingColumns=True,

@@ -36,6 +36,24 @@ from whatsapp_vectordb_spark.operators.dedup import (
 )
 
 
+def _gc_staging(path: str) -> None:
+    """Delete orphaned ``_staging/<uuid>`` dirs left by a HARD crash
+    before the commit rename (ADVICE r13): the in-process exception path
+    already cleans up, but a killed process leaves its staging dir
+    behind forever. Orphans are invisible to reads (only committed
+    ``batches/``/``fingerprints/`` state is listed) so correctness never
+    depended on this sweep — it just stops dead bytes accumulating.
+    Called at the top of every ``add_batch`` under the single-writer
+    posture these indexes assume (a concurrent writer's in-flight stage
+    would be swept — don't run two writers against one index)."""
+    import shutil
+
+    stag = os.path.join(path, "_staging")
+    if os.path.isdir(stag):
+        for d in os.listdir(stag):
+            shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
+
+
 class MinHashDedupIndex:
     def __init__(
         self,
@@ -56,6 +74,121 @@ class MinHashDedupIndex:
     @property
     def _batches_path(self) -> str:
         return os.path.join(self.path, "batches")
+
+    def _live_batch_dirs(self) -> list[str]:
+        """Committed batch dir names minus every dir named in ANY
+        ``replaces.json`` manifest present under ``batches/``. A
+        compacted dir carries the manifest of the dirs it merged; the
+        moment its single commit rename lands, the replaced dirs are
+        dead to readers even while still on disk (crash-before-delete
+        leaves them as invisible garbage, never double-counted shingles).
+        Manifests from dead dirs still apply — a chain of compactions
+        must keep every transitively-replaced dir dead."""
+        import json as _json
+
+        root = self._batches_path
+        if not os.path.exists(root):
+            return []
+        dirs = [
+            b for b in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, b))
+        ]
+        dead: set[str] = set()
+        for b in dirs:
+            man = os.path.join(root, b, "replaces.json")
+            if os.path.exists(man):
+                try:
+                    with open(man) as f:
+                        dead.update(_json.load(f))
+                except (OSError, ValueError):
+                    pass  # unreadable manifest: treat as a plain batch dir
+        return [b for b in dirs if b not in dead]
+
+    def _gc_dead_batches(self) -> None:
+        """Delete batch dirs superseded by a committed compaction (they
+        are invisible to ``_live_batch_dirs`` already — this only
+        reclaims bytes; crash-safe at any point)."""
+        import shutil
+
+        root = self._batches_path
+        if not os.path.exists(root):
+            return
+        live = set(self._live_batch_dirs())
+        for b in os.listdir(root):
+            full = os.path.join(root, b)
+            if os.path.isdir(full) and b not in live:
+                shutil.rmtree(full, ignore_errors=True)
+
+    @staticmethod
+    def _content_fingerprint(df: DataFrame) -> tuple[int, int]:
+        """(row count, order-insensitive XOR of per-row xxhash64) — the
+        compaction invariant check. Count catches cardinality drift
+        (XOR alone would cancel an exact duplication); XOR catches
+        content swaps at equal cardinality."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "coalesce(bit_xor(xxhash64(" + ", ".join(df.columns) + ")), 0)"
+            ).alias("x"),
+        ).collect()[0]
+        return int(row["n"]), int(row["x"])
+
+    def compact(self) -> int:
+        """Merge every live ``batches/<uuid>`` dir into ONE — the
+        maintenance verb the per-micro-batch atomic commit needs (at
+        streaming cadence one dir lands per trigger; file/dir LISTING is
+        what degrades first, the data itself is fine). Returns the
+        number of dirs merged (0 = nothing to do).
+
+        Same atomicity as ``add_batch``: the merged tables stage under
+        ``_staging/<uuid>`` together with a ``replaces.json`` manifest
+        naming the dirs they supersede, then ONE ``os.rename`` publishes
+        the compacted dir — readers switch from N dirs to 1 atomically,
+        and a crash at ANY point leaves a readable, correct index (old
+        dirs until the rename; merged dir after, with replaced dirs dead
+        by manifest even if their deletion never ran). Before the
+        rename, a content-checksum invariant (count + xxhash64 XOR per
+        table) verifies the staged data equals the live union —
+        mismatch aborts with the old state intact. Mirrors
+        ``VectorIndex.compact`` (index.py) for the vector table."""
+        import json as _json
+        import shutil
+        import uuid
+
+        _gc_staging(self.path)
+        self._gc_dead_batches()
+        live = self._live_batch_dirs()
+        if len(live) <= 1:
+            return 0
+        before = {
+            which: self._content_fingerprint(df)
+            for which in ("signatures", "shingles")
+            if (df := self._stored(which)) is not None
+        }
+        batch_id = uuid.uuid4().hex
+        stage = os.path.join(self.path, "_staging", batch_id)
+        try:
+            for which in before:
+                self._stored(which).write.mode("overwrite").parquet(
+                    os.path.join(stage, which)
+                )
+            os.makedirs(stage, exist_ok=True)  # both tables may be empty
+            with open(os.path.join(stage, "replaces.json"), "w") as f:
+                _json.dump(live, f)
+            for which, fp in before.items():
+                staged = self.spark.read.parquet(os.path.join(stage, which))
+                if self._content_fingerprint(staged) != fp:
+                    raise RuntimeError(
+                        f"compaction checksum mismatch on {which!r}: "
+                        "staged content differs from the live union — "
+                        "aborting with the old state intact"
+                    )
+            os.rename(stage, os.path.join(self._batches_path, batch_id))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        self._gc_dead_batches()
+        return len(live)
 
     def _banded(self, df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
         """(banded keys, hashed shingles) for a document frame."""
@@ -83,16 +216,15 @@ class MinHashDedupIndex:
         return banded, sh.select(F.col(id_col).alias("doc_id"), "_x1", "_x2", "_h")
 
     def _stored(self, which: str) -> DataFrame | None:
-        """Union of ``which`` ("signatures" | "shingles") across committed
-        batch dirs. A batch dir only exists once its single commit rename
-        succeeded, so everything listed here is complete — both tables,
-        all files."""
+        """Union of ``which`` ("signatures" | "shingles") across LIVE
+        committed batch dirs (compaction-superseded dirs are dead by
+        manifest — see ``_live_batch_dirs``). A batch dir only exists
+        once its single commit rename succeeded, so everything listed
+        here is complete — both tables, all files."""
         root = self._batches_path
-        if not os.path.exists(root):
-            return None
         paths = [
             os.path.join(root, b, which)
-            for b in sorted(os.listdir(root))
+            for b in self._live_batch_dirs()
             if os.path.isdir(os.path.join(root, b, which))
             and any(
                 f.endswith(".parquet")
@@ -135,6 +267,7 @@ class MinHashDedupIndex:
         has band rows without its shingles (anti-joined out forever with
         a broken verify side) or shingles without its signatures
         (re-ingested and double-counted)."""
+        _gc_staging(self.path)
         stored_ids = self._stored("signatures")
         if stored_ids is not None:
             batch = batch.join(
@@ -267,13 +400,113 @@ class WinnowDedupIndex:
     def _fp_path(self) -> str:
         return os.path.join(self.path, "fingerprints")
 
-    def _stored(self) -> DataFrame | None:
+    def _live_entries(self) -> list[str]:
+        """Live state entry names under ``fingerprints/``: loose
+        ``<uuid>.parquet`` files (one per committed batch) plus
+        ``compact_<uuid>`` dirs, minus every name in ANY
+        ``replaces.json`` manifest — same supersession rule as
+        ``MinHashDedupIndex._live_batch_dirs`` (a committed compaction
+        makes the merged entries dead even before they are deleted)."""
+        import json as _json
+
         p = self._fp_path
-        if not os.path.exists(p) or not any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ):
+        if not os.path.exists(p):
+            return []
+        entries = sorted(os.listdir(p))
+        dead: set[str] = set()
+        for e in entries:
+            man = os.path.join(p, e, "replaces.json")
+            if e.startswith("compact_") and os.path.exists(man):
+                try:
+                    with open(man) as f:
+                        dead.update(_json.load(f))
+                except (OSError, ValueError):
+                    pass
+        return [
+            e
+            for e in entries
+            if e not in dead
+            and (
+                e.endswith(".parquet")
+                or (e.startswith("compact_") and os.path.isdir(os.path.join(p, e)))
+            )
+        ]
+
+    def _stored(self) -> DataFrame | None:
+        paths = []
+        for e in self._live_entries():
+            full = os.path.join(self._fp_path, e)
+            if e.endswith(".parquet"):
+                paths.append(full)
+            else:
+                data = os.path.join(full, "data")
+                if os.path.isdir(data) and any(
+                    f.endswith(".parquet") for f in os.listdir(data)
+                ):
+                    paths.append(data)
+        if not paths:
             return None
-        return self.spark.read.parquet(p)
+        return self.spark.read.parquet(*paths)
+
+    def _gc_dead_entries(self) -> None:
+        """Reclaim entries superseded by a committed compaction (already
+        invisible to reads; crash-safe at any point)."""
+        import shutil
+
+        p = self._fp_path
+        if not os.path.exists(p):
+            return
+        live = set(self._live_entries())
+        for e in os.listdir(p):
+            if e in live:
+                continue
+            full = os.path.join(p, e)
+            if e.endswith(".parquet") and os.path.isfile(full):
+                os.remove(full)
+            elif e.startswith("compact_") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def compact(self) -> int:
+        """Merge every live state entry into ONE ``compact_<uuid>`` dir —
+        the per-batch single-file commits (the right durability call)
+        accumulate one file per micro-batch and file LISTING degrades at
+        streaming cadence. Returns the number of entries merged.
+
+        Atomicity mirrors ``MinHashDedupIndex.compact``: merged data +
+        a ``replaces.json`` manifest stage under ``_staging/<uuid>`` and
+        publish with ONE ``os.rename``; a count + xxhash64-XOR checksum
+        against the live union gates the rename; a crash at any point
+        leaves a readable, correct index."""
+        import json as _json
+        import shutil
+        import uuid
+
+        _gc_staging(self.path)
+        self._gc_dead_entries()
+        live = self._live_entries()
+        if len(live) <= 1:
+            return 0
+        stored = self._stored()
+        before = MinHashDedupIndex._content_fingerprint(stored)
+        cid = f"compact_{uuid.uuid4().hex}"
+        stage = os.path.join(self.path, "_staging", cid)
+        try:
+            stored.write.mode("overwrite").parquet(os.path.join(stage, "data"))
+            with open(os.path.join(stage, "replaces.json"), "w") as f:
+                _json.dump(live, f)
+            staged = self.spark.read.parquet(os.path.join(stage, "data"))
+            if MinHashDedupIndex._content_fingerprint(staged) != before:
+                raise RuntimeError(
+                    "compaction checksum mismatch on fingerprints: staged "
+                    "content differs from the live union — aborting with "
+                    "the old state intact"
+                )
+            os.rename(stage, os.path.join(self._fp_path, cid))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        self._gc_dead_entries()
+        return len(live)
 
     def add_batch(
         self,
@@ -307,6 +540,7 @@ class WinnowDedupIndex:
         """
         from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
 
+        _gc_staging(self.path)
         stored = self._stored()
         if stored is not None:
             batch = batch.join(
