@@ -48,53 +48,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations, THEN to the oldest stale cohort. Clear entries once
 # their fresh row lands.
 #
-# r13: all 26 r12 entries landed green r12 rows — cleared (VERDICT r12
-# #7). This round's entries: (a) the two new registrations (the composed
-# serving stack + its batched twin, VERDICT #3/#6); (b) queries whose
-# executed code changed this round (the dedup index classes' atomic
-# batch-dir commit / assert→raise — ADVICE r12); (c) the ENTIRE r8-stale
-# cohort, 23 rows, drained per VERDICT r12 #1 so the oldest latest-row
-# moves to r9. 29 total; the remaining ~21 driver slots fall to the r9
-# cohort via the stalest-greens-first ordering below.
+# r14: all 29 r13 entries landed green r13 rows — cleared (VERDICT r13
+# #7 pattern). This round's entries: (a) four new registrations — the
+# two compaction rows (VERDICT r13 #3), SemDeDup, and the IvfSq8Index
+# ingest roundtrip; (b) queries whose executed code changed this round —
+# the distortion pair's shared per-m builds (VERDICT r13 #6), the
+# batched-probe per-query cell dedup, the IvfSq8Index atomic
+# save/add_batch + batch-dir load union, and the dedup index classes'
+# staging GC + manifest-aware state listing (ADVICE r13); (c) the
+# ENTIRE r9-stale cohort, 31 rows, drained per VERDICT r13 #1 so the
+# oldest latest-row moves to r10. 45 total — inside the ~50-row driver
+# sample.
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
-    "ann_ivfpq_batched_topk",
-    "ann_ivf_sq8_rerank_topk",
+    "dedup_index_compact",
+    "dedup_winnow_index_compact",
+    "dedup_semdedup",
+    "ann_ivf_sq8_index_ingest",
+    # (b) implementation changed this round
+    "embed_pq_distortion_sweep",
+    "embed_opq_vs_pq_distortion",
     "ann_ivf_sq8_batched_topk",
     "ann_ivf_sq8_batched_rerank_topk",
+    "ann_ivfpq_batched_topk",
     "ann_ivf_sq8_index_serving",
-    "streaming_ivf_sq8_index",
-    "ann_ivf_sq8_rerank_recall_gate",
-    # (b) implementation changed this round: MinHash/Winnow index commit
-    # paths (atomic batch-dir rename; explicit single-file raise)
     "dedup_incremental_index",
     "dedup_incremental_winnow_index",
     "streaming_dedup_index",
     "streaming_winnow_index",
-    # (c) the r8-stale cohort, oldest-first drain (VERDICT r12 #1)
-    "customer_scd2_versions",
-    "docs_snapshot_diff",
-    "events_funnel",
-    "events_range_join",
-    "events_sessionized_counts",
-    "events_sliding_windows",
-    "events_value_histogram",
-    "multimodal_audio_chunks",
-    "multimodal_chunk_search",
-    "multimodal_cross_search",
-    "rel_distinct_customers",
-    "rel_price_quantiles",
-    "rel_revenue_rollup",
-    "rel_running_revenue",
-    "sample_temperature_mix",
-    "streaming_distinct_keys",
-    "streaming_drift_monitor",
-    "streaming_hourly_windows",
-    "streaming_session_windows",
-    "streaming_sessionized",
-    "streaming_stream_stream_join",
-    "text_bigram_loglik",
-    "text_line_dedup",
+    # (c) the r9-stale cohort, oldest-first drain (VERDICT r13 #1)
+    "curate_dsir_weights",
+    "curate_epoch_waterfill",
+    "curate_token_budget",
+    "events_cusum_changepoints",
+    "events_hll_daily_rollup",
+    "events_markov_transitions",
+    "events_quantile_calibration",
+    "events_retention_cohorts",
+    "events_top_paths",
+    "graph_triangle_count",
+    "multimodal_phash_near_dup",
+    "multimodal_scene_cuts",
+    "pack_sequences_blocks",
+    "pack_shard_assign",
+    "pack_shard_interleave",
+    "pipeline_pretraining_shards",
+    "rel_priority_shipping",
+    "rel_scd2_point_in_time",
+    "sample_split_leakage",
+    "sample_weighted_reservoir",
+    "streaming_hll_registers",
+    "text_chunk_overlap",
+    "text_distinct_ngrams",
+    "text_langid_confusion",
+    "text_novelty_vs_reference",
+    "text_perplexity_buckets",
+    "text_phrase_search",
+    "text_pmi_pairs",
+    "text_quality_calibrated",
+    "text_rake_keywords",
+    "text_tokenizer_fertility",
 ]
 
 

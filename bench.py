@@ -1,9 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is forced with a full
-collect (or count for large outputs) so the measured time includes the
-whole plan, not just job submission.
+Prints the full JSON record line {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...} followed by ONE compact
+summary line (total, n, worst-3 ratios vs the recorded baseline) that
+always fits the driver's truncated stdout-tail capture. Each query is
+forced with a full collect (or count for large outputs) so the measured
+time includes the whole plan, not just job submission.
 
 Contention protocol: this box is a shared host with ±50% per-query swings
 under load, so each query runs $SPARK_GRAFT_BENCH_REPS times (default 3)
@@ -218,6 +220,23 @@ def main() -> None:
         _IvfSq8.load(spark, _ivfsq8_path).search(
             emb, qvec, k=10, nprobe=2, shortlist=100
         ).collect()
+
+    @timed("ann_ivf_sq8_batched_topk")
+    def _():
+        # r14 (VERDICT r13 #5): the batched serving-throughput shape —
+        # N queries, ONE pruned codes scan — gets round-over-round
+        # tripwire coverage at sf0.1 (registry/driver-row plan, build
+        # included per the registry contract)
+        from whatsapp_vectordb_spark.harness import ann_ivf_sq8_batched_topk
+
+        ann_ivf_sq8_batched_topk(spark, sf_dir).count()
+
+    @timed("ann_ivfpq_batched_topk")
+    def _():
+        # r14: the IVF-PQ batched twin (one LUT-scored codes scan)
+        from whatsapp_vectordb_spark.harness import ann_ivfpq_batched_topk
+
+        ann_ivfpq_batched_topk(spark, sf_dir).count()
 
     @timed("text_bpe_learn_full")
     def _():
@@ -591,6 +610,43 @@ def main() -> None:
     except OSError:
         pass  # stdout line is still the contract; the file is belt+braces
     print(json.dumps(payload))
+    # Parse-proof summary printed LAST (VERDICT r13 #4/#7): the driver's
+    # BENCH_r{N}.json keeps only a ~2000-char stdout TAIL, and the full
+    # line above outgrew it (r13's artifact has "parsed": null). This
+    # compact line always fits the tail: total, count, and the worst-3
+    # ratios vs BASELINE.md's recorded sf0.1 medians (the 2×-rule table,
+    # re-recorded round 2 — keep in sync with BASELINE.md §"Recorded
+    # numbers" when a query is re-leveled there).
+    recorded = {
+        "knn_topk_single": 0.39, "knn_batched_100_twophase": 0.91,
+        "embed_documents": 0.87, "dedup_exact": 0.48,
+        "dedup_minhash_lsh": 2.56, "dedup_simhash_pairs": 0.75,
+        "text_quality": 1.0, "upsert_dedupe": 0.64, "ann_lsh_topk": 2.12,
+        "knn_topk_1536_expr": 2.11, "knn_batched_1536_twophase": 0.48,
+        "dedup_embedding_lsh": 2.84, "text_search_bm25": 2.21,
+        "ann_pq_adc_topk": 2.73, "events_asof_purchase": 0.27,
+        "events_range_join": 0.33, "streaming_sessionized": 3.87,
+        "rel_pricing_summary": 0.36, "rel_nation_revenue": 0.82,
+        "events_sessionized": 0.25,
+    }
+    comp = {q: r for q, r in recorded.items() if q in timings}
+    ratios = {q: round(timings[q] / r, 2) for q, r in comp.items()}
+    worst3 = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
+    summary = {
+        "metric": "headline_summary",
+        "total_sec": total,
+        "n_queries": len(timings),
+        "reps": reps,
+        "sf": sf,
+        "recorded_subtotal_sec": round(sum(comp.values()), 2),
+        "measured_subtotal_sec": round(sum(timings[q] for q in comp), 2),
+        "vs_recorded": round(sum(timings[q] for q in comp) / sum(comp.values()), 2)
+        if comp
+        else None,
+        "worst3_vs_recorded": worst3,
+        "full_record": os.path.basename(out_path),
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -1316,3 +1316,57 @@ def test_batched_probes_duplicate_cells_are_deduped(spark, embeddings):
             ).collect())
         )
         assert got == want, impl
+
+
+def test_semdedup_prunes_exact_copies_keeps_least_central(spark, embeddings):
+    """SemDeDup invariants: (1) exact copies are always within-threshold,
+    so each copy group loses all but one member; (2) no two KEPT rows in
+    one cluster are within threshold of each other (the dominated one
+    would have been removed); (3) the survivor of a tie group is the
+    lowest id (exact copies share cent_sim, so id breaks the tie)."""
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+    from whatsapp_vectordb_spark.operators.ann import semdedup
+
+    emb = embeddings.select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies).cache()
+    out = semdedup(aug, n_clusters=8, threshold=0.95).cache()
+
+    assert out.count() == aug.count()  # every row labeled, none dropped
+    # each exact-copy pair lost its higher-id member (same vector ⇒ same
+    # centroid + same cent_sim ⇒ id tiebreak removes the copy)
+    copy_rows = {
+        r["vec_id"]: r["kept"]
+        for r in out.where(F.col("vec_id") >= 100_000).collect()
+    }
+    assert copy_rows and not any(copy_rows.values())
+    originals = {
+        r["vec_id"]: r["kept"]
+        for r in out.where(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 100_000)
+        ).collect()
+    }
+    # an original may itself be dominated by a natural near-dup, but the
+    # copy group as a whole keeps EXACTLY one member unless a third row
+    # dominated both — verify at least that not all originals died too
+    assert any(originals.values())
+
+    # no two kept rows within one cluster are within threshold
+    kept = out.where("kept").join(aug, "vec_id").select(
+        "vec_id", "centroid", "cent_sim", "embedding"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    viol = a.join(
+        b,
+        on=[
+            F.col("a.centroid") == F.col("b.centroid"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+            F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= 0.95,
+        ],
+    ).count()
+    assert viol == 0
+    aug.unpersist()
+    out.unpersist()

@@ -3127,3 +3127,105 @@ def ann_sq8_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     codes = sq8_encode(emb, mins, deltas)
     return sq8_topk_euclidean(codes, qvec, mins, deltas, k=10)
+
+
+_IVF_SQ8_INGEST_DIR = _oracle_scratch("ivf_sq8_ingest")
+
+# Frozen-quantizer INGEST against the persisted artifact (r14): build on
+# the base corpus -> save -> add_batch (atomic batches/<uuid> commit) ->
+# RELOAD (the base ∪ batch-dirs union read) -> serve. The oracle reads
+# BOTH code layouts (base + committed batch dirs), recomputes the SQ8
+# scaler analytically from the BASE corpus only (the frozen-scaler
+# contract: batch rows encode with the build-time scaler), and replays
+# prune + integer ADC + shortlist + exact re-rank over the augmented
+# corpus — a missing/duplicated batch commit, a stale scaler, or a
+# broken union read all break the hash.
+
+
+def _ivf_sq8_ingest_sql() -> str:
+    return f"""
+WITH codes AS (
+  SELECT vec_id, sq8_codes, centroid
+  FROM read_parquet('{_IVF_SQ8_INGEST_DIR}/codes/*/*.parquet', hive_partitioning = 1)
+  UNION ALL
+  SELECT vec_id, sq8_codes, centroid
+  FROM read_parquet('{_IVF_SQ8_INGEST_DIR}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
+),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+probe AS (SELECT centroid FROM read_parquet('{_IVF_SQ8_INGEST_DIR}/probe/*.parquet')),
+exf AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+sd AS (SELECT d,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+exc AS (
+  SELECT c.vec_id, unnest(c.sq8_codes) AS cd,
+         unnest(range(1, len(c.sq8_codes) + 1)) AS d
+  FROM codes c JOIN probe p ON CAST(c.centroid AS BIGINT) = p.centroid
+),
+iscores AS (
+  SELECT e.vec_id, SUM(e.cd::BIGINT * g.w) AS score_int
+  FROM exc e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM aug a JOIN short s ON s.vec_id = a.vec_id CROSS JOIN q2
+WHERE list_dot_product(a.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_sq8_index_ingest", _ivf_sq8_ingest_sql())
+def ann_ivf_sq8_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance half of the persisted serving story: an exact
+    copy of every 25th vector ingests through ``add_batch(path=...)``
+    (map-only encode against the FROZEN quantizer+scaler, one atomic
+    ``batches/<uuid>`` rename), a fresh ``load`` unions base + batch
+    layouts from disk, and the served top-10 must rank each copy right
+    beside its original (identical vector ⇒ identical ADC score and
+    identical exact score; id breaks the tie)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    # fixed scratch: clear prior runs' batch dirs so exactly ONE commit
+    # is on disk (save() also folds/clears, but belt + braces for the
+    # probe file written outside the index layout)
+    shutil.rmtree(_IVF_SQ8_INGEST_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(_IVF_SQ8_INGEST_DIR)
+    IvfSq8Index.load(spark, _IVF_SQ8_INGEST_DIR).add_batch(
+        copies, path=_IVF_SQ8_INGEST_DIR
+    )
+    reloaded = IvfSq8Index.load(spark, _IVF_SQ8_INGEST_DIR)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVF_SQ8_INGEST_DIR, "probe")
+    )
+    return reloaded.search(
+        emb.unionByName(copies), qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
+    )

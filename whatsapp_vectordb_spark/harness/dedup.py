@@ -989,3 +989,115 @@ def dedup_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.dedup import winnow_cut_duplicates
 
     return winnow_cut_duplicates(_augmented_docs(spark, sf_dir), k=5, w=4, min_fps=2)
+
+
+@_register("dedup_index_compact", _minhash_pairs_sql(16, 4, 3, 0.5))
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r13 #3: ``MinHashDedupIndex.compact()`` — the atomic
+    per-micro-batch dir commits (right for durability) accumulate one
+    ``batches/<uuid>`` dir per trigger; compact merges them under the
+    same single-rename atomicity with a count+xxhash64 checksum gate.
+    The corpus arrives in THREE batches with a compaction after the
+    second: the third batch probes the COMPACTED state, so the oracle
+    (the one-shot batch dedup SQL, same as ``dedup_incremental_index``)
+    hash-gates that compaction changed no bit of stored state — any
+    lost/duplicated shingle row would corrupt a Jaccard denominator and
+    break the hash."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    path = _oracle_scratch("mh_compact_oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = MinHashDedupIndex(
+        spark, path, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    p1 = idx.add_batch(aug.where(F.col("doc_id") % 3 == 0))
+    p2 = idx.add_batch(aug.where(F.col("doc_id") % 3 == 1))
+    merged = idx.compact()
+    if merged != 2 or idx.compact() != 0:  # merged both dirs; idempotent
+        raise RuntimeError(f"compaction merged {merged} dirs, expected 2")
+    p3 = idx.add_batch(aug.where(F.col("doc_id") % 3 == 2))
+    return p1.unionByName(p2).unionByName(p3)
+
+
+@_register("dedup_winnow_index_compact", _winnow_pairs_sql(5, 4, 2, _AUG_SQL))
+def dedup_winnow_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow twin of ``dedup_index_compact``: the per-batch single-file
+    commits accumulate one file per micro-batch; ``compact()`` merges
+    them into one ``compact_<uuid>`` dir (manifest supersession, single
+    rename, checksum gate). Batch 3 probes the compacted fingerprint
+    inverted index; the one-shot SQL oracle hash-gates that no
+    fingerprint row was lost or duplicated (either would shift an
+    ``n_shared`` count across the ``min_shared`` threshold)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    path = _oracle_scratch("winnow_compact_oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = WinnowDedupIndex(spark, path, k=5, w=4, min_shared=2)
+    p1 = idx.add_batch(aug.where(F.col("doc_id") % 3 == 0))
+    p2 = idx.add_batch(aug.where(F.col("doc_id") % 3 == 1))
+    merged = idx.compact()
+    if merged != 2 or idx.compact() != 0:
+        raise RuntimeError(f"compaction merged {merged} entries, expected 2")
+    p3 = idx.add_batch(aug.where(F.col("doc_id") % 3 == 2))
+    return p1.unionByName(p2).unionByName(p3)
+
+
+_SEMDEDUP_DIR = _oracle_scratch("semdedup_oracle")
+_SEMDEDUP_TAU = 0.95
+
+# SemDeDup's k-means build stays unchecked (not SQL-expressible, same
+# contract as every IVF oracle); the QUERY phase — within-cluster cosine
+# pairs + the deterministic keep-least-central rule — replays in full
+# over the persisted assignment (vec_id, embedding, centroid, cent_sim).
+_SEMDEDUP_SQL = f"""
+WITH cells AS (SELECT * FROM read_parquet('{_SEMDEDUP_DIR}/cells/*.parquet')),
+rm AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a
+  JOIN cells b
+    ON a.centroid = b.centroid
+   AND a.vec_id <> b.vec_id
+   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       >= {_SEMDEDUP_TAU}
+   AND (b.cent_sim < a.cent_sim
+        OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+)
+SELECT c.vec_id, c.centroid, c.cent_sim, (rm.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN rm ON rm.vec_id = c.vec_id
+"""
+
+
+@_register("dedup_semdedup", _SEMDEDUP_SQL)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic embedding dedup by
+    k-means clustering + within-cluster cosine pruning — the
+    LLM-curation tier between exact/MinHash text dedup and the
+    LSH near-identical embedding join. The corpus is augmented with
+    EXACT copies of every 25th vector (cosine 1.0 — guaranteed
+    within-threshold mass wherever the copies cluster), so the
+    keep-least-central election is exercised non-vacuously; the oracle
+    replays pair discovery AND the election over the persisted
+    assignment, so cluster scoping, the τ cut, and the deterministic
+    keeper rule are all inside the hash."""
+    from whatsapp_vectordb_spark.operators.ann import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    out = semdedup(
+        aug, n_clusters=8, threshold=_SEMDEDUP_TAU, round_to=6
+    )
+    # persist the assignment the oracle replays (embedding re-acquired by
+    # id; cent_sim/centroid come from the SAME deterministic run)
+    aug.join(out.select("vec_id", "centroid", "cent_sim"), "vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(_SEMDEDUP_DIR, "cells"))
+    return out

@@ -3138,3 +3138,92 @@ def sq8_topk_euclidean(
         .orderBy(F.col("score_int").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    iters: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication of an embedding corpus by clustering + within-cluster
+    cosine pruning — the cluster scope is what makes embedding dedup
+    tractable at LLM-pretraining scale. Where ``portable_lsh_join``
+    finds near-IDENTICAL vectors (random-hyperplane buckets, high-τ),
+    SemDeDup removes semantically REDUNDANT ones: k-means partitions
+    the space, and pairwise cosine is computed only WITHIN a cluster —
+    the candidate join is an equi-join on the centroid id, so shuffle
+    and compare volume are Σ|cluster|², bounded by growing n_clusters
+    with the corpus (the paper runs 50k clusters on LAION; cluster size,
+    not corpus size, is the unit of quadratic work).
+
+    Keeper rule (deterministic, paper §3: keep LOW-centroid-similarity
+    points — "edge" examples carry more information): a row is removed
+    iff some other row in its cluster has rounded cosine ≥ ``threshold``
+    to it AND ranks before it by (centroid_similarity ASC, id ASC).
+    The rule is a non-recursive EXISTS over the pair set, so the whole
+    query phase replays in ANSI SQL against the persisted assignment
+    (the k-means build itself stays unchecked, like every IVF oracle).
+
+    Returns every input row with its cluster, rounded centroid
+    similarity, and ``kept`` flag — downstream curation filters
+    ``kept`` and writes the surviving corpus.
+
+    Scale: assignment is the frozen-quantizer map (no shuffle); the
+    pair join shuffles ids+vectors once on the centroid key; the
+    EXISTS is a semi-join on the same key. Nothing is O(n²) globally
+    and no collect exceeds k·dim centroid floats."""
+    spark = df.sparkSession
+    proto = IvfIndex.build_balanced(
+        df, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, iters=iters
+    )
+    assigned = assign_nearest_centroid(df, proto.centroids, vec_col)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(proto.centroids)],
+        "centroid int, _cv array<double>",
+    )
+    scored = assigned.join(F.broadcast(cent_df), "centroid").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid").cast("int").alias("centroid"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_cv")), round_to).alias(
+            "cent_sim"
+        ),
+    )
+    a = scored.alias("a")
+    b = scored.alias("b")
+    # rows dominated by an earlier-ranked near-duplicate in their cluster
+    removed = (
+        a.join(
+            b,
+            on=[
+                F.col("a.centroid") == F.col("b.centroid"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                F.round(
+                    cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                    round_to,
+                )
+                >= threshold,
+                (F.col("b.cent_sim") < F.col("a.cent_sim"))
+                | (
+                    (F.col("b.cent_sim") == F.col("a.cent_sim"))
+                    & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+                ),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    return (
+        scored.join(removed.withColumn("_rm", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "centroid",
+            "cent_sim",
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
+        )
+    )
