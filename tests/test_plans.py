@@ -755,3 +755,47 @@ def test_ivf_sq8_batched_rerank_never_shuffles_floats(spark, embeddings, tmp_pat
     assert not re.search(r"Exchange hashpartitioning\(vec_id", p), p
     got = df.collect()
     assert len(got) == 6  # 2 queries x k=3
+
+
+def test_semdedup_pair_join_is_cluster_scoped_equi_join(spark, embeddings):
+    """SemDeDup's scale contract: pairwise cosine happens only WITHIN a
+    cluster — the candidate join must be a centroid-keyed equi-join
+    (shuffle/broadcast hash join), never a cartesian/nested-loop over
+    the corpus; the kilobyte centroid table broadcasts."""
+    from whatsapp_vectordb_spark.operators.ann import semdedup
+
+    out = semdedup(
+        embeddings.select("vec_id", "embedding"), n_clusters=4, threshold=0.95
+    )
+    p = plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastExchange" in p  # the centroid vector table
+    # the dominated-row check reaches the plan as a real join on centroid
+    assert "centroid" in p
+
+
+def test_ivf_sq8_index_ingest_prunes_both_code_layouts(spark, embeddings, tmp_path):
+    """A loaded index that carries batch-dir appends must push the probed
+    cells into EVERY code layout's scan (base + batches) — the union
+    must not defeat partition pruning."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ingest_prune")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    IvfSq8Index.load(spark, path).add_batch(copies, path=path)
+    loaded = IvfSq8Index.load(spark, path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    cells = loaded.probe_centroid_ids(qvec, nprobe=2)
+    p = plan(loaded.probe(qvec, k=5, nprobe=2))
+    pruned_scans = [
+        ln for ln in p.splitlines() if "PartitionFilters" in ln and "centroid" in ln
+    ]
+    # one pruned scan per layout root: base codes + one committed batch
+    assert len(pruned_scans) == 2, p
+    for ln in pruned_scans:
+        assert all(str(c) in ln for c in cells), ln
