@@ -1370,3 +1370,28 @@ def test_semdedup_prunes_exact_copies_keeps_least_central(spark, embeddings):
     assert viol == 0
     aug.unpersist()
     out.unpersist()
+
+
+def test_semdedup_numpy_twin_matches_expr(spark, embeddings):
+    """The at-scale blocked-matmul kernel elects exactly the same
+    survivors as the SQL-parity expr join (same rounded scores, same
+    (cent_sim, id) election), including with a small block size forcing
+    the prefix blocking to engage."""
+    from whatsapp_vectordb_spark.operators.ann import semdedup
+
+    emb = embeddings.select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies).cache()
+    want = {
+        (r["vec_id"], r["centroid"], r["cent_sim"], r["kept"])
+        for r in semdedup(aug, n_clusters=8, threshold=0.95, impl="expr").collect()
+    }
+    got = {
+        (r["vec_id"], r["centroid"], r["cent_sim"], r["kept"])
+        for r in semdedup(aug, n_clusters=8, threshold=0.95, impl="numpy").collect()
+    }
+    assert got == want
+    assert any(not k for *_, k in got)  # non-vacuous: something was pruned
+    aug.unpersist()

@@ -3148,6 +3148,8 @@ def semdedup(
     vec_col: str = "embedding",
     round_to: int = 6,
     iters: int = 5,
+    impl: str = "expr",
+    sample_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     deduplication of an embedding corpus by clustering + within-cluster
@@ -3176,12 +3178,76 @@ def semdedup(
     Scale: assignment is the frozen-quantizer map (no shuffle); the
     pair join shuffles ids+vectors once on the centroid key; the
     EXISTS is a semi-join on the same key. Nothing is O(n²) globally
-    and no collect exceeds k·dim centroid floats."""
+    and no collect exceeds k·dim centroid floats.
+
+    ``impl``: ``"expr"`` (default, SQL-oracle-parity form) materializes
+    the within-cluster pair set through a join; ``"numpy"`` is the
+    at-scale kernel — ONE shuffle groups each cluster, then a blocked
+    dense matmul (the paper's per-cluster similarity matrix) finds
+    dominated rows WITHOUT materializing pairs: |cluster|·block cosine
+    values live at a time, pair rows never shuffle. Same rounded-at-6
+    scores and the same election; kept flags equal the expr path on the
+    gate fixture (pinned by test). Zero-norm vectors: the expr path's
+    NULL cosine never pairs; the numpy path scores them 0 — identical
+    kept flags for any τ > 0. ``sample_rows`` fits the quantizer on a
+    deterministic sample (the paper's regime — at 1M+ rows a full-corpus
+    Lloyd fit costs more than the dedup)."""
     spark = df.sparkSession
+    fit_on = df
+    if sample_rows is not None:
+        n = df.count()
+        if n > sample_rows:
+            fit_on = df.sample(fraction=sample_rows / n, seed=1)
     proto = IvfIndex.build_balanced(
-        df, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, iters=iters
+        fit_on, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, iters=iters
     )
     assigned = assign_nearest_centroid(df, proto.centroids, vec_col)
+    if impl == "numpy":
+        cents = np.asarray(proto.centroids, dtype=np.float64)
+        tau, rt = float(threshold), int(round_to)
+        icol, vcol = id_col, vec_col
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def score_cell(pdf):
+            import pandas as pd
+
+            ids = pdf[icol].to_numpy()
+            M = np.vstack(pdf[vcol].to_numpy()).astype(np.float64)
+            cid = int(pdf["centroid"].iloc[0])
+            norms = np.linalg.norm(M, axis=1)
+            mn = M / np.where(norms == 0.0, 1.0, norms)[:, None]
+            c = cents[cid]
+            cn = c / (np.linalg.norm(c) or 1.0)
+            cs = np.round(mn @ cn, rt)
+            # election order = (cent_sim ASC, id ASC); a row is dominated
+            # iff any EARLIER row's similarity clears τ — computed in
+            # row blocks against the earlier prefix so only
+            # |block|·|prefix| cosines are ever resident (the paper's
+            # per-cluster dense matrix, without the |cluster|² buffer)
+            order = np.lexsort((ids, cs))
+            mo = mn[order]
+            nrows = len(ids)
+            dom = np.zeros(nrows, dtype=bool)
+            B = 4096
+            for s in range(0, nrows, B):
+                e = min(s + B, nrows)
+                sim = np.round(mo[s:e] @ mo[:e].T, rt)
+                earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+                dom[s:e] = ((sim >= tau) & earlier).any(axis=1)
+            kept = np.empty(nrows, dtype=bool)
+            kept[order] = ~dom
+            return pd.DataFrame(
+                {icol: ids, "centroid": np.int32(cid), "cent_sim": cs, "kept": kept}
+            )
+
+        return (
+            assigned.select(id_col, vec_col, F.col("centroid").cast("int").alias("centroid"))
+            .groupBy("centroid")
+            .applyInPandas(
+                score_cell,
+                schema=f"{icol} {id_type}, centroid int, cent_sim double, kept boolean",
+            )
+        )
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(proto.centroids)],
         "centroid int, _cv array<double>",
