@@ -63,7 +63,7 @@ _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "dedup_index_compact",
     "dedup_winnow_index_compact",
-    "dedup_semdedup",
+    "dedup_semdedup_kmeans",
     "ann_ivf_sq8_index_ingest",
     # (b) implementation changed this round
     "embed_pq_distortion_sweep",

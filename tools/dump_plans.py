@@ -58,7 +58,7 @@ SHOWN = [
     ("ann_ivf_sq8_rerank_topk", "composed serving stack: PartitionFilters-pruned codes scan -> int ADC shortlist -> BroadcastHashJoin pages the shortlist floats in; the float table never hash-repartitions"),
     ("ann_ivf_sq8_batched_topk", "batched probe: ONE codes scan (pruned to the union of probed cells) x broadcast (query, cell) map + weight LUTs, query_id-keyed window rank"),
     ("ann_ivfpq_batched_topk", "batched IVF-PQ probe: ONE 8-byte-codes scan (pruned to the probed-cell union) x broadcast probe map + per-query flattened ADC LUTs, query_id-keyed window rank"),
-    ("dedup_semdedup", "SemDeDup: centroid-keyed WITHIN-CLUSTER pair join (equi-join, no cartesian), broadcast centroid table for cent_sim, EXISTS-style dominated-row semi-join"),
+    ("dedup_semdedup_kmeans", "SemDeDup: centroid-keyed WITHIN-CLUSTER pair join (equi-join, no cartesian), broadcast centroid table for cent_sim, EXISTS-style dominated-row semi-join"),
     ("ann_ivf_sq8_index_ingest", "frozen-quantizer ingest roundtrip: base+batch codes layouts UNION with per-root PartitionFilters, integer ADC shortlist, broadcast re-rank of the augmented floats"),
 ]
 

@@ -1073,12 +1073,14 @@ FROM cells c LEFT JOIN rm ON rm.vec_id = c.vec_id
 """
 
 
-@_register("dedup_semdedup", _SEMDEDUP_SQL)
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic embedding dedup by
-    k-means clustering + within-cluster cosine pruning — the
-    LLM-curation tier between exact/MinHash text dedup and the
-    LSH near-identical embedding join. The corpus is augmented with
+@_register("dedup_semdedup_kmeans", _SEMDEDUP_SQL)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over a REAL k-means partition — the
+    paper's actual shape, complementing ``dedup_semdedup`` (which scopes
+    pairs by the label column as a cluster stand-in and elects min-id):
+    here the quantizer is a balanced Lloyd fit, the election is the
+    paper's keep-least-central rule, and every row comes back with its
+    cluster + kept flag. The corpus is augmented with
     EXACT copies of every 25th vector (cosine 1.0 — guaranteed
     within-threshold mass wherever the copies cluster), so the
     keep-least-central election is exercised non-vacuously; the oracle
