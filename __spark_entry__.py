@@ -76,6 +76,7 @@ _FRONTLOAD: list[str] = [
     "dedup_incremental_winnow_index",
     "streaming_dedup_index",
     "streaming_winnow_index",
+    "dedup_winnow_pairs",  # winnow_duplicate_pairs gained durable_path (r14)
     # (c) the r9-stale cohort, oldest-first drain (VERDICT r13 #1)
     "curate_dsir_weights",
     "curate_epoch_waterfill",

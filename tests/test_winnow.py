@@ -383,3 +383,40 @@ def test_winnow_pairs_releases_fingerprint_cache(spark):
     lazy.count()
     assert n_cached() == base + 2  # legacy lazy path: caller clears the cache
     spark.catalog.clearCache()
+
+
+def test_pairs_durable_path_is_fault_tolerant_and_releases_cache(spark, tmp_path):
+    """durable_path (r14, closes the ADVICE r12 durability caveat): the
+    pair set equals the default path's bit-for-bit, the returned frame
+    reads from STORAGE (a parquet scan, not executor-pinned
+    localCheckpoint blocks — survives executor churn), and the
+    fingerprint cache is still released."""
+    from whatsapp_vectordb_spark.operators.dedup import winnow_duplicate_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base + " one"), (2, base + " two"), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_duplicate_pairs(df, k=3, w=4, max_df=50).collect()
+    }
+    dest = str(tmp_path / "pairs_durable")
+    spark.catalog.clearCache()
+    out = winnow_duplicate_pairs(df, k=3, w=4, max_df=50, durable_path=dest)
+    got = {(r["id_a"], r["id_b"], r["n_shared"]) for r in out.collect()}
+    assert got == want and (1, 2) in {(a, b) for a, b, _ in got}
+    # the returned plan is a storage scan of durable_path
+    assert "pairs_durable" in out._jdf.queryExecution().toString()
+    # fingerprint cache released (nothing cached survives the call)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo() == [] or all(
+        i.memSize() == 0 and i.diskSize() == 0 for i in jsc.getRDDStorageInfo()
+    )
+    # durable even without the max_df cache branch
+    dest2 = str(tmp_path / "pairs_durable2")
+    out2 = winnow_duplicate_pairs(df, k=3, w=4, durable_path=dest2)
+    assert {
+        (r["id_a"], r["id_b"], r["n_shared"]) for r in out2.collect()
+    } == want

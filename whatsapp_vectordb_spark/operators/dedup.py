@@ -554,6 +554,7 @@ def winnow_duplicate_pairs(
     min_shared: int = 2,
     max_df: int | None = None,
     release_cache: bool = True,
+    durable_path: str | None = None,
 ) -> DataFrame:
     """Substring-level duplicate pairs from shared winnowing fingerprints:
     documents sharing at least ``min_shared`` distinct selected hashes
@@ -586,10 +587,13 @@ def winnow_duplicate_pairs(
     is pinned to ``localCheckpoint`` blocks, which are NOT fault
     tolerant: they live on executors with no lineage to recompute from,
     so losing an executor after return fails any later action on the
-    result instead of transparently recomputing it. For long jobs that
-    consume the pairs much later (or must survive executor churn), write
-    the bounded pair set to a scratch parquet and read it back instead
-    of holding the returned handle.
+    result instead of transparently recomputing it. ``durable_path``
+    (r14) is the fault-tolerant alternative: the bounded pair set is
+    written to that parquet path and the RE-READ frame returned — any
+    later action replays from storage, surviving executor churn, and
+    the fingerprint cache is still released. Use it for long jobs that
+    consume the pairs much later; localCheckpoint remains the default
+    because it skips the write round-trip for consume-now callers.
     """
     fps = (
         winnow_fingerprints(df, text_col, id_col, k=k, w=w)
@@ -622,7 +626,14 @@ def winnow_duplicate_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
-    if cached is not None and release_cache:
+    if durable_path is not None:
+        # fault-tolerant materialization: pairs land in storage and the
+        # returned frame replays from there (no executor-pinned blocks)
+        pairs.write.mode("overwrite").parquet(durable_path)
+        pairs = df.sparkSession.read.parquet(durable_path)
+        if cached is not None:
+            cached.unpersist()
+    elif cached is not None and release_cache:
         # pairs is bounded (duplicate pairs above min_shared, not corpus
         # rows) — materialize it, then drop the fingerprint cache so it
         # can't pile up across calls in a long-lived session
