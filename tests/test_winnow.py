@@ -403,17 +403,18 @@ def test_pairs_durable_path_is_fault_tolerant_and_releases_cache(spark, tmp_path
         for r in winnow_duplicate_pairs(df, k=3, w=4, max_df=50).collect()
     }
     dest = str(tmp_path / "pairs_durable")
-    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
     out = winnow_duplicate_pairs(df, k=3, w=4, max_df=50, durable_path=dest)
     got = {(r["id_a"], r["id_b"], r["n_shared"]) for r in out.collect()}
     assert got == want and (1, 2) in {(a, b) for a, b, _ in got}
     # the returned plan is a storage scan of durable_path
     assert "pairs_durable" in out._jdf.queryExecution().toString()
-    # fingerprint cache released (nothing cached survives the call)
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo() == [] or all(
-        i.memSize() == 0 and i.diskSize() == 0 for i in jsc.getRDDStorageInfo()
-    )
+    # fingerprint cache released: the call leaves NO new persisted blocks
+    # (other tests' localCheckpoint blocks may legitimately linger in the
+    # shared session — assert on the delta, not on global emptiness)
+    after = {i.id() for i in jsc.getRDDStorageInfo()}
+    assert after <= before, after - before
     # durable even without the max_df cache branch
     dest2 = str(tmp_path / "pairs_durable2")
     out2 = winnow_duplicate_pairs(df, k=3, w=4, durable_path=dest2)
