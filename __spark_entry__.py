@@ -57,13 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # save/add_batch + batch-dir load union, and the dedup index classes'
 # staging GC + manifest-aware state listing (ADVICE r13); (c) the
 # ENTIRE r9-stale cohort, 31 rows, drained per VERDICT r13 #1 so the
-# oldest latest-row moves to r10. 45 total — inside the ~50-row driver
+# oldest latest-row moves to r10. 48 total — inside the ~50-row driver
 # sample.
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "dedup_index_compact",
     "dedup_winnow_index_compact",
     "dedup_semdedup_kmeans",
+    "dedup_semdedup_index",
+    "streaming_semdedup_index",
     "ann_ivf_sq8_index_ingest",
     # (b) implementation changed this round
     "embed_pq_distortion_sweep",

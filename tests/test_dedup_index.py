@@ -432,3 +432,94 @@ def test_staging_gc_sweeps_orphaned_dirs(spark, tmp_path):
         )
     )
     assert os.listdir(str(root / "_staging")) == []
+
+
+# ------------------------------------------------------------- semantic
+
+
+def test_semdedup_index_greedy_election_and_reingest(spark, embeddings, tmp_path):
+    """The semantic tier of the incremental index family: exact copies
+    arriving later are dominated by the stored representative; decisions
+    are final (greedy ε-net); re-ingest is a no-op; and the kept set
+    satisfies the uniqueness certificate — no kept row has an
+    earlier-ranked kept row within τ, every removed row does."""
+    from whatsapp_vectordb_spark.functions.vector import cosine_similarity
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    emb = embeddings.select("vec_id", "embedding").limit(200).cache()
+    b1 = emb.where(F.col("vec_id") < 100)
+    copies = b1.where(F.col("vec_id").isin(3, 7)).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.where(F.col("vec_id") >= 100).unionByName(copies)
+
+    idx = SemDedupIndex(spark, str(tmp_path / "sd_idx"), threshold=0.95, n_clusters=4)
+    r1 = idx.add_batch(b1).withColumn("batch_no", F.lit(0)).cache()
+    r2 = idx.add_batch(b2).withColumn("batch_no", F.lit(1)).cache()
+
+    # every batch row judged exactly once
+    assert r1.count() == b1.count() and r2.count() == b2.count()
+    # exact copies of KEPT batch-1 rows are dominated on arrival
+    kept1 = {r["vec_id"] for r in r1.where("kept").collect()}
+    flags2 = {r["vec_id"]: r["kept"] for r in r2.collect()}
+    for orig in (3, 7):
+        if orig in kept1:
+            assert flags2[orig + 100_000] is False
+
+    # uniqueness certificate over the full history
+    allr = r1.unionByName(r2).join(
+        b1.unionByName(b2).select("vec_id", "embedding"), "vec_id"
+    ).cache()
+    a, b = allr.alias("a"), allr.alias("b")
+    earlier = (
+        (F.col("b.batch_no") < F.col("a.batch_no"))
+        | (
+            (F.col("b.batch_no") == F.col("a.batch_no"))
+            & (
+                (F.col("b.cent_sim") < F.col("a.cent_sim"))
+                | (
+                    (F.col("b.cent_sim") == F.col("a.cent_sim"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            )
+        )
+    )
+    dominated = (
+        a.join(
+            b,
+            on=[
+                F.col("a.centroid") == F.col("b.centroid"),
+                F.col("b.kept"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+                F.round(
+                    cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+                )
+                >= 0.95,
+                earlier,
+            ],
+        )
+        .select(F.col("a.vec_id"))
+        .dropDuplicates()
+    )
+    dom_ids = {r["vec_id"] for r in dominated.collect()}
+    for r in allr.collect():
+        assert r["kept"] == (r["vec_id"] not in dom_ids), r["vec_id"]
+    assert dom_ids  # non-vacuous: something was dominated
+
+    # re-ingest no-op: flags unchanged, state not regrown
+    kept_fp = idx._content_fingerprint(idx._stored("kept"))
+    again = idx.add_batch(b2)
+    assert again.count() == 0
+    assert idx._content_fingerprint(idx._stored("kept")) == kept_fp
+
+    # compact (inherited machinery) preserves state and later elections
+    # (the empty replay committed NO dir — only the two real batches)
+    assert idx.compact() == 2
+    assert idx._content_fingerprint(idx._stored("kept")) == kept_fp
+    copy2 = b1.where(F.col("vec_id").isin(3)).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"), "embedding"
+    )
+    r3 = idx.add_batch(copy2).collect()
+    if 3 in kept1:
+        assert [r["kept"] for r in r3] == [False]
+    emb.unpersist()

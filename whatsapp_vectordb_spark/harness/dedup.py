@@ -1103,3 +1103,84 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(os.path.join(_SEMDEDUP_DIR, "cells"))
     return out
+
+
+_SDIDX_DIR = _oracle_scratch("semdedup_index_oracle")
+
+# The greedy election's UNIQUENESS is the oracle's lever: the kept
+# assignment is the unique one where a row is kept iff NO earlier-ranked
+# KEPT row in its cluster is within τ (induction over the rank order
+# (batch_no, cent_sim, vec_id) — each flag is forced by the earlier
+# flags). So a NON-recursive checker that re-derives kept from the
+# persisted flags via one pair join reproduces them exactly iff the
+# index elected correctly; any wrong flag diverges at the first bad rank
+# and breaks the hash. cent_sim is additionally RECOMPUTED from the
+# persisted embeddings + frozen centroids, cross-checking the kernel's
+# centroid-cosine math engine-to-engine. The k-means fit itself stays
+# unchecked (house IVF-oracle contract).
+_SDIDX_SQL = f"""
+WITH cells AS (SELECT * FROM read_parquet('{_SDIDX_DIR}/cells/*.parquet')),
+cents AS (SELECT * FROM read_parquet('{_SDIDX_DIR}/cents/*.parquet')),
+dom AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a
+  JOIN cells b
+    ON a.centroid = b.centroid
+   AND b.kept
+   AND a.vec_id <> b.vec_id
+   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       >= 0.95
+   AND (b.batch_no < a.batch_no
+        OR (b.batch_no = a.batch_no
+            AND (b.cent_sim < a.cent_sim
+                 OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))))
+)
+SELECT c.vec_id, c.batch_no, c.centroid,
+       ROUND(list_cosine_similarity(c.embedding::DOUBLE[], ct.cvec), 6) AS cent_sim,
+       (d.vec_id IS NULL) AS kept
+FROM cells c
+JOIN cents ct ON ct.centroid = c.centroid
+LEFT JOIN dom d ON d.vec_id = c.vec_id
+"""
+
+
+@_register("dedup_semdedup_index", _SDIDX_SQL)
+def dedup_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC tier of the incremental index family
+    (``SemDedupIndex`` — MinHash is document-level, Winnow is
+    substring-level, this is embedding-level): the augmented corpus
+    (exact copies of every 25th vector) arrives in THREE batches; the
+    quantizer freezes after batch 1; each batch's rows elect greedily
+    against the STORED representatives (first decision wins, stored
+    state append-only — the ε-net ingest semantics, deliberately
+    distinct from the batch operator's least-central election). The
+    oracle re-derives every kept flag non-recursively from the
+    persisted state via the greedy-uniqueness certificate and
+    recomputes cent_sim from raw embeddings + frozen centroids."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    shutil.rmtree(_SDIDX_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    idx = SemDedupIndex(
+        spark, os.path.join(_SDIDX_DIR, "idx"), threshold=0.95, n_clusters=8
+    )
+    parts = []
+    for i in range(3):
+        b = aug.where(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        parts.append(idx.add_batch(b).withColumn("batch_no", F.lit(i)))
+    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    aug.join(res, "vec_id").select(
+        "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
+    ).write.mode("overwrite").parquet(os.path.join(_SDIDX_DIR, "cells"))
+    cents = idx._load_centroids()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_SDIDX_DIR, "cents"))
+    return res.select("vec_id", "batch_no", "centroid", "cent_sim", "kept")

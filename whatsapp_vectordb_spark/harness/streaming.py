@@ -916,3 +916,97 @@ def streaming_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("batch_id")
     )
     return sq8_topk(codes, qvec, deltas, k=10)
+
+
+_SD_STREAM_DIR = _oracle_scratch("stream_semdedup")
+
+# Streaming semantic dedup: the SemDedupIndex fed by the STREAMING
+# ENGINE. The oracle is the same greedy-uniqueness certificate as the
+# batch row (dedup_semdedup_index), derived entirely from the persisted
+# post-stream state — so it gates the election under the STREAM's batch
+# split, whatever the file->trigger assignment turned out to be.
+_SD_STREAM_SQL = f"""
+WITH cells AS (SELECT * FROM read_parquet('{_SD_STREAM_DIR}/cells/*.parquet')),
+cents AS (SELECT * FROM read_parquet('{_SD_STREAM_DIR}/cents/*.parquet')),
+dom AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a
+  JOIN cells b
+    ON a.centroid = b.centroid
+   AND b.kept
+   AND a.vec_id <> b.vec_id
+   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       >= 0.95
+   AND (b.batch_no < a.batch_no
+        OR (b.batch_no = a.batch_no
+            AND (b.cent_sim < a.cent_sim
+                 OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))))
+)
+SELECT c.vec_id, c.batch_no, c.centroid,
+       ROUND(list_cosine_similarity(c.embedding::DOUBLE[], ct.cvec), 6) AS cent_sim,
+       (d.vec_id IS NULL) AS kept
+FROM cells c
+JOIN cents ct ON ct.centroid = c.centroid
+LEFT JOIN dom d ON d.vec_id = c.vec_id
+"""
+
+
+@_register("streaming_semdedup_index", _SD_STREAM_SQL)
+def streaming_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SEMANTIC dedup as a real Structured Streaming
+    pipeline: the augmented embedding corpus (exact copies of every
+    25th vector) replays file-per-trigger through foreachBatch; the
+    quantizer freezes on the first micro-batch, each batch's rows elect
+    greedily against the stored representatives, flags land durably
+    keyed by batch_id BEFORE the state commit (the index durability
+    contract), and survivors append through the atomic batch-dir
+    rename. The greedy-uniqueness certificate oracle re-derives every
+    flag from the persisted post-stream state — correct under ANY
+    batch split the engine produced."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    shutil.rmtree(_SD_STREAM_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    src = os.path.join(_SD_STREAM_DIR, "src")
+    aug.repartition(3).write.mode("overwrite").parquet(src)
+
+    idx = SemDedupIndex(
+        spark, os.path.join(_SD_STREAM_DIR, "idx"), threshold=0.95, n_clusters=8
+    )
+    flags_dir = os.path.join(_SD_STREAM_DIR, "flags")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        idx.add_batch(batch_df, results_path=flags_dir, batch_key=batch_id)
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    res = (
+        spark.read.schema(
+            "vec_id long, centroid int, cent_sim double, kept boolean, batch_id long"
+        )
+        .parquet(flags_dir)
+        .withColumnRenamed("batch_id", "batch_no")
+    )
+    aug.join(res, "vec_id").select(
+        "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
+    ).write.mode("overwrite").parquet(os.path.join(_SD_STREAM_DIR, "cells"))
+    cents = idx._load_centroids()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_SD_STREAM_DIR, "cents")
+    )
+    return res.select("vec_id", "batch_no", "centroid", "cent_sim", "kept")

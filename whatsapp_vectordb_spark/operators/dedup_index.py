@@ -54,22 +54,20 @@ def _gc_staging(path: str) -> None:
             shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
 
 
-class MinHashDedupIndex:
-    def __init__(
-        self,
-        spark: SparkSession,
-        path: str,
-        num_hashes: int = 16,
-        bands: int = 4,
-        shingle_n: int = 3,
-        threshold: float = 0.5,
-    ):
+class _BatchDirIndex:
+    """Shared machinery for indexes whose state accretes as ATOMIC
+    ``batches/<uuid>`` directory commits: live-dir listing with
+    ``replaces.json`` manifest supersession, dead-dir GC, the
+    count+xxhash64-XOR content fingerprint, and the checksum-gated
+    single-rename ``compact()``. Subclasses set ``_TABLES`` (the table
+    subdirs committed together in each batch dir) and implement their
+    own ``add_batch``."""
+
+    _TABLES: tuple[str, ...] = ()
+
+    def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.num_hashes = num_hashes
-        self.bands = bands
-        self.shingle_n = shingle_n
-        self.threshold = threshold
 
     @property
     def _batches_path(self) -> str:
@@ -133,6 +131,45 @@ class MinHashDedupIndex:
         ).collect()[0]
         return int(row["n"]), int(row["x"])
 
+    def _stored(self, which: str) -> DataFrame | None:
+        """Union of table ``which`` across LIVE committed batch dirs
+        (compaction-superseded dirs are dead by manifest — see
+        ``_live_batch_dirs``). A batch dir only exists once its single
+        commit rename succeeded, so everything listed here is complete —
+        all tables, all files."""
+        root = self._batches_path
+        paths = [
+            os.path.join(root, b, which)
+            for b in self._live_batch_dirs()
+            if os.path.isdir(os.path.join(root, b, which))
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(root, b, which))
+            )
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def _commit_batch(self, frames: dict[str, DataFrame]) -> None:
+        """Stage every table of one batch under a single ``_staging``
+        dir, then commit with ONE atomic directory rename into
+        ``batches/<uuid>`` — the tables become visible together or not
+        at all (the MinHash index's ADVICE-r12 contract, generalized)."""
+        import shutil
+        import uuid
+
+        batch_id = uuid.uuid4().hex
+        stage = os.path.join(self.path, "_staging", batch_id)
+        try:
+            for which, df in frames.items():
+                df.write.mode("overwrite").parquet(os.path.join(stage, which))
+            os.makedirs(self._batches_path, exist_ok=True)
+            os.rename(stage, os.path.join(self._batches_path, batch_id))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+
     def compact(self) -> int:
         """Merge every live ``batches/<uuid>`` dir into ONE — the
         maintenance verb the per-micro-batch atomic commit needs (at
@@ -162,7 +199,7 @@ class MinHashDedupIndex:
             return 0
         before = {
             which: self._content_fingerprint(df)
-            for which in ("signatures", "shingles")
+            for which in self._TABLES
             if (df := self._stored(which)) is not None
         }
         batch_id = uuid.uuid4().hex
@@ -190,6 +227,25 @@ class MinHashDedupIndex:
         self._gc_dead_batches()
         return len(live)
 
+
+class MinHashDedupIndex(_BatchDirIndex):
+    _TABLES = ("signatures", "shingles")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        threshold: float = 0.5,
+    ):
+        super().__init__(spark, path)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+
     def _banded(self, df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
         """(banded keys, hashed shingles) for a document frame."""
         sh = _hashed_shingles(df, "text", id_col, self.shingle_n)
@@ -214,26 +270,6 @@ class MinHashDedupIndex:
             F.col(id_col).alias("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
         ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
         return banded, sh.select(F.col(id_col).alias("doc_id"), "_x1", "_x2", "_h")
-
-    def _stored(self, which: str) -> DataFrame | None:
-        """Union of ``which`` ("signatures" | "shingles") across LIVE
-        committed batch dirs (compaction-superseded dirs are dead by
-        manifest — see ``_live_batch_dirs``). A batch dir only exists
-        once its single commit rename succeeded, so everything listed
-        here is complete — both tables, all files."""
-        root = self._batches_path
-        paths = [
-            os.path.join(root, b, which)
-            for b in self._live_batch_dirs()
-            if os.path.isdir(os.path.join(root, b, which))
-            and any(
-                f.endswith(".parquet")
-                for f in os.listdir(os.path.join(root, b, which))
-            )
-        ]
-        if not paths:
-            return None
-        return self.spark.read.parquet(*paths)
 
     def add_batch(
         self,
@@ -327,33 +363,18 @@ class MinHashDedupIndex:
 
     def _commit_appends(self, banded_new: DataFrame, sh_new: DataFrame) -> None:
         """Stage BOTH tables under one batch directory, then commit with a
-        SINGLE atomic directory rename into ``batches/<uuid>/``.
+        SINGLE atomic directory rename into ``batches/<uuid>/``
+        (``_BatchDirIndex._commit_batch``).
 
-        The previous scheme renamed part-files into two live dirs in a
+        The pre-r13 scheme renamed part-files into two live dirs in a
         loop; a crash mid-loop could leave a doc with signatures but no
         shingles — the re-ingest anti-join (keyed on stored signature
         doc_ids) would then skip the doc forever while its Jaccard verify
         side stayed broken. One dir-level rename has no such window: a
         batch is either fully in (both tables, all files) or fully out.
-        No coalesce needed — any number of part files inside the staged
-        dir commits atomically with it. Cost: ``_stored`` unions per-batch
-        dirs (micro-batch counts; compact offline if listing ever
-        matters)."""
-        import shutil
-        import uuid
-
-        batch_id = uuid.uuid4().hex
-        stage = os.path.join(self.path, "_staging", batch_id)
-        try:
-            banded_new.write.mode("overwrite").parquet(
-                os.path.join(stage, "signatures")
-            )
-            sh_new.write.mode("overwrite").parquet(os.path.join(stage, "shingles"))
-            os.makedirs(self._batches_path, exist_ok=True)
-            os.rename(stage, os.path.join(self._batches_path, batch_id))
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
+        Cost: ``_stored`` unions per-batch dirs (micro-batch counts;
+        ``compact()`` merges them when listing matters)."""
+        self._commit_batch({"signatures": banded_new, "shingles": sh_new})
 
 
 class WinnowDedupIndex:
@@ -628,3 +649,230 @@ class WinnowDedupIndex:
             )
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+
+class SemDedupIndex(_BatchDirIndex):
+    """Persistent SEMANTIC dedup index — the embedding tier of the
+    incremental index family (MinHash = document, Winnow = substring,
+    SemDedup = semantic), the ingest-time twin of ``ann.semdedup``
+    exactly as ``MinHashDedupIndex`` twins ``minhash_near_duplicates``.
+
+    State per committed batch dir (atomic single-rename, inherited):
+
+    - ``kept``: the surviving representatives ``(vec_id, embedding,
+      centroid, cent_sim)`` — the ε-net cover new rows must clear;
+    - ``ids``: every ingested id (kept or not) — the re-ingest
+      anti-join key (without it a replayed batch would re-elect
+      against a corpus that already judged it).
+
+    ELECTION (first-decision-wins greedy, an explicit divergence from
+    the batch operator): history is totally ordered by
+    ``(batch_no, cent_sim ASC, vec_id ASC)`` — all stored rows precede
+    all batch rows — and a row is KEPT iff no EARLIER **KEPT** row in
+    its cluster has rounded cosine ≥ τ to it. The batch operator's
+    election instead lets ANY earlier row (kept or removed) dominate.
+    Greedy is the right ingest-time semantics: decisions are final
+    (a stored representative is never retroactively removed by a later
+    arrival, so the stored state is append-only), and the kept set is
+    an ε-net — every removed row is within τ of a LIVE representative,
+    which the batch rule does not guarantee. Both are SemDeDup-paper
+    variants (Abbas et al. 2023 §3 discusses keeper choice freedom).
+
+    UNIQUENESS (the oracle's lever): the greedy outcome is the unique
+    kept-assignment where (a) every removed row has an earlier-ranked
+    kept row within τ, and (b) no kept row does — by induction over the
+    rank order, each row's flag is forced by the earlier flags. So a
+    NON-recursive checker (one pair join against the persisted flags)
+    that re-derives ``kept = NOT EXISTS earlier kept row within τ``
+    reproduces the flags exactly iff the index elected correctly — any
+    wrong flag breaks the equality at the first divergent rank. The
+    registry oracle (``dedup_semdedup_index``) is exactly that checker.
+
+    Scale shape: the coarse quantizer freezes after the FIRST batch
+    (persisted in ``meta.json``, temp+rename atomic); each batch is one
+    map-only assign, ONE cogroup shuffle on the centroid key (batch
+    rows meet their cluster's stored representatives — never the whole
+    corpus), and a per-cluster numpy greedy bounded by
+    |cluster batch| + |cluster kept|. Grow ``n_clusters`` with the
+    corpus as the batch operator does."""
+
+    _TABLES = ("kept", "ids")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        threshold: float = 0.95,
+        n_clusters: int = 8,
+        round_to: int = 6,
+        iters: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        super().__init__(spark, path)
+        self.threshold = threshold
+        self.n_clusters = n_clusters
+        self.round_to = round_to
+        self.iters = iters
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _load_centroids(self):
+        import json as _json
+
+        import numpy as np
+
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as f:
+            return np.asarray(_json.load(f)["centroids"], dtype=np.float64)
+
+    def _save_centroids(self, centroids) -> None:
+        """Atomic temp+rename publish (the IvfSq8Index meta contract):
+        the quantizer is frozen the moment the first batch commits, and
+        a crash can never leave a readable index with a half-written
+        centroid matrix."""
+        import json as _json
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_meta_{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"centroids": [list(map(float, c)) for c in centroids]}, f)
+        os.rename(tmp, self._meta_path)
+
+    def add_batch(
+        self,
+        batch: DataFrame,
+        results_path: str | None = None,
+        batch_key=None,
+    ) -> DataFrame:
+        """Elect ``batch`` against the stored representatives AND itself,
+        then fold the survivors in. Returns every batch row as
+        ``(vec_id, centroid, cent_sim, kept)``; re-ingest-safe
+        (already-seen ids anti-joined out) and crash-safe (both state
+        tables commit with one rename; the returned frame is pinned
+        before the commit so a lazily-consumed result can never read
+        the post-append state).
+
+        ``results_path`` + ``batch_key``: same durability contract as
+        the MinHash/Winnow indexes' ``pairs_path`` — the batch's flags
+        land durably in ``results_path/batch_id=<batch_key>`` BEFORE
+        the state commit, and a post-commit retry (whose anti-join
+        yields an empty result) never clobbers the committed batch's
+        flag file. Without it, persist the returned flags before
+        acknowledging the batch."""
+        import numpy as np
+
+        from whatsapp_vectordb_spark.operators.ann import (
+            IvfIndex,
+            assign_nearest_centroid,
+        )
+
+        _gc_staging(self.path)
+        cents = self._load_centroids()
+        if cents is None:
+            proto = IvfIndex.build_balanced(
+                batch,
+                n_centroids=self.n_clusters,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                iters=self.iters,
+            )
+            cents = np.asarray(proto.centroids, dtype=np.float64)
+            self._save_centroids(cents)
+        seen = self._stored("ids")
+        if seen is not None:
+            batch = batch.join(
+                seen.select(F.col("vec_id").alias(self.id_col)).dropDuplicates(),
+                self.id_col,
+                "left_anti",
+            )
+        assigned = assign_nearest_centroid(batch, cents, self.vec_col).select(
+            self.id_col, self.vec_col, F.col("centroid").cast("int").alias("centroid")
+        )
+        stored_kept = self._stored("kept")
+        if stored_kept is None:
+            stored_kept = self.spark.createDataFrame(
+                [], f"vec_id long, embedding array<double>, centroid int, cent_sim double"
+            )
+        tau, rt = float(self.threshold), int(self.round_to)
+        icol, vcol = self.id_col, self.vec_col
+        id_type = batch.schema[icol].dataType.simpleString()
+        cmat = cents
+
+        def greedy(batch_pdf, kept_pdf):
+            import pandas as pd
+
+            if len(batch_pdf) == 0:
+                return pd.DataFrame(
+                    {icol: [], "centroid": [], "cent_sim": [], "kept": []}
+                )
+            ids = batch_pdf[icol].to_numpy()
+            m = np.vstack(batch_pdf[vcol].to_numpy()).astype(np.float64)
+            cid = int(batch_pdf["centroid"].iloc[0])
+            norms = np.linalg.norm(m, axis=1)
+            mn = m / np.where(norms == 0.0, 1.0, norms)[:, None]
+            c = cmat[cid]
+            cn = c / (np.linalg.norm(c) or 1.0)
+            cs = np.round(mn @ cn, rt)
+            reps = list(
+                np.vstack(kept_pdf["embedding"].to_numpy()).astype(np.float64)
+                / np.maximum(
+                    np.linalg.norm(
+                        np.vstack(kept_pdf["embedding"].to_numpy()), axis=1
+                    ),
+                    1e-300,
+                )[:, None]
+            ) if len(kept_pdf) else []
+            kept = np.zeros(len(ids), dtype=bool)
+            for g in np.lexsort((ids, cs)):  # (cent_sim ASC, id ASC)
+                v = mn[g]
+                if reps and (np.round(np.asarray(reps) @ v, rt) >= tau).any():
+                    continue  # dominated by a LIVE representative
+                kept[g] = True
+                reps.append(v)
+            return pd.DataFrame(
+                {icol: ids, "centroid": np.int32(cid), "cent_sim": cs, "kept": kept}
+            )
+
+        res = (
+            assigned.groupBy("centroid")
+            .cogroup(stored_kept.groupBy("centroid"))
+            .applyInPandas(
+                greedy,
+                schema=f"{icol} {id_type}, centroid int, cent_sim double, kept boolean",
+            )
+        )
+        # pin BEFORE the append mutates the stored dirs (the MinHash
+        # index's documented lazily-read-state hazard)
+        res = res.localCheckpoint(eager=True)
+        empty = res.isEmpty()
+        if results_path is not None:
+            if batch_key is None:
+                raise ValueError("results_path requires a stable batch_key")
+            dest = os.path.join(results_path, f"batch_id={batch_key}")
+            # post-commit retry guard: keep the committed attempt's flag
+            # file rather than clobbering it with the empty recompute
+            if not empty or not os.path.exists(dest):
+                res.write.mode("overwrite").parquet(dest)
+        if empty:
+            return res  # fully anti-joined replay: no state to commit
+        kept_rows = (
+            res.where("kept")
+            .select(icol, "centroid", "cent_sim")
+            .join(batch.select(icol, vcol), icol)
+            .select(
+                F.col(icol).alias("vec_id"),
+                F.col(vcol).cast("array<double>").alias("embedding"),
+                "centroid",
+                "cent_sim",
+            )
+        )
+        ids_df = assigned.select(F.col(icol).alias("vec_id"))
+        self._commit_batch({"kept": kept_rows, "ids": ids_df})
+        return res
