@@ -49,9 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # their fresh row lands.
 #
 # r14: all 29 r13 entries landed green r13 rows — cleared (VERDICT r13
-# #7 pattern). This round's entries: (a) four new registrations — the
-# two compaction rows (VERDICT r13 #3), SemDeDup, and the IvfSq8Index
-# ingest roundtrip; (b) queries whose executed code changed this round —
+# #7 pattern). This round's entries: (a) six new registrations — the
+# two compaction rows (VERDICT r13 #3), the k-means SemDeDup row, the
+# semantic-index pair (batch + streaming), and the IvfSq8Index ingest
+# roundtrip; (b) queries whose executed code changed this round —
 # the distortion pair's shared per-m builds (VERDICT r13 #6), the
 # batched-probe per-query cell dedup, the IvfSq8Index atomic
 # save/add_batch + batch-dir load union, and the dedup index classes'
