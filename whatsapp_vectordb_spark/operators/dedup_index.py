@@ -51,7 +51,14 @@ def _gc_staging(path: str) -> None:
     stag = os.path.join(path, "_staging")
     if os.path.isdir(stag):
         for d in os.listdir(stag):
-            shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
+            full = os.path.join(stag, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:  # e.g. an orphaned _meta_*.tmp from a crashed publish
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
 
 class _BatchDirIndex:
@@ -739,8 +746,11 @@ class SemDedupIndex(_BatchDirIndex):
         import json as _json
         import uuid
 
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_meta_{uuid.uuid4().hex}.tmp")
+        # tmp lives under _staging so a crash-orphaned file is swept by
+        # the same GC that cleans orphaned batch stages
+        stag = os.path.join(self.path, "_staging")
+        os.makedirs(stag, exist_ok=True)
+        tmp = os.path.join(stag, f"_meta_{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             _json.dump({"centroids": [list(map(float, c)) for c in centroids]}, f)
         os.rename(tmp, self._meta_path)
