@@ -1395,3 +1395,41 @@ def test_semdedup_numpy_twin_matches_expr(spark, embeddings):
     assert got == want
     assert any(not k for *_, k in got)  # non-vacuous: something was pruned
     aug.unpersist()
+
+
+def test_ivf_sq8_index_empty_batch_and_preserving_save(spark, embeddings, tmp_path):
+    """r14 review fixes: (a) add_batch with an empty batch commits
+    nothing — a committed EMPTY partitioned dir would brick every later
+    load() on schema inference; (b) save()'s default now PRESERVES the
+    on-disk float store, so using save as the compaction verb cannot
+    silently destroy co-located re-ranking."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_sq8_empty")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    loaded = IvfSq8Index.load(spark, path)
+    loaded.add_batch(emb.where(F.col("vec_id") < 0), path=path)  # empty
+    assert not os.path.isdir(os.path.join(path, "batches")) or not os.listdir(
+        os.path.join(path, "batches")
+    )
+    IvfSq8Index.load(spark, path)  # must not raise
+
+    # real batch, then DEFAULT save: the float store must survive
+    copy = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    loaded.add_batch(copy, path=path)
+    IvfSq8Index.load(spark, path).save(path)  # store_vectors unspecified
+    assert os.path.isdir(os.path.join(path, "vectors"))
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ids = [
+        r["vec_id"]
+        for r in IvfSq8Index.load(spark, path)
+        .search(query_vec=qvec, k=3, nprobe=2, shortlist=50)
+        .collect()
+    ]
+    assert 90000 in ids[:2]  # co-located re-rank still serves the append

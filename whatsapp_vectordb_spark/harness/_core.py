@@ -321,3 +321,38 @@ def _write_jsonl_corpus(spark: SparkSession, sf_dir: str, out_dir: str, shards: 
 
 
 _BM25_TERMS = ("data", "processing", "scale")
+
+
+def _semdedup_certificate_sql(scratch_dir: str, tau: float = 0.95) -> str:
+    """The SemDedupIndex greedy-uniqueness certificate, shared by the
+    batch row (dedup_semdedup_index) and the streaming twin: re-derive
+    every kept flag NON-recursively from the persisted state (a row is
+    kept iff no earlier-ranked KEPT row in its cluster clears τ — the
+    unique fixpoint of the greedy election, so one pair join reproduces
+    the flags exactly iff the index elected correctly), and recompute
+    cent_sim from raw embeddings + the frozen centroids as a
+    cross-engine check of the kernel's cosine math."""
+    return f"""
+WITH cells AS (SELECT * FROM read_parquet('{scratch_dir}/cells/*.parquet')),
+cents AS (SELECT * FROM read_parquet('{scratch_dir}/cents/*.parquet')),
+dom AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a
+  JOIN cells b
+    ON a.centroid = b.centroid
+   AND b.kept
+   AND a.vec_id <> b.vec_id
+   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+       >= {tau}
+   AND (b.batch_no < a.batch_no
+        OR (b.batch_no = a.batch_no
+            AND (b.cent_sim < a.cent_sim
+                 OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))))
+)
+SELECT c.vec_id, c.batch_no, c.centroid,
+       ROUND(list_cosine_similarity(c.embedding::DOUBLE[], ct.cvec), 6) AS cent_sim,
+       (d.vec_id IS NULL) AS kept
+FROM cells c
+JOIN cents ct ON ct.centroid = c.centroid
+LEFT JOIN dom d ON d.vec_id = c.vec_id
+"""

@@ -19,7 +19,7 @@ from whatsapp_vectordb_spark.functions.vector import (
 )
 from whatsapp_vectordb_spark.operators.search import topk, topk_batched
 
-from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _AUG_SQL, _TOKS, _augmented_docs, _minhash_pairs_sql, _minhash_sig_sql, _oracle_scratch, _phash_sql, _register, _sh_sql, _t  # noqa: E501
+from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _AUG_SQL, _TOKS, _augmented_docs, _minhash_pairs_sql, _minhash_sig_sql, _oracle_scratch, _phash_sql, _register, _semdedup_certificate_sql, _sh_sql, _t  # noqa: E501
 
 
 
@@ -1107,41 +1107,10 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SDIDX_DIR = _oracle_scratch("semdedup_index_oracle")
 
-# The greedy election's UNIQUENESS is the oracle's lever: the kept
-# assignment is the unique one where a row is kept iff NO earlier-ranked
-# KEPT row in its cluster is within τ (induction over the rank order
-# (batch_no, cent_sim, vec_id) — each flag is forced by the earlier
-# flags). So a NON-recursive checker that re-derives kept from the
-# persisted flags via one pair join reproduces them exactly iff the
-# index elected correctly; any wrong flag diverges at the first bad rank
-# and breaks the hash. cent_sim is additionally RECOMPUTED from the
-# persisted embeddings + frozen centroids, cross-checking the kernel's
-# centroid-cosine math engine-to-engine. The k-means fit itself stays
-# unchecked (house IVF-oracle contract).
-_SDIDX_SQL = f"""
-WITH cells AS (SELECT * FROM read_parquet('{_SDIDX_DIR}/cells/*.parquet')),
-cents AS (SELECT * FROM read_parquet('{_SDIDX_DIR}/cents/*.parquet')),
-dom AS (
-  SELECT DISTINCT a.vec_id
-  FROM cells a
-  JOIN cells b
-    ON a.centroid = b.centroid
-   AND b.kept
-   AND a.vec_id <> b.vec_id
-   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-       >= 0.95
-   AND (b.batch_no < a.batch_no
-        OR (b.batch_no = a.batch_no
-            AND (b.cent_sim < a.cent_sim
-                 OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))))
-)
-SELECT c.vec_id, c.batch_no, c.centroid,
-       ROUND(list_cosine_similarity(c.embedding::DOUBLE[], ct.cvec), 6) AS cent_sim,
-       (d.vec_id IS NULL) AS kept
-FROM cells c
-JOIN cents ct ON ct.centroid = c.centroid
-LEFT JOIN dom d ON d.vec_id = c.vec_id
-"""
+# Oracle = the shared greedy-uniqueness certificate (see
+# _core._semdedup_certificate_sql for the full argument); the k-means
+# fit itself stays unchecked (house IVF-oracle contract).
+_SDIDX_SQL = _semdedup_certificate_sql(_SDIDX_DIR, 0.95)
 
 
 @_register("dedup_semdedup_index", _SDIDX_SQL)

@@ -785,8 +785,13 @@ def _ensure_pq_micro(spark: SparkSession, sf_dir: str, m: int) -> tuple[str, str
     codes_path = os.path.join(_PQ_SWEEP_DIR, f"codes_m{m}")
     books_path = os.path.join(_PQ_SWEEP_DIR, f"books_m{m}")
     marker = os.path.join(_PQ_SWEEP_DIR, f"_built_m{m}.json")
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     key = {"sf_dir": os.path.abspath(sf_dir), "m": m, "ksub": 16,
-           "sample_rows": 500, "seed": 0}
+           "sample_rows": 500, "seed": 0,
+           # an in-place regenerated corpus must invalidate the cache —
+           # both engines read the same persisted artifacts, so a stale
+           # build would stay hash-green while measuring nothing
+           "corpus_mtime": os.path.getmtime(emb_path)}
     if os.path.exists(marker):
         try:
             with open(marker) as f:

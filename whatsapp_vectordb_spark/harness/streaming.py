@@ -19,7 +19,7 @@ from whatsapp_vectordb_spark.functions.vector import (
 )
 from whatsapp_vectordb_spark.operators.search import topk, topk_batched
 
-from whatsapp_vectordb_spark.harness._core import ORACLES, _CHAT_LINE_SQL, _augmented_docs, _chat_lines_df, _oracle_scratch, _register, _t, _tmp_scratch, _write_jsonl_corpus  # noqa: E501
+from whatsapp_vectordb_spark.harness._core import ORACLES, _CHAT_LINE_SQL, _augmented_docs, _chat_lines_df, _oracle_scratch, _register, _semdedup_certificate_sql, _t, _tmp_scratch, _write_jsonl_corpus  # noqa: E501
 
 
 
@@ -921,34 +921,11 @@ def streaming_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SD_STREAM_DIR = _oracle_scratch("stream_semdedup")
 
 # Streaming semantic dedup: the SemDedupIndex fed by the STREAMING
-# ENGINE. The oracle is the same greedy-uniqueness certificate as the
-# batch row (dedup_semdedup_index), derived entirely from the persisted
-# post-stream state — so it gates the election under the STREAM's batch
-# split, whatever the file->trigger assignment turned out to be.
-_SD_STREAM_SQL = f"""
-WITH cells AS (SELECT * FROM read_parquet('{_SD_STREAM_DIR}/cells/*.parquet')),
-cents AS (SELECT * FROM read_parquet('{_SD_STREAM_DIR}/cents/*.parquet')),
-dom AS (
-  SELECT DISTINCT a.vec_id
-  FROM cells a
-  JOIN cells b
-    ON a.centroid = b.centroid
-   AND b.kept
-   AND a.vec_id <> b.vec_id
-   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-       >= 0.95
-   AND (b.batch_no < a.batch_no
-        OR (b.batch_no = a.batch_no
-            AND (b.cent_sim < a.cent_sim
-                 OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))))
-)
-SELECT c.vec_id, c.batch_no, c.centroid,
-       ROUND(list_cosine_similarity(c.embedding::DOUBLE[], ct.cvec), 6) AS cent_sim,
-       (d.vec_id IS NULL) AS kept
-FROM cells c
-JOIN cents ct ON ct.centroid = c.centroid
-LEFT JOIN dom d ON d.vec_id = c.vec_id
-"""
+# ENGINE. Oracle = the same shared greedy-uniqueness certificate as the
+# batch row, derived entirely from the persisted post-stream state — so
+# it gates the election under the STREAM's batch split, whatever the
+# file->trigger assignment turned out to be.
+_SD_STREAM_SQL = _semdedup_certificate_sql(_SD_STREAM_DIR, 0.95)
 
 
 @_register("streaming_semdedup_index", _SD_STREAM_SQL)

@@ -2685,21 +2685,19 @@ class IvfSq8Index:
 
     @staticmethod
     def _gc_staging(path: str) -> None:
-        """Delete orphaned ``_staging/<uuid>`` dirs left by a hard crash
+        """Delete orphaned ``_staging`` entries left by a hard crash
         mid-save/mid-add_batch (ADVICE r13). They are invisible to reads
         (only committed ``codes``/``batches/<uuid>`` dirs are ever
         listed) so correctness never depended on this — it just stops
-        dead staging bytes accumulating forever. Safe to run any time
-        from the one writer this layout assumes (same single-writer
-        posture as ``MinHashDedupIndex``)."""
-        import shutil
+        dead staging bytes accumulating forever. One implementation,
+        shared with the dedup indexes (same single-writer posture)."""
+        from whatsapp_vectordb_spark.operators.dedup_index import _gc_staging
 
-        stag = os.path.join(path, "_staging")
-        if os.path.isdir(stag):
-            for d in os.listdir(stag):
-                shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
+        _gc_staging(path)
 
-    def save(self, path: str, store_vectors: bool = False) -> "IvfSq8Index":
+    def save(
+        self, path: str, store_vectors: bool | None = None
+    ) -> "IvfSq8Index":
         """Codes ``partitionBy(centroid)`` + one meta json (centroids,
         scaler, column names). ``store_vectors=True`` additionally
         persists the CO-LOCATED float store (``vectors/``, same
@@ -2709,6 +2707,11 @@ class IvfSq8Index:
         table that supports its own pruning (then pass ``vectors_df`` to
         ``search``); a flat external float table costs a full
         float-column scan per re-rank (measured, BASELINE.md r13).
+        The default ``None`` PRESERVES the existing layout: re-saving
+        (compacting) a path whose layout carries a float store keeps it,
+        a fresh save stays codes-only — so the compaction verb can never
+        silently destroy the float store (``False`` still drops it
+        explicitly).
 
         CRASH SAFETY (ADVICE r13): everything is staged under
         ``_staging/<uuid>`` first (codes, vectors, meta.json), then
@@ -2725,6 +2728,18 @@ class IvfSq8Index:
         import uuid
 
         self._gc_staging(path)
+        if store_vectors is None:
+            # preserve the on-disk layout: a vectors store in the base
+            # dir or in any committed batch dir means the index is
+            # serving co-located re-ranks — keep that working
+            store_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
+                os.path.isdir(os.path.join(path, "batches", b, "vectors"))
+                for b in (
+                    os.listdir(os.path.join(path, "batches"))
+                    if os.path.isdir(os.path.join(path, "batches"))
+                    else []
+                )
+            )
         stage = os.path.join(path, "_staging", uuid.uuid4().hex)
         try:
             self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
@@ -2789,9 +2804,18 @@ class IvfSq8Index:
         exists once its single commit rename succeeded."""
         from functools import reduce
 
+        def has_parquet(root: str) -> bool:
+            # a dir with no part files anywhere (e.g. a legacy empty
+            # commit: just _SUCCESS) would fail schema inference and
+            # brick the whole load — skip it, it holds no rows
+            for _, _, files in os.walk(root):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
         roots = []
         base = os.path.join(path, sub)
-        if os.path.isdir(base):
+        if os.path.isdir(base) and has_parquet(base):
             roots.append(base)
         bdir = os.path.join(path, "batches")
         if os.path.isdir(bdir):
@@ -2799,6 +2823,7 @@ class IvfSq8Index:
                 os.path.join(bdir, b, sub)
                 for b in sorted(os.listdir(bdir))
                 if os.path.isdir(os.path.join(bdir, b, sub))
+                and has_parquet(os.path.join(bdir, b, sub))
             )
         if not roots:
             return None
@@ -2994,6 +3019,12 @@ class IvfSq8Index:
         enc = sq8_encode(
             batch, self.mins, self.deltas, id_col=self.id_col, vec_col=self.vec_col
         ).join(assigned.select(self.id_col, "centroid"), self.id_col)
+        if enc.isEmpty():
+            # nothing to ingest — and an EMPTY partitioned batch dir on
+            # disk would hold no partition subdirs, making every later
+            # load()'s per-root parquet read fail schema inference
+            # (bricking the index); the SemDedupIndex guards identically
+            return self
         if path is not None:
             self._gc_staging(path)
             batch_id = uuid.uuid4().hex
@@ -3211,6 +3242,8 @@ def semdedup(
         def score_cell(pdf):
             import pandas as pd
 
+            from whatsapp_vectordb_spark.operators.search import _round_half_up
+
             ids = pdf[icol].to_numpy()
             M = np.vstack(pdf[vcol].to_numpy()).astype(np.float64)
             cid = int(pdf["centroid"].iloc[0])
@@ -3218,7 +3251,9 @@ def semdedup(
             mn = M / np.where(norms == 0.0, 1.0, norms)[:, None]
             c = cents[cid]
             cn = c / (np.linalg.norm(c) or 1.0)
-            cs = np.round(mn @ cn, rt)
+            # HALF_UP like F.round / DuckDB ROUND — numpy's default
+            # half-to-even could flip a kept flag on a grid-exact tie
+            cs = _round_half_up(mn @ cn, rt)
             # election order = (cent_sim ASC, id ASC); a row is dominated
             # iff any EARLIER row's similarity clears τ — computed in
             # row blocks against the earlier prefix so only
@@ -3231,7 +3266,7 @@ def semdedup(
             B = 4096
             for s in range(0, nrows, B):
                 e = min(s + B, nrows)
-                sim = np.round(mo[s:e] @ mo[:e].T, rt)
+                sim = _round_half_up(mo[s:e] @ mo[:e].T, rt)
                 earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
                 dom[s:e] = ((sim >= tau) & earlier).any(axis=1)
             kept = np.empty(nrows, dtype=bool)

@@ -631,7 +631,9 @@ def winnow_duplicate_pairs(
         # returned frame replays from there (no executor-pinned blocks)
         pairs.write.mode("overwrite").parquet(durable_path)
         pairs = df.sparkSession.read.parquet(durable_path)
-        if cached is not None:
+        if cached is not None and release_cache:
+            # release_cache=False keeps the fingerprint cache for
+            # follow-up queries, exactly as on the localCheckpoint path
             cached.unpersist()
     elif cached is not None and release_cache:
         # pairs is bounded (duplicate pairs above min_shared, not corpus

@@ -98,8 +98,18 @@ class _BatchDirIndex:
             b for b in sorted(os.listdir(root))
             if os.path.isdir(os.path.join(root, b))
         ]
+        dead = self._dead_names()
+        return [b for b in dirs if b not in dead]
+
+    def _dead_names(self) -> set[str]:
+        """Every name declared dead by ANY manifest under ``batches/``."""
+        import json as _json
+
+        root = self._batches_path
         dead: set[str] = set()
-        for b in dirs:
+        if not os.path.exists(root):
+            return dead
+        for b in os.listdir(root):
             man = os.path.join(root, b, "replaces.json")
             if os.path.exists(man):
                 try:
@@ -107,7 +117,7 @@ class _BatchDirIndex:
                         dead.update(_json.load(f))
                 except (OSError, ValueError):
                     pass  # unreadable manifest: treat as a plain batch dir
-        return [b for b in dirs if b not in dead]
+        return dead
 
     def _gc_dead_batches(self) -> None:
         """Delete batch dirs superseded by a committed compaction (they
@@ -217,8 +227,12 @@ class _BatchDirIndex:
                     os.path.join(stage, which)
                 )
             os.makedirs(stage, exist_ok=True)  # both tables may be empty
+            # TRANSITIVE manifest: carry forward every already-dead name
+            # too — otherwise GC deleting an older compact dir (whose
+            # manifest was keeping a failed-rmtree survivor dead) before
+            # that survivor would resurrect it as live state
             with open(os.path.join(stage, "replaces.json"), "w") as f:
-                _json.dump(live, f)
+                _json.dump(sorted(set(live) | self._dead_names()), f)
             for which, fp in before.items():
                 staged = self.spark.read.parquet(os.path.join(stage, which))
                 if self._content_fingerprint(staged) != fp:
@@ -435,21 +449,11 @@ class WinnowDedupIndex:
         ``replaces.json`` manifest — same supersession rule as
         ``MinHashDedupIndex._live_batch_dirs`` (a committed compaction
         makes the merged entries dead even before they are deleted)."""
-        import json as _json
-
         p = self._fp_path
         if not os.path.exists(p):
             return []
         entries = sorted(os.listdir(p))
-        dead: set[str] = set()
-        for e in entries:
-            man = os.path.join(p, e, "replaces.json")
-            if e.startswith("compact_") and os.path.exists(man):
-                try:
-                    with open(man) as f:
-                        dead.update(_json.load(f))
-                except (OSError, ValueError):
-                    pass
+        dead = self._dead_entry_names()
         return [
             e
             for e in entries
@@ -459,6 +463,24 @@ class WinnowDedupIndex:
                 or (e.startswith("compact_") and os.path.isdir(os.path.join(p, e)))
             )
         ]
+
+    def _dead_entry_names(self) -> set[str]:
+        """Every entry name declared dead by ANY compact manifest."""
+        import json as _json
+
+        p = self._fp_path
+        dead: set[str] = set()
+        if not os.path.exists(p):
+            return dead
+        for e in os.listdir(p):
+            man = os.path.join(p, e, "replaces.json")
+            if e.startswith("compact_") and os.path.exists(man):
+                try:
+                    with open(man) as f:
+                        dead.update(_json.load(f))
+                except (OSError, ValueError):
+                    pass
+        return dead
 
     def _stored(self) -> DataFrame | None:
         paths = []
@@ -515,15 +537,17 @@ class WinnowDedupIndex:
         if len(live) <= 1:
             return 0
         stored = self._stored()
-        before = MinHashDedupIndex._content_fingerprint(stored)
+        before = _BatchDirIndex._content_fingerprint(stored)
         cid = f"compact_{uuid.uuid4().hex}"
         stage = os.path.join(self.path, "_staging", cid)
         try:
             stored.write.mode("overwrite").parquet(os.path.join(stage, "data"))
             with open(os.path.join(stage, "replaces.json"), "w") as f:
-                _json.dump(live, f)
+                # transitive manifest (same resurrection hazard as the
+                # batch-dir compact): keep already-dead names dead
+                _json.dump(sorted(set(live) | self._dead_entry_names()), f)
             staged = self.spark.read.parquet(os.path.join(stage, "data"))
-            if MinHashDedupIndex._content_fingerprint(staged) != before:
+            if _BatchDirIndex._content_fingerprint(staged) != before:
                 raise RuntimeError(
                     "compaction checksum mismatch on fingerprints: staged "
                     "content differs from the live union — aborting with "
@@ -818,6 +842,8 @@ class SemDedupIndex(_BatchDirIndex):
         def greedy(batch_pdf, kept_pdf):
             import pandas as pd
 
+            from whatsapp_vectordb_spark.operators.search import _round_half_up
+
             if len(batch_pdf) == 0:
                 return pd.DataFrame(
                     {icol: [], "centroid": [], "cent_sim": [], "kept": []}
@@ -829,23 +855,32 @@ class SemDedupIndex(_BatchDirIndex):
             mn = m / np.where(norms == 0.0, 1.0, norms)[:, None]
             c = cmat[cid]
             cn = c / (np.linalg.norm(c) or 1.0)
-            cs = np.round(mn @ cn, rt)
-            reps = list(
-                np.vstack(kept_pdf["embedding"].to_numpy()).astype(np.float64)
-                / np.maximum(
-                    np.linalg.norm(
-                        np.vstack(kept_pdf["embedding"].to_numpy()), axis=1
-                    ),
-                    1e-300,
+            # HALF_UP like F.round / the DuckDB certificate oracle —
+            # numpy's half-to-even could flip a flag on a grid-exact tie
+            cs = _round_half_up(mn @ cn, rt)
+            dim = mn.shape[1]
+            n_stored = len(kept_pdf)
+            # representatives live in ONE preallocated growing matrix —
+            # rebuilding an array from a python list per candidate row
+            # would copy the whole rep matrix O(|batch|) times
+            cap = max(16, n_stored + len(ids))
+            reps = np.empty((cap, dim), dtype=np.float64)
+            if n_stored:
+                sm = np.vstack(kept_pdf["embedding"].to_numpy()).astype(np.float64)
+                reps[:n_stored] = sm / np.maximum(
+                    np.linalg.norm(sm, axis=1), 1e-300
                 )[:, None]
-            ) if len(kept_pdf) else []
+            n_reps = n_stored
             kept = np.zeros(len(ids), dtype=bool)
             for g in np.lexsort((ids, cs)):  # (cent_sim ASC, id ASC)
                 v = mn[g]
-                if reps and (np.round(np.asarray(reps) @ v, rt) >= tau).any():
+                if n_reps and (
+                    _round_half_up(reps[:n_reps] @ v, rt) >= tau
+                ).any():
                     continue  # dominated by a LIVE representative
                 kept[g] = True
-                reps.append(v)
+                reps[n_reps] = v
+                n_reps += 1
             return pd.DataFrame(
                 {icol: ids, "centroid": np.int32(cid), "cent_sim": cs, "kept": kept}
             )
