@@ -799,3 +799,45 @@ def test_ivf_sq8_index_ingest_prunes_both_code_layouts(spark, embeddings, tmp_pa
     assert len(pruned_scans) == 2, p
     for ln in pruned_scans:
         assert all(str(c) in ln for c in cells), ln
+
+
+def test_semdedup_index_election_is_one_cogroup_on_centroid(spark, embeddings, tmp_path):
+    """SemDedupIndex's scale contract: a batch meets the stored
+    representatives through ONE centroid-keyed cogroup — exchanges only
+    on the cluster key, no cartesian/nested-loop, no join that drags
+    the whole stored corpus against the batch."""
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = SemDedupIndex(spark, str(tmp_path / "sd_plan"), n_clusters=4)
+    idx.add_batch(emb.where(F.col("vec_id") < 100))
+    # second batch's PRE-CHECKPOINT plan: reconstruct the exact frame
+    # add_batch builds (the committed method checkpoints, which truncates
+    # explain output)
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.ann import assign_nearest_centroid
+
+    cents = idx._load_centroids()
+    batch = emb.where(F.col("vec_id") >= 100)
+    assigned = assign_nearest_centroid(batch, cents, "embedding").select(
+        "vec_id", "embedding", F.col("centroid").cast("int").alias("centroid")
+    )
+    stored = idx._stored("kept")
+    res = (
+        assigned.groupBy("centroid")
+        .cogroup(stored.groupBy("centroid"))
+        .applyInPandas(
+            lambda l, r: l.assign(cent_sim=0.0, kept=True)[
+                ["vec_id", "centroid", "cent_sim", "kept"]
+            ],
+            schema="vec_id long, centroid int, cent_sim double, kept boolean",
+        )
+    )
+    p = plan(res)
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # every exchange keys on the cluster id — nothing reshuffles on rows
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "centroid" in ln, ln
