@@ -24,6 +24,24 @@ import os
 import sys
 import time
 
+# BASELINE.md §"Recorded numbers" sf0.1 medians — the 2×-rule table the
+# summary line's vs_recorded/worst3 ratios compare against. MUST stay in
+# sync with the markdown table when a query is re-leveled there;
+# tests/test_tools.py::test_bench_recorded_matches_baseline_md parses the
+# table and asserts equality, so drift fails the suite (ADVICE r14).
+RECORDED_SF01_MEDIANS = {
+    "knn_topk_single": 0.39, "knn_batched_100_twophase": 0.91,
+    "embed_documents": 0.87, "dedup_exact": 0.48,
+    "dedup_minhash_lsh": 2.56, "dedup_simhash_pairs": 0.75,
+    "text_quality": 1.0, "upsert_dedupe": 0.64, "ann_lsh_topk": 2.12,
+    "knn_topk_1536_expr": 2.11, "knn_batched_1536_twophase": 0.48,
+    "dedup_embedding_lsh": 2.84, "text_search_bm25": 2.21,
+    "ann_pq_adc_topk": 2.73, "events_asof_purchase": 0.27,
+    "events_range_join": 0.33, "streaming_sessionized": 3.87,
+    "rel_pricing_summary": 0.36, "rel_nation_revenue": 0.82,
+    "events_sessionized": 0.25,
+}
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -617,19 +635,7 @@ def main() -> None:
     # ratios vs BASELINE.md's recorded sf0.1 medians (the 2×-rule table,
     # re-recorded round 2 — keep in sync with BASELINE.md §"Recorded
     # numbers" when a query is re-leveled there).
-    recorded = {
-        "knn_topk_single": 0.39, "knn_batched_100_twophase": 0.91,
-        "embed_documents": 0.87, "dedup_exact": 0.48,
-        "dedup_minhash_lsh": 2.56, "dedup_simhash_pairs": 0.75,
-        "text_quality": 1.0, "upsert_dedupe": 0.64, "ann_lsh_topk": 2.12,
-        "knn_topk_1536_expr": 2.11, "knn_batched_1536_twophase": 0.48,
-        "dedup_embedding_lsh": 2.84, "text_search_bm25": 2.21,
-        "ann_pq_adc_topk": 2.73, "events_asof_purchase": 0.27,
-        "events_range_join": 0.33, "streaming_sessionized": 3.87,
-        "rel_pricing_summary": 0.36, "rel_nation_revenue": 0.82,
-        "events_sessionized": 0.25,
-    }
-    comp = {q: r for q, r in recorded.items() if q in timings}
+    comp = {q: r for q, r in RECORDED_SF01_MEDIANS.items() if q in timings}
     ratios = {q: round(timings[q] / r, 2) for q, r in comp.items()}
     worst3 = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
     summary = {

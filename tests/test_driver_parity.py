@@ -67,3 +67,22 @@ def test_every_registered_query_is_reexported():
 
     missing = [n for n, fn in h.QUERIES.items() if not hasattr(h, fn.__name__)]
     assert not missing, missing
+
+
+def test_register_rejects_duplicate_names():
+    """VERDICT r14 #3: a second registration under an existing name must
+    fail loudly — a silent overwrite shrinks the registry invisibly and
+    the sweep's --check parity audits the post-collision registry, so
+    nothing downstream can detect the loss."""
+    import whatsapp_vectordb_spark.harness as h
+    from whatsapp_vectordb_spark.harness._core import _register
+
+    existing = next(iter(h.QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @_register(existing)
+        def shadow(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError
+
+    # the original registration is untouched
+    assert h.QUERIES[existing].__name__ != "shadow"

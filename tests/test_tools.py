@@ -89,3 +89,30 @@ def test_sweep_registry_gap_detects_post_sweep_registrations():
     ) == ["c"]
     # no sweep at all: everything is uncovered
     assert sweep.registry_sweep_gap(reg, None) == ["a", "b", "c"]
+
+
+def test_bench_recorded_matches_baseline_md():
+    """ADVICE r14: bench.py's RECORDED_SF01_MEDIANS is the comparison
+    basis for the summary line's vs_recorded/worst3 telemetry and is
+    hand-copied from BASELINE.md §"Recorded numbers" — parse that table
+    and assert the dict matches it exactly, so a re-leveling in either
+    place without the other fails the suite."""
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    with open(os.path.join(REPO, "BASELINE.md")) as f:
+        md = f.read()
+    section = md.split("## Recorded numbers", 1)[1]
+    table = {}
+    for line in section.splitlines():
+        m = re.match(r"\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9.]+)", line)
+        if m:
+            table[m.group(1)] = float(m.group(2))
+        elif table and line.strip() and not line.startswith("|"):
+            break  # table ended (first prose line after rows started)
+    assert table == bench.RECORDED_SF01_MEDIANS

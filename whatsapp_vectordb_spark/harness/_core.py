@@ -37,6 +37,16 @@ ORACLES: dict[str, str] = {}
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # A silent overwrite shrinks the registry invisibly: the
+            # shadowed query loses its driver row and sweep --check
+            # parity can't see it (it audits the post-collision
+            # registry). Fail at import time instead. (VERDICT r14 #3;
+            # this class of bug has lost a registration before.)
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered (by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -795,7 +795,15 @@ def _ensure_pq_micro(spark: SparkSession, sf_dir: str, m: int) -> tuple[str, str
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                if _json.load(f) == key:
+                # a matching marker is only a hit if the artifacts it
+                # points at still exist — a marker surviving partial
+                # scratch cleanup must trigger a rebuild, not a read
+                # failure in both distortion queries (ADVICE r14)
+                if (
+                    _json.load(f) == key
+                    and os.path.isdir(codes_path)
+                    and os.path.isdir(books_path)
+                ):
                     return codes_path, books_path
         except (OSError, ValueError):
             pass

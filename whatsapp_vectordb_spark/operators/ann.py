@@ -2793,6 +2793,13 @@ class IvfSq8Index:
         self.codes = spark.read.parquet(os.path.join(path, "codes"))
         if store_vectors:
             self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        else:
+            # the float store (if any) was just deleted — dropping the
+            # stale lazy plans makes the next co-located re-rank raise
+            # _rerank_side's explicit "carries no co-located float
+            # store" error instead of a task-level missing-path failure
+            # (ADVICE r14)
+            self.vectors = None
         return self
 
     @staticmethod

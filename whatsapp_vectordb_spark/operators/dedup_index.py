@@ -537,6 +537,11 @@ class WinnowDedupIndex:
         if len(live) <= 1:
             return 0
         stored = self._stored()
+        if stored is None:
+            # >1 live entries but none yields parquet data (e.g. compact
+            # dirs whose data subdir was lost): nothing to merge — the
+            # fingerprint of None would raise AttributeError (ADVICE r14)
+            return 0
         before = _BatchDirIndex._content_fingerprint(stored)
         cid = f"compact_{uuid.uuid4().hex}"
         stage = os.path.join(self.path, "_staging", cid)
