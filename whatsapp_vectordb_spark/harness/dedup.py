@@ -1153,3 +1153,59 @@ def dedup_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_SDIDX_DIR, "cents"))
     return res.select("vec_id", "batch_no", "centroid", "cent_sim", "kept")
+
+
+_SDIDX_COMPACT_DIR = _oracle_scratch("semdedup_index_compact_oracle")
+
+
+@_register(
+    "dedup_semdedup_index_compact",
+    _semdedup_certificate_sql(_SDIDX_COMPACT_DIR, 0.95),
+)
+def dedup_semdedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic twin of ``dedup_index_compact`` — the last of the three
+    incremental-index tiers to get its compaction invariant oracle-gated
+    (VERDICT r14 #2; MinHash and Winnow landed theirs in r14).
+    ``SemDedupIndex`` inherits ``_BatchDirIndex.compact()`` (manifest
+    supersession, single rename, count+xxhash64-XOR checksum gate over
+    BOTH state tables ``kept``/``ids``); here the augmented corpus
+    arrives in three batches with a compaction after the second, so
+    batch 3 elects greedily against the COMPACTED representatives. The
+    greedy-uniqueness certificate oracle re-derives every kept flag
+    non-recursively from the persisted flags — a compaction that lost or
+    duplicated any ``kept`` row would change batch 3's election and
+    break the certificate; a corrupted ``ids`` row would re-admit a
+    seen id and shift the flags the same way."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    shutil.rmtree(_SDIDX_COMPACT_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    idx = SemDedupIndex(
+        spark, os.path.join(_SDIDX_COMPACT_DIR, "idx"), threshold=0.95, n_clusters=8
+    )
+    parts = []
+    for i in range(3):
+        b = aug.where(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        if i == 2:
+            merged = idx.compact()
+            if merged != 2 or idx.compact() != 0:  # merged both; idempotent
+                raise RuntimeError(f"compaction merged {merged} dirs, expected 2")
+        parts.append(idx.add_batch(b).withColumn("batch_no", F.lit(i)))
+    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    aug.join(res, "vec_id").select(
+        "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
+    ).write.mode("overwrite").parquet(os.path.join(_SDIDX_COMPACT_DIR, "cells"))
+    cents = idx._load_centroids()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_SDIDX_COMPACT_DIR, "cents")
+    )
+    return res.select("vec_id", "batch_no", "centroid", "cent_sim", "kept")
