@@ -841,3 +841,21 @@ def test_semdedup_index_election_is_one_cogroup_on_centroid(spark, embeddings, t
     for ln in p.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "centroid" in ln, ln
+
+
+def test_zorder_layout_has_no_single_partition_exchange(spark):
+    """VERDICT r14 #7: the Z-order file assignment was the one remaining
+    unpartitioned full-table window (global ntile). Now it's the house
+    two-phase scan: range-partition on the composite key, row_number per
+    partition, closed-form ntile over the offset global rank — so the
+    plan must show no SinglePartition exchange and the window must
+    partition on _pid, never globally."""
+    from whatsapp_vectordb_spark.operators.layout import zorder_file_stats
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 64, (i * 29) % 64) for i in range(512)],
+        "rid long, x long, y long",
+    )
+    p = plan(zorder_file_stats(df, "x", "y", "rid", n_files=8, bits=8))
+    assert "SinglePartition" not in p
+    assert "windowspecdefinition(_pid" in p

@@ -51,23 +51,75 @@ def zorder_file_stats(
     output IS the data-skipping quality of the layout (tight envelopes =
     most files skippable for a 2-D predicate).
 
-    File assignment is ``ntile(n_files)`` over the total order
+    File assignment reproduces ``ntile(n_files)`` over the total order
     ``(morton_key, order_id_col)`` — deterministic because the tie-break
-    id makes the order total. At production scale the same assignment is
-    a ``repartitionByRange`` on the key followed by one write; the
-    planning query here shuffles only (key, dims) and aggregates 6 longs
-    per file.
+    id makes the order total — but WITHOUT the single-partition global
+    window (the one task every unpartitioned ``Window.orderBy`` funnels
+    the whole table through; VERDICT r14 #7). Instead the house
+    two-phase scan (``curate.ordered_prefix_sum``'s shape): range-
+    partition on the composite key, ``row_number`` within each
+    partition, add per-partition base offsets (≤ n_parts subtotal rows
+    collected), then apply ntile's fill rule to the global rank in
+    closed form — the first ``N mod n`` tiles get ``ceil(N/n)`` rows,
+    the rest ``floor(N/n)``. Bit-identical to the window form (the SQL
+    oracle replays ``NTILE`` directly), O(rows/partition) per task. At
+    production scale the same assignment is a ``repartitionByRange`` on
+    the key followed by one write; the planning query here shuffles only
+    (key, dims) and aggregates 6 longs per file.
     """
     from pyspark.sql import Window
 
+    spark = df.sparkSession
     keyed = df.select(
         F.col(x_col).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),
         F.col(order_id_col).alias("_oid"),
     ).withColumn("_z", morton_key(F.col("_x"), F.col("_y"), bits))
-    w = Window.orderBy(F.col("_z").asc(), F.col("_oid").asc())
+    n_parts = spark.sparkContext.defaultParallelism
+    # the two phases (per-partition window, driver-collected subtotals)
+    # must see identical partition boundaries — checkpoint once
+    part = (
+        keyed.repartitionByRange(n_parts, F.col("_z").asc(), F.col("_oid").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("_z").asc(), F.col("_oid").asc())
+    local = part.withColumn("_local_rk", F.row_number().over(w))
+    totals = (
+        part.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("_z", "_oid")).alias("_min_key"),
+        )
+        .orderBy("_min_key")
+        .collect()
+    )
+    base, offsets = 0, {}
+    for r in totals:
+        offsets[r["_pid"]] = base
+        base += int(r["_n"])
+    n_rows_total = base
+    off = (
+        F.element_at(
+            F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    rk = F.col("_local_rk") + off  # 1-based global rank in the total order
+    q, r = divmod(n_rows_total, n_files)
+    if q == 0:
+        # fewer rows than tiles: ntile gives row k tile k
+        tile = rk
+    else:
+        big = r * (q + 1)  # rows covered by the first r (larger) tiles
+        # floor-div via double division is exact (operands ≪ 2^53)
+        tile = F.when(
+            rk <= big, F.floor((rk - 1) / F.lit(q + 1)).cast("long") + 1
+        ).otherwise(r + F.floor((rk - big - 1) / F.lit(q)).cast("long") + 1)
     return (
-        keyed.withColumn("file_id", F.ntile(n_files).over(w))
+        local.withColumn("file_id", tile)
         .groupBy("file_id")
         .agg(
             F.count("*").alias("n_rows"),
