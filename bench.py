@@ -511,6 +511,24 @@ def main() -> None:
 
         dedup_canonical_by_quality(spark, sf_dir).count()
 
+    # --- the r14 index-family rows, benched for round-over-round drift
+    # visibility at sf0.1 (VERDICT r14 #6). Both BUILD-INCLUSIVE by the
+    # registry contract: the semantic index fits its quantizer and
+    # ingests the augmented corpus in 3 add_batch calls; the ingest row
+    # builds + saves + add_batches + reloads the persisted IVF-SQ8
+    # artifact. Recurring-cost stories live in BASELINE.md's 1M records.
+    @timed("dedup_semdedup_index")
+    def _():
+        from whatsapp_vectordb_spark.harness import dedup_semdedup_index
+
+        dedup_semdedup_index(spark, sf_dir).count()
+
+    @timed("ann_ivf_sq8_index_ingest")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivf_sq8_index_ingest
+
+        ann_ivf_sq8_index_ingest(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus
