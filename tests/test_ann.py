@@ -1433,3 +1433,31 @@ def test_ivf_sq8_index_empty_batch_and_preserving_save(spark, embeddings, tmp_pa
         .collect()
     ]
     assert 90000 in ids[:2]  # co-located re-rank still serves the append
+
+
+def test_ivf_sq8_save_dropping_store_clears_stale_vector_plans(
+    spark, embeddings, tmp_path
+):
+    """ADVICE r14: save(store_vectors=False) on an index loaded WITH a
+    float store deletes the vectors dirs — the in-memory handle must
+    drop its lazy plans over them so the next co-located re-rank raises
+    the operator's explicit error, not a task-level missing-path
+    failure."""
+    import os
+
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_sq8_dropstore")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    loaded = IvfSq8Index.load(spark, path)
+    assert loaded.vectors is not None
+
+    loaded.save(path, store_vectors=False)
+    assert not os.path.isdir(os.path.join(path, "vectors"))
+    assert loaded.vectors is None
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    with _pytest.raises(ValueError, match="no co-located float store"):
+        loaded.search(query_vec=qvec, k=3, nprobe=2, shortlist=50)

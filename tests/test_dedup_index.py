@@ -523,3 +523,20 @@ def test_semdedup_index_greedy_election_and_reingest(spark, embeddings, tmp_path
     if 3 in kept1:
         assert [r["kept"] for r in r3] == [False]
     emb.unpersist()
+
+
+def test_winnow_compact_with_dataless_entries_is_noop(spark, tmp_path):
+    """ADVICE r14: >1 live entries none of which yields parquet data
+    (e.g. compact dirs whose data subdir was lost) must make compact()
+    a clean no-op (return 0), not an AttributeError from fingerprinting
+    a None frame."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    idx = WinnowDedupIndex(spark, str(tmp_path / "w_idx"), k=5, w=4, min_shared=2)
+    for name in ("compact_lost_a", "compact_lost_b"):
+        os.makedirs(os.path.join(idx._fp_path, name))
+    assert len(idx._live_entries()) == 2
+    assert idx._stored() is None
+    assert idx.compact() == 0
