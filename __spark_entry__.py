@@ -48,70 +48,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations, THEN to the oldest stale cohort. Clear entries once
 # their fresh row lands.
 #
-# r14: all 29 r13 entries landed green r13 rows — cleared (VERDICT r13
-# #7 pattern). This round's entries: (a) six new registrations — the
-# two compaction rows (VERDICT r13 #3), the k-means SemDeDup row, the
-# semantic-index pair (batch + streaming), and the IvfSq8Index ingest
-# roundtrip; (b) queries whose executed code changed this round —
-# the distortion pair's shared per-m builds (VERDICT r13 #6), the
-# batched-probe per-query cell dedup, the IvfSq8Index atomic
-# save/add_batch + batch-dir load union, and the dedup index classes'
-# staging GC + manifest-aware state listing (ADVICE r13); (c) the
-# ENTIRE r9-stale cohort, 31 rows, drained per VERDICT r13 #1 so the
-# oldest latest-row moves to r10. 48 total — inside the ~50-row driver
-# sample.
+# r15: all 48 r14 entries landed green r14 rows — cleared. This
+# round's entries: (a) one new registration — the semantic tier's
+# compaction row (VERDICT r14 #2, completing the family invariant);
+# (b) queries whose executed code changed this round — the Z-order
+# layout's two-phase distributed ntile (VERDICT r14 #7), the winnow
+# compact None-guard + IvfSq8Index save store-drop fix (ADVICE r14),
+# and the distortion pair's cache-hit artifact check (ADVICE r14);
+# (c) the ENTIRE r10-stale cohort, 46 rows, drained per VERDICT r14
+# #1. 52 total — the last ~2 cohort rows may fall past the ~50-row
+# driver cap; they sort first in category (4) either way.
 _FRONTLOAD: list[str] = [
-    # (a) new registrations this round
-    "dedup_index_compact",
-    "dedup_winnow_index_compact",
-    "dedup_semdedup_kmeans",
-    "dedup_semdedup_index",
-    "streaming_semdedup_index",
-    "ann_ivf_sq8_index_ingest",
+    # (a) new registration this round
+    "dedup_semdedup_index_compact",
     # (b) implementation changed this round
+    "events_zorder_layout",
+    "dedup_winnow_index_compact",
+    "ann_ivf_sq8_index_ingest",
     "embed_pq_distortion_sweep",
     "embed_opq_vs_pq_distortion",
-    "ann_ivf_sq8_batched_topk",
-    "ann_ivf_sq8_batched_rerank_topk",
-    "ann_ivfpq_batched_topk",
-    "ann_ivf_sq8_index_serving",
-    "dedup_incremental_index",
-    "dedup_incremental_winnow_index",
-    "streaming_dedup_index",
-    "streaming_winnow_index",
-    "dedup_winnow_pairs",  # winnow_duplicate_pairs gained durable_path (r14)
-    # (c) the r9-stale cohort, oldest-first drain (VERDICT r13 #1)
-    "curate_dsir_weights",
-    "curate_epoch_waterfill",
-    "curate_token_budget",
-    "events_cusum_changepoints",
-    "events_hll_daily_rollup",
-    "events_markov_transitions",
-    "events_quantile_calibration",
-    "events_retention_cohorts",
-    "events_top_paths",
-    "graph_triangle_count",
-    "multimodal_phash_near_dup",
-    "multimodal_scene_cuts",
-    "pack_sequences_blocks",
-    "pack_shard_assign",
-    "pack_shard_interleave",
-    "pipeline_pretraining_shards",
-    "rel_priority_shipping",
-    "rel_scd2_point_in_time",
-    "sample_split_leakage",
-    "sample_weighted_reservoir",
-    "streaming_hll_registers",
-    "text_chunk_overlap",
-    "text_distinct_ngrams",
-    "text_langid_confusion",
-    "text_novelty_vs_reference",
-    "text_perplexity_buckets",
-    "text_phrase_search",
-    "text_pmi_pairs",
-    "text_quality_calibrated",
-    "text_rake_keywords",
-    "text_tokenizer_fertility",
+    # (c) the r10-stale cohort, oldest-first drain (VERDICT r14 #1)
+    "ann_ivf_portable_nprobe_sweep",
+    "ann_ivfpq_residual_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_gate",
+    "cluster_kmeans_step",
+    "dedup_components",
+    "dedup_components_lsh",
+    "dedup_embedding_lsh",
+    "embed_centroid_outliers",
+    "embed_hard_negatives",
+    "embed_pca_project",
+    "events_asof_purchase",
+    "events_hll_users",
+    "events_hourly_windows",
+    "events_session_windows",
+    "index_lifecycle",
+    "index_scan_pages",
+    "knn_batched",
+    "knn_topk_cosine",
+    "knn_topk_dotproduct",
+    "knn_topk_euclidean",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_real_decode",
+    "rel_nation_revenue",
+    "rel_orders_topk_per_cust",
+    "rel_pricing_summary",
+    "rel_salted_join",
+    "rel_salted_join_counts",
+    "rel_top_customers",
+    "streaming_jsonl_ingest",
+    "streaming_knn_serving",
+    "streaming_whatsapp_source",
+    "text_cms_calibration",
+    "text_cms_token_freq",
+    "text_fingerprints",
+    "text_heavy_hitters",
+    "text_language_id",
+    "text_quality_scores",
+    "text_search_rm3",
+    "text_token_stats",
+    "text_unigram_loglik",
+    "upsert_metrics",
+    "vector_quantize_int8",
 ]
 
 
