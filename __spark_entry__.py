@@ -59,8 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # #1. 52 total — the last ~2 cohort rows may fall past the ~50-row
 # driver cap; they sort first in category (4) either way.
 _FRONTLOAD: list[str] = [
-    # (a) new registration this round
+    # (a) new registrations this round
     "dedup_semdedup_index_compact",
+    "ann_ivfpq_index_ingest",
     # (b) implementation changed this round
     "events_zorder_layout",
     "dedup_winnow_index_compact",

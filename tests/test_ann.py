@@ -1461,3 +1461,47 @@ def test_ivf_sq8_save_dropping_store_clears_stale_vector_plans(
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     with _pytest.raises(ValueError, match="no co-located float store"):
         loaded.search(query_vec=qvec, k=3, nprobe=2, shortlist=50)
+
+
+def test_ivfpq_index_roundtrip_ingest_and_search(spark, embeddings, tmp_path):
+    """IvfPqIndex (r15): build → save → load → add_batch(path) →
+    reload → serve. The ingested exact copy must carry identical
+    residual codes (identical LUT-ADC score) and rank beside its
+    original in both the quantized probe and the exact-re-rank search;
+    interrupted-save detection mirrors the SQ8 contract."""
+    import os
+
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq_rt")
+    IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=500).save(path)
+    copies = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    IvfPqIndex.load(spark, path).add_batch(copies, path=path)
+    reloaded = IvfPqIndex.load(spark, path)
+
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    probe = reloaded.probe(qvec, k=3, nprobe=2).collect()
+    assert {r["vec_id"] for r in probe[:2]} == {0, 90000}
+    assert probe[0]["score"] == probe[1]["score"]  # identical codes
+
+    res = reloaded.search(
+        emb.unionByName(copies), qvec, k=3, nprobe=2, shortlist=50
+    ).collect()
+    assert {r["vec_id"] for r in res[:2]} == {0, 90000}
+    assert res[0]["score"] == res[1]["score"]
+
+    # empty batch commits nothing (a committed empty partitioned dir
+    # would brick load's schema inference)
+    n_batches = len(os.listdir(os.path.join(path, "batches")))
+    reloaded.add_batch(emb.where(F.col("vec_id") < 0), path=path)
+    assert len(os.listdir(os.path.join(path, "batches"))) == n_batches
+
+    # interrupted save = loudly unreadable, never stale-codebook scoring
+    os.remove(os.path.join(path, "meta.json"))
+    with _pytest.raises(RuntimeError, match="interrupted save"):
+        IvfPqIndex.load(spark, path)

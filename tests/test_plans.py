@@ -859,3 +859,31 @@ def test_zorder_layout_has_no_single_partition_exchange(spark):
     p = plan(zorder_file_stats(df, "x", "y", "rid", n_files=8, bits=8))
     assert "SinglePartition" not in p
     assert "windowspecdefinition(_pid" in p
+
+
+def test_ivfpq_index_ingest_prunes_both_code_layouts(spark, embeddings, tmp_path):
+    """IvfPqIndex twin of the SQ8 ingest prune test: a loaded index
+    carrying batch-dir appends must push the probed cells into EVERY
+    code layout's scan (base + batches) — the union must not defeat
+    partition pruning; float vectors never load in the probe."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq_ingest_prune")
+    IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=500).save(path)
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    IvfPqIndex.load(spark, path).add_batch(copies, path=path)
+    loaded = IvfPqIndex.load(spark, path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    cells = loaded.probe_cells(qvec, nprobe=2)
+    p = plan(loaded.probe(qvec, k=5, nprobe=2))
+    pruned_scans = [
+        ln for ln in p.splitlines() if "PartitionFilters" in ln and "centroid" in ln
+    ]
+    # one pruned scan per layout root: base codes + one committed batch
+    assert len(pruned_scans) == 2, p
+    for ln in pruned_scans:
+        assert all(str(c) in ln for c in cells), ln
+    assert "embedding" not in p  # codes-only probe

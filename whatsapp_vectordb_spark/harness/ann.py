@@ -3229,3 +3229,107 @@ def ann_ivf_sq8_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reloaded.search(
         emb.unionByName(copies), qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
     )
+
+
+_IVFPQ_INGEST_DIR = _oracle_scratch("ivfpq_index_ingest")
+_IVFPQ_INGEST_M = 8
+
+# Frozen-codebook INGEST against the persisted MEMORY-bound artifact
+# (IvfPqIndex — m bytes/vector vs SQ8's dim bytes; at the reference's
+# dim=1536 that is the ~190× smaller layout a RAM-resident corpus
+# deploys). Same roundtrip contract as ann_ivf_sq8_index_ingest: build
+# on the base corpus -> save -> add_batch (atomic batches/<uuid> commit)
+# -> RELOAD (base ∪ batch-dirs union) -> serve. The oracle reads BOTH
+# code layouts, replays the per-cell integer-LUT ADC shortlist from the
+# persisted codes + LUTs (the house PQ-oracle contract —
+# ann_ivfpq_residual_topk), and re-ranks the shortlist exactly over the
+# augmented corpus — a missing/duplicated batch commit, a drifted
+# codebook, or a broken union read all break the hash.
+
+
+def _ivfpq_ingest_sql() -> str:
+    return f"""
+WITH codes AS (
+  SELECT vec_id, codes, centroid
+  FROM read_parquet('{_IVFPQ_INGEST_DIR}/codes/*/*.parquet', hive_partitioning = 1)
+  UNION ALL
+  SELECT vec_id, codes, centroid
+  FROM read_parquet('{_IVFPQ_INGEST_DIR}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{_IVFPQ_INGEST_DIR}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_IVFPQ_INGEST_DIR}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+),
+short AS (SELECT vec_id FROM s ORDER BY score ASC, vec_id LIMIT 50),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM aug a JOIN short s ON s.vec_id = a.vec_id CROSS JOIN q2
+WHERE list_dot_product(a.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_index_ingest", _ivfpq_ingest_sql())
+def ann_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ artifact's maintenance roundtrip (r15,
+    completing the persisted family: IvfSq8Index = 4×-compression tier,
+    IvfPqIndex = memory-bound tier): an exact copy of every 25th vector
+    ingests through ``add_batch(path=...)`` (ONE map-only
+    normalize→assign→residual→encode pass against the FROZEN coarse
+    centroids + codebooks, one atomic ``batches/<uuid>`` rename), a
+    fresh ``load`` unions base + batch layouts from disk, and the
+    served top-10 must rank each copy right beside its original
+    (identical vector ⇒ identical residual codes ⇒ identical LUT-ADC
+    score; exact re-rank scores equal; id breaks the tie)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    shutil.rmtree(_IVFPQ_INGEST_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_INGEST_DIR)
+    IvfPqIndex.load(spark, _IVFPQ_INGEST_DIR).add_batch(
+        copies, path=_IVFPQ_INGEST_DIR
+    )
+    reloaded = IvfPqIndex.load(spark, _IVFPQ_INGEST_DIR)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    cells = reloaded.probe_cells(qvec, nprobe=2)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVFPQ_INGEST_DIR, "probe")
+    )
+    luts = reloaded.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, kk, int(luts[c][j, kk]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for kk in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "centroid bigint, j int, c int, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVFPQ_INGEST_DIR, "lut")
+    )
+    return reloaded.search(
+        emb.unionByName(copies), qvec, k=10, nprobe=2, shortlist=50
+    )

@@ -3064,6 +3064,304 @@ class IvfSq8Index:
         return self
 
 
+class IvfPqIndex:
+    """Persisted FAISS-style ``IVFx,PQm`` serving artifact — the
+    MEMORY-bound tier of the persisted index family (``IvfSq8Index`` is
+    the 4×-compression tier). PQ codes cost ``m`` bytes/vector against
+    SQ8's dim bytes: at the reference's dim=1536 (``main.go:27``) that
+    is 8-16 bytes vs 1536 — ~100-190× less serving state, which is the
+    layout a RAM-resident 100 TB corpus actually deploys (FAISS
+    ``IVF<x>,PQ<m>``; Jégou et al. TPAMI'11 §IV, residual encoding).
+
+    Same persistence contract as ``IvfSq8Index``, deliberately: codes
+    ``partitionBy(centroid)`` (file-level pruning), one ``meta.json``
+    carrying the FROZEN coarse centroids + residual codebooks
+    (driver-side kilobytes), an optional co-located float store for the
+    refine stage, atomic ``batches/<uuid>`` ingest commits,``save`` as
+    the compaction verb (folds batch dirs back into the base layout),
+    and the loudly-unreadable-mid-save crash posture (old meta removed
+    first, new meta renamed in last). Probe math delegates to
+    ``IvfPqResidualIndex`` — per-cell integer LUT ADC, exact int64
+    sums, SQL-replayable from persisted codes + LUTs.
+
+    Serving reads per query: (nprobe/C) of an ``m``-byte/row codes
+    table + ``shortlist`` float point-reads — the refine stage's exact
+    scores mean cell pruning and quantization can only cost recall,
+    never corrupt a returned score."""
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        centroids,
+        codebooks,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        vectors: DataFrame | None = None,
+    ):
+        self.codes = codes  # (id_col, codes, centroid)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        # optional co-located float store (id, vec, centroid) — the
+        # same refine layout as IvfSq8Index.vectors
+        self.vectors = vectors
+
+    def _proto(self) -> "IvfPqResidualIndex":
+        return IvfPqResidualIndex(
+            self.centroids, self.codebooks, self.id_col, self.vec_col
+        )
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_rows: int = 2048,
+        seed: int = 0,
+        iters: int = 10,
+    ) -> "IvfPqIndex":
+        """Coarse quantizer + residual codebooks on a bounded sample
+        (``IvfPqResidualIndex.build``), then ONE map-only encode pass
+        over the corpus (normalize → assign → residual → code, no
+        shuffle). The co-located float frame joins the raw vectors to
+        their assigned cell so a saved store serves pruned re-ranks."""
+        proto = IvfPqResidualIndex.build(
+            df,
+            n_centroids=n_centroids,
+            m=m,
+            ksub=ksub,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_rows=sample_rows,
+            seed=seed,
+            iters=iters,
+        )
+        codes = proto.encode(df)
+        vectors = df.select(id_col, vec_col).join(
+            codes.select(id_col, "centroid"), id_col
+        )
+        return cls(
+            codes, proto.centroids, proto.codebooks, id_col, vec_col,
+            vectors=vectors,
+        )
+
+    def save(self, path: str, store_vectors: bool | None = None) -> "IvfPqIndex":
+        """Mirror of ``IvfSq8Index.save`` (see its docstring for the
+        staged-commit order and the store-preserving ``None`` default):
+        codes ``partitionBy(centroid)`` + meta.json(centroids,
+        codebooks, column names); folds any ``batches/<uuid>`` appends
+        into the base layout, so save doubles as compaction."""
+        import json as _json
+        import shutil
+        import uuid
+
+        IvfSq8Index._gc_staging(path)
+        if store_vectors is None:
+            store_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
+                os.path.isdir(os.path.join(path, "batches", b, "vectors"))
+                for b in (
+                    os.listdir(os.path.join(path, "batches"))
+                    if os.path.isdir(os.path.join(path, "batches"))
+                    else []
+                )
+            )
+        stage = os.path.join(path, "_staging", uuid.uuid4().hex)
+        try:
+            self.codes.select(self.id_col, "codes", "centroid").write.partitionBy(
+                "centroid"
+            ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+            if store_vectors:
+                if self.vectors is None:
+                    raise ValueError(
+                        "store_vectors=True but this index carries no vectors"
+                    )
+                self.vectors.select(
+                    self.id_col, self.vec_col, "centroid"
+                ).write.partitionBy("centroid").mode("overwrite").parquet(
+                    os.path.join(stage, "vectors")
+                )
+            with open(os.path.join(stage, "meta.json"), "w") as f:
+                _json.dump(
+                    {
+                        "centroids": self.centroids.tolist(),
+                        "codebooks": self.codebooks.tolist(),
+                        "id_col": self.id_col,
+                        "vec_col": self.vec_col,
+                    },
+                    f,
+                )
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        # commit sequence: unreadable (loud) between the meta removal and
+        # the final rename — never a readable layout whose codebooks
+        # mismatch the codes beside them
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+        for sub in ("codes", "vectors", "batches"):
+            old = os.path.join(path, sub)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
+        if store_vectors:
+            os.rename(os.path.join(stage, "vectors"), os.path.join(path, "vectors"))
+        os.rename(os.path.join(stage, "meta.json"), meta_path)
+        shutil.rmtree(stage, ignore_errors=True)
+        spark = self.codes.sparkSession
+        self.codes = spark.read.parquet(os.path.join(path, "codes"))
+        if store_vectors:
+            self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        else:
+            # stale plans over just-deleted dirs → explicit error, not a
+            # task-level missing-path failure (the IvfSq8Index contract)
+            self.vectors = None
+        return self
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        import json as _json
+
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_path):
+            if os.path.isdir(os.path.join(path, "codes")):
+                raise RuntimeError(
+                    f"IvfPqIndex at {path!r} has codes but no meta.json — "
+                    "an interrupted save; re-save from the builder (codes "
+                    "without their codebooks must never be scored)"
+                )
+            raise FileNotFoundError(meta_path)
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        codes = IvfSq8Index._read_layout(spark, path, "codes")
+        if codes is None:
+            raise RuntimeError(f"IvfPqIndex at {path!r} has meta.json but no codes")
+        return cls(
+            codes,
+            meta["centroids"],
+            meta["codebooks"],
+            meta["id_col"],
+            meta["vec_col"],
+            vectors=IvfSq8Index._read_layout(spark, path, "vectors"),
+        )
+
+    def probe_cells(self, query_vec, nprobe: int = 2) -> list[int]:
+        return self._proto().probe_cells(query_vec, nprobe)
+
+    def luts_int(self, query_vec, cells: list[int]):
+        return self._proto().luts_int(query_vec, cells)
+
+    def probe(self, query_vec, k: int = 10, nprobe: int = 2) -> DataFrame:
+        """Quantized-domain top-k: partition-pruned codes scan + integer
+        LUT ADC (ascending int64 distances). Use ``search`` when exact
+        scores must leave the system."""
+        return self._proto().probe(self.codes, query_vec, k=k, nprobe=nprobe)
+
+    def _rerank_side(
+        self, vectors_df: DataFrame | None, cells: list[int]
+    ) -> DataFrame:
+        if vectors_df is not None:
+            return vectors_df
+        if self.vectors is None:
+            raise ValueError(
+                "no vectors_df given and the index carries no co-located "
+                "float store (save with store_vectors=True, or pass the "
+                "source table)"
+            )
+        return self.vectors.where(F.col("centroid").isin(cells)).select(
+            self.id_col, self.vec_col
+        )
+
+    def search(
+        self,
+        vectors_df: DataFrame | None = None,
+        query_vec=None,
+        k: int = 10,
+        nprobe: int = 2,
+        shortlist: int = 100,
+        metric: str = "dotproduct",
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """The serving default: prune + LUT-ADC shortlist + exact
+        re-rank of the shortlist floats (broadcast semi-join — the float
+        table never shuffles). Exact final scores."""
+        if query_vec is None:
+            raise ValueError("query_vec is required")
+        cells = self.probe_cells(query_vec, nprobe)
+        short = self.probe(query_vec, k=shortlist, nprobe=nprobe).select(
+            self.id_col
+        )
+        cand = self._rerank_side(vectors_df, cells).join(
+            F.broadcast(short), self.id_col
+        )
+        return topk(
+            cand,
+            query_vec,
+            k=k,
+            metric=metric,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            round_to=round_to,
+        )
+
+    def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfPqIndex":
+        """Frozen-quantizer, frozen-codebook ingest: ONE map-only
+        normalize→assign→residual→encode pass, committed (with ``path``)
+        as an atomic ``batches/<uuid>`` rename — codes and (when the
+        saved layout carries a float store) co-located vectors stage
+        together and become visible together or not at all, exactly the
+        ``IvfSq8Index.add_batch`` contract. Codebook drift is the
+        maintenance signal: rebuild when residual distortion on new
+        batches degrades (same posture as SQ8's clamp-rate watch)."""
+        import shutil
+        import uuid
+
+        enc = self._proto().encode(batch)
+        if enc.isEmpty():
+            # an EMPTY partitioned batch dir would brick later loads on
+            # schema inference — commit nothing (house guard)
+            return self
+        # pin the encode once: the staged write below and the in-memory
+        # union must see the SAME rows
+        enc = enc.localCheckpoint(eager=True)
+        if path is not None:
+            IvfSq8Index._gc_staging(path)
+            batch_id = uuid.uuid4().hex
+            stage = os.path.join(path, "_staging", batch_id)
+            try:
+                enc.select(self.id_col, "codes", "centroid").write.partitionBy(
+                    "centroid"
+                ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+                if os.path.isdir(os.path.join(path, "vectors")):
+                    batch.select(self.id_col, self.vec_col).join(
+                        enc.select(self.id_col, "centroid"), self.id_col
+                    ).write.partitionBy("centroid").mode("overwrite").parquet(
+                        os.path.join(stage, "vectors")
+                    )
+                bdir = os.path.join(path, "batches")
+                os.makedirs(bdir, exist_ok=True)
+                os.rename(stage, os.path.join(bdir, batch_id))
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+        self.codes = self.codes.unionByName(
+            enc.select(self.id_col, "codes", "centroid"), allowMissingColumns=True
+        )
+        if self.vectors is not None:
+            self.vectors = self.vectors.unionByName(
+                batch.select(self.id_col, self.vec_col).join(
+                    enc.select(self.id_col, "centroid"), self.id_col
+                ),
+                allowMissingColumns=True,
+            )
+        return self
+
+
 def sq8_topk_cosine(
     codes_df: DataFrame,
     query_vec,
