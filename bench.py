@@ -529,6 +529,12 @@ def main() -> None:
 
         ann_ivf_sq8_index_ingest(spark, sf_dir).count()
 
+    @timed("ann_ivfpq_index_ingest")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivfpq_index_ingest
+
+        ann_ivfpq_index_ingest(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus

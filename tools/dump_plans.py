@@ -61,6 +61,7 @@ SHOWN = [
     ("dedup_semdedup_kmeans", "SemDeDup: centroid-keyed WITHIN-CLUSTER pair join (equi-join, no cartesian), broadcast centroid table for cent_sim, EXISTS-style dominated-row semi-join"),
     ("ann_ivf_sq8_index_ingest", "frozen-quantizer ingest roundtrip: base+batch codes layouts UNION with per-root PartitionFilters, integer ADC shortlist, broadcast re-rank of the augmented floats"),
     ("events_zorder_layout", "Z-order layout planning: range-partition on the Morton key, per-partition row_number + closed-form ntile (two-phase scan; the old global-window SinglePartition exchange is gone)"),
+    ("ann_ivfpq_index_ingest", "persisted IVF-PQ (memory-bound tier) ingest roundtrip: base+batch 16-byte-code layouts UNION with per-root PartitionFilters, integer LUT-ADC shortlist, broadcast exact re-rank"),
 ]
 
 
