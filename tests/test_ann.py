@@ -1505,3 +1505,42 @@ def test_ivfpq_index_roundtrip_ingest_and_search(spark, embeddings, tmp_path):
     os.remove(os.path.join(path, "meta.json"))
     with _pytest.raises(RuntimeError, match="interrupted save"):
         IvfPqIndex.load(spark, path)
+
+
+def test_ivfpq_index_batched_probe_matches_per_query(spark, embeddings, tmp_path):
+    """ivfpq_residual_batched_topk (r15): N queries through ONE pruned
+    codes scan must equal N separate single-query probes bit-for-bit —
+    same ascending int64 ADC distances, same id tiebreaks — and the
+    plan must scan the codes layout exactly once with no cartesian."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq_batched")
+    IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=500).save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    queries = [
+        (int(r["vec_id"]), r["embedding"])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    batched = loaded.probe_batched(queries, k=5, nprobe=2).collect()
+    got = {
+        (r["query_id"], r["vec_id"], r["score"]) for r in batched
+    }
+    want = set()
+    for qid, vec in queries:
+        for r in loaded.probe(vec, k=5, nprobe=2).collect():
+            want.add((qid, r["vec_id"], r["score"]))
+    assert got == want
+
+    from tests.test_plans import plan
+
+    import re
+
+    p = plan(loaded.probe_batched(queries, k=5, nprobe=2))
+    assert "CartesianProduct" not in p
+    # exactly ONE scan of the codes layout (count the detail headers,
+    # the house convention), pruned, with the LUT table broadcast
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 1, p
+    assert "PartitionFilters" in p and "BroadcastHashJoin" in p
+    assert "embedding" not in p  # float vectors never load

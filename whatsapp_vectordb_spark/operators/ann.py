@@ -1503,6 +1503,72 @@ class IvfPqResidualIndex:
         return scored.orderBy(F.col("score").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfpq_residual_batched_topk(
+    index: "IvfPqResidualIndex",
+    codes_assigned: DataFrame,
+    queries: list,
+    probe_map: dict,
+    k: int = 10,
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Batched RESIDUAL IVF-PQ probe: quantized top-k for MANY queries in
+    ONE scan over the union of their probed cells — the residual twin of
+    ``ivfpq_batched_topk``. The flat-PQ batched probe broadcasts one LUT
+    per query; here the ADC table depends on the probed CELL too (the
+    LUT is built on the residual ``q − c``, Jégou et al. TPAMI'11 §IV),
+    so the broadcast side carries one flattened ``m·ksub`` int64 LUT per
+    (query, cell) pair — |Q|·nprobe·m·ksub int64s, kilobytes at serving
+    shapes. A code row joins only the (query, cell) rows of ITS cell and
+    scores as the exact int64 sum ``Σ_j lut[j·ksub + code_j]``, so
+    per-query results equal |Q| separate ``IvfPqResidualIndex.probe``
+    calls bit-for-bit (pinned by test). Codes scan ONCE with file-level
+    pruning on a ``partitionBy(centroid)`` layout; float vectors never
+    load; ranking is one shuffle keyed by query_id. ASCENDING integer
+    distances (ties by id), matching the single-query probe."""
+    from pyspark.sql import Window
+
+    probe_items = [
+        (int(qid), sorted({int(c) for c in cells}))
+        for qid, cells in probe_map.items()
+    ]
+    if not any(cells for _, cells in probe_items):
+        raise ValueError("ivfpq_residual_batched_topk needs at least one probe cell")
+    spark = codes_assigned.sparkSession
+    id_col = index.id_col
+    m, ksub = index.m, index.codebooks.shape[1]
+    qvecs = {int(qid): vec for qid, vec in queries}
+    lut_rows = []
+    for qid, cells in probe_items:
+        luts = index.luts_int(qvecs[qid], cells)
+        for c in cells:
+            lut_rows.append((qid, int(c), [int(x) for x in luts[c].ravel()]))
+    probes = spark.createDataFrame(
+        lut_rows, "query_id long, _pcell bigint, _lut array<bigint>"
+    )
+    cells_all = sorted({c for _, cells in probe_items for c in cells})
+    subset = codes_assigned.where(F.col(centroid_col).isin(cells_all))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.get(F.col("_lut"), j * ksub + c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = subset.join(
+        F.broadcast(probes), F.col(centroid_col) == F.col("_pcell")
+    ).select("query_id", F.col(id_col), score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def mllib_lsh_topk(
     index_df: DataFrame,
     query_vec,
@@ -3112,6 +3178,47 @@ class IvfPqIndex:
             self.centroids, self.codebooks, self.id_col, self.vec_col
         )
 
+    def _assign_vectors(self, df: DataFrame) -> DataFrame:
+        """Map-only ``(id, vec, centroid)`` for the co-located float
+        store — the SAME normalize + matmul-argmin cell math as
+        ``IvfPqResidualIndex.encode`` (bit-identical numpy ops, so the
+        float store's partitioning can never diverge from the codes'),
+        without joining the float column back to the codes (a join
+        would shuffle the full float table at build/ingest time; this
+        keeps the floats on a map-only lineage, the IvfSq8Index
+        shape)."""
+        import pandas as pd
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cent = self.centroids
+        cent_sq = (cent * cent).sum(axis=1)
+        id_col, vec_col = self.id_col, self.vec_col
+        out_schema = StructType(
+            [
+                df.schema[id_col],
+                df.schema[vec_col],
+                StructField("centroid", IntegerType(), False),
+            ]
+        )
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = PqIndex._normalize(
+                    np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                )
+                cell = (cent_sq[None, :] - 2.0 * (v @ cent.T)).argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "centroid": cell.astype("int32"),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
+
     @classmethod
     def build(
         cls,
@@ -3142,13 +3249,9 @@ class IvfPqIndex:
             iters=iters,
         )
         codes = proto.encode(df)
-        vectors = df.select(id_col, vec_col).join(
-            codes.select(id_col, "centroid"), id_col
-        )
-        return cls(
-            codes, proto.centroids, proto.codebooks, id_col, vec_col,
-            vectors=vectors,
-        )
+        idx = cls(codes, proto.centroids, proto.codebooks, id_col, vec_col)
+        idx.vectors = idx._assign_vectors(df)
+        return idx
 
     def save(self, path: str, store_vectors: bool | None = None) -> "IvfPqIndex":
         """Mirror of ``IvfSq8Index.save`` (see its docstring for the
@@ -3262,6 +3365,19 @@ class IvfPqIndex:
         scores must leave the system."""
         return self._proto().probe(self.codes, query_vec, k=k, nprobe=nprobe)
 
+    def probe_batched(self, queries: list, k: int = 10, nprobe: int = 2) -> DataFrame:
+        """N queries, ONE partition-pruned codes scan
+        (``ivfpq_residual_batched_topk`` — per-(query, cell) residual
+        LUTs broadcast; bit-identical to N ``probe`` calls). ``queries``
+        is ``[(query_id, vector)]``; returns
+        ``(query_id, id, score)``."""
+        probe_map = {
+            int(qid): self.probe_cells(vec, nprobe) for qid, vec in queries
+        }
+        return ivfpq_residual_batched_topk(
+            self._proto(), self.codes, queries, probe_map, k=k
+        )
+
     def _rerank_side(
         self, vectors_df: DataFrame | None, cells: list[int]
     ) -> DataFrame:
@@ -3338,11 +3454,9 @@ class IvfPqIndex:
                     "centroid"
                 ).mode("overwrite").parquet(os.path.join(stage, "codes"))
                 if os.path.isdir(os.path.join(path, "vectors")):
-                    batch.select(self.id_col, self.vec_col).join(
-                        enc.select(self.id_col, "centroid"), self.id_col
-                    ).write.partitionBy("centroid").mode("overwrite").parquet(
-                        os.path.join(stage, "vectors")
-                    )
+                    self._assign_vectors(batch).write.partitionBy(
+                        "centroid"
+                    ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
                 bdir = os.path.join(path, "batches")
                 os.makedirs(bdir, exist_ok=True)
                 os.rename(stage, os.path.join(bdir, batch_id))
@@ -3354,10 +3468,7 @@ class IvfPqIndex:
         )
         if self.vectors is not None:
             self.vectors = self.vectors.unionByName(
-                batch.select(self.id_col, self.vec_col).join(
-                    enc.select(self.id_col, "centroid"), self.id_col
-                ),
-                allowMissingColumns=True,
+                self._assign_vectors(batch), allowMissingColumns=True
             )
         return self
 
