@@ -1544,3 +1544,78 @@ def test_ivfpq_index_batched_probe_matches_per_query(spark, embeddings, tmp_path
     assert len(scans) == 1, p
     assert "PartitionFilters" in p and "BroadcastHashJoin" in p
     assert "embedding" not in p  # float vectors never load
+
+
+def test_ivfpq_index_atomic_batch_commit_and_compaction(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """IvfPqIndex twin of the SQ8 atomicity test: (a) a crash before the
+    batch-commit rename stages nothing visible — a reload serves exactly
+    the pre-crash results; (b) the next successful commit sweeps the
+    orphaned staging dir and lands BOTH tables (codes + co-located
+    floats) in one dir; (c) save() folds batch dirs back into the base
+    layout and the co-located search still serves the append."""
+    import os
+
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq_atomic")
+    IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=500).save(
+        path, store_vectors=True
+    )
+    loaded = IvfPqIndex.load(spark, path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    before = [
+        (r["vec_id"], r["score"])
+        for r in loaded.search(query_vec=qvec, k=5, nprobe=2, shortlist=20).collect()
+    ]
+
+    copy = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    real_rename = os.rename
+
+    def boom(src, dst):
+        raise OSError("simulated crash before batch commit rename")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with _pytest.raises(OSError):
+        IvfPqIndex.load(spark, path).add_batch(copy, path=path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.isdir(os.path.join(path, "batches")) or not os.listdir(
+        os.path.join(path, "batches")
+    )
+    after_crash = IvfPqIndex.load(spark, path)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in after_crash.search(
+            query_vec=qvec, k=5, nprobe=2, shortlist=20
+        ).collect()
+    ]
+    assert got == before
+
+    after_crash.add_batch(copy, path=path)
+    assert os.listdir(os.path.join(path, "_staging")) == []
+    (bdir,) = os.listdir(os.path.join(path, "batches"))
+    assert sorted(os.listdir(os.path.join(path, "batches", bdir))) == [
+        "codes",
+        "vectors",
+    ]
+    re = IvfPqIndex.load(spark, path)
+    ids = [
+        r["vec_id"]
+        for r in re.search(query_vec=qvec, k=3, nprobe=2, shortlist=50).collect()
+    ]
+    assert 90000 in ids[:2]  # co-located re-rank serves the append
+
+    re.save(path, store_vectors=True)
+    assert not os.path.isdir(os.path.join(path, "batches"))
+    folded = IvfPqIndex.load(spark, path)
+    ids2 = [
+        r["vec_id"]
+        for r in folded.search(query_vec=qvec, k=3, nprobe=2, shortlist=50).collect()
+    ]
+    assert ids == ids2
