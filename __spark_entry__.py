@@ -62,6 +62,7 @@ _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "dedup_semdedup_index_compact",
     "ann_ivfpq_index_ingest",
+    "streaming_ivfpq_index",
     # (b) implementation changed this round
     "events_zorder_layout",
     "dedup_winnow_index_compact",

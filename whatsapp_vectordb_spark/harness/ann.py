@@ -3247,17 +3247,21 @@ _IVFPQ_INGEST_M = 8
 # codebook, or a broken union read all break the hash.
 
 
-def _ivfpq_ingest_sql() -> str:
+def _ivfpq_ingest_sql(dir_: str | None = None) -> str:
+    """Shared by the batch ingest row and the streaming twin — both
+    persist the same artifact layout (base codes + batch dirs) plus
+    probe/lut side files, so one SQL shape replays both."""
+    d = dir_ or _IVFPQ_INGEST_DIR
     return f"""
 WITH codes AS (
   SELECT vec_id, codes, centroid
-  FROM read_parquet('{_IVFPQ_INGEST_DIR}/codes/*/*.parquet', hive_partitioning = 1)
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
   UNION ALL
   SELECT vec_id, codes, centroid
-  FROM read_parquet('{_IVFPQ_INGEST_DIR}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
+  FROM read_parquet('{d}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
 ),
-probes AS (SELECT centroid FROM read_parquet('{_IVFPQ_INGEST_DIR}/probe/*.parquet')),
-lut AS (SELECT * FROM read_parquet('{_IVFPQ_INGEST_DIR}/lut/*.parquet')),
+probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
 s AS (
   SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
   FROM codes c

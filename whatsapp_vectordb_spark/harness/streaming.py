@@ -987,3 +987,85 @@ def streaming_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_SD_STREAM_DIR, "cents")
     )
     return res.select("vec_id", "batch_no", "centroid", "cent_sim", "kept")
+
+
+_IVFPQ_STREAM_DIR = _oracle_scratch("stream_ivfpq")
+
+
+def _ivfpq_stream_sql() -> str:
+    from whatsapp_vectordb_spark.harness.ann import _ivfpq_ingest_sql
+
+    return _ivfpq_ingest_sql(_IVFPQ_STREAM_DIR)
+
+
+@_register("streaming_ivfpq_index", _ivfpq_stream_sql())
+def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEMORY-BOUND persisted tier maintained by a real stream (r15
+    — the PQ twin of ``streaming_ivf_sq8_index``, completing streaming
+    maintenance for both persisted artifacts): the augmented corpus
+    (exact copies of every 25th vector) replays file-per-trigger through
+    foreachBatch; the FIRST micro-batch builds the index (coarse
+    centroids + residual codebooks frozen in meta.json — the
+    freeze-on-first-batch pattern the SemDedupIndex stream uses); every
+    later batch ingests through ``add_batch(path=...)``'s atomic
+    ``batches/<uuid>`` commit, map-only, store never read during ingest.
+    The query then loads base ∪ batch layouts and serves the exact
+    top-10; the oracle replays the LUT-ADC shortlist from the persisted
+    codes + LUTs (the house PQ-oracle contract) and re-ranks exactly —
+    whatever batch split the engine chose, a lost or doubled commit
+    breaks the hash."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    shutil.rmtree(_IVFPQ_STREAM_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    src = os.path.join(_IVFPQ_STREAM_DIR, "src")
+    aug.repartition(3).write.mode("overwrite").parquet(src)
+    idx_meta = os.path.join(_IVFPQ_STREAM_DIR, "meta.json")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(idx_meta):
+            IvfPqIndex.build(
+                batch_df, n_centroids=8, m=8, ksub=16, sample_rows=500
+            ).save(_IVFPQ_STREAM_DIR)
+        else:
+            IvfPqIndex.load(spark, _IVFPQ_STREAM_DIR).add_batch(
+                batch_df, path=_IVFPQ_STREAM_DIR
+            )
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    reloaded = IvfPqIndex.load(spark, _IVFPQ_STREAM_DIR)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    cells = reloaded.probe_cells(qvec, nprobe=2)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVFPQ_STREAM_DIR, "probe")
+    )
+    luts = reloaded.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, kk, int(luts[c][j, kk]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for kk in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "centroid bigint, j int, c int, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVFPQ_STREAM_DIR, "lut")
+    )
+    return reloaded.search(aug, qvec, k=10, nprobe=2, shortlist=50)
