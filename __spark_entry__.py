@@ -56,8 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # compact None-guard + IvfSq8Index save store-drop fix (ADVICE r14),
 # and the distortion pair's cache-hit artifact check (ADVICE r14);
 # (c) the ENTIRE r10-stale cohort, 46 rows, drained per VERDICT r14
-# #1. 52 total — the last ~2 cohort rows may fall past the ~50-row
-# driver cap; they sort first in category (4) either way.
+# #1. 54 total (3 new + 5 changed + 46 cohort) — the last ~4 cohort
+# rows may fall past the ~50-row driver cap; they sort first in
+# category (4) either way, so they drain next regardless.
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "dedup_semdedup_index_compact",

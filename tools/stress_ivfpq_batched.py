@@ -129,7 +129,8 @@ def main() -> None:
     loaded.probe_batched(queries, k=10, nprobe=NPROBE).count()
     t0 = time.perf_counter()
     brows = loaded.probe_batched(queries, k=10, nprobe=NPROBE).collect()
-    out["batched_s"] = round(time.perf_counter() - t0, 2)
+    batched_elapsed = time.perf_counter() - t0
+    out["batched_s"] = round(batched_elapsed, 2)
     by_q: dict = {}
     for r in brows:
         by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
@@ -138,8 +139,10 @@ def main() -> None:
     mismatch = [qid for qid, _ in queries if by_q.get(qid) != solo[qid]]
     assert not mismatch, f"batched != per-query for {mismatch}"
     out["batched_equals_loop"] = True
-    out["batched_speedup"] = round(out["per_query_loop_s"] / out["batched_s"], 2)
-    out["ms_per_query_batched"] = round(1000 * out["batched_s"] / n_queries, 1)
+    # divide by the UNROUNDED elapsed time — round(0.004, 2) == 0.0 and a
+    # sub-5ms batched collect at tiny args would ZeroDivisionError here
+    out["batched_speedup"] = round(out["per_query_loop_s"] / batched_elapsed, 2)
+    out["ms_per_query_batched"] = round(1000 * batched_elapsed / n_queries, 1)
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

@@ -3287,6 +3287,28 @@ LIMIT 10
 """
 
 
+def _persist_ivfpq_probe_luts(spark, idx, qvec, dir_: str, nprobe: int = 2):
+    """Persist the probe-cell list + flattened per-cell integer LUTs the
+    shared ``_ivfpq_ingest_sql`` oracle replays — ONE implementation for
+    the batch ingest row and the streaming twin (both must stay
+    bit-identical to the SQL's ``lut[j·ksub + code]`` contract)."""
+    cells = idx.probe_cells(qvec, nprobe=nprobe)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(dir_, "probe"))
+    luts = idx.luts_int(qvec, cells)
+    rows = [
+        (int(c), j, kk, int(luts[c][j, kk]))
+        for c in cells
+        for j in range(luts[c].shape[0])
+        for kk in range(luts[c].shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "centroid bigint, j int, c int, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(dir_, "lut"))
+    return cells
+
+
 @_register("ann_ivfpq_index_ingest", _ivfpq_ingest_sql())
 def ann_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF-PQ artifact's maintenance roundtrip (r15,
@@ -3316,24 +3338,7 @@ def ann_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reloaded = IvfPqIndex.load(spark, _IVFPQ_INGEST_DIR)
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    cells = reloaded.probe_cells(qvec, nprobe=2)
-    spark.createDataFrame(
-        [(int(c),) for c in cells], "centroid bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(_IVFPQ_INGEST_DIR, "probe")
-    )
-    luts = reloaded.luts_int(qvec, cells)
-    rows = [
-        (int(c), j, kk, int(luts[c][j, kk]))
-        for c in cells
-        for j in range(luts[c].shape[0])
-        for kk in range(luts[c].shape[1])
-    ]
-    spark.createDataFrame(
-        rows, "centroid bigint, j int, c int, w bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(_IVFPQ_INGEST_DIR, "lut")
-    )
+    _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_INGEST_DIR)
     return reloaded.search(
         emb.unionByName(copies), qvec, k=10, nprobe=2, shortlist=50
     )

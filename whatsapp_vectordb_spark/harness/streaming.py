@@ -1016,6 +1016,10 @@ def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash."""
     import shutil
 
+    from whatsapp_vectordb_spark.harness.ann import (
+        _IVFPQ_INGEST_M,
+        _persist_ivfpq_probe_luts,
+    )
     from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
 
     shutil.rmtree(_IVFPQ_STREAM_DIR, ignore_errors=True)
@@ -1032,8 +1036,12 @@ def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         if not os.path.exists(idx_meta):
+            # m must be the SHARED constant — the oracle SQL's
+            # range(0,m) is baked from it, and a literal here could
+            # silently diverge (r15 review finding)
             IvfPqIndex.build(
-                batch_df, n_centroids=8, m=8, ksub=16, sample_rows=500
+                batch_df, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16,
+                sample_rows=500,
             ).save(_IVFPQ_STREAM_DIR)
         else:
             IvfPqIndex.load(spark, _IVFPQ_STREAM_DIR).add_batch(
@@ -1048,24 +1056,18 @@ def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
 
+    # the shared oracle reads batches/*/codes unconditionally — if the
+    # engine ever coalesced every src file into the FIRST trigger (so
+    # only build() ran and no batch dir exists), fail HERE with the
+    # cause rather than as a confusing oracle read error
+    bdir = os.path.join(_IVFPQ_STREAM_DIR, "batches")
+    if not (os.path.isdir(bdir) and os.listdir(bdir)):
+        raise RuntimeError(
+            "streaming_ivfpq_index: the stream produced no add_batch "
+            "commits (every row landed in the bootstrap trigger) — the "
+            "file-per-trigger split did not happen; oracle cannot replay"
+        )
     reloaded = IvfPqIndex.load(spark, _IVFPQ_STREAM_DIR)
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    cells = reloaded.probe_cells(qvec, nprobe=2)
-    spark.createDataFrame(
-        [(int(c),) for c in cells], "centroid bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(_IVFPQ_STREAM_DIR, "probe")
-    )
-    luts = reloaded.luts_int(qvec, cells)
-    rows = [
-        (int(c), j, kk, int(luts[c][j, kk]))
-        for c in cells
-        for j in range(luts[c].shape[0])
-        for kk in range(luts[c].shape[1])
-    ]
-    spark.createDataFrame(
-        rows, "centroid bigint, j int, c int, w bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(_IVFPQ_STREAM_DIR, "lut")
-    )
+    _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_STREAM_DIR)
     return reloaded.search(aug, qvec, k=10, nprobe=2, shortlist=50)

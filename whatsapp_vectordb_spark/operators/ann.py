@@ -3088,6 +3088,12 @@ class IvfSq8Index:
         import shutil
         import uuid
 
+        # pin the INPUT once: the codes write, the vectors write, and
+        # the in-memory unions are separate Spark jobs over `batch` — a
+        # nondeterministic batch could otherwise commit codes whose
+        # co-located floats row never materialized, inside the same
+        # "atomic" dir (r15 review finding; same fix as IvfPqIndex)
+        batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
         assigned = assign_nearest_centroid(batch, self.centroids, self.vec_col)
         enc = sq8_encode(
             batch, self.mins, self.deltas, id_col=self.id_col, vec_col=self.vec_col
@@ -3437,14 +3443,19 @@ class IvfPqIndex:
         import shutil
         import uuid
 
+        # pin the INPUT once: codes (encode) and co-located vectors
+        # (assign) are derived in SEPARATE Spark jobs, so a
+        # nondeterministic batch (df.sample, a limit, a source dir
+        # changing between jobs) could otherwise commit codes for a row
+        # whose vectors write never saw it — inside the same "atomic"
+        # batch dir. One eager checkpoint makes every derivation read
+        # the same materialized rows (r15 review finding).
+        batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
         enc = self._proto().encode(batch)
         if enc.isEmpty():
             # an EMPTY partitioned batch dir would brick later loads on
             # schema inference — commit nothing (house guard)
             return self
-        # pin the encode once: the staged write below and the in-memory
-        # union must see the SAME rows
-        enc = enc.localCheckpoint(eager=True)
         if path is not None:
             IvfSq8Index._gc_staging(path)
             batch_id = uuid.uuid4().hex
