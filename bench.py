@@ -535,6 +535,22 @@ def main() -> None:
 
         ann_ivfpq_index_ingest(spark, sf_dir).count()
 
+    # --- the mutation verbs on both persisted artifacts (upsert/delete
+    # by id — the reference's remaining Pinecone surface). BUILD-
+    # INCLUSIVE like their ingest twins: build + save + three atomic
+    # mutation commits + reload + serve.
+    @timed("ann_ivf_sq8_index_mutate")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivf_sq8_index_mutate
+
+        ann_ivf_sq8_index_mutate(spark, sf_dir).count()
+
+    @timed("ann_ivfpq_index_mutate")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivfpq_index_mutate
+
+        ann_ivfpq_index_mutate(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus

@@ -1619,3 +1619,267 @@ def test_ivfpq_index_atomic_batch_commit_and_compaction(
         for r in folded.search(query_vec=qvec, k=3, nprobe=2, shortlist=50).collect()
     ]
     assert ids == ids2
+
+
+def test_ivf_sq8_index_delete_upsert_last_writer_wins(spark, embeddings, tmp_path):
+    """The persisted artifact's mutation verbs (the reference's Pinecone
+    surface: upsert/delete by id, upsert.go:16): an upsert's tombstone
+    masks every STRICTLY-older row with the same id while its own rows
+    stay visible; a later re-add of a deleted id wins (commit-seq order,
+    not wall clock); the in-memory object and a fresh load serve the
+    same state."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "mutate_sq8")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    # seq1: upsert clones of the query onto ids %10==3
+    live = IvfSq8Index.load(spark, path).upsert(clones, path=path)
+    # seq2: delete half of them
+    IvfSq8Index.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    # seq3: re-add a quarter (ids %40==3) — must win over the seq2 delete
+    IvfSq8Index.load(spark, path).upsert(
+        clones.where(F.col("vec_id") % 40 == 3), path=path
+    )
+
+    re = IvfSq8Index.load(spark, path)
+    n = emb.count()
+    vis = {r["vec_id"] for r in re.codes.select("vec_id").collect()}
+    expected = {
+        i for i in range(n) if not (i % 20 == 3 and i % 40 != 3)
+    }
+    assert vis == expected
+    # exactly one row per id everywhere (upsert replaced, never duplicated)
+    assert re.codes.count() == len(expected)
+    assert re.vectors.count() == len(expected)
+
+    top = re.search(None, qvec, k=10, nprobe=2, shortlist=50).collect()
+    ids = [r["vec_id"] for r in top]
+    # clones serve the REPLACED vector: exact re-rank score == dot(q, q)
+    self_score = [r["score"] for r in top if r["vec_id"] == 0][0]
+    clone_scores = [r["score"] for r in top if r["vec_id"] % 10 == 3]
+    assert clone_scores and all(s == self_score for s in clone_scores)
+    assert not any(i % 20 == 3 and i % 40 != 3 for i in ids)  # deletes hold
+    assert any(i % 40 == 3 for i in ids)  # re-adds returned
+
+    # the object that performed seq1 only (pre-delete) still shows its
+    # own view; a fresh load shows the committed cumulative state
+    assert {r["vec_id"] for r in live.codes.select("vec_id").collect()} == set(
+        range(n)
+    )
+
+
+def test_ivf_sq8_index_upsert_commit_is_atomic(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """An upsert is ONE rename: a crash before the commit leaves neither
+    its delete half nor its insert half visible (never a state where the
+    old row is gone and the new one missing); the committed dir carries
+    codes + co-located floats + tombstones together."""
+    import os
+
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "mutate_atomic")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    before = [
+        (r["vec_id"], r["score"])
+        for r in IvfSq8Index.load(spark, path)
+        .search(None, qvec, k=5, nprobe=2, shortlist=20)
+        .collect()
+    ]
+    repl = emb.where(F.col("vec_id") == before[1][0]).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+
+    real_rename = os.rename
+
+    def boom(src, dst):
+        raise OSError("simulated crash before upsert commit rename")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with _pytest.raises(OSError):
+        IvfSq8Index.load(spark, path).upsert(repl, path=path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    after_crash = [
+        (r["vec_id"], r["score"])
+        for r in IvfSq8Index.load(spark, path)
+        .search(None, qvec, k=5, nprobe=2, shortlist=20)
+        .collect()
+    ]
+    assert after_crash == before  # old row still served, nothing half-applied
+
+    IvfSq8Index.load(spark, path).upsert(repl, path=path)
+    (bdir,) = os.listdir(os.path.join(path, "batches"))
+    assert sorted(os.listdir(os.path.join(path, "batches", bdir))) == [
+        "codes",
+        "deletes",
+        "vectors",
+    ]
+
+
+def test_ivf_sq8_index_mutations_fold_physically(spark, embeddings, tmp_path):
+    """save() after mutations is the compaction verb: tombstoned rows
+    leave the base parquet bytes entirely (not just the mask), the
+    batches dir is gone, and the served state is unchanged."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "mutate_fold")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    IvfSq8Index.load(spark, path).delete([3, 23, 43], path=path)
+    re = IvfSq8Index.load(spark, path)
+    vis = {r["vec_id"] for r in re.codes.select("vec_id").collect()}
+    re.save(path)
+    assert not os.path.isdir(os.path.join(path, "batches"))
+    raw = spark.read.parquet(os.path.join(path, "codes"))
+    raw_ids = {r["vec_id"] for r in raw.select("vec_id").collect()}
+    assert raw_ids == vis and not {3, 23, 43} & raw_ids
+    assert "_seq" not in raw.columns  # folded base carries no mutation residue
+
+
+def test_ivf_sq8_index_delete_forms_and_empty_noop(spark, embeddings, tmp_path):
+    """delete() accepts a python iterable or a one-column DataFrame; an
+    empty set commits nothing (no empty dir to brick later loads);
+    deleting absent ids is harmless."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "mutate_forms")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    idx = IvfSq8Index.load(spark, path)
+    n = emb.count()
+    idx.delete([], path=path)
+    idx.delete(emb.where(F.col("vec_id") < 0).select("vec_id"), path=path)
+    assert not os.path.isdir(os.path.join(path, "batches"))
+    idx.delete([7, 999_999], path=path)  # list form; 999999 doesn't exist
+    re = IvfSq8Index.load(spark, path)
+    assert re.codes.count() == n - 1
+    assert re.codes.where(F.col("vec_id") == 7).isEmpty()
+
+
+def test_ivfpq_index_delete_upsert_roundtrip(spark, embeddings, tmp_path):
+    """The memory-bound tier serves the same mutation contract: upsert
+    replaces (tombstone + fresh residual codes in one commit), delete
+    masks, a re-add wins, and save() folds it all physically."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "mutate_pq")
+    IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=300).save(
+        path, store_vectors=True
+    )
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfPqIndex.load(spark, path).upsert(clones, path=path)
+    IvfPqIndex.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    IvfPqIndex.load(spark, path).upsert(
+        clones.where(F.col("vec_id") % 40 == 3), path=path
+    )
+    re = IvfPqIndex.load(spark, path)
+    n = emb.count()
+    expected = {i for i in range(n) if not (i % 20 == 3 and i % 40 != 3)}
+    assert {r["vec_id"] for r in re.codes.select("vec_id").collect()} == expected
+    assert re.codes.count() == len(expected)
+    top = re.search(None, qvec, k=10, nprobe=2, shortlist=50).collect()
+    ids = [r["vec_id"] for r in top]
+    assert not any(i % 20 == 3 and i % 40 != 3 for i in ids)
+    assert any(i % 40 == 3 for i in ids)
+
+    re.save(path)
+    folded = IvfPqIndex.load(spark, path)
+    assert {
+        r["vec_id"] for r in folded.codes.select("vec_id").collect()
+    } == expected
+
+
+def test_ivf_sq8_index_filtered_search_prefilter(spark, embeddings):
+    """Metadata-filtered serving (the reference API's query filter):
+    with ``allowed`` the shortlist is restricted BEFORE ADC, so every
+    returned row satisfies the predicate and — with a covering
+    shortlist — the result equals the exact top-k over (allowed ∩
+    probed cells). Post-filtering could return < k matches; the
+    pre-filter never does while k matches exist in the probed cells."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfSq8Index.build(emb, n_centroids=4)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = embeddings.where(F.col("vec_id") == 7).head()["label"]
+    allowed = embeddings.where(F.col("label") == lbl).select("vec_id")
+
+    got = idx.search(
+        emb, qvec, k=10, nprobe=2, shortlist=100_000, allowed=allowed
+    ).collect()
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    assert got and all(r["vec_id"] in allowed_ids for r in got)
+
+    # covering shortlist ⇒ exact top-k over allowed ∩ probed cells
+    cells = idx.probe_centroid_ids(qvec, nprobe=2)
+    cand_ids = (
+        idx.codes.where(F.col("centroid").isin(cells))
+        .join(allowed, "vec_id", "left_semi")
+        .select("vec_id")
+    )
+    expected = topk(
+        emb.join(cand_ids, "vec_id", "left_semi"),
+        qvec,
+        k=10,
+        metric="dotproduct",
+        round_to=6,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in expected
+    ]
+
+    # unfiltered search over the same cells must differ (the filter did
+    # something: vec 0 itself is the global top hit but carries another
+    # label unless 0 shares 7's label)
+    unfiltered = idx.search(emb, qvec, k=10, nprobe=2, shortlist=100_000).collect()
+    assert {r["vec_id"] for r in unfiltered} != {r["vec_id"] for r in got} or (
+        0 in allowed_ids
+    )
+
+
+def test_ivfpq_index_filtered_probe(spark, embeddings):
+    """The memory-bound tier's filtered path: probe/search under
+    ``allowed`` return only allowed ids."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=300)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = embeddings.where(F.col("vec_id") == 7).head()["label"]
+    allowed = embeddings.where(F.col("label") == lbl).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+
+    probed = idx.probe(qvec, k=20, nprobe=2, allowed=allowed).collect()
+    assert probed and all(r["vec_id"] in allowed_ids for r in probed)
+    served = idx.search(
+        emb, qvec, k=10, nprobe=2, shortlist=1000, allowed=allowed
+    ).collect()
+    assert served and all(r["vec_id"] in allowed_ids for r in served)

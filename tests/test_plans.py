@@ -887,3 +887,68 @@ def test_ivfpq_index_ingest_prunes_both_code_layouts(spark, embeddings, tmp_path
     for ln in pruned_scans:
         assert all(str(c) in ln for c in cells), ln
     assert "embedding" not in p  # codes-only probe
+
+
+def test_ivf_sq8_index_delete_mask_keeps_pruning_and_broadcasts(
+    spark, embeddings, tmp_path
+):
+    """The mutation verbs' scale contract: a loaded index carrying
+    tombstones must still push the probed cells into EVERY code layout
+    root (base + each batch dir), and the tombstone mask itself must be
+    a BROADCAST anti-join — deletes may never introduce a shuffle or
+    defeat partition pruning on the serving path."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "mutate_plan")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    repl = emb.where(F.col("vec_id") % 25 == 0).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(repl, path=path)
+    IvfSq8Index.load(spark, path).delete([3, 23], path=path)
+    loaded = IvfSq8Index.load(spark, path)
+    cells = loaded.probe_centroid_ids(qvec, nprobe=2)
+    p = plan(loaded.probe(qvec, k=5, nprobe=2))
+    pruned_scans = [
+        ln for ln in p.splitlines() if "PartitionFilters" in ln and "centroid" in ln
+    ]
+    # one pruned scan per CODES root: base + the upsert's batch dir (the
+    # delete-only dir holds no codes); the tombstone scans are unpruned
+    # kilobyte reads and must not appear with partition filters
+    assert len(pruned_scans) == 2, p
+    for ln in pruned_scans:
+        assert all(str(c) in ln for c in cells), ln
+    # the mask is a broadcast hash anti-join, never a shuffle of codes
+    assert "BroadcastHashJoin LeftAnti BuildRight" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_ivf_sq8_index_filtered_probe_keeps_pruning_and_broadcasts(
+    spark, embeddings, tmp_path
+):
+    """The filtered-query verb's scale contract: the ``allowed`` id set
+    semi-joins into the codes scan as a BROADCAST above an intact
+    partition filter — the metadata filter may never defeat pruning or
+    shuffle the codes."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "filter_plan")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    loaded = IvfSq8Index.load(spark, path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = embeddings.where(F.col("vec_id") == 7).head()["label"]
+    allowed = embeddings.where(F.col("label") == lbl).select("vec_id")
+    cells = loaded.probe_centroid_ids(qvec, nprobe=2)
+    p = plan(loaded.probe(qvec, k=5, nprobe=2, allowed=allowed))
+    pruned_scans = [
+        ln for ln in p.splitlines() if "PartitionFilters" in ln and "centroid" in ln
+    ]
+    assert len(pruned_scans) == 1, p
+    assert all(str(c) in pruned_scans[0] for c in cells), pruned_scans[0]
+    assert "BroadcastHashJoin LeftSemi BuildRight" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    # the metadata predicate itself pushed into the metadata table's scan
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label" in p, p

@@ -1,0 +1,187 @@
+"""IvfSq8Index MUTATION verbs at 1M×1536: what upsert/delete cost on
+the persisted serving artifact, and what the tombstone mask costs reads
+(r15 — the ingest twin is tools/stress_ivf_sq8_ingest.py).
+
+The mutation design is seq-ordered atomic commits: a delete is one
+``batches/<seq>_<uuid>/deletes`` rename, an upsert is one dir holding
+fresh codes + co-located floats + its own ids' tombstones, reads mask
+strictly-older rows with ONE broadcast anti-join, ``save`` folds it all
+physically. The numbers a production reader wants:
+
+  1. delete commit latency for a 10k id set (driver-side tombstone
+     write — should be near-constant, independent of corpus size);
+  2. upsert commit latency for 10k rows (frozen-quantizer encode + the
+     staged three-table write);
+  3. the masked-read tax: probe latency before any mutation vs with
+     tombstones live (the broadcast anti-join's cost on the serving
+     path);
+  4. fold cost (``save``) and the post-fold probe returning bit-equal
+     results.
+
+Semantics are asserted along the way: a planted clone of the query
+vector is upserted, deleted, re-upserted — the final probe must serve
+exactly the re-add.
+
+    python tools/stress_ivf_sq8_mutate.py [n] [dim] [mut_rows]
+
+Defaults: 1,000,000 × 1536, 10,000-row mutations. One JSON line per
+stage (BASELINE.md record format).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 1_000_000
+    dim = int(args[1]) if len(args) > 1 else 1536
+    mut = int(args[2]) if len(args) > 2 else 10_000
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+    from whatsapp_vectordb_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark(app_name="ivf-sq8-mutate-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="wvs_sq8_mutate_")
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    out: dict = {"metric": "ivf_sq8_mutate_stress", "n": n, "dim": dim, "mut": mut}
+
+    def synth_fn(offset: int):
+        def synth(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["id"].to_numpy() + offset
+                rng = np.random.default_rng(1_000_003 + int(ids[0]))
+                m = rng.standard_normal((len(ids), dim)).astype(np.float32)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+
+        return synth
+
+    corpus_path = os.path.join(root, "corpus")
+    t0 = time.perf_counter()
+    (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(synth_fn(0), schema="vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(corpus_path)
+    )
+    out["synth_write_s"] = round(time.perf_counter() - t0, 1)
+    base = spark.read.parquet(corpus_path)
+    print(json.dumps(out), flush=True)
+
+    t0 = time.perf_counter()
+    idx_path = os.path.join(root, "index")
+    IvfSq8Index.build(base, n_centroids=64, sample_rows=50_000).save(
+        idx_path, store_vectors=True
+    )
+    out["build_save_s"] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(out), flush=True)
+
+    qvec = base.where(F.col("vec_id") == 0).head()["embedding"]
+
+    # pre-mutation probe level (the masked-read comparison point)
+    pre = IvfSq8Index.load(spark, idx_path)
+    t0 = time.perf_counter()
+    baseline_top = [
+        (r["vec_id"], r["score"])
+        for r in pre.search(query_vec=qvec, k=4, nprobe=4, shortlist=64).collect()
+    ]
+    out["probe_premutation_s"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(out), flush=True)
+
+    # seq1 UPSERT: mut fresh rows + one planted clone of the query vector
+    clone_id = 30_000_000
+    batch = (
+        spark.range(mut - 1)
+        .repartition(16)
+        .mapInPandas(synth_fn(10_000_000), schema="vec_id long, embedding array<float>")
+        .unionByName(
+            spark.createDataFrame(
+                [(clone_id, list(map(float, qvec)))],
+                "vec_id long, embedding array<float>",
+            )
+        )
+    )
+    loaded = IvfSq8Index.load(spark, idx_path)
+    t0 = time.perf_counter()
+    loaded.upsert(batch, path=idx_path)
+    out["upsert_commit_s"] = round(time.perf_counter() - t0, 1)
+    out["upsert_rows_per_s"] = int(mut / (time.perf_counter() - t0))
+    print(json.dumps(out), flush=True)
+
+    # seq2 DELETE: the clone + (mut - 1) base ids — one tombstone commit
+    del_ids = [clone_id] + list(range(100, 100 + mut - 1))
+    loaded2 = IvfSq8Index.load(spark, idx_path)
+    t0 = time.perf_counter()
+    loaded2.delete(del_ids, path=idx_path)
+    out["delete_commit_s"] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(out), flush=True)
+
+    # seq3 UPSERT: re-add the clone — the write-after-delete must win
+    IvfSq8Index.load(spark, idx_path).upsert(
+        spark.createDataFrame(
+            [(clone_id, list(map(float, qvec)))],
+            "vec_id long, embedding array<float>",
+        ),
+        path=idx_path,
+    )
+
+    # masked probe: tombstones live → the broadcast anti-join is on the
+    # serving path; the clone must be served (re-add wins), deleted base
+    # ids must not
+    re = IvfSq8Index.load(spark, idx_path)
+    t0 = time.perf_counter()
+    got = [
+        (r["vec_id"], r["score"])
+        for r in re.search(query_vec=qvec, k=4, nprobe=4, shortlist=64).collect()
+    ]
+    out["probe_masked_s"] = round(time.perf_counter() - t0, 2)
+    got_ids = [g[0] for g in got]
+    assert clone_id in got_ids[:2], got
+    assert not any(100 <= g < 100 + mut - 1 for g in got_ids), got
+    out["readd_served"] = True
+    print(json.dumps(out), flush=True)
+
+    # fold: save() applies tombstones physically; bit-equal serving after
+    t0 = time.perf_counter()
+    re.save(idx_path, store_vectors=True)
+    out["compact_save_s"] = round(time.perf_counter() - t0, 1)
+    assert not os.path.isdir(os.path.join(idx_path, "batches"))
+    folded = IvfSq8Index.load(spark, idx_path)
+    t0 = time.perf_counter()
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in folded.search(query_vec=qvec, k=4, nprobe=4, shortlist=64).collect()
+    ]
+    out["probe_postfold_s"] = round(time.perf_counter() - t0, 2)
+    assert got == got2, (got, got2)
+    out["post_fold_probe_equal"] = True
+    out["visible_rows"] = folded.codes.count()
+    assert out["visible_rows"] == n + mut - (mut - 1), out["visible_rows"]
+    print(json.dumps(out), flush=True)
+    # keep the baseline_top reference honest: the pre-mutation leader is
+    # base vec 0 itself; after mutations the clone ties/joins it
+    out["premutation_leader"] = baseline_top[0][0]
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

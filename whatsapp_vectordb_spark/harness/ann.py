@@ -3342,3 +3342,304 @@ def ann_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reloaded.search(
         emb.unionByName(copies), qvec, k=10, nprobe=2, shortlist=50
     )
+
+
+# ---------------------------------------------------------------------------
+# MUTATION rows (upsert/delete on the persisted serving artifacts) — the
+# reference's remaining Pinecone verbs (upsert.go:16 replace-by-id;
+# delete is the API's fourth verb) landed on the SERVING layouts, not
+# just the plain table (upsert_replace_by_id / index_delete cover that).
+# Scenario, three seq-ordered atomic commits against a saved index with
+# a co-located float store:
+#   seq1 UPSERT: ids %10==3 get the query's own embedding (clones — they
+#        must rocket into the top-k, proving the replace half);
+#   seq2 DELETE: ids %20==3 (half the clones — perfect-scoring rows must
+#        VANISH, proving tombstones mask strictly-older writes);
+#   seq3 UPSERT: ids %40==3 re-added (a write AFTER a delete must win —
+#        commit-seq order, not wall clock).
+# The oracle replays visibility from the DISK layouts alone: codes ∪
+# batch codes with their commit _seq, tombstones folded to max-seq per
+# id, rows visible iff no strictly-newer tombstone — then the house
+# prune + integer-ADC + shortlist + exact-re-rank replay over the
+# equally-masked on-disk float store. A lost tombstone, a half-applied
+# upsert, a wrong seq comparison, or a mask that leaks into the float
+# side all break the hash.
+
+
+def _mutate_visibility_ctes(d: str, codes_col: str) -> str:
+    """Shared visibility CTEs for the two mutation oracles: seq-stamped
+    codes/vectors unions from the saved layout + tombstone fold + the
+    strictly-older mask (the `_mask_deleted` rule, replayed in SQL)."""
+    return f"""
+codes_all AS (
+  SELECT vec_id, {codes_col}, centroid, 0 AS _seq
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
+  UNION ALL
+  SELECT vec_id, {codes_col}, centroid, _seq
+  FROM read_parquet('{d}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
+),
+dels AS (
+  SELECT vec_id AS del_id, MAX(_seq) AS del_seq
+  FROM read_parquet('{d}/batches/*/deletes/*.parquet')
+  GROUP BY 1
+),
+codes AS (
+  SELECT c.vec_id, c.{codes_col}, c.centroid
+  FROM codes_all c
+  LEFT JOIN dels t ON c.vec_id = t.del_id AND c._seq < t.del_seq
+  WHERE t.del_id IS NULL
+),
+vecs_all AS (
+  SELECT vec_id, embedding, 0 AS _seq
+  FROM read_parquet('{d}/vectors/*/*.parquet', hive_partitioning = 1)
+  UNION ALL
+  SELECT vec_id, embedding, _seq
+  FROM read_parquet('{d}/batches/*/vectors/*/*.parquet', hive_partitioning = 1)
+),
+vecs AS (
+  SELECT v.vec_id, v.embedding
+  FROM vecs_all v
+  LEFT JOIN dels t ON v.vec_id = t.del_id AND v._seq < t.del_seq
+  WHERE t.del_id IS NULL
+)"""
+
+
+_IVF_SQ8_MUTATE_DIR = _oracle_scratch("ivf_sq8_mutate")
+
+
+def _ivf_sq8_mutate_sql() -> str:
+    d = _IVF_SQ8_MUTATE_DIR
+    return f"""
+WITH {_mutate_visibility_ctes(d, "sq8_codes")},
+probe AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+exf AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+sd AS (SELECT d,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+exc AS (
+  SELECT c.vec_id, unnest(c.sq8_codes) AS cd,
+         unnest(range(1, len(c.sq8_codes) + 1)) AS d
+  FROM codes c JOIN probe p ON CAST(c.centroid AS BIGINT) = p.centroid
+),
+iscores AS (
+  SELECT e.vec_id, SUM(e.cd::BIGINT * g.w) AS score_int
+  FROM exc e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vecs v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+def _mutate_index(idx_cls, spark, emb, path: str):
+    """Run the shared three-commit mutation scenario against a freshly
+    saved index at ``path`` and return (reloaded index, query vector)."""
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    idx_cls.load(spark, path).upsert(clones, path=path)
+    idx_cls.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    idx_cls.load(spark, path).upsert(
+        clones.where(F.col("vec_id") % 40 == 3), path=path
+    )
+    return idx_cls.load(spark, path), qvec
+
+
+@_register("ann_ivf_sq8_index_mutate", _ivf_sq8_mutate_sql())
+def ann_ivf_sq8_index_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/delete on the persisted IVF-SQ8 artifact (see the mutation
+    block comment): each verb is ONE atomic ``batches/<seq>_<uuid>``
+    rename (an upsert's tombstones + fresh codes + co-located floats
+    commit together), reads mask strictly-older rows with one broadcast
+    anti-join, and the served top-10 must show the replaced vectors,
+    hide the deleted ids, and re-show the re-added ones."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVF_SQ8_MUTATE_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _IVF_SQ8_MUTATE_DIR, store_vectors=True
+    )
+    reloaded, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_MUTATE_DIR)
+    cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVF_SQ8_MUTATE_DIR, "probe")
+    )
+    return reloaded.search(
+        None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
+    )
+
+
+_IVFPQ_MUTATE_DIR = _oracle_scratch("ivfpq_mutate")
+
+
+def _ivfpq_mutate_sql() -> str:
+    d = _IVFPQ_MUTATE_DIR
+    return f"""
+WITH {_mutate_visibility_ctes(d, "codes")},
+probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+),
+short AS (SELECT vec_id FROM s ORDER BY score ASC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vecs v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+_IVF_SQ8_FILTER_DIR = _oracle_scratch("ivf_sq8_filtered")
+
+# Metadata-FILTERED serving (the reference API's query filter: Pinecone
+# restricts a query to ids whose metadata matches a predicate). PRE-
+# filter semantics: the predicate evaluates on the metadata table (its
+# own pushed-down parquet filter), the resulting id set broadcast
+# semi-joins into the pruned codes scan BEFORE the ADC shortlist — so
+# all k results satisfy the filter by construction (post-filtering a
+# k-deep result can return < k matches no matter how the overfetch is
+# tuned). The oracle replays the same restriction: codes ∩ allowed →
+# integer ADC → shortlist → exact re-rank.
+
+
+def _ivf_sq8_filtered_sql() -> str:
+    d = _IVF_SQ8_FILTER_DIR
+    return f"""
+WITH codes AS (
+  SELECT vec_id, sq8_codes, centroid
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
+),
+allowed AS (
+  SELECT vec_id FROM embeddings
+  WHERE label = (SELECT label FROM embeddings WHERE vec_id = 7)
+),
+probe AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+exf AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+sd AS (SELECT d,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+exc AS (
+  SELECT c.vec_id, unnest(c.sq8_codes) AS cd,
+         unnest(range(1, len(c.sq8_codes) + 1)) AS d
+  FROM codes c
+  JOIN probe p ON CAST(c.centroid AS BIGINT) = p.centroid
+  JOIN allowed a ON a.vec_id = c.vec_id
+),
+iscores AS (
+  SELECT e.vec_id, SUM(e.cd::BIGINT * g.w) AS score_int
+  FROM exc e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q2
+WHERE list_dot_product(e.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_sq8_filtered_topk", _ivf_sq8_filtered_sql())
+def ann_ivf_sq8_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search on the persisted serving artifact: top-10
+    among embeddings sharing vec_id 7's label only. The label predicate
+    runs on the metadata table (pushed-down scan), its id set broadcast
+    semi-joins into the partition-pruned codes scan pre-ADC
+    (``IvfSq8Index.search(allowed=...)``) — k results guaranteed to
+    match the filter, no overfetch heuristics, no shuffle added
+    (plan-audited in tests/test_plans.py)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb3 = _t(spark, sf_dir, "embeddings")
+    emb = emb3.select("vec_id", "embedding")
+    shutil.rmtree(_IVF_SQ8_FILTER_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _IVF_SQ8_FILTER_DIR, store_vectors=True
+    )
+    idx = IvfSq8Index.load(spark, _IVF_SQ8_FILTER_DIR)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = emb3.where(F.col("vec_id") == 7).head()["label"]
+    allowed = emb3.where(F.col("label") == lbl).select("vec_id")
+    cells = idx.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVF_SQ8_FILTER_DIR, "probe")
+    )
+    return idx.search(
+        None,
+        qvec,
+        k=10,
+        nprobe=_IVFSQ8_NPROBE,
+        shortlist=50,
+        allowed=allowed,
+    )
+
+
+@_register("ann_ivfpq_index_mutate", _ivfpq_mutate_sql())
+def ann_ivfpq_index_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory-bound tier under the same three-commit mutation
+    scenario (block comment above): fresh residual codes + tombstones
+    commit atomically, the LUT-ADC shortlist sees only visible rows, and
+    the exact re-rank reads the equally-masked co-located float store."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVFPQ_MUTATE_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_MUTATE_DIR, store_vectors=True)
+    reloaded, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_MUTATE_DIR)
+    _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_MUTATE_DIR)
+    return reloaded.search(None, qvec, k=10, nprobe=2, shortlist=50)

@@ -2666,6 +2666,89 @@ def ivf_sq8_batched_rerank_topk(
     )
 
 
+def _parse_batch_seq(name: str) -> int:
+    """Mutation-order sequence from a committed batch dir name
+    (``<seq>_<uuid>``). Legacy uuid-only dirs (layouts written before
+    the mutation verbs existed) order as 0 — alongside the base: they
+    predate any delete commit, so a later tombstone correctly masks
+    them, and a later re-add (higher seq) correctly survives."""
+    head = name.split("_", 1)[0]
+    return int(head) if head.isdigit() else 0
+
+
+def _next_batch_seq(path: str) -> int:
+    """Next mutation sequence number for a saved layout — 1 + the max
+    committed batch/delete seq (single-writer posture, same as every
+    other maintenance verb on these layouts)."""
+    bdir = os.path.join(path, "batches")
+    if not os.path.isdir(bdir):
+        return 1
+    return 1 + max(
+        (_parse_batch_seq(b) for b in os.listdir(bdir)), default=0
+    )
+
+
+def _index_delete(idx, ids, path: str | None) -> None:
+    """Shared delete-by-id implementation for the persisted serving
+    artifacts (IvfSq8Index / IvfPqIndex — one contract, see
+    ``IvfSq8Index.delete``): pin the id set, commit it (with ``path``)
+    as an atomic ``batches/<seq>_<uuid>/deletes`` rename, and mask the
+    in-memory plans with one broadcast anti-join each."""
+    import shutil
+    import uuid
+
+    spark = idx.codes.sparkSession
+    if not isinstance(ids, DataFrame):
+        rows = [(i,) for i in ids]
+        if not rows:
+            return
+        ids = spark.createDataFrame(rows, [idx.id_col])
+    # pin: the disk write and the in-memory anti-joins are separate
+    # jobs — a nondeterministic ids plan could tombstone one set on
+    # disk and mask another in memory
+    ids = ids.select(idx.id_col).localCheckpoint(eager=True)
+    if ids.isEmpty():
+        return
+    if path is not None:
+        IvfSq8Index._gc_staging(path)
+        seq = _next_batch_seq(path)
+        batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
+        stage = os.path.join(path, "_staging", batch_id)
+        try:
+            ids.withColumn("_seq", F.lit(seq).cast("long")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(stage, "deletes"))
+            bdir = os.path.join(path, "batches")
+            os.makedirs(bdir, exist_ok=True)
+            os.rename(stage, os.path.join(bdir, batch_id))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+    idx.codes = idx.codes.join(F.broadcast(ids), idx.id_col, "left_anti")
+    if idx.vectors is not None:
+        idx.vectors = idx.vectors.join(F.broadcast(ids), idx.id_col, "left_anti")
+
+
+def _mask_deleted(df: DataFrame | None, marks: DataFrame | None, id_col: str):
+    """Apply delete tombstones to a seq-carrying layout union: a row is
+    visible iff NO tombstone for its id was committed strictly AFTER the
+    row was written (``row._seq < tombstone max seq`` ⇒ masked). The
+    tombstone set is the ids explicitly deleted/replaced since the last
+    fold — small by maintenance contract — so the mask is ONE broadcast
+    hash anti-join (equi key = id, the seq comparison rides along as the
+    join condition): no shuffle, and the centroid partition pruning on
+    every union branch below it is untouched. ``save`` folds tombstones
+    away physically, so the mask never grows without bound."""
+    if df is None:
+        return None
+    if marks is None:
+        return df.drop("_seq")
+    cond = (F.col(id_col) == F.col("_del_id")) & (
+        F.col("_seq") < F.col("_del_seq")
+    )
+    return df.join(F.broadcast(marks), cond, "left_anti").drop("_seq")
+
+
 class IvfSq8Index:
     """The persisted FAISS-style ``IVFx,SQ8`` serving artifact — the
     production form the registry rows (`ann_ivf_sq8_*`) build inline.
@@ -2869,40 +2952,90 @@ class IvfSq8Index:
         return self
 
     @staticmethod
-    def _read_layout(spark: SparkSession, path: str, sub: str) -> DataFrame | None:
-        """Base ``<sub>/`` layout unioned with every committed
-        ``batches/<uuid>/<sub>`` append. Each root is read separately
-        (partition discovery stays per-root, so ``centroid=N`` file
-        pruning pushes into every branch of the union); a batch dir only
-        exists once its single commit rename succeeded."""
-        from functools import reduce
+    def _layout_roots(path: str, sub: str) -> list[tuple[int, str]]:
+        """Committed parquet roots for one layout table: the base
+        ``<sub>/`` dir (mutation seq 0) plus every committed
+        ``batches/<seq>_<uuid>/<sub>`` dir (its commit seq). A root is
+        listed only once its single commit rename succeeded; dirs with
+        no part files anywhere (a legacy empty commit: just _SUCCESS)
+        are skipped — they hold no rows and would fail schema inference
+        and brick the whole load."""
 
         def has_parquet(root: str) -> bool:
-            # a dir with no part files anywhere (e.g. a legacy empty
-            # commit: just _SUCCESS) would fail schema inference and
-            # brick the whole load — skip it, it holds no rows
             for _, _, files in os.walk(root):
                 if any(f.endswith(".parquet") for f in files):
                     return True
             return False
 
-        roots = []
+        roots: list[tuple[int, str]] = []
         base = os.path.join(path, sub)
         if os.path.isdir(base) and has_parquet(base):
-            roots.append(base)
+            roots.append((0, base))
         bdir = os.path.join(path, "batches")
         if os.path.isdir(bdir):
             roots.extend(
-                os.path.join(bdir, b, sub)
+                (_parse_batch_seq(b), os.path.join(bdir, b, sub))
                 for b in sorted(os.listdir(bdir))
                 if os.path.isdir(os.path.join(bdir, b, sub))
                 and has_parquet(os.path.join(bdir, b, sub))
             )
+        return roots
+
+    @staticmethod
+    def _read_layout(spark: SparkSession, path: str, sub: str) -> DataFrame | None:
+        """Base ``<sub>/`` layout unioned with every committed
+        ``batches/<seq>_<uuid>/<sub>`` append, each row carrying its
+        commit ``_seq`` (base = 0; rows written before the mutation
+        verbs existed fall back to their dir-name seq, i.e. 0). Each
+        root is read separately (partition discovery stays per-root, so
+        ``centroid=N`` file pruning pushes into every branch of the
+        union). Callers apply ``_mask_deleted`` (which drops ``_seq``)
+        before serving rows."""
+        from functools import reduce
+
+        roots = IvfSq8Index._layout_roots(path, sub)
         if not roots:
             return None
+
+        def read_one(seq: int, root: str) -> DataFrame:
+            df = spark.read.parquet(root)
+            if "_seq" not in df.columns:
+                df = df.withColumn("_seq", F.lit(seq).cast("long"))
+            return df
+
         return reduce(
             lambda a, b: a.unionByName(b),
-            (spark.read.parquet(r) for r in roots),
+            (read_one(seq, r) for seq, r in roots),
+        )
+
+    @staticmethod
+    def _read_delete_marks(
+        spark: SparkSession, path: str, id_col: str
+    ) -> DataFrame | None:
+        """The layout's tombstone set, folded to one row per id:
+        ``(_del_id, _del_seq = max commit seq)``. Tombstones live inside
+        the same atomic batch dirs as the data they accompany
+        (``batches/<seq>_<uuid>/deletes``) — a pure delete commits a
+        dir holding only ``deletes``, an upsert commits codes + vectors
+        + its own ids' tombstones under ONE rename."""
+        from functools import reduce
+
+        roots = IvfSq8Index._layout_roots(path, "deletes")
+        if not roots:
+            return None
+
+        def read_one(seq: int, root: str) -> DataFrame:
+            df = spark.read.parquet(root)
+            if "_seq" not in df.columns:
+                df = df.withColumn("_seq", F.lit(seq).cast("long"))
+            return df
+
+        marks = reduce(
+            lambda a, b: a.unionByName(b),
+            (read_one(seq, r) for seq, r in roots),
+        )
+        return marks.groupBy(F.col(id_col).alias("_del_id")).agg(
+            F.max("_seq").alias("_del_seq")
         )
 
     @classmethod
@@ -2923,14 +3056,17 @@ class IvfSq8Index:
         codes = cls._read_layout(spark, path, "codes")
         if codes is None:
             raise RuntimeError(f"IvfSq8Index at {path!r} has meta.json but no codes")
+        marks = cls._read_delete_marks(spark, path, meta["id_col"])
         return cls(
-            codes,
+            _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
             meta["mins"],
             meta["deltas"],
             meta["id_col"],
             meta["vec_col"],
-            vectors=cls._read_layout(spark, path, "vectors"),
+            vectors=_mask_deleted(
+                cls._read_layout(spark, path, "vectors"), marks, meta["id_col"]
+            ),
         )
 
     def cell_stats(self) -> dict:
@@ -2959,14 +3095,40 @@ class IvfSq8Index:
         d = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
 
+    def _allowed_codes(self, allowed: DataFrame | None) -> DataFrame:
+        """Metadata-filtered serving (the reference API's query filter —
+        Pinecone restricts a query to ids matching a metadata
+        predicate): the caller evaluates the predicate on its metadata
+        table (that filter pushes down to the metadata parquet scan) and
+        passes the resulting id set; the codes scan takes ONE broadcast
+        semi-join on id ABOVE the partition filter — pruning is
+        untouched, nothing shuffles, and the ADC shortlist is then
+        all-allowed by construction, so ``k`` results are guaranteed to
+        satisfy the filter (PRE-filter semantics — no overfetch
+        heuristics). This is the selective-filter plan; for a permissive
+        filter that keeps most rows, skip ``allowed`` and filter the
+        RESULT of a larger-``k`` search instead (post-filter) — the
+        broadcast id set is the thing that must stay small."""
+        if allowed is None:
+            return self.codes
+        return self.codes.join(
+            F.broadcast(allowed.select(self.id_col)), self.id_col, "left_semi"
+        )
+
     def probe(
-        self, query_vec, k: int = 10, nprobe: int = 2, impl: str = "expr"
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 2,
+        impl: str = "expr",
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Quantized-domain top-k: prune + integer ADC over codes only
         (``ivf_sq8_topk``). Scores are int64 ADC values — use ``search``
-        when exact scores must leave the system."""
+        when exact scores must leave the system. ``allowed`` restricts
+        the scan to an id set (``_allowed_codes``)."""
         return ivf_sq8_topk(
-            self.codes,
+            self._allowed_codes(allowed),
             self.probe_centroid_ids(query_vec, nprobe),
             query_vec,
             self.deltas,
@@ -3002,6 +3164,7 @@ class IvfSq8Index:
         metric: str = "dotproduct",
         round_to: int | None = 6,
         impl: str = "expr",
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """The serving default: prune + ADC shortlist + exact re-rank.
         The floats come from ``vectors_df`` when given (broadcast
@@ -3009,12 +3172,15 @@ class IvfSq8Index:
         costs a full float-column scan per query), else from the
         co-located store pruned to the probed cells (nprobe/k of the
         float bytes; BASELINE.md r13 measures the difference). Exact
-        final scores."""
+        final scores. ``allowed`` restricts serving to an id set
+        (``_allowed_codes`` — the filtered-query verb); the shortlist is
+        then all-allowed by construction, so the re-rank needs no
+        additional mask."""
         if query_vec is None:
             raise ValueError("query_vec is required")
         cells = self.probe_centroid_ids(query_vec, nprobe)
         return ivf_sq8_rerank_topk(
-            self.codes,
+            self._allowed_codes(allowed),
             self._rerank_side(vectors_df, cells),
             cells,
             query_vec,
@@ -3038,6 +3204,7 @@ class IvfSq8Index:
         metric: str = "dotproduct",
         round_to: int | None = 6,
         impl: str = "expr",
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """N queries, ONE codes scan over the union of probed cells, ONE
         float pass re-ranking every shortlist (``ivf_sq8_batched_rerank_
@@ -3045,7 +3212,9 @@ class IvfSq8Index:
         is ``[(query_id, vector)]``. Without ``vectors_df``, the
         co-located store pruned to the UNION of probed cells serves the
         re-rank (every query's shortlist lives inside its own probed
-        cells ⊆ the union)."""
+        cells ⊆ the union). ``allowed`` applies ONE id filter to the
+        shared codes scan — all queries in the batch serve under the
+        same metadata predicate."""
         if not queries:
             raise ValueError("queries is required")
         probe_map = {
@@ -3053,7 +3222,7 @@ class IvfSq8Index:
         }
         union_cells = sorted({c for cells in probe_map.values() for c in cells})
         return ivf_sq8_batched_rerank_topk(
-            self.codes,
+            self._allowed_codes(allowed),
             self._rerank_side(vectors_df, union_cells),
             queries,
             probe_map,
@@ -3067,7 +3236,9 @@ class IvfSq8Index:
             impl=impl,
         )
 
-    def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfSq8Index":
+    def add_batch(
+        self, batch: DataFrame, path: str | None = None, replace: bool = False
+    ) -> "IvfSq8Index":
         """Frozen-quantizer, frozen-scaler ingest: assign + encode the
         batch map-only and append (to the in-memory union and — with
         ``path`` — to the saved layout). Out-of-range values clamp to
@@ -3075,16 +3246,24 @@ class IvfSq8Index:
         scaler drift, rebuild when they degrade — same maintenance
         posture as ``IvfIndex.add_batch``/``drift``.
 
+        ``replace=True`` is the UPSERT verb (the reference's core write,
+        upsert.go:16 — Pinecone replace-by-id): the same commit also
+        tombstones the batch's ids at this commit's seq, masking any
+        OLDER row with the same id while the rows written here (same
+        seq, and the mask is strictly-older-only) stay visible.
+
         CRASH SAFETY (ADVICE r13): the on-disk append stages the batch's
         codes AND (when the saved index carries a float store) its
-        co-located vectors under ONE ``_staging/<uuid>`` dir and commits
-        with a SINGLE ``os.rename`` into ``batches/<uuid>`` — the two
-        previous independent ``mode('append')`` writes had a window
-        where new codes landed without their floats, and the exact
-        re-rank's inner join would then silently DROP those ids from
-        results. One rename = both tables visible together or not at
-        all. ``save`` folds accumulated batch dirs back into the base
-        layout (compaction)."""
+        co-located vectors AND (replace) its tombstones under ONE
+        ``_staging/<uuid>`` dir and commits with a SINGLE ``os.rename``
+        into ``batches/<seq>_<uuid>`` — the two previous independent
+        ``mode('append')`` writes had a window where new codes landed
+        without their floats, and the exact re-rank's inner join would
+        then silently DROP those ids from results. One rename = codes,
+        floats, and delete marks visible together or not at all (an
+        upsert can never be observed as its delete half alone).
+        ``save`` folds accumulated batch dirs back into the base
+        layout (compaction), applying tombstones physically."""
         import shutil
         import uuid
 
@@ -3106,17 +3285,26 @@ class IvfSq8Index:
             return self
         if path is not None:
             self._gc_staging(path)
-            batch_id = uuid.uuid4().hex
+            seq = _next_batch_seq(path)
+            batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
             stage = os.path.join(path, "_staging", batch_id)
             try:
-                enc.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
-                    "centroid"
-                ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+                enc.select(self.id_col, "sq8_codes", "centroid").withColumn(
+                    "_seq", F.lit(seq).cast("long")
+                ).write.partitionBy("centroid").mode("overwrite").parquet(
+                    os.path.join(stage, "codes")
+                )
                 if os.path.isdir(os.path.join(path, "vectors")):
                     assigned.select(
                         self.id_col, self.vec_col, "centroid"
-                    ).write.partitionBy("centroid").mode("overwrite").parquet(
-                        os.path.join(stage, "vectors")
+                    ).withColumn("_seq", F.lit(seq).cast("long")).write.partitionBy(
+                        "centroid"
+                    ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
+                if replace:
+                    batch.select(self.id_col).withColumn(
+                        "_seq", F.lit(seq).cast("long")
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(stage, "deletes")
                     )
                 bdir = os.path.join(path, "batches")
                 os.makedirs(bdir, exist_ok=True)
@@ -3124,6 +3312,15 @@ class IvfSq8Index:
             except BaseException:
                 shutil.rmtree(stage, ignore_errors=True)
                 raise
+        if replace:
+            # in-memory mirror of the seq rule: older rows with these
+            # ids vanish, then the batch's own rows union in below
+            old_ids = F.broadcast(batch.select(self.id_col))
+            self.codes = self.codes.join(old_ids, self.id_col, "left_anti")
+            if self.vectors is not None:
+                self.vectors = self.vectors.join(
+                    old_ids, self.id_col, "left_anti"
+                )
         self.codes = self.codes.unionByName(
             enc.select(self.id_col, "sq8_codes", "centroid"),
             allowMissingColumns=True,
@@ -3133,6 +3330,28 @@ class IvfSq8Index:
                 assigned.select(self.id_col, self.vec_col, "centroid"),
                 allowMissingColumns=True,
             )
+        return self
+
+    def upsert(self, batch: DataFrame, path: str | None = None) -> "IvfSq8Index":
+        """Replace-by-id ingest — the reference's write verb
+        (upsert.go:16): one atomic commit that tombstones the batch's
+        ids against every older row and adds the batch's fresh codes
+        (and co-located floats) in their place. See ``add_batch``."""
+        return self.add_batch(batch, path=path, replace=True)
+
+    def delete(self, ids, path: str | None = None) -> "IvfSq8Index":
+        """Delete-by-id — the remaining Pinecone-surface verb on the
+        persisted serving artifact. ``ids`` is a one-column DataFrame
+        (or any python iterable of ids). With ``path``, the tombstone
+        set commits as an atomic ``batches/<seq>_<uuid>`` dir holding
+        only ``deletes`` (ONE rename — readable state either shows the
+        delete or doesn't, never half of it); every read path then
+        masks rows whose commit seq is strictly older (a later
+        ``add_batch``/``upsert`` of the same id is visible again —
+        last-writer-wins by commit order). The tombstone set stays
+        broadcast-small by contract; ``save`` folds it away physically,
+        resetting the mask to empty."""
+        _index_delete(self, ids, path)
         return self
 
 
@@ -3350,13 +3569,18 @@ class IvfPqIndex:
         codes = IvfSq8Index._read_layout(spark, path, "codes")
         if codes is None:
             raise RuntimeError(f"IvfPqIndex at {path!r} has meta.json but no codes")
+        marks = IvfSq8Index._read_delete_marks(spark, path, meta["id_col"])
         return cls(
-            codes,
+            _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
             meta["codebooks"],
             meta["id_col"],
             meta["vec_col"],
-            vectors=IvfSq8Index._read_layout(spark, path, "vectors"),
+            vectors=_mask_deleted(
+                IvfSq8Index._read_layout(spark, path, "vectors"),
+                marks,
+                meta["id_col"],
+            ),
         )
 
     def probe_cells(self, query_vec, nprobe: int = 2) -> list[int]:
@@ -3365,23 +3589,47 @@ class IvfPqIndex:
     def luts_int(self, query_vec, cells: list[int]):
         return self._proto().luts_int(query_vec, cells)
 
-    def probe(self, query_vec, k: int = 10, nprobe: int = 2) -> DataFrame:
+    def _allowed_codes(self, allowed: DataFrame | None) -> DataFrame:
+        """Metadata-filtered serving — the ``IvfSq8Index._allowed_codes``
+        contract (one broadcast semi-join on id above the partition
+        filter; PRE-filter semantics, k results guaranteed to satisfy
+        the caller's predicate)."""
+        return IvfSq8Index._allowed_codes(self, allowed)
+
+    def probe(
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 2,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
         """Quantized-domain top-k: partition-pruned codes scan + integer
         LUT ADC (ascending int64 distances). Use ``search`` when exact
-        scores must leave the system."""
-        return self._proto().probe(self.codes, query_vec, k=k, nprobe=nprobe)
+        scores must leave the system. ``allowed`` restricts the scan to
+        an id set (``_allowed_codes``)."""
+        return self._proto().probe(
+            self._allowed_codes(allowed), query_vec, k=k, nprobe=nprobe
+        )
 
-    def probe_batched(self, queries: list, k: int = 10, nprobe: int = 2) -> DataFrame:
+    def probe_batched(
+        self,
+        queries: list,
+        k: int = 10,
+        nprobe: int = 2,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
         """N queries, ONE partition-pruned codes scan
         (``ivfpq_residual_batched_topk`` — per-(query, cell) residual
         LUTs broadcast; bit-identical to N ``probe`` calls). ``queries``
         is ``[(query_id, vector)]``; returns
-        ``(query_id, id, score)``."""
+        ``(query_id, id, score)``. ``allowed`` applies ONE id filter to
+        the shared scan — the whole batch serves under the same
+        metadata predicate."""
         probe_map = {
             int(qid): self.probe_cells(vec, nprobe) for qid, vec in queries
         }
         return ivfpq_residual_batched_topk(
-            self._proto(), self.codes, queries, probe_map, k=k
+            self._proto(), self._allowed_codes(allowed), queries, probe_map, k=k
         )
 
     def _rerank_side(
@@ -3408,16 +3656,19 @@ class IvfPqIndex:
         shortlist: int = 100,
         metric: str = "dotproduct",
         round_to: int | None = 6,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """The serving default: prune + LUT-ADC shortlist + exact
         re-rank of the shortlist floats (broadcast semi-join — the float
-        table never shuffles). Exact final scores."""
+        table never shuffles). Exact final scores. ``allowed`` restricts
+        serving to an id set (``_allowed_codes``); the shortlist is then
+        all-allowed by construction."""
         if query_vec is None:
             raise ValueError("query_vec is required")
         cells = self.probe_cells(query_vec, nprobe)
-        short = self.probe(query_vec, k=shortlist, nprobe=nprobe).select(
-            self.id_col
-        )
+        short = self.probe(
+            query_vec, k=shortlist, nprobe=nprobe, allowed=allowed
+        ).select(self.id_col)
         cand = self._rerank_side(vectors_df, cells).join(
             F.broadcast(short), self.id_col
         )
@@ -3431,15 +3682,20 @@ class IvfPqIndex:
             round_to=round_to,
         )
 
-    def add_batch(self, batch: DataFrame, path: str | None = None) -> "IvfPqIndex":
+    def add_batch(
+        self, batch: DataFrame, path: str | None = None, replace: bool = False
+    ) -> "IvfPqIndex":
         """Frozen-quantizer, frozen-codebook ingest: ONE map-only
         normalize→assign→residual→encode pass, committed (with ``path``)
-        as an atomic ``batches/<uuid>`` rename — codes and (when the
-        saved layout carries a float store) co-located vectors stage
+        as an atomic ``batches/<seq>_<uuid>`` rename — codes and (when
+        the saved layout carries a float store) co-located vectors stage
         together and become visible together or not at all, exactly the
-        ``IvfSq8Index.add_batch`` contract. Codebook drift is the
-        maintenance signal: rebuild when residual distortion on new
-        batches degrades (same posture as SQ8's clamp-rate watch)."""
+        ``IvfSq8Index.add_batch`` contract. ``replace=True`` is the
+        upsert verb (the same commit tombstones the batch's ids against
+        every strictly-older row — see ``IvfSq8Index.add_batch``).
+        Codebook drift is the maintenance signal: rebuild when residual
+        distortion on new batches degrades (same posture as SQ8's
+        clamp-rate watch)."""
         import shutil
         import uuid
 
@@ -3458,22 +3714,40 @@ class IvfPqIndex:
             return self
         if path is not None:
             IvfSq8Index._gc_staging(path)
-            batch_id = uuid.uuid4().hex
+            seq = _next_batch_seq(path)
+            batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
             stage = os.path.join(path, "_staging", batch_id)
             try:
-                enc.select(self.id_col, "codes", "centroid").write.partitionBy(
-                    "centroid"
-                ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+                enc.select(self.id_col, "codes", "centroid").withColumn(
+                    "_seq", F.lit(seq).cast("long")
+                ).write.partitionBy("centroid").mode("overwrite").parquet(
+                    os.path.join(stage, "codes")
+                )
                 if os.path.isdir(os.path.join(path, "vectors")):
-                    self._assign_vectors(batch).write.partitionBy(
-                        "centroid"
-                    ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
+                    self._assign_vectors(batch).withColumn(
+                        "_seq", F.lit(seq).cast("long")
+                    ).write.partitionBy("centroid").mode("overwrite").parquet(
+                        os.path.join(stage, "vectors")
+                    )
+                if replace:
+                    batch.select(self.id_col).withColumn(
+                        "_seq", F.lit(seq).cast("long")
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(stage, "deletes")
+                    )
                 bdir = os.path.join(path, "batches")
                 os.makedirs(bdir, exist_ok=True)
                 os.rename(stage, os.path.join(bdir, batch_id))
             except BaseException:
                 shutil.rmtree(stage, ignore_errors=True)
                 raise
+        if replace:
+            old_ids = F.broadcast(batch.select(self.id_col))
+            self.codes = self.codes.join(old_ids, self.id_col, "left_anti")
+            if self.vectors is not None:
+                self.vectors = self.vectors.join(
+                    old_ids, self.id_col, "left_anti"
+                )
         self.codes = self.codes.unionByName(
             enc.select(self.id_col, "codes", "centroid"), allowMissingColumns=True
         )
@@ -3481,6 +3755,20 @@ class IvfPqIndex:
             self.vectors = self.vectors.unionByName(
                 self._assign_vectors(batch), allowMissingColumns=True
             )
+        return self
+
+    def upsert(self, batch: DataFrame, path: str | None = None) -> "IvfPqIndex":
+        """Replace-by-id ingest (upsert.go:16) — one atomic commit of
+        fresh codes + tombstones for the same ids. See
+        ``IvfSq8Index.upsert``."""
+        return self.add_batch(batch, path=path, replace=True)
+
+    def delete(self, ids, path: str | None = None) -> "IvfPqIndex":
+        """Delete-by-id tombstone commit — the ``IvfSq8Index.delete``
+        contract (atomic ``batches/<seq>_<uuid>/deletes`` rename,
+        broadcast mask on every read path, folded physically by
+        ``save``)."""
+        _index_delete(self, ids, path)
         return self
 
 
