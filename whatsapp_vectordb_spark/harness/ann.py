@@ -3407,8 +3407,14 @@ vecs AS (
 _IVF_SQ8_MUTATE_DIR = _oracle_scratch("ivf_sq8_mutate")
 
 
-def _ivf_sq8_mutate_sql() -> str:
-    d = _IVF_SQ8_MUTATE_DIR
+def _ivf_sq8_mutate_sql(dir_: str | None = None) -> str:
+    """Shared by the batch mutation row and its streaming-CDC twin —
+    both persist the same layout shape (base + seq'd batch dirs with
+    tombstones + probe side file), so one SQL shape replays both: the
+    visibility mask is derived from the committed layouts ALONE, which
+    also makes the streaming twin's oracle correct under any
+    file→trigger split the engine produced."""
+    d = dir_ or _IVF_SQ8_MUTATE_DIR
     return f"""
 WITH {_mutate_visibility_ctes(d, "sq8_codes")},
 probe AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),

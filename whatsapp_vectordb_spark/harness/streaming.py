@@ -1071,3 +1071,111 @@ def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_STREAM_DIR)
     return reloaded.search(aug, qvec, k=10, nprobe=2, shortlist=50)
+
+
+_SQ8_CDC_DIR = _oracle_scratch("stream_sq8_cdc")
+
+
+def _sq8_cdc_sql() -> str:
+    from whatsapp_vectordb_spark.harness.ann import _ivf_sq8_mutate_sql
+
+    return _ivf_sq8_mutate_sql(_SQ8_CDC_DIR)
+
+
+@_register("streaming_ivf_sq8_cdc", _sq8_cdc_sql())
+def streaming_ivf_sq8_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC maintenance of the persisted serving artifact by a REAL
+    stream: a change feed of upsert/delete events (op='u'/'d') replays
+    file-per-trigger through foreachBatch, each trigger applying its
+    deletes and upserts to the SAVED index through the atomic
+    ``batches/<seq>_<uuid>`` commits — the production pattern for a
+    vector index trailing an OLTP table. Event groups touch disjoint id
+    sets (clone upserts, deletes, re-add upserts, fresh inserts), so
+    the final state is trigger-order independent; the oracle replays
+    visibility from the committed layouts ALONE (the shared mutation
+    SQL), so it gates the served top-10 under ANY file→trigger split:
+    a lost tombstone, a half-applied upsert, or a wrong seq comparison
+    breaks the hash."""
+    import shutil
+
+    from whatsapp_vectordb_spark.harness.ann import _IVFSQ8_NPROBE, _KM_K
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    shutil.rmtree(_SQ8_CDC_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _SQ8_CDC_DIR, store_vectors=True
+    )
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qlit = F.lit(qvec).cast("array<float>")
+    no_vec = F.lit(None).cast("array<float>")
+    m10 = F.col("vec_id") % 10 == 3
+    m20 = F.col("vec_id") % 20 == 3
+    m40 = F.col("vec_id") % 40 == 3
+
+    src = os.path.join(_SQ8_CDC_DIR, "src")
+    groups = [
+        # clone upserts on never-deleted ids
+        emb.where(m10 & ~m20).select(
+            "vec_id", qlit.alias("embedding"), F.lit("u").alias("op")
+        ),
+        # deletes, never re-added
+        emb.where(m20 & ~m40).select(
+            "vec_id", no_vec.alias("embedding"), F.lit("d").alias("op")
+        ),
+        # clone upserts on a third disjoint set
+        emb.where(m40).select(
+            "vec_id", qlit.alias("embedding"), F.lit("u").alias("op")
+        ),
+        # fresh inserts
+        emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.col("embedding"),
+            F.lit("u").alias("op"),
+        ),
+    ]
+    for g in groups:
+        g.coalesce(1).write.mode("append").parquet(src)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = IvfSq8Index.load(spark, _SQ8_CDC_DIR)
+        dels = batch_df.where(F.col("op") == "d").select("vec_id")
+        if not dels.isEmpty():
+            idx.delete(dels, path=_SQ8_CDC_DIR)
+        ups = batch_df.where(F.col("op") == "u").select("vec_id", "embedding")
+        if not ups.isEmpty():
+            idx.upsert(ups, path=_SQ8_CDC_DIR)
+
+    schema = "vec_id long, embedding array<float>, op string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # the shared oracle reads batches/*/deletes and batches/*/codes — if
+    # the engine coalesced everything into one trigger those still
+    # exist, but if it produced NO triggers, fail here with the cause
+    bdir = os.path.join(_SQ8_CDC_DIR, "batches")
+    committed = os.listdir(bdir) if os.path.isdir(bdir) else []
+    if not committed or not any(
+        os.path.isdir(os.path.join(bdir, b, "deletes")) for b in committed
+    ):
+        raise RuntimeError(
+            "streaming_ivf_sq8_cdc: the stream committed no tombstones — "
+            "the change feed did not apply; oracle cannot replay"
+        )
+    reloaded = IvfSq8Index.load(spark, _SQ8_CDC_DIR)
+    cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_SQ8_CDC_DIR, "probe")
+    )
+    return reloaded.search(
+        None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
+    )
