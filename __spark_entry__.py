@@ -56,15 +56,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # compact None-guard + IvfSq8Index save store-drop fix (ADVICE r14),
 # and the distortion pair's cache-hit artifact check (ADVICE r14);
 # (c) the ENTIRE r10-stale cohort, 46 rows, drained per VERDICT r14
-# #1. 54 total (3 new + 5 changed + 46 cohort) — the last ~4 cohort
-# rows may fall past the ~50-row driver cap; they sort first in
-# category (4) either way, so they drain next regardless.
+# #1. The continuation session added 4 more new registrations (the
+# mutation/filter/CDC family) and 1 more changed-code row (the serving
+# roundtrip, whose load path gained tombstone masking): 59 total
+# (7 new + 6 changed + 46 cohort) — the last ~9 cohort rows may fall
+# past the ~50-row driver cap; they sort first in category (4) either
+# way, so they drain next regardless.
 _FRONTLOAD: list[str] = [
-    # (a) new registrations this round
+    # (a) new registrations this round (the continuation session added
+    # the mutation/filter/CDC family on the persisted serving artifacts)
+    "ann_ivf_sq8_index_mutate",
+    "ann_ivfpq_index_mutate",
+    "ann_ivf_sq8_filtered_topk",
+    "streaming_ivf_sq8_cdc",
     "dedup_semdedup_index_compact",
     "ann_ivfpq_index_ingest",
     "streaming_ivfpq_index",
-    # (b) implementation changed this round
+    # (b) implementation changed this round (the index classes' load
+    # path gained seq-aware tombstone masking; ingest commits are now
+    # seq-named and carry _seq)
+    "ann_ivf_sq8_index_serving",
     "events_zorder_layout",
     "dedup_winnow_index_compact",
     "ann_ivf_sq8_index_ingest",
