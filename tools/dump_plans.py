@@ -62,6 +62,8 @@ SHOWN = [
     ("ann_ivf_sq8_index_ingest", "frozen-quantizer ingest roundtrip: base+batch codes layouts UNION with per-root PartitionFilters, integer ADC shortlist, broadcast re-rank of the augmented floats"),
     ("events_zorder_layout", "Z-order layout planning: range-partition on the Morton key, per-partition row_number + closed-form ntile (two-phase scan; the old global-window SinglePartition exchange is gone)"),
     ("ann_ivfpq_index_ingest", "persisted IVF-PQ (memory-bound tier) ingest roundtrip: base+batch 16-byte-code layouts UNION with per-root PartitionFilters, integer LUT-ADC shortlist, broadcast exact re-rank"),
+    ("ann_ivf_sq8_index_mutate", "mutation verbs (upsert/delete): seq'd layout union with per-root PartitionFilters, tombstone mask as ONE BroadcastHashJoin LeftAnti pushed below the union, masked co-located floats re-rank"),
+    ("ann_ivf_sq8_filtered_topk", "metadata-filtered serving: label predicate pushed to the metadata scan, allowed ids broadcast LeftSemi into the pruned codes scan BEFORE the ADC shortlist"),
 ]
 
 
