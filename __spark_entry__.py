@@ -69,6 +69,7 @@ _FRONTLOAD: list[str] = [
     "ann_ivfpq_index_mutate",
     "ann_ivf_sq8_filtered_topk",
     "streaming_ivf_sq8_cdc",
+    "ann_ivfpq_batched_rerank_topk",
     "dedup_semdedup_index_compact",
     "ann_ivfpq_index_ingest",
     "streaming_ivfpq_index",
@@ -76,6 +77,7 @@ _FRONTLOAD: list[str] = [
     # path gained seq-aware tombstone masking; ingest commits are now
     # seq-named and carry _seq)
     "ann_ivf_sq8_index_serving",
+    "ann_ivf_sq8_batched_rerank_topk",
     "events_zorder_layout",
     "dedup_winnow_index_compact",
     "ann_ivf_sq8_index_ingest",

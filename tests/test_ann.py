@@ -1883,3 +1883,33 @@ def test_ivfpq_index_filtered_probe(spark, embeddings):
         emb, qvec, k=10, nprobe=2, shortlist=1000, allowed=allowed
     ).collect()
     assert served and all(r["vec_id"] in allowed_ids for r in served)
+
+
+def test_ivfpq_index_search_batched_equals_per_query(spark, embeddings):
+    """IvfPqIndex.search_batched (shortlist + shared exact-rerank tail)
+    must equal N independent search() calls bit-for-bit — same
+    shortlists (probe_batched is pinned to probe), same exact scores,
+    same tie-breaks."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=300)
+    qrows = emb.where(F.col("vec_id").isin(0, 1, 2)).collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+    batched = idx.search_batched(emb, queries, k=5, nprobe=2, shortlist=30)
+    got = {
+        qid: [(r["vec_id"], r["score"]) for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in batched.collect() if r["query_id"] == q],
+                key=lambda r: (-r["score"], r["vec_id"]),
+            ))
+            for q, _ in queries
+        )
+    }
+    for qid, vec in queries:
+        single = [
+            (r["vec_id"], r["score"])
+            for r in idx.search(emb, vec, k=5, nprobe=2, shortlist=30).collect()
+        ]
+        assert got[qid] == single, qid

@@ -3631,6 +3631,117 @@ def ann_ivf_sq8_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_BR_DIR = _oracle_scratch("ivfpq_batched_rerank")
+_IVFPQ_BR_QIDS = (0, 1, 2)
+
+# Batched EXACT serving on the memory-bound tier (IvfPqIndex
+# .search_batched): N queries, ONE pruned residual-codes scan for the
+# LUT-ADC shortlists, ONE float pass for the exact re-rank — the PQ twin
+# of ann_ivf_sq8_batched_rerank_topk, completing the batched-serving
+# symmetry between the two persisted artifacts. Persisted-state oracle:
+# codes from the saved layout, the (query, cell) probe map and the
+# per-(query, cell) flattened residual LUTs from side files; DuckDB
+# replays shortlist (ascending int64 residual distances) then exact
+# dot-product re-rank over the source floats.
+
+
+def _ivfpq_batched_rerank_sql() -> str:
+    d = _IVFPQ_BR_DIR
+    return f"""
+WITH codes AS (
+  SELECT vec_id, codes, centroid
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (
+  SELECT query_id, centroid FROM read_parquet('{d}/probe/*.parquet')
+),
+lut AS (
+  SELECT query_id, centroid, j, c, w FROM read_parquet('{d}/lut/*.parquet')
+),
+s AS (
+  SELECT p.query_id, cl.vec_id, CAST(SUM(l.w) AS BIGINT) AS score_int
+  FROM codes cl
+  JOIN probes p ON CAST(cl.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
+  JOIN lut l ON l.query_id = p.query_id
+            AND CAST(l.centroid AS BIGINT) = CAST(cl.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = cl.codes[j.j + 1]
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_int ASC, vec_id ASC
+           ) AS rk
+    FROM s
+  ) WHERE rk <= 50
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {_IVFPQ_BR_QIDS}
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT sh.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY sh.query_id
+           ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM short sh
+  JOIN embeddings e ON e.vec_id = sh.vec_id
+  JOIN q ON q.query_id = sh.query_id
+  WHERE list_dot_product(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+) WHERE rk <= 5
+"""
+
+
+@_register("ann_ivfpq_batched_rerank_topk", _ivfpq_batched_rerank_sql())
+def ann_ivfpq_batched_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory-bound tier's batched EXACT serving
+    (``IvfPqIndex.search_batched``): 3 queries → one partition-pruned
+    scan of the 16-byte residual codes for the per-query LUT-ADC
+    shortlists, then ONE pass over the source floats re-ranks every
+    shortlist exactly (shared ``batched_exact_rerank`` tail — the
+    |Q|·shortlist pairs broadcast, the float table never shuffles)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVFPQ_BR_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_BR_DIR)
+    idx = IvfPqIndex.load(spark, _IVFPQ_BR_DIR)
+    qrows = emb.where(F.col("vec_id").isin(*_IVFPQ_BR_QIDS)).collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+    probe_rows, lut_rows = [], []
+    for qid, vec in queries:
+        cells = idx.probe_cells(vec, nprobe=2)
+        luts = idx.luts_int(vec, cells)
+        for c in cells:
+            probe_rows.append((int(qid), int(c)))
+            lut = luts[c]
+            lut_rows.extend(
+                (int(qid), int(c), j, kk, int(lut[j, kk]))
+                for j in range(lut.shape[0])
+                for kk in range(lut.shape[1])
+            )
+    spark.createDataFrame(
+        probe_rows, "query_id bigint, centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVFPQ_BR_DIR, "probe")
+    )
+    spark.createDataFrame(
+        lut_rows, "query_id bigint, centroid bigint, j int, c int, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVFPQ_BR_DIR, "lut")
+    )
+    return idx.search_batched(emb, queries, k=5, nprobe=2, shortlist=50)
+
+
 @_register("ann_ivfpq_index_mutate", _ivfpq_mutate_sql())
 def ann_ivfpq_index_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The memory-bound tier under the same three-commit mutation

@@ -2623,13 +2623,6 @@ def ivf_sq8_batched_rerank_topk(
     batch: (union-of-probed-cells / k) of the compressed codes scanned
     once + |Q|·``shortlist`` float point-reads — vs |Q| full serving
     round-trips for the one-at-a-time path."""
-    from pyspark.sql import Window
-
-    from whatsapp_vectordb_spark.functions.vector import (
-        metric_ascending,
-        similarity_score,
-    )
-
     short = ivf_sq8_batched_topk(
         codes_df,
         queries,
@@ -2641,7 +2634,43 @@ def ivf_sq8_batched_rerank_topk(
         scale=scale,
         impl=impl,
     ).select("query_id", id_col)
-    spark = codes_df.sparkSession
+    return batched_exact_rerank(
+        vectors_df,
+        short,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+        round_to=round_to,
+    )
+
+
+def batched_exact_rerank(
+    vectors_df: DataFrame,
+    short: DataFrame,
+    queries: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "dotproduct",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The batched serving stack's exact tail, shared by the SQ8 and
+    IVF-PQ tiers: the |Q|·shortlist ``(query_id, id)`` pairs broadcast
+    into the float table (it never shuffles), each candidate scores
+    against its own query's float vector, and a query_id-keyed window
+    keeps the top ``k``. Final scores are the EXACT metric, so cell
+    pruning and quantization can only cost recall (per query), never
+    corrupt a score."""
+    from pyspark.sql import Window
+
+    from whatsapp_vectordb_spark.functions.vector import (
+        metric_ascending,
+        similarity_score,
+    )
+
+    spark = vectors_df.sparkSession
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
         "query_id long, _qv array<double>",
@@ -3679,6 +3708,45 @@ class IvfPqIndex:
             metric=metric,
             id_col=self.id_col,
             vec_col=self.vec_col,
+            round_to=round_to,
+        )
+
+    def search_batched(
+        self,
+        vectors_df: DataFrame | None = None,
+        queries: list | None = None,
+        k: int = 10,
+        nprobe: int = 2,
+        shortlist: int = 100,
+        metric: str = "dotproduct",
+        round_to: int | None = 6,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """N queries, ONE pruned codes scan, ONE float pass — the
+        memory-bound tier's batched serving default, completing the
+        symmetry with ``IvfSq8Index.search_batched``: the residual
+        LUT-ADC shortlists (``probe_batched`` — bit-identical to N
+        ``probe`` calls) feed the shared exact re-rank tail
+        (``batched_exact_rerank``), so final scores are the exact
+        metric. ``queries`` is ``[(query_id, vector)]``. Without
+        ``vectors_df``, the co-located store pruned to the UNION of
+        probed cells serves the re-rank."""
+        if not queries:
+            raise ValueError("queries is required")
+        short = self.probe_batched(
+            queries, k=shortlist, nprobe=nprobe, allowed=allowed
+        ).select("query_id", self.id_col)
+        union_cells = sorted(
+            {c for _, vec in queries for c in self.probe_cells(vec, nprobe)}
+        )
+        return batched_exact_rerank(
+            self._rerank_side(vectors_df, union_cells),
+            short,
+            queries,
+            k=k,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            metric=metric,
             round_to=round_to,
         )
 
