@@ -1913,3 +1913,42 @@ def test_ivfpq_index_search_batched_equals_per_query(spark, embeddings):
             for r in idx.search(emb, vec, k=5, nprobe=2, shortlist=30).collect()
         ]
         assert got[qid] == single, qid
+
+
+def test_layout_mutation_stats(spark, embeddings, tmp_path):
+    """The maintenance-telemetry verb: counts committed mutation dirs by
+    kind (driver-side listing only), and resets at fold."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_mutation_stats,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "stats")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    assert layout_mutation_stats(path) == {
+        "batch_commits": 0,
+        "data_commits": 0,
+        "tombstone_commits": 0,
+        "max_seq": 0,
+        "staging_orphans": 0,
+    }
+    idx = IvfSq8Index.load(spark, path)
+    idx.upsert(emb.where(F.col("vec_id") < 5), path=path)
+    idx.delete([7, 9], path=path)
+    idx.add_batch(
+        emb.where(F.col("vec_id") == 6).select(
+            (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+        ),
+        path=path,
+    )
+    got = layout_mutation_stats(path)
+    assert got["batch_commits"] == 3
+    assert got["data_commits"] == 2  # the upsert and the append carry codes
+    assert got["tombstone_commits"] == 2  # the upsert's own ids + the delete
+    assert got["max_seq"] == 3
+    assert got["staging_orphans"] == 0
+    # fold resets the mutation state
+    IvfSq8Index.load(spark, path).save(path)
+    after = layout_mutation_stats(path)
+    assert after["batch_commits"] == 0 and after["max_seq"] == 0

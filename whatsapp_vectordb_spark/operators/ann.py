@@ -2758,6 +2758,38 @@ def _index_delete(idx, ids, path: str | None) -> None:
         idx.vectors = idx.vectors.join(F.broadcast(ids), idx.id_col, "left_anti")
 
 
+def layout_mutation_stats(path: str) -> dict:
+    """Maintenance telemetry for a saved serving layout (IvfSq8Index /
+    IvfPqIndex): how much mutation state has accumulated since the last
+    fold — the numbers that decide when to run ``save`` (fold). Pure
+    driver-side directory listing, no Spark job: a maintenance loop can
+    poll it every trigger. Returns ``batch_commits`` (total committed
+    mutation dirs), ``data_commits`` (those carrying codes),
+    ``tombstone_commits`` (those carrying deletes — each one is a
+    broadcast-mask entry on every read until folded), ``max_seq`` (the
+    last committed mutation sequence), and ``staging_orphans`` (crashed
+    writers' leftovers, swept by the next commit). Rule of thumb: fold
+    when tombstone_commits grows past a handful or batch_commits starts
+    rivaling the base partition count — both numbers reset to 0 at
+    ``save``."""
+    bdir = os.path.join(path, "batches")
+    commits = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    data = sum(
+        1 for b in commits if os.path.isdir(os.path.join(bdir, b, "codes"))
+    )
+    tomb = sum(
+        1 for b in commits if os.path.isdir(os.path.join(bdir, b, "deletes"))
+    )
+    sdir = os.path.join(path, "_staging")
+    return {
+        "batch_commits": len(commits),
+        "data_commits": data,
+        "tombstone_commits": tomb,
+        "max_seq": max((_parse_batch_seq(b) for b in commits), default=0),
+        "staging_orphans": len(os.listdir(sdir)) if os.path.isdir(sdir) else 0,
+    }
+
+
 def _mask_deleted(df: DataFrame | None, marks: DataFrame | None, id_col: str):
     """Apply delete tombstones to a seq-carrying layout union: a row is
     visible iff NO tombstone for its id was committed strictly AFTER the
