@@ -359,50 +359,45 @@ def test_winnow_pairs_releases_fingerprint_cache(spark):
     """The max_df branch caches the fingerprint table; with the default
     release_cache=True the cache must be dropped before the call returns
     (ADVICE r11: long-lived sessions otherwise accumulate one cached
-    fingerprint table per call). Storage-level assert, not folklore."""
+    fingerprint table per call). Storage-level assert, not folklore.
+
+    Asserts on persistent-RDD ID SETS, not counts: the shared session's
+    async ContextCleaner may unpersist earlier tests' dropped
+    localCheckpoint blocks at any moment, so a count delta is racy
+    against that concurrent decrementer (flaked twice under the full
+    suite). `unpersist` removes an RDD's id from the persistentRdds map
+    synchronously (only block deletion is async), so the set of ids
+    ADDED by a call is deterministic regardless of third-party removals."""
     rows = [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(20)]
     shared = " ".join(f"s{j}" for j in range(20))
     rows += [(100, f"head {shared}"), (101, f"{shared} tail")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
 
-    def n_cached():
-        return jsc.getPersistentRDDs().size()
+    def cached_ids():
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
 
-    def stable_count():
-        # the shared session's async ContextCleaner unpersists earlier
-        # tests' dropped localCheckpoint blocks on ITS schedule — drain
-        # pending cleanup and wait for the count to settle, otherwise a
-        # concurrent decrement between `base` and the assert flakes the
-        # exact-delta check (observed once under the full suite)
-        import gc
-        import time
-
-        gc.collect()
-        prev = -1
-        for _ in range(40):
-            cur = n_cached()
-            if cur == prev:
-                return cur
-            prev = cur
-            time.sleep(0.25)
-        return prev
-
-    base = stable_count()
+    before = cached_ids()
     out = winnow_duplicate_pairs(df, k=3, w=4, max_df=50)
-    # exactly ONE persistent entry remains: the checkpointed RESULT
-    # (bounded pair rows); the fingerprint cache itself is gone
-    assert stable_count() == base + 1
+    # exactly ONE persistent entry was added and survives: the
+    # checkpointed RESULT (bounded pair rows); the fingerprint cache was
+    # unpersisted before the call returned, so its id is already gone
+    added = cached_ids() - before
+    assert len(added) == 1, f"expected only the checkpoint id, got {added}"
     assert out.where((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
 
+    before_lazy = cached_ids()
     lazy = winnow_duplicate_pairs(
         df, k=3, w=4, max_df=50, release_cache=False
     )
     lazy.count()
-    # `out` must stay referenced (its checkpoint is the +1 above); the
-    # lazy path adds its own cached fingerprint table
-    assert stable_count() == base + 2
+    # the lazy path stays fully lazy (no checkpoint); its ONE addition
+    # is the kept fingerprint cache, and the eager path's checkpoint id
+    # from `out` must still be present
+    added_lazy = cached_ids() - before_lazy
+    assert len(added_lazy) == 1, f"expected only the kept cache id, got {added_lazy}"
+    assert added <= cached_ids(), "out's checkpoint must survive while referenced"
     del out
     spark.catalog.clearCache()
 
