@@ -2023,3 +2023,75 @@ def test_ivf_sq8_index_mutation_model_replay(spark, embeddings, tmp_path):
         }
         for i in probe_ids:
             assert got[i] == list(vecs[model[i]]), f"step {step}: vector of {i}"
+
+
+def test_parse_batch_seq_rejects_nonwriter_shapes():
+    """ADVICE r15: only the writer's exact zero-padded 8-digit head
+    parses as a commit seq. A legacy uuid-only dir whose 32-char hex is
+    coincidentally all decimal digits must order as legacy seq 0 — not
+    as an astronomically large seq that would make its rows permanently
+    undeletable and corrupt _next_batch_seq."""
+    from whatsapp_vectordb_spark.operators.ann import _parse_batch_seq
+
+    assert _parse_batch_seq("00000007_" + "a" * 32) == 7
+    assert _parse_batch_seq("12345678_" + "f" * 32) == 12345678
+    # legacy uuid-only dir, all-decimal hex: 32 digits, not 8 → legacy 0
+    assert _parse_batch_seq("1" * 32) == 0
+    # all-decimal hex with an underscore split head of the wrong width
+    assert _parse_batch_seq("123456789_" + "0" * 22) == 0
+    assert _parse_batch_seq("1234567_" + "0" * 24) == 0
+    # plain legacy uuid (mixed hex) still legacy
+    assert _parse_batch_seq("deadbeefdeadbeefdeadbeefdeadbeef") == 0
+
+
+def test_upsert_batch_with_duplicate_ids_keeps_one_row(
+    spark, embeddings, tmp_path
+):
+    """ADVICE r15: same-id rows inside ONE upsert batch share a commit
+    seq, so without in-batch dedupe both would outlive the
+    strictly-older tombstone mask forever. The replace path must land
+    exactly one row per id — on disk, in memory, and after a fold."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex, IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+
+    dup_batch = (
+        emb.where(F.col("vec_id") % 10 == 3)
+        .select("vec_id", F.lit(qvec).cast("array<float>").alias("embedding"))
+        .unionAll(
+            emb.where(F.col("vec_id") % 10 == 3).select(
+                "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+            )
+        )
+    )
+
+    for cls, name in ((IvfSq8Index, "sq8"), (IvfPqIndex, "pq")):
+        path = str(tmp_path / f"dupeups_{name}")
+        if cls is IvfPqIndex:
+            cls.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=500).save(
+                path, store_vectors=True
+            )
+        else:
+            cls.build(emb, n_centroids=4).save(path, store_vectors=True)
+        cls.load(spark, path).upsert(dup_batch, path=path)
+
+        re = cls.load(spark, path)
+        assert re.codes.count() == n, name  # one row per id, none dropped
+        per_id = (
+            re.codes.groupBy("vec_id").count().where(F.col("count") > 1).count()
+        )
+        assert per_id == 0, f"{name}: duplicate ids survived the upsert"
+        # a later delete must fully remove the id (the ADVICE failure
+        # mode was a permanently undeletable duplicate)
+        cls.load(spark, path).delete(
+            emb.where(F.col("vec_id") % 10 == 3).select("vec_id"), path=path
+        )
+        re2 = cls.load(spark, path)
+        assert (
+            re2.codes.where(F.col("vec_id") % 10 == 3).count() == 0
+        ), f"{name}: deleted id still visible"
+        # fold keeps the deduped state physical
+        re2.save(path)
+        assert cls.load(spark, path).codes.count() == re2.codes.count(), name

@@ -1138,6 +1138,13 @@ def streaming_ivf_sq8_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.coalesce(1).write.mode("append").parquet(src)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # Intra-batch ordering (ADVICE r15): deletes apply before
+        # upserts WITHIN a microbatch, which is correct here only
+        # because the event groups above touch DISJOINT id sets per
+        # trigger. A general CDC verb carrying delete+upsert for one id
+        # in one trigger must order by a per-event sequence column and
+        # commit per-op in feed order — this harness row is not that
+        # verb and documents the constraint instead.
         if batch_df.isEmpty():
             return
         idx = IvfSq8Index.load(spark, _SQ8_CDC_DIR)

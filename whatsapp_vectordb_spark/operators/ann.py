@@ -2700,9 +2700,16 @@ def _parse_batch_seq(name: str) -> int:
     (``<seq>_<uuid>``). Legacy uuid-only dirs (layouts written before
     the mutation verbs existed) order as 0 — alongside the base: they
     predate any delete commit, so a later tombstone correctly masks
-    them, and a later re-add (higher seq) correctly survives."""
+    them, and a later re-add (higher seq) correctly survives.
+
+    The writer's format is a zero-padded 8-digit seq (``f"{seq:08d}"``,
+    ``add_batch``), so the parse requires exactly that shape: a legacy
+    uuid-only dir whose leading hex run is coincidentally all decimal
+    digits must NOT parse as an astronomically large seq — that would
+    make its rows permanently undeletable and corrupt ``_next_batch_seq``
+    (ADVICE r15)."""
     head = name.split("_", 1)[0]
-    return int(head) if head.isdigit() else 0
+    return int(head) if head.isdigit() and len(head) == 8 else 0
 
 
 def _next_batch_seq(path: str) -> int:
@@ -3332,7 +3339,13 @@ class IvfSq8Index:
         # the in-memory unions are separate Spark jobs over `batch` — a
         # nondeterministic batch could otherwise commit codes whose
         # co-located floats row never materialized, inside the same
-        # "atomic" dir (r15 review finding; same fix as IvfPqIndex)
+        # "atomic" dir (r15 review finding; same fix as IvfPqIndex).
+        # The replace path also dedupes by id FIRST: two same-id rows in
+        # one upsert batch would share a commit seq, both surviving the
+        # strictly-older tombstone mask forever (ADVICE r15) — replace
+        # semantics admit exactly one winner per id per commit.
+        if replace:
+            batch = batch.dropDuplicates([self.id_col])
         batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
         assigned = assign_nearest_centroid(batch, self.centroids, self.vec_col)
         enc = sq8_encode(
@@ -3805,7 +3818,12 @@ class IvfPqIndex:
         # changing between jobs) could otherwise commit codes for a row
         # whose vectors write never saw it — inside the same "atomic"
         # batch dir. One eager checkpoint makes every derivation read
-        # the same materialized rows (r15 review finding).
+        # the same materialized rows (r15 review finding). The replace
+        # path dedupes by id first: same-id rows sharing one commit seq
+        # would BOTH outlive the strictly-older tombstone mask (ADVICE
+        # r15) — replace semantics admit one winner per id per commit.
+        if replace:
+            batch = batch.dropDuplicates([self.id_col])
         batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
         enc = self._proto().encode(batch)
         if enc.isEmpty():
