@@ -1244,7 +1244,13 @@ def test_ivf_sq8_index_atomic_save_and_batch_commit(spark, embeddings, tmp_path,
     ]
     assert ids2 == ids
 
-    # (a) interrupted save: meta removed, rename blocked → loud error
+    # (a) interrupted save: meta removed, rename blocked → loud error.
+    # This targets the FULL rewrite's commit sequence — break the mirror
+    # so save() can't take the bounded-fold no-op fast path (r16; the
+    # bounded path's own crash contract is asserted in
+    # test_save_fold_rewrites_only_touched_cells)
+    folded._mirror_path = None
+
     def boom2(src, dst):
         if dst.endswith("meta.json"):
             raise OSError("simulated crash before meta publish")
@@ -2095,3 +2101,140 @@ def test_upsert_batch_with_duplicate_ids_keeps_one_row(
         # fold keeps the deduped state physical
         re2.save(path)
         assert cls.load(spark, path).codes.count() == re2.codes.count(), name
+
+
+def test_save_fold_rewrites_only_touched_cells(spark, embeddings, tmp_path):
+    """Round-16 bounded fold: save()-as-fold rewrites ONLY the centroid
+    partitions the accumulated commits touched — untouched partition
+    dirs stay physically in place (mtime-identical), batches fold away,
+    and the served state matches a full fold bit-for-bit. The r15 fold
+    was O(corpus) for a 2-cell mutation."""
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "bounded_fold")
+    IvfSq8Index.build(emb, n_centroids=8).save(path, store_vectors=True)
+
+    def cell_mtimes(sub):
+        root = os.path.join(path, sub)
+        return {
+            d: os.path.getmtime(os.path.join(root, d))
+            for d in os.listdir(root)
+            if d.startswith("centroid=")
+        }
+
+    before = {s: cell_mtimes(s) for s in ("codes", "vectors")}
+
+    # one upsert (2 clone rows) + one delete (1 id) — a handful of cells
+    clones = emb.where(F.col("vec_id").isin([7, 13])).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(clones, path=path)
+    IvfSq8Index.load(spark, path).delete([29], path=path)
+
+    # touched = batch partitions (dir listing) + deleted ids' home cells
+    bdir = os.path.join(path, "batches")
+    touched = set()
+    for b in os.listdir(bdir):
+        croot = os.path.join(bdir, b, "codes")
+        if os.path.isdir(croot):
+            touched |= {d for d in os.listdir(croot) if d.startswith("centroid=")}
+    pre = IvfSq8Index.load(spark, path)
+    home29 = {
+        f"centroid={r['centroid']}"
+        for r in pre.codes.sparkSession.read.parquet(os.path.join(path, "codes"))
+        .where(F.col("vec_id").isin([7, 13, 29]))
+        .select("centroid")
+        .distinct()
+        .collect()
+    }
+    touched |= home29
+    expected_state = {
+        (r["vec_id"],) for r in pre.codes.select("vec_id").collect()
+    }
+
+    IvfSq8Index.load(spark, path).save(path)  # the bounded fold
+    assert not os.path.isdir(bdir), "fold must consume the batch dirs"
+    after = {s: cell_mtimes(s) for s in ("codes", "vectors")}
+    for sub in ("codes", "vectors"):
+        untouched = set(before[sub]) - touched
+        assert untouched, "test needs untouched cells to be meaningful"
+        for d in untouched:
+            assert after[sub][d] == before[sub][d], (
+                f"{sub}/{d} untouched by the mutation but rewritten by fold"
+            )
+
+    re = IvfSq8Index.load(spark, path)
+    assert {(r["vec_id"],) for r in re.codes.select("vec_id").collect()} == (
+        expected_state
+    )
+    assert re.codes.where(F.col("vec_id") == 29).count() == 0
+    # clones serve the REPLACED floats after the physical fold
+    top = re.search(None, qvec, k=5, nprobe=8, shortlist=50).collect()
+    self_score = [r["score"] for r in top if r["vec_id"] == 0][0]
+    for vid in (7, 13):
+        s = [r["score"] for r in top if r["vec_id"] == vid]
+        assert s and s[0] == self_score
+
+    # a second save with nothing to fold is a pure no-op: every cell dir
+    # AND meta.json keep their mtimes
+    meta_before = os.path.getmtime(os.path.join(path, "meta.json"))
+    snap = {s: cell_mtimes(s) for s in ("codes", "vectors")}
+    IvfSq8Index.load(spark, path).save(path)
+    assert os.path.getmtime(os.path.join(path, "meta.json")) == meta_before
+    for sub in ("codes", "vectors"):
+        assert cell_mtimes(sub) == snap[sub]
+
+    # bounded-fold crash contract: an interruption inside the partition
+    # swaps leaves the layout LOUDLY unreadable (meta removed first),
+    # same as the full save — never a readable half-folded state
+    import pytest as _pytest
+
+    IvfSq8Index.load(spark, path).delete([7], path=path)
+    crash_idx = IvfSq8Index.load(spark, path)
+    real_rename = os.rename
+
+    def boom(src, dst):
+        if dst.endswith("meta.json"):
+            raise OSError("simulated crash before meta publish (bounded fold)")
+        return real_rename(src, dst)
+
+    os.rename = boom
+    try:
+        with _pytest.raises(OSError):
+            crash_idx.save(path)
+    finally:
+        os.rename = real_rename
+    with _pytest.raises(RuntimeError, match="interrupted save"):
+        IvfSq8Index.load(spark, path)
+
+
+def test_save_falls_back_to_full_rewrite_for_inmemory_mutations(
+    spark, embeddings, tmp_path
+):
+    """The bounded fold reads committed state from disk — an index
+    carrying an IN-MEMORY-ONLY mutation (add_batch/delete without
+    ``path``) must take the full rewrite or the mutation would be
+    silently lost. Both directions checked: the in-memory rows land,
+    and the in-memory delete holds."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    path = str(tmp_path / "inmem_fold")
+    IvfSq8Index.build(emb.where(F.col("vec_id") < n - 5), n_centroids=4).save(
+        path, store_vectors=True
+    )
+
+    idx = IvfSq8Index.load(spark, path)
+    idx.add_batch(emb.where(F.col("vec_id") >= n - 5))  # NO path: memory only
+    idx.delete([0])  # NO path
+    idx.save(path)  # mirror broken → full rewrite persists memory state
+
+    re = IvfSq8Index.load(spark, path)
+    vis = {r["vec_id"] for r in re.codes.select("vec_id").collect()}
+    assert vis == set(range(1, n))
+    assert re.vectors.count() == n - 1

@@ -2763,6 +2763,141 @@ def _index_delete(idx, ids, path: str | None) -> None:
     idx.codes = idx.codes.join(F.broadcast(ids), idx.id_col, "left_anti")
     if idx.vectors is not None:
         idx.vectors = idx.vectors.join(F.broadcast(ids), idx.id_col, "left_anti")
+    # mirror bookkeeping (see _fold_touched): a committed delete on the
+    # layout this object mirrors keeps the mirror; an in-memory-only or
+    # foreign-path delete breaks it (save() then takes the full rewrite)
+    idx._mirror_path = (
+        path if getattr(idx, "_mirror_path", None) == path else None
+    )
+
+
+def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> bool:
+    """BOUNDED compaction (``save``-as-fold, round-16): rewrite ONLY the
+    centroid partitions touched by the accumulated mutation commits and
+    leave every other partition dir of the base layout physically in
+    place — O(touched cells), not O(corpus). The r15 fold rewrote the
+    entire base layout (measured 74.6 s / ~7.5 GB at 1M×1536) even when
+    the batches touched two cells; at 100 TB that is the difference
+    between a seconds-scale maintenance tick and an hours-scale rewrite.
+    Same pattern as the bounded bucket rewrite in ``VectorIndex.delete``
+    (index.py:282-303).
+
+    Touched set = (a) every ``centroid=N`` partition present under any
+    committed ``batches/<seq>_<uuid>/codes`` dir (dir listing, no Spark
+    job) ∪ (b) every base partition holding a tombstoned id — found with
+    ONE column-pruned scan of base ``(id, centroid)`` semi-joined against
+    the broadcast tombstone set (a superset of the strictly-older mask is
+    fine: it only widens the rewrite, never the visible rows).
+
+    Eligibility is the caller's job: ``idx`` must MIRROR the committed
+    layout at ``path`` (``_mirror_path``) — the fold reads committed
+    state from disk, so any in-memory-only mutation would be silently
+    lost otherwise — and the resolved ``store_vectors`` must match the
+    on-disk layout (changing the float-store shape is a full rewrite).
+
+    CRASH CONTRACT: identical to the full ``save`` — the old
+    ``meta.json`` is removed FIRST, so an interruption anywhere inside
+    the partition swaps leaves the layout loudly unreadable (``load``
+    raises, pointing at the builder), never a readable state where some
+    cells folded and others still count on masked batch dirs.
+
+    Returns True iff it handled the save (including the no-commit
+    no-op); False defers to the full rewrite."""
+    import json as _json
+    import shutil
+    import uuid
+
+    spark = idx.codes.sparkSession
+    bdir = os.path.join(path, "batches")
+    commits = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    if not commits:
+        # mirror of a fully-folded layout: the committed state IS the
+        # object's state — rewriting it would be a pure no-op at full
+        # corpus cost
+        return True
+
+    # (a) partitions carried by data commits — pure dir listing
+    touched: set[int] = set()
+    for b in commits:
+        croot = os.path.join(bdir, b, "codes")
+        if os.path.isdir(croot):
+            for d in os.listdir(croot):
+                if d.startswith("centroid="):
+                    touched.add(int(d.split("=", 1)[1]))
+    # (b) base partitions holding tombstoned ids — one pruned scan of
+    # (id, centroid); codes bytes and floats never load
+    marks = IvfSq8Index._read_delete_marks(spark, path, idx.id_col)
+    base_codes = os.path.join(path, "codes")
+    if marks is not None and os.path.isdir(base_codes):
+        hit = (
+            spark.read.parquet(base_codes)
+            .select(idx.id_col, "centroid")
+            .join(
+                F.broadcast(marks.select(F.col("_del_id").alias(idx.id_col))),
+                idx.id_col,
+                "left_semi",
+            )
+            .select("centroid")
+            .distinct()
+            .collect()
+        )
+        touched.update(int(r["centroid"]) for r in hit)
+
+    stage = os.path.join(path, "_staging", uuid.uuid4().hex)
+    subs = ["codes"] + (["vectors"] if store_vectors else [])
+    try:
+        if touched:
+            vals = sorted(touched)
+            folded = _mask_deleted(
+                IvfSq8Index._read_layout(spark, path, "codes").where(
+                    F.col("centroid").isin(vals)
+                ),
+                marks,
+                idx.id_col,
+            )
+            folded.select(idx.id_col, code_col, "centroid").write.partitionBy(
+                "centroid"
+            ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+            if store_vectors:
+                fv = _mask_deleted(
+                    IvfSq8Index._read_layout(spark, path, "vectors").where(
+                        F.col("centroid").isin(vals)
+                    ),
+                    marks,
+                    idx.id_col,
+                )
+                fv.select(idx.id_col, idx.vec_col, "centroid").write.partitionBy(
+                    "centroid"
+                ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
+        with open(os.path.join(stage, "meta.json"), "w") as f:
+            _json.dump(idx._meta_dict(), f)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    # staging materialized — commit: loud window opens here
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for sub in subs:
+        dst_root = os.path.join(path, sub)
+        os.makedirs(dst_root, exist_ok=True)
+        for cell in sorted(touched):
+            dst = os.path.join(dst_root, f"centroid={cell}")
+            src = os.path.join(stage, sub, f"centroid={cell}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # old cell out (may have no successor:
+                # a cell whose every row was tombstoned folds to absent)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+    shutil.rmtree(bdir)
+    os.rename(os.path.join(stage, "meta.json"), meta_path)  # loud window closes
+    shutil.rmtree(stage, ignore_errors=True)
+    idx.codes = spark.read.parquet(os.path.join(path, "codes"))
+    idx.vectors = (
+        spark.read.parquet(os.path.join(path, "vectors")) if store_vectors else None
+    )
+    idx._mirror_path = path
+    return True
 
 
 def layout_mutation_stats(path: str) -> dict:
@@ -2863,6 +2998,19 @@ class IvfSq8Index:
         # sub-second at 1M×1536). FAISS keeps raw vectors inside the IVF
         # lists for exactly this refine step.
         self.vectors = vectors
+        # set by load(); kept by mutations committed to the same path;
+        # cleared by in-memory-only mutations. When it names `path`,
+        # save(path) may fold boundedly from committed state alone.
+        self._mirror_path: str | None = None
+
+    def _meta_dict(self) -> dict:
+        return {
+            "centroids": self.centroids.tolist(),
+            "mins": self.mins,
+            "deltas": self.deltas,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
 
     @classmethod
     def build(
@@ -2939,24 +3087,42 @@ class IvfSq8Index:
         the new meta.json renames into place LAST as the atomic publish.
         Saving also folds any ``batches/<uuid>`` appends into the base
         layout (``self.codes`` already carries them after ``load`` +
-        ``add_batch``), so ``save`` doubles as the compaction verb."""
+        ``add_batch``), so ``save`` doubles as the compaction verb.
+
+        BOUNDED FOLD (round 16): when this object MIRRORS the committed
+        layout at ``path`` (loaded from it, every mutation since
+        committed back to it — ``_mirror_path``) and the float-store
+        shape is unchanged, the fold rewrites ONLY the centroid
+        partitions the accumulated commits touched and leaves every
+        other partition dir physically in place — O(touched cells)
+        maintenance instead of the r15 O(corpus) full rewrite (74.6 s /
+        ~7.5 GB at 1M×1536 for a 2-cell mutation). See
+        ``_fold_touched``. Any in-memory-only mutation, foreign path, or
+        explicit float-store change still takes the full rewrite."""
         import json as _json
         import shutil
         import uuid
 
         self._gc_staging(path)
+        disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
+            os.path.isdir(os.path.join(path, "batches", b, "vectors"))
+            for b in (
+                os.listdir(os.path.join(path, "batches"))
+                if os.path.isdir(os.path.join(path, "batches"))
+                else []
+            )
+        )
         if store_vectors is None:
             # preserve the on-disk layout: a vectors store in the base
             # dir or in any committed batch dir means the index is
             # serving co-located re-ranks — keep that working
-            store_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
-                os.path.isdir(os.path.join(path, "batches", b, "vectors"))
-                for b in (
-                    os.listdir(os.path.join(path, "batches"))
-                    if os.path.isdir(os.path.join(path, "batches"))
-                    else []
-                )
-            )
+            store_vectors = disk_has_vectors
+        if (
+            getattr(self, "_mirror_path", None) == path
+            and store_vectors == disk_has_vectors
+            and _fold_touched(self, path, store_vectors, "sq8_codes")
+        ):
+            return self
         stage = os.path.join(path, "_staging", uuid.uuid4().hex)
         try:
             self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
@@ -2973,16 +3139,7 @@ class IvfSq8Index:
                     os.path.join(stage, "vectors")
                 )
             with open(os.path.join(stage, "meta.json"), "w") as f:
-                _json.dump(
-                    {
-                        "centroids": self.centroids.tolist(),
-                        "mins": self.mins,
-                        "deltas": self.deltas,
-                        "id_col": self.id_col,
-                        "vec_col": self.vec_col,
-                    },
-                    f,
-                )
+                _json.dump(self._meta_dict(), f)
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
             raise
@@ -3017,6 +3174,7 @@ class IvfSq8Index:
             # store" error instead of a task-level missing-path failure
             # (ADVICE r14)
             self.vectors = None
+        self._mirror_path = path
         return self
 
     @staticmethod
@@ -3125,7 +3283,7 @@ class IvfSq8Index:
         if codes is None:
             raise RuntimeError(f"IvfSq8Index at {path!r} has meta.json but no codes")
         marks = cls._read_delete_marks(spark, path, meta["id_col"])
-        return cls(
+        idx = cls(
             _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
             meta["mins"],
@@ -3136,6 +3294,8 @@ class IvfSq8Index:
                 cls._read_layout(spark, path, "vectors"), marks, meta["id_col"]
             ),
         )
+        idx._mirror_path = path  # plans == committed state, by construction
+        return idx
 
     def cell_stats(self) -> dict:
         """Same balance fingerprint as ``IvfIndex.cell_stats`` (max_share
@@ -3404,6 +3564,12 @@ class IvfSq8Index:
                 assigned.select(self.id_col, self.vec_col, "centroid"),
                 allowMissingColumns=True,
             )
+        # a commit onto the mirrored layout keeps the mirror; an
+        # in-memory-only (or foreign-path) ingest breaks it — save()
+        # then takes the full rewrite instead of the bounded fold
+        self._mirror_path = (
+            path if getattr(self, "_mirror_path", None) == path else None
+        )
         return self
 
     def upsert(self, batch: DataFrame, path: str | None = None) -> "IvfSq8Index":
@@ -3471,6 +3637,16 @@ class IvfPqIndex:
         # optional co-located float store (id, vec, centroid) — the
         # same refine layout as IvfSq8Index.vectors
         self.vectors = vectors
+        # bounded-fold eligibility marker — the IvfSq8Index contract
+        self._mirror_path: str | None = None
+
+    def _meta_dict(self) -> dict:
+        return {
+            "centroids": self.centroids.tolist(),
+            "codebooks": self.codebooks.tolist(),
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
 
     def _proto(self) -> "IvfPqResidualIndex":
         return IvfPqResidualIndex(
@@ -3563,15 +3739,23 @@ class IvfPqIndex:
         import uuid
 
         IvfSq8Index._gc_staging(path)
-        if store_vectors is None:
-            store_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
-                os.path.isdir(os.path.join(path, "batches", b, "vectors"))
-                for b in (
-                    os.listdir(os.path.join(path, "batches"))
-                    if os.path.isdir(os.path.join(path, "batches"))
-                    else []
-                )
+        disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
+            os.path.isdir(os.path.join(path, "batches", b, "vectors"))
+            for b in (
+                os.listdir(os.path.join(path, "batches"))
+                if os.path.isdir(os.path.join(path, "batches"))
+                else []
             )
+        )
+        if store_vectors is None:
+            store_vectors = disk_has_vectors
+        # bounded fold — the IvfSq8Index.save contract (O(touched cells))
+        if (
+            getattr(self, "_mirror_path", None) == path
+            and store_vectors == disk_has_vectors
+            and _fold_touched(self, path, store_vectors, "codes")
+        ):
+            return self
         stage = os.path.join(path, "_staging", uuid.uuid4().hex)
         try:
             self.codes.select(self.id_col, "codes", "centroid").write.partitionBy(
@@ -3588,15 +3772,7 @@ class IvfPqIndex:
                     os.path.join(stage, "vectors")
                 )
             with open(os.path.join(stage, "meta.json"), "w") as f:
-                _json.dump(
-                    {
-                        "centroids": self.centroids.tolist(),
-                        "codebooks": self.codebooks.tolist(),
-                        "id_col": self.id_col,
-                        "vec_col": self.vec_col,
-                    },
-                    f,
-                )
+                _json.dump(self._meta_dict(), f)
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
             raise
@@ -3623,6 +3799,7 @@ class IvfPqIndex:
             # stale plans over just-deleted dirs → explicit error, not a
             # task-level missing-path failure (the IvfSq8Index contract)
             self.vectors = None
+        self._mirror_path = path
         return self
 
     @classmethod
@@ -3644,7 +3821,7 @@ class IvfPqIndex:
         if codes is None:
             raise RuntimeError(f"IvfPqIndex at {path!r} has meta.json but no codes")
         marks = IvfSq8Index._read_delete_marks(spark, path, meta["id_col"])
-        return cls(
+        idx = cls(
             _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
             meta["codebooks"],
@@ -3656,6 +3833,8 @@ class IvfPqIndex:
                 meta["id_col"],
             ),
         )
+        idx._mirror_path = path  # plans == committed state, by construction
+        return idx
 
     def probe_cells(self, query_vec, nprobe: int = 2) -> list[int]:
         return self._proto().probe_cells(query_vec, nprobe)
@@ -3873,6 +4052,10 @@ class IvfPqIndex:
             self.vectors = self.vectors.unionByName(
                 self._assign_vectors(batch), allowMissingColumns=True
             )
+        # mirror bookkeeping — the IvfSq8Index.add_batch contract
+        self._mirror_path = (
+            path if getattr(self, "_mirror_path", None) == path else None
+        )
         return self
 
     def upsert(self, batch: DataFrame, path: str | None = None) -> "IvfPqIndex":
