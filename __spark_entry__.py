@@ -48,77 +48,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations, THEN to the oldest stale cohort. Clear entries once
 # their fresh row lands.
 #
-# r15: all 48 r14 entries landed green r14 rows — cleared. This
-# round's entries: (a) one new registration — the semantic tier's
-# compaction row (VERDICT r14 #2, completing the family invariant);
-# (b) queries whose executed code changed this round — the Z-order
-# layout's two-phase distributed ntile (VERDICT r14 #7), the winnow
-# compact None-guard + IvfSq8Index save store-drop fix (ADVICE r14),
-# and the distortion pair's cache-hit artifact check (ADVICE r14);
-# (c) the ENTIRE r10-stale cohort, 46 rows, drained per VERDICT r14
-# #1. The continuation session added 4 more new registrations (the
-# mutation/filter/CDC family) and 1 more changed-code row (the serving
-# roundtrip, whose load path gained tombstone masking): 59 total
-# (7 new + 6 changed + 46 cohort) — the last ~9 cohort rows may fall
-# past the ~50-row driver cap; they sort first in category (4) either
-# way, so they drain next regardless.
+# r16: all 50 r15 entries landed green r15 rows — cleared. This
+# round's entries: (a) two new registrations completing the persisted
+# index family symmetry (PQ filtered serving, PQ CDC — VERDICT r15
+# #5/#6); (b) every row exercising IvfSq8Index/IvfPqIndex
+# save/load/add_batch — those paths changed this round (upsert
+# in-batch dedupe + strict seq parse per ADVICE r15, and the bounded
+# O(touched-cells) fold per VERDICT r15 #3); (c) the LAST 11-row
+# r10-stale cohort (VERDICT r15 #4) — this drain ends cohort
+# management. 25 total; the remaining ~25 driver slots fall to the
+# stalest greens (r11) automatically via category (4).
 _FRONTLOAD: list[str] = [
-    # (a) new registrations this round (the continuation session added
-    # the mutation/filter/CDC family on the persisted serving artifacts)
+    # (a) new registrations this round
+    "ann_ivfpq_filtered_topk",
+    "streaming_ivfpq_cdc",
+    # (b) executed code changed this round (persisted-index mutation
+    # paths: in-batch upsert dedupe, 8-digit seq parse, bounded fold)
     "ann_ivf_sq8_index_mutate",
     "ann_ivfpq_index_mutate",
-    "ann_ivf_sq8_filtered_topk",
     "streaming_ivf_sq8_cdc",
-    "ann_ivfpq_batched_rerank_topk",
-    "dedup_semdedup_index_compact",
-    "ann_ivfpq_index_ingest",
-    "streaming_ivfpq_index",
-    # (b) implementation changed this round (the index classes' load
-    # path gained seq-aware tombstone masking; ingest commits are now
-    # seq-named and carry _seq)
     "ann_ivf_sq8_index_serving",
-    "ann_ivf_sq8_batched_rerank_topk",
-    "events_zorder_layout",
-    "dedup_winnow_index_compact",
     "ann_ivf_sq8_index_ingest",
-    "embed_pq_distortion_sweep",
-    "embed_opq_vs_pq_distortion",
-    # (c) the r10-stale cohort, oldest-first drain (VERDICT r14 #1)
-    "ann_ivf_portable_nprobe_sweep",
-    "ann_ivfpq_residual_topk",
-    "ann_lsh_multiprobe",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_gate",
-    "cluster_kmeans_step",
-    "dedup_components",
-    "dedup_components_lsh",
-    "dedup_embedding_lsh",
-    "embed_centroid_outliers",
-    "embed_hard_negatives",
-    "embed_pca_project",
-    "events_asof_purchase",
-    "events_hll_users",
-    "events_hourly_windows",
-    "events_session_windows",
-    "index_lifecycle",
-    "index_scan_pages",
-    "knn_batched",
-    "knn_topk_cosine",
-    "knn_topk_dotproduct",
-    "knn_topk_euclidean",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_real_decode",
-    "rel_nation_revenue",
-    "rel_orders_topk_per_cust",
-    "rel_pricing_summary",
-    "rel_salted_join",
-    "rel_salted_join_counts",
-    "rel_top_customers",
-    "streaming_jsonl_ingest",
-    "streaming_knn_serving",
-    "streaming_whatsapp_source",
+    "ann_ivf_sq8_filtered_topk",
+    "ann_ivf_sq8_batched_rerank_topk",
+    "ann_ivfpq_index_ingest",
+    "ann_ivfpq_batched_rerank_topk",
+    "streaming_ivf_sq8_index",
+    "streaming_sq8_index",
+    "streaming_ivfpq_index",
+    # (c) the FINAL r10-stale cohort (11 rows) — drains for good
     "text_cms_calibration",
     "text_cms_token_freq",
     "text_fingerprints",

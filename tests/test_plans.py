@@ -952,3 +952,31 @@ def test_ivf_sq8_index_filtered_probe_keeps_pruning_and_broadcasts(
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     # the metadata predicate itself pushed into the metadata table's scan
     assert "PushedFilters: [IsNotNull(label), EqualTo(label" in p, p
+
+
+def test_ivfpq_index_filtered_probe_keeps_pruning_and_broadcasts(
+    spark, embeddings, tmp_path
+):
+    """The MEMORY-bound tier's filtered-query verb (shared
+    ``_allowed_codes``): same contract as the SQ8 twin — allowed ids
+    broadcast semi-join above an intact partition filter; no shuffle,
+    no cartesian, metadata predicate pushed to its own scan."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "pq_filter_plan")
+    IvfPqIndex.build(emb, n_centroids=4, m=8, ksub=16, sample_rows=500).save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = embeddings.where(F.col("vec_id") == 7).head()["label"]
+    allowed = embeddings.where(F.col("label") == lbl).select("vec_id")
+    cells = loaded.probe_cells(qvec, nprobe=2)
+    p = plan(loaded.probe(qvec, k=5, nprobe=2, allowed=allowed))
+    pruned_scans = [
+        ln for ln in p.splitlines() if "PartitionFilters" in ln and "centroid" in ln
+    ]
+    assert len(pruned_scans) == 1, p
+    assert all(str(c) in pruned_scans[0] for c in cells), pruned_scans[0]
+    assert "BroadcastHashJoin LeftSemi BuildRight" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label" in p, p

@@ -1186,3 +1186,105 @@ def streaming_ivf_sq8_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reloaded.search(
         None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
     )
+
+
+_IVFPQ_CDC_DIR = _oracle_scratch("stream_ivfpq_cdc")
+
+
+def _ivfpq_cdc_sql() -> str:
+    from whatsapp_vectordb_spark.harness.ann import _ivfpq_mutate_sql
+
+    return _ivfpq_mutate_sql(_IVFPQ_CDC_DIR)
+
+
+@_register("streaming_ivfpq_cdc", _ivfpq_cdc_sql())
+def streaming_ivfpq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC maintenance of the MEMORY-bound persisted tier — the
+    ``streaming_ivf_sq8_cdc`` twin over ``IvfPqIndex``, completing the
+    mutate/ingest/CDC/filtered/batched-rerank lifecycle symmetry
+    between the two persisted artifacts (VERDICT r15 #6). A change feed
+    of upsert/delete events (op='u'/'d') replays file-per-trigger
+    through foreachBatch; each trigger applies deletes then upserts
+    through atomic ``batches/<seq>_<uuid>`` commits (event groups touch
+    DISJOINT id sets per trigger — the documented intra-batch ordering
+    constraint). The oracle replays visibility from the committed
+    layouts ALONE (shared ``_ivfpq_mutate_sql``), gating the served
+    top-10 under ANY file→trigger split."""
+    import shutil
+
+    from whatsapp_vectordb_spark.harness.ann import (
+        _IVFPQ_INGEST_M,
+        _persist_ivfpq_probe_luts,
+    )
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    shutil.rmtree(_IVFPQ_CDC_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_CDC_DIR, store_vectors=True)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qlit = F.lit(qvec).cast("array<float>")
+    no_vec = F.lit(None).cast("array<float>")
+    m10 = F.col("vec_id") % 10 == 3
+    m20 = F.col("vec_id") % 20 == 3
+    m40 = F.col("vec_id") % 40 == 3
+
+    src = os.path.join(_IVFPQ_CDC_DIR, "src")
+    groups = [
+        # clone upserts on never-deleted ids
+        emb.where(m10 & ~m20).select(
+            "vec_id", qlit.alias("embedding"), F.lit("u").alias("op")
+        ),
+        # deletes, never re-added
+        emb.where(m20 & ~m40).select(
+            "vec_id", no_vec.alias("embedding"), F.lit("d").alias("op")
+        ),
+        # clone upserts on a third disjoint set
+        emb.where(m40).select(
+            "vec_id", qlit.alias("embedding"), F.lit("u").alias("op")
+        ),
+        # fresh inserts
+        emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.col("embedding"),
+            F.lit("u").alias("op"),
+        ),
+    ]
+    for g in groups:
+        g.coalesce(1).write.mode("append").parquet(src)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # deletes before upserts per trigger — safe because the groups
+        # above are id-disjoint (see streaming_ivf_sq8_cdc's note)
+        if batch_df.isEmpty():
+            return
+        idx = IvfPqIndex.load(spark, _IVFPQ_CDC_DIR)
+        dels = batch_df.where(F.col("op") == "d").select("vec_id")
+        if not dels.isEmpty():
+            idx.delete(dels, path=_IVFPQ_CDC_DIR)
+        ups = batch_df.where(F.col("op") == "u").select("vec_id", "embedding")
+        if not ups.isEmpty():
+            idx.upsert(ups, path=_IVFPQ_CDC_DIR)
+
+    schema = "vec_id long, embedding array<float>, op string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    bdir = os.path.join(_IVFPQ_CDC_DIR, "batches")
+    committed = os.listdir(bdir) if os.path.isdir(bdir) else []
+    if not committed or not any(
+        os.path.isdir(os.path.join(bdir, b, "deletes")) for b in committed
+    ):
+        raise RuntimeError(
+            "streaming_ivfpq_cdc: the stream committed no tombstones — "
+            "the change feed did not apply; oracle cannot replay"
+        )
+    reloaded = IvfPqIndex.load(spark, _IVFPQ_CDC_DIR)
+    _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_CDC_DIR)
+    return reloaded.search(None, qvec, k=10, nprobe=2, shortlist=50)
