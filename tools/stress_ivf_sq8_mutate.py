@@ -180,6 +180,81 @@ def main() -> None:
     # base vec 0 itself; after mutations the clone ties/joins it
     out["premutation_leader"] = baseline_top[0][0]
     print(json.dumps(out), flush=True)
+
+    # --- r16: the BOUNDED fold, measured (VERDICT r15 #3). The cycle
+    # above mutates ids spread over ~all 64 cells, so its fold honestly
+    # rewrites ~everything. This cycle's mutation is CELL-LOCAL: 1k
+    # clones of the query vector (all land in its cell) + 500 deletes
+    # drawn from ONE cell — the fold must rewrite only the touched
+    # partitions and leave the rest physically in place, making fold
+    # cost O(touched cells), not O(corpus).
+    clone_batch = spark.createDataFrame(
+        [(40_000_000 + i, list(map(float, qvec))) for i in range(1_000)],
+        "vec_id long, embedding array<float>",
+    )
+    lv = IvfSq8Index.load(spark, idx_path)
+    target_cell = lv.probe_centroid_ids(qvec, nprobe=1)[0]
+    cell_ids = [
+        r["vec_id"]
+        for r in lv.codes.where(
+            (F.col("centroid") == target_cell) & (F.col("vec_id") < n)
+        )
+        .limit(500)
+        .collect()
+    ]
+    lv.upsert(clone_batch, path=idx_path)
+    IvfSq8Index.load(spark, idx_path).delete(cell_ids, path=idx_path)
+
+    def cell_mtimes(sub: str) -> dict:
+        d = os.path.join(idx_path, sub)
+        return {
+            c: os.path.getmtime(os.path.join(d, c))
+            for c in os.listdir(d)
+            if c.startswith("centroid=")
+        }
+
+    before_mt = {s: cell_mtimes(s) for s in ("codes", "vectors")}
+    bdir = os.path.join(idx_path, "batches")
+    touched = set()
+    for b in os.listdir(bdir):
+        croot = os.path.join(bdir, b, "codes")
+        if os.path.isdir(croot):
+            touched |= {
+                c for c in os.listdir(croot) if c.startswith("centroid=")
+            }
+    touched.add(f"centroid={target_cell}")
+
+    fold_idx = IvfSq8Index.load(spark, idx_path)
+    t0 = time.perf_counter()
+    fold_idx.save(idx_path, store_vectors=True)
+    out["bounded_fold_s"] = round(time.perf_counter() - t0, 1)
+    out["bounded_fold_touched_cells"] = len(touched)
+    out["bounded_fold_total_cells"] = len(before_mt["codes"])
+    after_mt = {s: cell_mtimes(s) for s in ("codes", "vectors")}
+    untouched_ok = all(
+        after_mt[s][c] == before_mt[s][c]
+        for s in ("codes", "vectors")
+        for c in before_mt[s]
+        if c not in touched
+    )
+    out["bounded_fold_untouched_intact"] = untouched_ok
+    assert untouched_ok, "bounded fold rewrote untouched partitions"
+    assert not os.path.isdir(bdir)
+
+    # serving after the bounded fold: clones visible, cell deletes gone
+    fin = IvfSq8Index.load(spark, idx_path)
+    top = [
+        r["vec_id"]
+        for r in fin.search(
+            query_vec=qvec, k=8, nprobe=4, shortlist=64
+        ).collect()
+    ]
+    assert any(t >= 40_000_000 for t in top), top
+    assert (
+        fin.codes.where(F.col("vec_id").isin(cell_ids[:50])).count() == 0
+    )
+    out["bounded_fold_serving_ok"] = True
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 

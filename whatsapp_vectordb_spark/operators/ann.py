@@ -2900,6 +2900,94 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> bool:
     return True
 
 
+def _save_layout(idx, path: str, store_vectors: bool | None, code_col: str):
+    """ONE save/compaction implementation for both persisted serving
+    artifacts (IvfSq8Index / IvfPqIndex) — the staged-commit
+    choreography was duplicated ~150 lines across the two classes
+    (deferred r15 cleanup), so a commit-protocol fix had to land twice.
+    Everything class-specific flows through ``code_col`` and
+    ``idx._meta_dict()``; the classes keep their own ``save`` docstrings
+    (the user-facing contract).
+
+    Protocol (see IvfSq8Index.save): resolve the float-store shape
+    (``None`` preserves the on-disk layout), try the BOUNDED fold
+    (``_fold_touched``) when ``idx`` mirrors the committed state, else
+    stage codes/vectors/meta under ``_staging/<uuid>`` and commit with
+    the loud order — old meta removed FIRST, staged dirs rename in, new
+    meta renames LAST as the atomic publish."""
+    import json as _json
+    import shutil
+    import uuid
+
+    IvfSq8Index._gc_staging(path)
+    disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
+        os.path.isdir(os.path.join(path, "batches", b, "vectors"))
+        for b in (
+            os.listdir(os.path.join(path, "batches"))
+            if os.path.isdir(os.path.join(path, "batches"))
+            else []
+        )
+    )
+    if store_vectors is None:
+        # preserve the on-disk layout: a vectors store in the base dir
+        # or in any committed batch dir means the index is serving
+        # co-located re-ranks — keep that working
+        store_vectors = disk_has_vectors
+    if (
+        getattr(idx, "_mirror_path", None) == path
+        and store_vectors == disk_has_vectors
+        and _fold_touched(idx, path, store_vectors, code_col)
+    ):
+        return idx
+    stage = os.path.join(path, "_staging", uuid.uuid4().hex)
+    try:
+        idx.codes.select(idx.id_col, code_col, "centroid").write.partitionBy(
+            "centroid"
+        ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+        if store_vectors:
+            if idx.vectors is None:
+                raise ValueError(
+                    "store_vectors=True but this index carries no vectors"
+                )
+            idx.vectors.select(
+                idx.id_col, idx.vec_col, "centroid"
+            ).write.partitionBy("centroid").mode("overwrite").parquet(
+                os.path.join(stage, "vectors")
+            )
+        with open(os.path.join(stage, "meta.json"), "w") as f:
+            _json.dump(idx._meta_dict(), f)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    # staging fully materialized — now the commit sequence. Unreadable
+    # (loud) between the meta removal and the final rename; never a
+    # readable state whose meta mismatches the codes beside it.
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for sub in ("codes", "vectors", "batches"):
+        old = os.path.join(path, sub)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
+    if store_vectors:
+        os.rename(os.path.join(stage, "vectors"), os.path.join(path, "vectors"))
+    os.rename(os.path.join(stage, "meta.json"), meta_path)
+    shutil.rmtree(stage, ignore_errors=True)
+    # re-point the lazy plans at the committed layout: an index loaded
+    # from THIS path had plans over the just-replaced dirs (a re-save
+    # without store_vectors on such an index drops its float store — any
+    # later co-located re-rank fails loudly on the missing dir, never
+    # reads stale floats — ADVICE r14)
+    spark = idx.codes.sparkSession
+    idx.codes = spark.read.parquet(os.path.join(path, "codes"))
+    idx.vectors = (
+        spark.read.parquet(os.path.join(path, "vectors")) if store_vectors else None
+    )
+    idx._mirror_path = path
+    return idx
+
+
 def layout_mutation_stats(path: str) -> dict:
     """Maintenance telemetry for a saved serving layout (IvfSq8Index /
     IvfPqIndex): how much mutation state has accumulated since the last
@@ -3098,84 +3186,11 @@ class IvfSq8Index:
         maintenance instead of the r15 O(corpus) full rewrite (74.6 s /
         ~7.5 GB at 1M×1536 for a 2-cell mutation). See
         ``_fold_touched``. Any in-memory-only mutation, foreign path, or
-        explicit float-store change still takes the full rewrite."""
-        import json as _json
-        import shutil
-        import uuid
+        explicit float-store change still takes the full rewrite.
 
-        self._gc_staging(path)
-        disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
-            os.path.isdir(os.path.join(path, "batches", b, "vectors"))
-            for b in (
-                os.listdir(os.path.join(path, "batches"))
-                if os.path.isdir(os.path.join(path, "batches"))
-                else []
-            )
-        )
-        if store_vectors is None:
-            # preserve the on-disk layout: a vectors store in the base
-            # dir or in any committed batch dir means the index is
-            # serving co-located re-ranks — keep that working
-            store_vectors = disk_has_vectors
-        if (
-            getattr(self, "_mirror_path", None) == path
-            and store_vectors == disk_has_vectors
-            and _fold_touched(self, path, store_vectors, "sq8_codes")
-        ):
-            return self
-        stage = os.path.join(path, "_staging", uuid.uuid4().hex)
-        try:
-            self.codes.select(self.id_col, "sq8_codes", "centroid").write.partitionBy(
-                "centroid"
-            ).mode("overwrite").parquet(os.path.join(stage, "codes"))
-            if store_vectors:
-                if self.vectors is None:
-                    raise ValueError(
-                        "store_vectors=True but this index carries no vectors"
-                    )
-                self.vectors.select(
-                    self.id_col, self.vec_col, "centroid"
-                ).write.partitionBy("centroid").mode("overwrite").parquet(
-                    os.path.join(stage, "vectors")
-                )
-            with open(os.path.join(stage, "meta.json"), "w") as f:
-                _json.dump(self._meta_dict(), f)
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        # staging fully materialized — now the commit sequence. Unreadable
-        # (loud) between the meta removal and the final rename; never a
-        # readable state whose meta mismatches the codes beside it.
-        meta_path = os.path.join(path, "meta.json")
-        if os.path.exists(meta_path):
-            os.remove(meta_path)
-        for sub in ("codes", "vectors", "batches"):
-            old = os.path.join(path, sub)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
-        if store_vectors:
-            os.rename(os.path.join(stage, "vectors"), os.path.join(path, "vectors"))
-        os.rename(os.path.join(stage, "meta.json"), meta_path)
-        shutil.rmtree(stage, ignore_errors=True)
-        # re-point the lazy plans at the committed layout: an index loaded
-        # from THIS path had plans over the just-replaced dirs (a re-save
-        # without store_vectors on such an index drops its float store —
-        # any later co-located re-rank fails loudly on the missing dir,
-        # never reads stale floats)
-        spark = self.codes.sparkSession
-        self.codes = spark.read.parquet(os.path.join(path, "codes"))
-        if store_vectors:
-            self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
-        else:
-            # the float store (if any) was just deleted — dropping the
-            # stale lazy plans makes the next co-located re-rank raise
-            # _rerank_side's explicit "carries no co-located float
-            # store" error instead of a task-level missing-path failure
-            # (ADVICE r14)
-            self.vectors = None
-        self._mirror_path = path
-        return self
+        Implementation shared with ``IvfPqIndex.save`` (``_save_layout``
+        — the r15-deferred dedup of the staged-commit choreography)."""
+        return _save_layout(self, path, store_vectors, "sq8_codes")
 
     @staticmethod
     def _layout_roots(path: str, sub: str) -> list[tuple[int, str]]:
@@ -3730,77 +3745,14 @@ class IvfPqIndex:
 
     def save(self, path: str, store_vectors: bool | None = None) -> "IvfPqIndex":
         """Mirror of ``IvfSq8Index.save`` (see its docstring for the
-        staged-commit order and the store-preserving ``None`` default):
-        codes ``partitionBy(centroid)`` + meta.json(centroids,
-        codebooks, column names); folds any ``batches/<uuid>`` appends
-        into the base layout, so save doubles as compaction."""
-        import json as _json
-        import shutil
-        import uuid
-
-        IvfSq8Index._gc_staging(path)
-        disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
-            os.path.isdir(os.path.join(path, "batches", b, "vectors"))
-            for b in (
-                os.listdir(os.path.join(path, "batches"))
-                if os.path.isdir(os.path.join(path, "batches"))
-                else []
-            )
-        )
-        if store_vectors is None:
-            store_vectors = disk_has_vectors
-        # bounded fold — the IvfSq8Index.save contract (O(touched cells))
-        if (
-            getattr(self, "_mirror_path", None) == path
-            and store_vectors == disk_has_vectors
-            and _fold_touched(self, path, store_vectors, "codes")
-        ):
-            return self
-        stage = os.path.join(path, "_staging", uuid.uuid4().hex)
-        try:
-            self.codes.select(self.id_col, "codes", "centroid").write.partitionBy(
-                "centroid"
-            ).mode("overwrite").parquet(os.path.join(stage, "codes"))
-            if store_vectors:
-                if self.vectors is None:
-                    raise ValueError(
-                        "store_vectors=True but this index carries no vectors"
-                    )
-                self.vectors.select(
-                    self.id_col, self.vec_col, "centroid"
-                ).write.partitionBy("centroid").mode("overwrite").parquet(
-                    os.path.join(stage, "vectors")
-                )
-            with open(os.path.join(stage, "meta.json"), "w") as f:
-                _json.dump(self._meta_dict(), f)
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        # commit sequence: unreadable (loud) between the meta removal and
-        # the final rename — never a readable layout whose codebooks
-        # mismatch the codes beside them
-        meta_path = os.path.join(path, "meta.json")
-        if os.path.exists(meta_path):
-            os.remove(meta_path)
-        for sub in ("codes", "vectors", "batches"):
-            old = os.path.join(path, sub)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
-        if store_vectors:
-            os.rename(os.path.join(stage, "vectors"), os.path.join(path, "vectors"))
-        os.rename(os.path.join(stage, "meta.json"), meta_path)
-        shutil.rmtree(stage, ignore_errors=True)
-        spark = self.codes.sparkSession
-        self.codes = spark.read.parquet(os.path.join(path, "codes"))
-        if store_vectors:
-            self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
-        else:
-            # stale plans over just-deleted dirs → explicit error, not a
-            # task-level missing-path failure (the IvfSq8Index contract)
-            self.vectors = None
-        self._mirror_path = path
-        return self
+        staged-commit order, the store-preserving ``None`` default, and
+        the bounded O(touched-cells) fold): codes ``partitionBy
+        (centroid)`` + meta.json(centroids, codebooks, column names);
+        folds committed ``batches/<seq>_<uuid>`` appends into the base
+        layout, so save doubles as compaction. ONE shared implementation
+        (``_save_layout``) — commit-protocol fixes land once for both
+        persisted tiers (the r15-deferred cleanup)."""
+        return _save_layout(self, path, store_vectors, "codes")
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
