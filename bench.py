@@ -54,7 +54,11 @@ if "SPARK_GRAFT_ORACLE_SCRATCH" not in os.environ:
     import shutil
     import tempfile
 
-    _scratch = tempfile.mkdtemp(prefix="wvs-scratch-bench-")
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    _scratch = tempfile.mkdtemp(
+        prefix="wvs-scratch-bench-", dir=local_scratch_root()
+    )
     os.environ["SPARK_GRAFT_ORACLE_SCRATCH"] = _scratch
     atexit.register(shutil.rmtree, _scratch, ignore_errors=True)
 
@@ -83,6 +87,39 @@ def _host_canary() -> float:
 CANARY_FLOOR_SEC = 0.010  # min-of-7 on this box, quiet (measured r16)
 CANARY_DEGRADED_SEC = 3 * CANARY_FLOOR_SEC
 
+# The write-path twin (r16 finding): this host carries a ROAMING write
+# throttle the CPU matmul cannot see — the same 128 MB buffered write
+# measured 1.6-3.0 GB/s and, minutes later, 10-13 MB/s with the matmul
+# canary quiet (5-7 ms) throughout. Every staged-commit/shuffle-heavy
+# query rides that path, so benches record both canaries.
+IO_CANARY_DEGRADED_MBS = 200.0
+
+
+def _io_canary_mbs() -> float:
+    """Buffered-write throughput (MB/s) of one 64 MB file into the fast
+    scratch root — best of 2 so a single writeback stall doesn't
+    misreport a healthy disk."""
+    import tempfile
+
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    chunk = os.urandom(1 << 22)
+    best = 0.0
+    for _ in range(2):
+        fd, p = tempfile.mkstemp(prefix="wvs_iocanary_", dir=local_scratch_root())
+        try:
+            t0 = time.perf_counter()
+            with os.fdopen(fd, "wb") as f:
+                for _ in range(16):  # 16 × 4 MB
+                    f.write(chunk)
+            best = max(best, 64.0 / (time.perf_counter() - t0))
+        finally:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return round(best, 1)
+
 
 def main() -> None:
     from pyspark.sql import functions as F
@@ -105,6 +142,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     canary_pre = _host_canary()
+    io_pre = _io_canary_mbs()
     spark = get_spark(app_name="wvs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -630,7 +668,9 @@ def main() -> None:
     from whatsapp_vectordb_spark.harness import _chat_lines_df
     from whatsapp_vectordb_spark.sources.whatsapp_source import register as _ws_register
 
-    chat_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_")
+    from whatsapp_vectordb_spark.session import local_scratch_root as _lsr
+
+    chat_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_", dir=_lsr())
     chat_rows = _chat_lines_df(spark, sf_dir).orderBy("doc_id").collect()
     shards = [open(os.path.join(chat_dir, f"chat_{i:02d}.txt"), "w", encoding="utf-8") for i in range(32)]
     for i, r in enumerate(chat_rows):
@@ -667,7 +707,7 @@ def main() -> None:
     # ASCII read above. Same shard layout, synthesis untimed.
     from whatsapp_vectordb_spark.harness import _chat_lines_he_df
 
-    chat_he_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_he_")
+    chat_he_dir = tempfile.mkdtemp(prefix="wvs_bench_chat_he_", dir=_lsr())
     he_rows = _chat_lines_he_df(spark, sf_dir).orderBy("doc_id").collect()
     shards = [open(os.path.join(chat_he_dir, f"chat_{i:02d}.txt"), "w", encoding="utf-8") for i in range(32)]
     for i, r in enumerate(he_rows):
@@ -690,7 +730,9 @@ def main() -> None:
     shutil.rmtree(chat_he_dir, ignore_errors=True)
 
     canary_post = _host_canary()
+    io_post = _io_canary_mbs()
     canary = max(canary_pre, canary_post)
+    io_canary = min(io_pre, io_post)
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_queries_total",
@@ -706,7 +748,9 @@ def main() -> None:
         # quiet floor. Timings recorded under a degraded canary should
         # not be used to (re)level BASELINE.md.
         "canary_sec": {"pre": canary_pre, "post": canary_post},
-        "host_degraded": canary > CANARY_DEGRADED_SEC,
+        "io_write_mb_s": {"pre": io_pre, "post": io_post},
+        "host_degraded": canary > CANARY_DEGRADED_SEC
+        or io_canary < IO_CANARY_DEGRADED_MBS,
     }
     # The driver's BENCH_r*.json capture keeps only a truncated stdout
     # tail, losing the head of this one-line JSON (the first ~4 queries'
@@ -794,7 +838,9 @@ def main() -> None:
         else None,
         "worst3_vs_recorded": worst3,
         "canary_sec": canary,
-        "host_degraded": canary > CANARY_DEGRADED_SEC,
+        "io_write_mb_s": io_canary,
+        "host_degraded": canary > CANARY_DEGRADED_SEC
+        or io_canary < IO_CANARY_DEGRADED_MBS,
         "full_record": os.path.basename(out_path),
     }
     print(json.dumps(summary))

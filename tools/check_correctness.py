@@ -17,6 +17,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 # Per-process oracle-scratch isolation (VERDICT r8 #3): two concurrent
 # harness processes on one box must not share the fixed persisted-oracle
 # scratch (paths are baked into oracle SQL at harness import time, below).
@@ -26,7 +32,7 @@ if "SPARK_GRAFT_ORACLE_SCRATCH" not in os.environ:
     import shutil
     import tempfile
 
-    _scratch = tempfile.mkdtemp(prefix="wvs-scratch-gate-")
+    _scratch = tempfile.mkdtemp(prefix="wvs-scratch-gate-", dir=_scratch_root())
     os.environ["SPARK_GRAFT_ORACLE_SCRATCH"] = _scratch
     atexit.register(shutil.rmtree, _scratch, ignore_errors=True)
 

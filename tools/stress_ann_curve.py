@@ -34,6 +34,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 NPROBES = [1, 2, 4, 8, 16]
 N_CENTROIDS = 64
 N_QUERIES = 4
@@ -129,7 +135,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(app_name="ann-curve-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="wvs_ann_curve_")
+    root = tempfile.mkdtemp(prefix="wvs_ann_curve_", dir=_scratch_root())
     # exception-path cleanup too (an OOM-killed run once leaked a 6 GB
     # corpus in /tmp); SIGKILL still can't be caught — sweep stale
     # wvs_ann_curve_* dirs manually after a hard kill

@@ -39,6 +39,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 NPROBES = [1, 2, 4, 8]
 N_CENTROIDS = 64
 
@@ -64,7 +70,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(app_name="ivf-sq8-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="wvs_ivf_sq8_")
+    root = tempfile.mkdtemp(prefix="wvs_ivf_sq8_", dir=_scratch_root())
     import atexit
 
     atexit.register(shutil.rmtree, root, ignore_errors=True)

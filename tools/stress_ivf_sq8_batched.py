@@ -33,6 +33,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 N_CENTROIDS = 64
 NPROBE = 2
 
@@ -59,7 +65,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(app_name="ivf-sq8-batched-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="wvs_ivf_sq8_b_")
+    root = tempfile.mkdtemp(prefix="wvs_ivf_sq8_b_", dir=_scratch_root())
     import atexit
 
     atexit.register(shutil.rmtree, root, ignore_errors=True)

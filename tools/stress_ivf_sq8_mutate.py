@@ -39,6 +39,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -55,7 +61,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(app_name="ivf-sq8-mutate-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="wvs_sq8_mutate_")
+    root = tempfile.mkdtemp(prefix="wvs_sq8_mutate_", dir=_scratch_root())
     import atexit
 
     atexit.register(shutil.rmtree, root, ignore_errors=True)

@@ -33,6 +33,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 NPROBE = 2
 
 
@@ -54,7 +60,7 @@ def main() -> None:
         extra_conf={"spark.driver.maxResultSize": "4g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="wvs_ivfpq_b_")
+    root = tempfile.mkdtemp(prefix="wvs_ivfpq_b_", dir=_scratch_root())
     import atexit
 
     atexit.register(shutil.rmtree, root, ignore_errors=True)

@@ -28,12 +28,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 if "SPARK_GRAFT_ORACLE_SCRATCH" not in os.environ:
     import atexit
     import shutil
     import tempfile
 
-    _scratch = tempfile.mkdtemp(prefix="wvs-scratch-phash-")
+    _scratch = tempfile.mkdtemp(prefix="wvs-scratch-phash-", dir=_scratch_root())
     os.environ["SPARK_GRAFT_ORACLE_SCRATCH"] = _scratch
     atexit.register(shutil.rmtree, _scratch, ignore_errors=True)
 

@@ -33,6 +33,12 @@ import urllib.request
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 
 def _shuffle_totals(spark) -> tuple[int, int] | None:
     """(shuffle_write_bytes, shuffle_read_bytes) summed over all completed
@@ -86,7 +92,7 @@ def _capstone_replay(n_rows: int, n_batches: int, preseed: int = 0) -> None:
         extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "10000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="wvs_capstone_stress_")
+    root = tempfile.mkdtemp(prefix="wvs_capstone_stress_", dir=_scratch_root())
     import atexit
 
     atexit.register(shutil.rmtree, root, ignore_errors=True)

@@ -34,6 +34,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def _scratch_root():
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    return local_scratch_root()
+
+
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 200
@@ -117,7 +123,7 @@ def main() -> None:
     # Probe batch ids start far above replicas*1e7 so they never collide
     # with stored ids (a collision silently anti-joins the batch away —
     # which is re-ingest safety, but not what this measures).
-    root = tempfile.mkdtemp(prefix="wvs_winnow_idx_stress_")
+    root = tempfile.mkdtemp(prefix="wvs_winnow_idx_stress_", dir=_scratch_root())
     try:
         idx = WinnowDedupIndex(spark, root, k=5, w=4, min_shared=2)
         t0 = time.perf_counter()

@@ -91,7 +91,11 @@ def _tmp_scratch(prefix: str) -> str:
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=prefix)
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    # dir= pins the scratch to the fast local disk (r16: /tmp can be a
+    # 10-100× slower overlay write path — see local_scratch_root)
+    d = tempfile.mkdtemp(prefix=prefix, dir=local_scratch_root())
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 

@@ -151,7 +151,9 @@ def ensure_write_resolution(spark, fmt: str) -> None:
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="ws_warmup_")
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    d = tempfile.mkdtemp(prefix="ws_warmup_", dir=local_scratch_root())
     try:
         spark.createDataFrame(
             [("00.00.00, 00:00:00", "warmup", "warmup")],
