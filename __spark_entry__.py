@@ -62,6 +62,7 @@ _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "ann_ivfpq_filtered_topk",
     "streaming_ivfpq_cdc",
+    "streaming_ivf_sq8_cdc_ordered",
     # (b) executed code changed this round (persisted-index mutation
     # paths: in-batch upsert dedupe, 8-digit seq parse, bounded fold)
     "ann_ivf_sq8_index_mutate",

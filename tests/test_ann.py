@@ -2238,3 +2238,45 @@ def test_save_falls_back_to_full_rewrite_for_inmemory_mutations(
     vis = {r["vec_id"] for r in re.codes.select("vec_id").collect()}
     assert vis == set(range(1, n))
     assert re.vectors.count() == n - 1
+
+
+def test_apply_cdc_events_respects_seq_order(spark, embeddings, tmp_path):
+    """ADVICE r15 promoted to a verb: one CDC microbatch carrying
+    delete+upsert for the SAME id resolves by the per-event seq column,
+    not by a fixed op convention — independently of the input row
+    order. Consecutive same-op events collapse into ONE commit (run
+    merge); final visibility is the feed's per-id last-writer-wins."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        apply_cdc_events,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+    path = str(tmp_path / "cdc_ordered2")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    qv = list(map(float, qvec))
+    rows = [
+        (7, qv, "u", 4),
+        (3, qv, "u", 1),
+        (7, None, "d", 2),
+        (3, None, "d", 3),
+    ]  # seq order: u(3), d(7), d(3), u(7) → runs [u],[d,d],[u] = 3 commits
+    events = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, op string, seq long"
+    )
+    idx = IvfSq8Index.load(spark, path)
+    assert apply_cdc_events(idx, events, path) == 3
+
+    re = IvfSq8Index.load(spark, path)
+    vis = {r["vec_id"] for r in re.codes.select("vec_id").collect()}
+    assert 3 not in vis  # upsert(seq1) then delete(seq3): delete wins
+    assert 7 in vis  # delete(seq2) then upsert(seq4): upsert wins
+    assert len(vis) == n - 1
+    # id 7 serves the REPLACED vector (clone of the query)
+    top = re.search(None, qvec, k=3, nprobe=4, shortlist=20).collect()
+    s0 = [r["score"] for r in top if r["vec_id"] == 0][0]
+    s7 = [r["score"] for r in top if r["vec_id"] == 7]
+    assert s7 and s7[0] == s0

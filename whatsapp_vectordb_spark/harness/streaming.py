@@ -1288,3 +1288,114 @@ def streaming_ivfpq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reloaded = IvfPqIndex.load(spark, _IVFPQ_CDC_DIR)
     _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_CDC_DIR)
     return reloaded.search(None, qvec, k=10, nprobe=2, shortlist=50)
+
+
+_SQ8_CDC_ORD_DIR = _oracle_scratch("stream_sq8_cdc_ordered")
+
+
+def _sq8_cdc_ordered_sql() -> str:
+    from whatsapp_vectordb_spark.harness.ann import _ivf_sq8_mutate_sql
+
+    return _ivf_sq8_mutate_sql(_SQ8_CDC_ORD_DIR)
+
+
+@_register("streaming_ivf_sq8_cdc_ordered", _sq8_cdc_ordered_sql())
+def streaming_ivf_sq8_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-PRESERVING CDC (the ADVICE r15 verb, `apply_cdc_events`):
+    unlike `streaming_ivf_sq8_cdc` — whose event groups are id-disjoint
+    per trigger so deletes-before-upserts is safe — this feed carries
+    delete AND upsert for the SAME ids inside one microbatch, with the
+    outcome decided by the per-event ``seq`` column:
+
+      ids %10==3: upsert clone (seq 1) then DELETE (seq 2) → net gone;
+      ids %10==7: DELETE (seq 3) then upsert clone (seq 4) → net clone;
+
+    rows are written SHUFFLED inside the feed file, so only seq order
+    can produce the right answer. `apply_cdc_events` sorts the batch by
+    seq, merges maximal same-op runs, and commits each run atomically —
+    layout commit seqs then reproduce the feed's per-id
+    last-writer-wins under the strictly-older mask. The oracle replays
+    visibility from the committed layouts ALONE (shared mutation SQL):
+    a wrong op order, a lost run, or a convention-based resolution
+    breaks the hash."""
+    import shutil
+
+    from whatsapp_vectordb_spark.harness.ann import _IVFSQ8_NPROBE, _KM_K
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        apply_cdc_events,
+    )
+
+    shutil.rmtree(_SQ8_CDC_ORD_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _SQ8_CDC_ORD_DIR, store_vectors=True
+    )
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qlit = F.lit(qvec).cast("array<float>")
+    no_vec = F.lit(None).cast("array<float>")
+    m3 = F.col("vec_id") % 10 == 3
+    m7 = F.col("vec_id") % 10 == 7
+
+    src = os.path.join(_SQ8_CDC_ORD_DIR, "src")
+    feed = (
+        emb.where(m3)
+        .select("vec_id", qlit.alias("embedding"), F.lit("u").alias("op"),
+                F.lit(1).alias("seq"))
+        .unionByName(
+            emb.where(m3).select(
+                "vec_id", no_vec.alias("embedding"), F.lit("d").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            emb.where(m7).select(
+                "vec_id", no_vec.alias("embedding"), F.lit("d").alias("op"),
+                F.lit(3).alias("seq"),
+            )
+        )
+        .unionByName(
+            emb.where(m7).select(
+                "vec_id", qlit.alias("embedding"), F.lit("u").alias("op"),
+                F.lit(4).alias("seq"),
+            )
+        )
+        # shuffle the rows — the file's physical order must not matter
+        .orderBy(F.xxhash64("vec_id", "seq"))
+    )
+    feed.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = IvfSq8Index.load(spark, _SQ8_CDC_ORD_DIR)
+        apply_cdc_events(idx, batch_df, _SQ8_CDC_ORD_DIR)
+
+    schema = "vec_id long, embedding array<float>, op string, seq long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    bdir = os.path.join(_SQ8_CDC_ORD_DIR, "batches")
+    committed = os.listdir(bdir) if os.path.isdir(bdir) else []
+    if not committed or not any(
+        os.path.isdir(os.path.join(bdir, b, "deletes")) for b in committed
+    ):
+        raise RuntimeError(
+            "streaming_ivf_sq8_cdc_ordered: no tombstone commits — the "
+            "ordered feed did not apply; oracle cannot replay"
+        )
+    reloaded = IvfSq8Index.load(spark, _SQ8_CDC_ORD_DIR)
+    cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_SQ8_CDC_ORD_DIR, "probe")
+    )
+    return reloaded.search(
+        None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
+    )
