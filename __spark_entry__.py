@@ -60,6 +60,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # stalest greens (r11) automatically via category (4).
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
+    "ann_ivf_sq8_time_travel",
+    "ann_ivfpq_time_travel",
+    "ann_ivf_sq8_maintenance_tick",
+    "ann_ivfpq_maintenance_tick",
     "ann_ivfpq_filtered_topk",
     "streaming_ivfpq_cdc",
     "streaming_ivf_sq8_cdc_ordered",

@@ -2280,3 +2280,202 @@ def test_apply_cdc_events_respects_seq_order(spark, embeddings, tmp_path):
     s0 = [r["score"] for r in top if r["vec_id"] == 0][0]
     s7 = [r["score"] for r in top if r["vec_id"] == 7]
     assert s7 and s7[0] == s0
+
+
+def test_time_travel_snapshots_follow_commit_log(spark, embeddings, tmp_path):
+    """``load(as_of=N)`` is a snapshot read of the commit log: the
+    visible id set at every bound matches the model (batches <= N,
+    tombstones <= N, strictly-older mask inside the bound), the float
+    store sees the SAME bound as the codes, the tip bound equals a plain
+    load, and ``layout_snapshots`` enumerates exactly the readable
+    bounds."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+    path = str(tmp_path / "tt_sq8")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(clones, path=path)  # seq1
+    IvfSq8Index.load(spark, path).delete(  # seq2
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    IvfSq8Index.load(spark, path).upsert(  # seq3
+        clones.where(F.col("vec_id") % 40 == 3), path=path
+    )
+
+    assert layout_snapshots(path) == [0, 1, 2, 3]
+    model = {
+        0: set(range(n)),  # base fold, pre-mutation
+        1: set(range(n)),  # clones replaced, nothing deleted yet
+        2: {i for i in range(n) if i % 20 != 3},  # deletes applied
+        3: {i for i in range(n) if not (i % 20 == 3 and i % 40 != 3)},
+    }
+    for bound, expected in model.items():
+        snap = IvfSq8Index.load(spark, path, as_of=bound)
+        assert {
+            r["vec_id"] for r in snap.codes.select("vec_id").collect()
+        } == expected, f"as_of={bound}"
+        # the float store must mask at the SAME bound — a codes/vectors
+        # bound mismatch would silently drop ids from exact re-ranks
+        assert snap.vectors.count() == len(expected)
+
+    tip = {
+        r["vec_id"]
+        for r in IvfSq8Index.load(spark, path)
+        .codes.select("vec_id")
+        .collect()
+    }
+    assert tip == model[3]
+
+    # snapshot SERVING applies the bound end-to-end: at as_of=2 the
+    # surviving clones (%10==3 minus the %20==3 deletes) score as the
+    # query itself; the seq3 re-adds must NOT be visible yet
+    snap2 = IvfSq8Index.load(spark, path, as_of=2)
+    top = snap2.search(None, qvec, k=10, nprobe=2, shortlist=50).collect()
+    ids = [r["vec_id"] for r in top]
+    assert not any(i % 20 == 3 for i in ids)
+    s0 = [r["score"] for r in top if r["vec_id"] == 0][0]
+    assert all(
+        r["score"] == s0 for r in top if r["vec_id"] % 10 == 3
+    ), "surviving clones must serve the replaced vector"
+
+
+def test_time_travel_snapshots_are_read_only(spark, embeddings, tmp_path):
+    """Every mutating verb refuses a time-travel handle — a fold from a
+    snapshot would rewrite the base to the OLD view and delete the batch
+    dirs, destroying every commit newer than the bound; upsert/delete
+    would tombstone against a stale view. Both tiers share the guard."""
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex, IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "tt_guard_sq8")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    IvfSq8Index.load(spark, path).delete([1], path=path)
+
+    snap = IvfSq8Index.load(spark, path, as_of=0)
+    batch = emb.where(F.col("vec_id") < 3)
+    for verb in (
+        lambda: snap.upsert(batch, path=path),
+        lambda: snap.add_batch(batch, path=path),
+        lambda: snap.delete([2], path=path),
+        lambda: snap.save(path),
+    ):
+        with _pytest.raises(RuntimeError, match="read-only as_of=0"):
+            verb()
+    # guard fired BEFORE any commit: the log still holds exactly seq1
+    assert IvfSq8Index.load(spark, path).codes.count() == emb.count() - 1
+
+    pq_path = str(tmp_path / "tt_guard_pq")
+    IvfPqIndex.build(emb, n_centroids=4, m=4, ksub=16, sample_rows=200).save(
+        pq_path
+    )
+    IvfPqIndex.load(spark, pq_path).delete([1], path=pq_path)
+    pq_snap = IvfPqIndex.load(spark, pq_path, as_of=1)
+    with _pytest.raises(RuntimeError, match="read-only as_of=1"):
+        pq_snap.upsert(batch, path=pq_path)
+    with _pytest.raises(RuntimeError, match="read-only as_of=1"):
+        pq_snap.save(pq_path)
+
+
+def test_time_travel_pq_tier_matches_commit_log(spark, embeddings, tmp_path):
+    """The PQ tier shares the snapshot rule (one commit-log shape for
+    both persisted tiers): bound visibility on codes AND the co-located
+    float store, tip == plain load."""
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+    path = str(tmp_path / "tt_pq")
+    IvfPqIndex.build(
+        emb, n_centroids=4, m=4, ksub=16, sample_rows=200
+    ).save(path, store_vectors=True)
+
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfPqIndex.load(spark, path).upsert(clones, path=path)  # seq1
+    IvfPqIndex.load(spark, path).delete(  # seq2
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+
+    for bound, expected in {
+        1: n,
+        2: n - emb.where(F.col("vec_id") % 20 == 3).count(),
+    }.items():
+        snap = IvfPqIndex.load(spark, path, as_of=bound)
+        assert snap.codes.count() == expected, f"as_of={bound}"
+        assert snap.vectors.count() == expected, f"as_of={bound}"
+    assert (
+        IvfPqIndex.load(spark, path).codes.count()
+        == IvfPqIndex.load(spark, path, as_of=2).codes.count()
+    )
+
+
+def test_maintenance_tick_policy(spark, embeddings, tmp_path):
+    """``maintenance_tick`` is the compactor loop's one decision: under
+    both thresholds it does nothing (and costs no Spark job beyond the
+    listdir); over either it folds the TIP and the accumulated commit
+    state resets — with the served id set unchanged by the fold. A
+    second tick right after is a no-op."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        maintenance_tick,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "tick_sq8")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(clones, path=path)
+    IvfSq8Index.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+
+    # under both thresholds: nothing happens, commit log untouched
+    r = maintenance_tick(
+        IvfSq8Index, spark, path, max_data_commits=8, max_tombstone_commits=4
+    )
+    assert r["folded"] is False
+    assert r["before"]["batch_commits"] == 2
+    assert r["after"] == r["before"]
+
+    pre = {
+        r["vec_id"]
+        for r in IvfSq8Index.load(spark, path)
+        .codes.select("vec_id")
+        .collect()
+    }
+
+    # tombstone threshold crossed: fold, state resets, visibility intact
+    r = maintenance_tick(
+        IvfSq8Index, spark, path, max_data_commits=8, max_tombstone_commits=1
+    )
+    assert r["folded"] is True
+    assert r["after"]["batch_commits"] == 0
+    assert r["after"]["tombstone_commits"] == 0
+    post = IvfSq8Index.load(spark, path)
+    assert {
+        x["vec_id"] for x in post.codes.select("vec_id").collect()
+    } == pre
+    assert post.vectors.count() == len(pre)
+
+    # immediately after a fold the tick is a no-op again
+    r = maintenance_tick(
+        IvfSq8Index, spark, path, max_data_commits=0, max_tombstone_commits=1
+    )
+    assert r["folded"] is False

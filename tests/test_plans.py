@@ -980,3 +980,49 @@ def test_ivfpq_index_filtered_probe_keeps_pruning_and_broadcasts(
     assert "BroadcastHashJoin LeftSemi BuildRight" in p, p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert "PushedFilters: [IsNotNull(label), EqualTo(label" in p, p
+
+
+def test_time_travel_snapshot_drops_newer_roots_keeps_pruning(
+    spark, embeddings, tmp_path
+):
+    """Time travel's scale contract: a ``load(as_of=N)`` snapshot plan
+    unions ONLY the code roots committed at or before the bound —
+    commits newer than N contribute no scan at all (the bound is pure
+    metadata, not a runtime filter) — with partition pruning intact on
+    every surviving root and the tombstone mask still a broadcast
+    anti-join. The tip plan over the same layout shows the extra root,
+    proving the bound (not the layout) removed it."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "tt_plan")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    repl = emb.where(F.col("vec_id") % 25 == 0).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(repl, path=path)  # seq1: codes
+    IvfSq8Index.load(spark, path).delete([3, 23], path=path)  # seq2
+    IvfSq8Index.load(spark, path).upsert(  # seq3: codes (beyond bound)
+        repl.where(F.col("vec_id") % 50 == 0), path=path
+    )
+
+    def pruned_scans(p):
+        return [
+            ln
+            for ln in p.splitlines()
+            if "PartitionFilters" in ln and "centroid" in ln
+        ]
+
+    snap = IvfSq8Index.load(spark, path, as_of=2)
+    cells = snap.probe_centroid_ids(qvec, nprobe=2)
+    p_snap = plan(snap.probe(qvec, k=5, nprobe=2))
+    # base + the seq1 batch dir only — the seq3 dir is NOT in the plan
+    assert len(pruned_scans(p_snap)) == 2, p_snap
+    for ln in pruned_scans(p_snap):
+        assert all(str(c) in ln for c in cells), ln
+    assert "BroadcastHashJoin LeftAnti BuildRight" in p_snap, p_snap
+    assert "SortMergeJoin" not in p_snap, p_snap
+
+    p_tip = plan(IvfSq8Index.load(spark, path).probe(qvec, k=5, nprobe=2))
+    assert len(pruned_scans(p_tip)) == 3, p_tip

@@ -3366,10 +3366,16 @@ def ann_ivfpq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side all break the hash.
 
 
-def _mutate_visibility_ctes(d: str, codes_col: str) -> str:
-    """Shared visibility CTEs for the two mutation oracles: seq-stamped
-    codes/vectors unions from the saved layout + tombstone fold + the
-    strictly-older mask (the `_mask_deleted` rule, replayed in SQL)."""
+def _mutate_visibility_ctes(
+    d: str, codes_col: str, as_of: int | None = None
+) -> str:
+    """Shared visibility CTEs for the mutation/time-travel oracles:
+    seq-stamped codes/vectors unions from the saved layout + tombstone
+    fold + the strictly-older mask (the `_mask_deleted` rule, replayed
+    in SQL). ``as_of`` replays a SNAPSHOT read — batch rows and
+    tombstones committed after that seq are excluded, exactly the
+    `load(as_of=...)` bound (the base is seq 0, always in)."""
+    bound = "" if as_of is None else f" WHERE _seq <= {as_of}"
     return f"""
 codes_all AS (
   SELECT vec_id, {codes_col}, centroid, 0 AS _seq
@@ -3377,10 +3383,12 @@ codes_all AS (
   UNION ALL
   SELECT vec_id, {codes_col}, centroid, _seq
   FROM read_parquet('{d}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
+ {bound}
 ),
 dels AS (
   SELECT vec_id AS del_id, MAX(_seq) AS del_seq
   FROM read_parquet('{d}/batches/*/deletes/*.parquet')
+ {bound}
   GROUP BY 1
 ),
 codes AS (
@@ -3395,6 +3403,7 @@ vecs_all AS (
   UNION ALL
   SELECT vec_id, embedding, _seq
   FROM read_parquet('{d}/batches/*/vectors/*/*.parquet', hive_partitioning = 1)
+ {bound}
 ),
 vecs AS (
   SELECT v.vec_id, v.embedding
@@ -3407,16 +3416,17 @@ vecs AS (
 _IVF_SQ8_MUTATE_DIR = _oracle_scratch("ivf_sq8_mutate")
 
 
-def _ivf_sq8_mutate_sql(dir_: str | None = None) -> str:
-    """Shared by the batch mutation row and its streaming-CDC twin —
-    both persist the same layout shape (base + seq'd batch dirs with
-    tombstones + probe side file), so one SQL shape replays both: the
-    visibility mask is derived from the committed layouts ALONE, which
-    also makes the streaming twin's oracle correct under any
-    file→trigger split the engine produced."""
+def _ivf_sq8_mutate_sql(dir_: str | None = None, as_of: int | None = None) -> str:
+    """Shared by the batch mutation row, its streaming-CDC twin, and
+    the TIME-TRAVEL row — all persist the same layout shape (base +
+    seq'd batch dirs with tombstones + probe side file), so one SQL
+    shape replays them all: the visibility mask is derived from the
+    committed layouts ALONE, which also makes the streaming twin's
+    oracle correct under any file→trigger split the engine produced.
+    ``as_of`` bounds the replay to commits <= that seq (snapshot)."""
     d = dir_ or _IVF_SQ8_MUTATE_DIR
     return f"""
-WITH {_mutate_visibility_ctes(d, "sq8_codes")},
+WITH {_mutate_visibility_ctes(d, "sq8_codes", as_of)},
 probe AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
 exf AS (
   SELECT vec_id, unnest(embedding) AS x,
@@ -3503,13 +3513,14 @@ def ann_ivf_sq8_index_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_MUTATE_DIR = _oracle_scratch("ivfpq_mutate")
 
 
-def _ivfpq_mutate_sql(dir_: str | None = None) -> str:
-    """Shared by the batch mutation row and its streaming-CDC twin —
-    the ``_ivf_sq8_mutate_sql`` contract: visibility replayed from the
-    committed layouts alone, correct under any file→trigger split."""
+def _ivfpq_mutate_sql(dir_: str | None = None, as_of: int | None = None) -> str:
+    """Shared by the batch mutation row, its streaming-CDC twin, and
+    the time-travel row — the ``_ivf_sq8_mutate_sql`` contract:
+    visibility replayed from the committed layouts alone, correct under
+    any file→trigger split; ``as_of`` bounds the replay (snapshot)."""
     d = dir_ or _IVFPQ_MUTATE_DIR
     return f"""
-WITH {_mutate_visibility_ctes(d, "codes")},
+WITH {_mutate_visibility_ctes(d, "codes", as_of)},
 probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
 lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
 s AS (
@@ -3836,3 +3847,268 @@ def ann_ivfpq_index_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reloaded, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_MUTATE_DIR)
     _persist_ivfpq_probe_luts(spark, reloaded, qvec, _IVFPQ_MUTATE_DIR)
     return reloaded.search(None, qvec, k=10, nprobe=2, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
+# TIME TRAVEL (snapshot reads) — `load(as_of=N)` opens the persisted
+# artifact as it stood after mutation commit N: batch dirs with a newer
+# seq are never opened (pure metadata, the Delta/Iceberg VERSION AS OF
+# mechanism on our own commit log), tombstones fold only up to the
+# bound, and the strictly-older mask applies within it. The rows replay
+# the three-commit mutation scenario and serve at as_of=2 — the one
+# bound that exercises every clause at once: seq-1 clones must show
+# (inside the bound), seq-2 tombstones must hide their targets
+# (tombstones <= bound apply), and the seq-3 re-adds must NOT be
+# visible yet (commits > bound excluded). The oracle is the SHARED
+# mutation SQL with `_seq <= 2` pinned into the visibility CTEs —
+# snapshot semantics verified from the committed layouts alone.
+
+_IVF_SQ8_TT_DIR = _oracle_scratch("ivf_sq8_time_travel")
+
+
+@_register(
+    "ann_ivf_sq8_time_travel", _ivf_sq8_mutate_sql(_IVF_SQ8_TT_DIR, as_of=2)
+)
+def ann_ivf_sq8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot serving on the 4×-compression tier (block comment
+    above): after the full three-commit scenario, ``load(as_of=2)``
+    serves the post-delete / pre-re-add state — a read-only handle
+    whose plans union only commits <= 2 (partition pruning intact on
+    every branch; newer batch dirs never open)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVF_SQ8_TT_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _IVF_SQ8_TT_DIR, store_vectors=True
+    )
+    _, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_TT_DIR)
+    if layout_snapshots(_IVF_SQ8_TT_DIR) != [0, 1, 2, 3]:
+        raise RuntimeError(
+            f"commit log shape drifted: {layout_snapshots(_IVF_SQ8_TT_DIR)}"
+        )
+    snap = IvfSq8Index.load(spark, _IVF_SQ8_TT_DIR, as_of=2)
+    cells = snap.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVF_SQ8_TT_DIR, "probe")
+    )
+    return snap.search(None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50)
+
+
+_IVFPQ_TT_DIR = _oracle_scratch("ivfpq_time_travel")
+
+
+@_register("ann_ivfpq_time_travel", _ivfpq_mutate_sql(_IVFPQ_TT_DIR, as_of=2))
+def ann_ivfpq_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot serving on the memory-bound tier — same bound, same
+    shared snapshot rule (one commit-log shape for both persisted
+    tiers), LUT-ADC shortlist and co-located exact re-rank both reading
+    the as_of=2 view."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVFPQ_TT_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_TT_DIR, store_vectors=True)
+    _, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_TT_DIR)
+    snap = IvfPqIndex.load(spark, _IVFPQ_TT_DIR, as_of=2)
+    _persist_ivfpq_probe_luts(spark, snap, qvec, _IVFPQ_TT_DIR)
+    return snap.search(None, qvec, k=10, nprobe=2, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
+# MAINTENANCE TICK — the compactor loop's one decision per index per
+# interval: poll `layout_mutation_stats` (a directory listing, no Spark
+# job) and fold the tip only when the accumulated commit state crosses
+# a threshold. The row runs the full three-commit scenario, proves the
+# tick DECLINES under lax thresholds and FOLDS under tight ones, then
+# serves from the folded layout probing EVERY cell. The SQ8 oracle is
+# fully SEMANTIC — it never reads the folded artifact: the visible set
+# and each id's embedding are recomputed from the `embeddings` table
+# and the scenario's algebra (ids %20==3 gone unless %40==3; ids
+# %10==3 carry the query's own vector), codes re-derived by the SQ8
+# encode replay. A fold that LOSES a visible row or LEAKS a deleted one
+# breaks the hash — the one check the mutate rows (whose oracle reads
+# the commit log the engine wrote) cannot make after the log is folded
+# away.
+
+_IVF_SQ8_TICK_DIR = _oracle_scratch("ivf_sq8_tick")
+
+# the scenario's final visibility, in SQL: replaced ids serve the
+# query's own embedding; ids deleted at seq2 stay gone unless re-added
+# at seq3 (used by both tick oracles)
+_TICK_VIS_CTE = """
+vis AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 40 = 3
+                   OR (e.vec_id % 10 = 3 AND e.vec_id % 20 <> 3)
+              THEN q0.qe ELSE e.embedding END AS embedding
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q0
+  WHERE NOT (e.vec_id % 20 = 3 AND e.vec_id % 40 <> 3)
+)"""
+
+
+def _ivf_sq8_tick_sql() -> str:
+    return f"""
+WITH {_TICK_VIS_CTE},
+exf AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+vx AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM vis
+),
+iscores AS (
+  SELECT v.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((v.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM vx v JOIN wgt g ON g.d = v.d
+  GROUP BY v.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vis v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_sq8_maintenance_tick", _ivf_sq8_tick_sql())
+def ann_ivf_sq8_maintenance_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven compaction on the 4×-compression tier (block
+    comment above): tick declines under lax thresholds, folds under
+    tight ones (the bounded O(touched-cells) fold), and the folded
+    layout serves the exact visibility the commit history implies —
+    gated against a fully semantic oracle that never reads the folded
+    artifact. Probes every cell so the check covers the whole corpus,
+    not a pruned slice."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        maintenance_tick,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVF_SQ8_TICK_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _IVF_SQ8_TICK_DIR, store_vectors=True
+    )
+    _, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_TICK_DIR)
+    lax = maintenance_tick(
+        IvfSq8Index, spark, _IVF_SQ8_TICK_DIR,
+        max_data_commits=64, max_tombstone_commits=64,
+    )
+    tight = maintenance_tick(
+        IvfSq8Index, spark, _IVF_SQ8_TICK_DIR,
+        max_data_commits=1, max_tombstone_commits=1,
+    )
+    if (
+        lax["folded"]
+        or not tight["folded"]
+        or tight["after"]["batch_commits"] != 0
+        or tight["after"]["tombstone_commits"] != 0
+    ):
+        raise RuntimeError(
+            f"maintenance_tick contract violated: lax={lax} tight={tight}"
+        )
+    folded = IvfSq8Index.load(spark, _IVF_SQ8_TICK_DIR)
+    return folded.search(None, qvec, k=10, nprobe=_KM_K, shortlist=50)
+
+
+_IVFPQ_TICK_DIR = _oracle_scratch("ivfpq_tick")
+
+
+def _ivfpq_tick_sql() -> str:
+    """LUT-ADC shortlist from the FOLDED base codes (post-tick there is
+    no commit log left to replay — the lut/probe side files pin the
+    engine's integer tables) + exact re-rank against the SEMANTIC
+    visible set: a fold that leaks a deleted id puts it in both
+    shortlists, the engine serves it from its (leaked) float store, and
+    the oracle's vis join drops it — hash breaks. Row loss on this tier
+    is covered by the SQ8 tick row through the shared `_save_layout` /
+    `_fold_touched` implementation."""
+    d = _IVFPQ_TICK_DIR
+    return f"""
+WITH codes AS (
+  SELECT vec_id, codes, centroid
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+),
+short AS (SELECT vec_id FROM s ORDER BY score ASC, vec_id LIMIT 50),
+{_TICK_VIS_CTE.lstrip()},
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vis v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_maintenance_tick", _ivfpq_tick_sql())
+def ann_ivfpq_maintenance_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven compaction on the memory-bound tier — same tick,
+    same thresholds, LUT-ADC serving from the folded layout; deleted-id
+    leaks gated semantically (see `_ivfpq_tick_sql`)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfPqIndex,
+        maintenance_tick,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVFPQ_TICK_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_TICK_DIR, store_vectors=True)
+    _, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_TICK_DIR)
+    tight = maintenance_tick(
+        IvfPqIndex, spark, _IVFPQ_TICK_DIR,
+        max_data_commits=1, max_tombstone_commits=1,
+    )
+    if not tight["folded"] or tight["after"]["batch_commits"] != 0:
+        raise RuntimeError(f"maintenance_tick contract violated: {tight}")
+    idx = IvfPqIndex.load(spark, _IVFPQ_TICK_DIR)
+    _persist_ivfpq_probe_luts(spark, idx, qvec, _IVFPQ_TICK_DIR, nprobe=8)
+    return idx.search(None, qvec, k=10, nprobe=8, shortlist=50)

@@ -2724,6 +2724,69 @@ def _next_batch_seq(path: str) -> int:
     )
 
 
+def _require_writable(idx, verb: str) -> None:
+    """Mutation guard for TIME-TRAVEL handles: an index opened with
+    ``load(as_of=N)`` is a read-only snapshot. Writing through it would
+    be worse than confusing — ``save`` folds ``idx.codes`` (the
+    snapshot's masked view) into the base layout and deletes every
+    batch dir, silently DESTROYING all commits newer than the snapshot;
+    ``upsert``/``delete`` would stamp tombstones computed against a
+    stale view. Every mutating entry point calls this first."""
+    if getattr(idx, "_as_of", None) is not None:
+        raise RuntimeError(
+            f"{verb}: this index is a read-only as_of={idx._as_of} "
+            "snapshot (time-travel load); re-load the layout tip "
+            "(load(path) with no as_of) to mutate it"
+        )
+
+
+def layout_snapshots(path: str) -> list[int]:
+    """Readable snapshot sequences for a saved serving layout: 0 (the
+    base fold) plus every committed mutation seq, ascending. Any value
+    here is a valid ``load(as_of=...)`` bound; ``as_of=max`` equals the
+    tip. Pure driver-side directory listing — no Spark job."""
+    bdir = os.path.join(path, "batches")
+    seqs = {0} | {
+        _parse_batch_seq(b)
+        for b in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+    }
+    return sorted(seqs)
+
+
+def maintenance_tick(
+    idx_cls,
+    spark: SparkSession,
+    path: str,
+    max_data_commits: int = 8,
+    max_tombstone_commits: int = 4,
+) -> dict:
+    """ONE maintenance-policy decision for a saved serving layout — the
+    verb a background compactor loop runs per index per interval. Polls
+    ``layout_mutation_stats`` (driver-side listing, no Spark job); if
+    the accumulated mutation state crosses either threshold — data
+    commits rivaling the base partition count (each is an extra union
+    branch in every read plan) or tombstone commits growing the
+    broadcast mask — it loads the layout TIP and runs ``save``-as-fold
+    (the bounded O(touched-cells) compaction). Under both thresholds it
+    does nothing: reads stay cheap and the tick costs one listdir.
+
+    Returns ``{"folded": bool, "before": stats, "after": stats}`` so a
+    scheduler can log/alert on it. Single-writer posture, same as every
+    other maintenance verb on these layouts."""
+    before = layout_mutation_stats(path)
+    folded = (
+        before["data_commits"] > max_data_commits
+        or before["tombstone_commits"] > max_tombstone_commits
+    )
+    if folded:
+        idx_cls.load(spark, path).save(path)
+    return {
+        "folded": folded,
+        "before": before,
+        "after": layout_mutation_stats(path) if folded else before,
+    }
+
+
 def _index_delete(idx, ids, path: str | None) -> None:
     """Shared delete-by-id implementation for the persisted serving
     artifacts (IvfSq8Index / IvfPqIndex — one contract, see
@@ -2732,6 +2795,8 @@ def _index_delete(idx, ids, path: str | None) -> None:
     in-memory plans with one broadcast anti-join each."""
     import shutil
     import uuid
+
+    _require_writable(idx, "delete")
 
     spark = idx.codes.sparkSession
     if not isinstance(ids, DataFrame):
@@ -2919,6 +2984,7 @@ def _save_layout(idx, path: str, store_vectors: bool | None, code_col: str):
     import shutil
     import uuid
 
+    _require_writable(idx, "save")
     IvfSq8Index._gc_staging(path)
     disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
         os.path.isdir(os.path.join(path, "batches", b, "vectors"))
@@ -3261,14 +3327,23 @@ class IvfSq8Index:
         return _save_layout(self, path, store_vectors, "sq8_codes")
 
     @staticmethod
-    def _layout_roots(path: str, sub: str) -> list[tuple[int, str]]:
+    def _layout_roots(
+        path: str, sub: str, as_of: int | None = None
+    ) -> list[tuple[int, str]]:
         """Committed parquet roots for one layout table: the base
         ``<sub>/`` dir (mutation seq 0) plus every committed
         ``batches/<seq>_<uuid>/<sub>`` dir (its commit seq). A root is
         listed only once its single commit rename succeeded; dirs with
         no part files anywhere (a legacy empty commit: just _SUCCESS)
         are skipped — they hold no rows and would fail schema inference
-        and brick the whole load."""
+        and brick the whole load.
+
+        ``as_of`` is TIME TRAVEL: keep only roots committed at or
+        before that mutation seq — a snapshot read of the layout as it
+        stood after commit ``as_of``. Pure metadata (commit dirs newer
+        than the bound are never opened, let alone scanned), the same
+        mechanism Delta/Iceberg ``VERSION AS OF`` uses: the commit log
+        IS the snapshot structure."""
 
         def has_parquet(root: str) -> bool:
             for _, _, files in os.walk(root):
@@ -3285,13 +3360,16 @@ class IvfSq8Index:
             roots.extend(
                 (_parse_batch_seq(b), os.path.join(bdir, b, sub))
                 for b in sorted(os.listdir(bdir))
-                if os.path.isdir(os.path.join(bdir, b, sub))
+                if (as_of is None or _parse_batch_seq(b) <= as_of)
+                and os.path.isdir(os.path.join(bdir, b, sub))
                 and has_parquet(os.path.join(bdir, b, sub))
             )
         return roots
 
     @staticmethod
-    def _read_layout(spark: SparkSession, path: str, sub: str) -> DataFrame | None:
+    def _read_layout(
+        spark: SparkSession, path: str, sub: str, as_of: int | None = None
+    ) -> DataFrame | None:
         """Base ``<sub>/`` layout unioned with every committed
         ``batches/<seq>_<uuid>/<sub>`` append, each row carrying its
         commit ``_seq`` (base = 0; rows written before the mutation
@@ -3299,10 +3377,11 @@ class IvfSq8Index:
         root is read separately (partition discovery stays per-root, so
         ``centroid=N`` file pruning pushes into every branch of the
         union). Callers apply ``_mask_deleted`` (which drops ``_seq``)
-        before serving rows."""
+        before serving rows. ``as_of`` bounds the union to commits
+        ``<= as_of`` (time travel — see ``_layout_roots``)."""
         from functools import reduce
 
-        roots = IvfSq8Index._layout_roots(path, sub)
+        roots = IvfSq8Index._layout_roots(path, sub, as_of)
         if not roots:
             return None
 
@@ -3319,17 +3398,18 @@ class IvfSq8Index:
 
     @staticmethod
     def _read_delete_marks(
-        spark: SparkSession, path: str, id_col: str
+        spark: SparkSession, path: str, id_col: str, as_of: int | None = None
     ) -> DataFrame | None:
         """The layout's tombstone set, folded to one row per id:
         ``(_del_id, _del_seq = max commit seq)``. Tombstones live inside
         the same atomic batch dirs as the data they accompany
         (``batches/<seq>_<uuid>/deletes``) — a pure delete commits a
         dir holding only ``deletes``, an upsert commits codes + vectors
-        + its own ids' tombstones under ONE rename."""
+        + its own ids' tombstones under ONE rename. ``as_of`` bounds
+        the fold to tombstones committed ``<= as_of`` (time travel)."""
         from functools import reduce
 
-        roots = IvfSq8Index._layout_roots(path, "deletes")
+        roots = IvfSq8Index._layout_roots(path, "deletes", as_of)
         if not roots:
             return None
 
@@ -3348,7 +3428,20 @@ class IvfSq8Index:
         )
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "IvfSq8Index":
+    def load(
+        cls, spark: SparkSession, path: str, as_of: int | None = None
+    ) -> "IvfSq8Index":
+        """Open the committed layout — the TIP by default, or (with
+        ``as_of``) a READ-ONLY snapshot of the index as it stood after
+        mutation commit ``as_of`` (``layout_snapshots(path)`` lists the
+        valid bounds; 0 = the base fold). Snapshot semantics follow the
+        commit log exactly: batch dirs with seq > as_of are never
+        opened, tombstones fold only over commits <= as_of, and the
+        strictly-older mask applies within the bound — so a snapshot
+        shows precisely the rows a reader at that commit saw. Snapshot
+        handles refuse every mutating verb (``_require_writable``);
+        cost over a tip load is zero (the bound only DROPS union
+        branches and mask entries)."""
         import json as _json
 
         meta_path = os.path.join(path, "meta.json")
@@ -3362,10 +3455,10 @@ class IvfSq8Index:
             raise FileNotFoundError(meta_path)
         with open(meta_path) as f:
             meta = _json.load(f)
-        codes = cls._read_layout(spark, path, "codes")
+        codes = cls._read_layout(spark, path, "codes", as_of)
         if codes is None:
             raise RuntimeError(f"IvfSq8Index at {path!r} has meta.json but no codes")
-        marks = cls._read_delete_marks(spark, path, meta["id_col"])
+        marks = cls._read_delete_marks(spark, path, meta["id_col"], as_of)
         idx = cls(
             _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
@@ -3374,10 +3467,15 @@ class IvfSq8Index:
             meta["id_col"],
             meta["vec_col"],
             vectors=_mask_deleted(
-                cls._read_layout(spark, path, "vectors"), marks, meta["id_col"]
+                cls._read_layout(spark, path, "vectors", as_of),
+                marks,
+                meta["id_col"],
             ),
         )
-        idx._mirror_path = path  # plans == committed state, by construction
+        idx._as_of = as_of
+        # plans == committed state, by construction — but only the TIP
+        # may fold (a snapshot's fold would destroy newer commits)
+        idx._mirror_path = path if as_of is None else None
         return idx
 
     def cell_stats(self) -> dict:
@@ -3587,6 +3685,7 @@ class IvfSq8Index:
         # one upsert batch would share a commit seq, both surviving the
         # strictly-older tombstone mask forever (ADVICE r15) — replace
         # semantics admit exactly one winner per id per commit.
+        _require_writable(self, "add_batch")
         if replace:
             batch = batch.dropDuplicates([self.id_col])
         batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
@@ -3823,7 +3922,10 @@ class IvfPqIndex:
         return _save_layout(self, path, store_vectors, "codes")
 
     @classmethod
-    def load(cls, spark, path: str) -> "IvfPqIndex":
+    def load(cls, spark, path: str, as_of: int | None = None) -> "IvfPqIndex":
+        """Tip load, or (``as_of``) a read-only time-travel snapshot —
+        the ``IvfSq8Index.load`` contract (one commit log shape, one
+        snapshot rule for both persisted tiers)."""
         import json as _json
 
         meta_path = os.path.join(path, "meta.json")
@@ -3837,10 +3939,10 @@ class IvfPqIndex:
             raise FileNotFoundError(meta_path)
         with open(meta_path) as f:
             meta = _json.load(f)
-        codes = IvfSq8Index._read_layout(spark, path, "codes")
+        codes = IvfSq8Index._read_layout(spark, path, "codes", as_of)
         if codes is None:
             raise RuntimeError(f"IvfPqIndex at {path!r} has meta.json but no codes")
-        marks = IvfSq8Index._read_delete_marks(spark, path, meta["id_col"])
+        marks = IvfSq8Index._read_delete_marks(spark, path, meta["id_col"], as_of)
         idx = cls(
             _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
@@ -3848,12 +3950,14 @@ class IvfPqIndex:
             meta["id_col"],
             meta["vec_col"],
             vectors=_mask_deleted(
-                IvfSq8Index._read_layout(spark, path, "vectors"),
+                IvfSq8Index._read_layout(spark, path, "vectors", as_of),
                 marks,
                 meta["id_col"],
             ),
         )
-        idx._mirror_path = path  # plans == committed state, by construction
+        idx._as_of = as_of
+        # only the TIP may fold (see IvfSq8Index.load)
+        idx._mirror_path = path if as_of is None else None
         return idx
 
     def probe_cells(self, query_vec, nprobe: int = 2) -> list[int]:
@@ -4021,6 +4125,7 @@ class IvfPqIndex:
         # path dedupes by id first: same-id rows sharing one commit seq
         # would BOTH outlive the strictly-older tombstone mask (ADVICE
         # r15) — replace semantics admit one winner per id per commit.
+        _require_writable(self, "add_batch")
         if replace:
             batch = batch.dropDuplicates([self.id_col])
         batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
