@@ -62,6 +62,8 @@ _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "ann_ivf_sq8_time_travel",
     "ann_ivfpq_time_travel",
+    "ann_ivf_sq8_rebuild",
+    "ann_ivfpq_rebuild",
     "ann_ivf_sq8_maintenance_tick",
     "ann_ivfpq_maintenance_tick",
     "ann_ivfpq_filtered_topk",

@@ -2479,3 +2479,78 @@ def test_maintenance_tick_policy(spark, embeddings, tmp_path):
         IvfSq8Index, spark, path, max_data_commits=0, max_tombstone_commits=1
     )
     assert r["folded"] is False
+
+
+def test_rebuild_layout_retrains_from_visible_corpus(
+    spark, embeddings, tmp_path
+):
+    """``rebuild_layout`` re-trains quantizer + scaler from the CURRENT
+    visible corpus and atomically replaces the layout: the commit log
+    folds away, visibility is exactly the tip's, serving is unchanged
+    (exact re-rank over the same floats), and an upserted out-of-range
+    vector — clamped under the stale scaler — widens the retrained one
+    (the drift this verb exists to fix)."""
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_mutation_stats,
+        rebuild_layout,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "rebuild_sq8")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    old_deltas = IvfSq8Index.load(spark, path).deltas
+
+    # mutate: clone-upsert, delete, and ONE out-of-range upsert (2x the
+    # query vector — beyond the trained max, so the stale scaler clamps)
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(clones, path=path)
+    IvfSq8Index.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    big = [2.0 * float(x) for x in qvec]
+    IvfSq8Index.load(spark, path).upsert(
+        spark.createDataFrame(
+            [(10_001, big)], "vec_id long, embedding array<float>"
+        ),
+        path=path,
+    )
+
+    tip_ids = {
+        r["vec_id"]
+        for r in IvfSq8Index.load(spark, path)
+        .codes.select("vec_id")
+        .collect()
+    }
+    tip_top = IvfSq8Index.load(spark, path).search(
+        None, qvec, k=10, nprobe=4, shortlist=200
+    ).collect()
+
+    rebuilt = rebuild_layout(IvfSq8Index, spark, path, n_centroids=4)
+    stats = layout_mutation_stats(path)
+    assert stats["batch_commits"] == 0 and stats["tombstone_commits"] == 0
+    re = IvfSq8Index.load(spark, path)
+    assert {
+        r["vec_id"] for r in re.codes.select("vec_id").collect()
+    } == tip_ids
+    assert re.vectors.count() == len(tip_ids)
+    # scaler retrained: the 2x vector widened at least one dim's range
+    assert re.deltas != old_deltas
+    # serving from the rebuilt layout: exact re-rank unchanged (covering
+    # shortlist; the out-of-range row now scores unclamped and wins)
+    new_top = rebuilt.search(None, qvec, k=10, nprobe=4, shortlist=200).collect()
+    assert [(r["vec_id"], r["score"]) for r in new_top] == [
+        (r["vec_id"], r["score"]) for r in tip_top
+    ]
+    assert new_top[0]["vec_id"] == 10_001
+
+    # codes-only layouts cannot re-train — loud, never silent
+    bare = str(tmp_path / "rebuild_bare")
+    IvfSq8Index.build(emb, n_centroids=4).save(bare)
+    with _pytest.raises(ValueError, match="float store"):
+        rebuild_layout(IvfSq8Index, spark, bare, n_centroids=4)

@@ -4112,3 +4112,156 @@ def ann_ivfpq_maintenance_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IvfPqIndex.load(spark, _IVFPQ_TICK_DIR)
     _persist_ivfpq_probe_luts(spark, idx, qvec, _IVFPQ_TICK_DIR, nprobe=8)
     return idx.search(None, qvec, k=10, nprobe=8, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
+# REBUILD (drift remediation) — the maintenance escalation past
+# folding: `rebuild_layout` re-trains quantizer + scaler/codebooks from
+# the CURRENT visible corpus and atomically replaces the layout. The
+# scenario mutates the corpus first (the three-commit algebra), so the
+# rebuilt SQ8 scaler is trained on the POST-mutation visible set — the
+# oracle replays exactly that: per-dim min/max over the semantic `vis`
+# CTE (NOT the raw table), encode replay of vis with that scaler,
+# shortlist, exact re-rank. A rebuild that trains or encodes deleted
+# rows, loses visible ones, or serves stale-scaler codes breaks the
+# hash.
+
+_IVF_SQ8_REBUILD_DIR = _oracle_scratch("ivf_sq8_rebuild")
+
+
+def _ivf_sq8_rebuild_sql() -> str:
+    return f"""
+WITH {_TICK_VIS_CTE},
+vx AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM vis
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM vx GROUP BY d),
+sd AS (SELECT d, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d, s.mn, s.dl,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+iscores AS (
+  SELECT v.vec_id,
+         SUM(LEAST(255, GREATEST(0,
+               CAST(floor((v.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
+         ) AS score_int
+  FROM vx v JOIN wgt g ON g.d = v.d
+  GROUP BY v.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vis v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_sq8_rebuild", _ivf_sq8_rebuild_sql())
+def ann_ivf_sq8_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-remediation rebuild on the 4×-compression tier (block
+    comment above): after the three-commit mutation scenario,
+    ``rebuild_layout`` re-trains the coarse quantizer AND the SQ8
+    scaler from the visible corpus and atomically replaces the layout
+    (commit log folds away; batches reset to zero). Serves every cell
+    so the semantic gate covers the whole corpus."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_mutation_stats,
+        rebuild_layout,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVF_SQ8_REBUILD_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _IVF_SQ8_REBUILD_DIR, store_vectors=True
+    )
+    _, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_REBUILD_DIR)
+    rebuilt = rebuild_layout(
+        IvfSq8Index, spark, _IVF_SQ8_REBUILD_DIR, n_centroids=_KM_K
+    )
+    if layout_mutation_stats(_IVF_SQ8_REBUILD_DIR)["batch_commits"] != 0:
+        raise RuntimeError("rebuild left mutation commits behind")
+    return rebuilt.search(None, qvec, k=10, nprobe=_KM_K, shortlist=50)
+
+
+_IVFPQ_REBUILD_DIR = _oracle_scratch("ivfpq_rebuild")
+
+
+def _ivfpq_rebuild_sql() -> str:
+    """The PQ tier's rebuild gate — `_ivfpq_tick_sql`'s shape (LUT-ADC
+    shortlist from the engine's rebuilt codes + side-file LUTs, exact
+    re-rank against the SEMANTIC visible set): a rebuild that encodes a
+    deleted row serves it while the oracle's vis join drops it — hash
+    breaks. Scaler/codebook retraining is gated exactly on the SQ8 twin
+    (whose oracle recomputes the retrained scaler in SQL); the
+    codebooks here are sample-trained persisted state, replayed via the
+    LUT side files like every other PQ row."""
+    d = _IVFPQ_REBUILD_DIR
+    return f"""
+WITH codes AS (
+  SELECT vec_id, codes, centroid
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
+),
+probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+),
+short AS (SELECT vec_id FROM s ORDER BY score ASC, vec_id LIMIT 50),
+{_TICK_VIS_CTE.lstrip()},
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vis v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_rebuild", _ivfpq_rebuild_sql())
+def ann_ivfpq_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-remediation rebuild on the memory-bound tier: coarse
+    quantizer and residual codebooks re-train on the visible corpus,
+    the layout atomically replaces, and LUT-ADC serving from the
+    rebuilt codes is gated against the semantic visible set."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfPqIndex,
+        layout_mutation_stats,
+        rebuild_layout,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVFPQ_REBUILD_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_REBUILD_DIR, store_vectors=True)
+    _, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_REBUILD_DIR)
+    rebuilt = rebuild_layout(
+        IvfPqIndex, spark, _IVFPQ_REBUILD_DIR,
+        n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500,
+    )
+    if layout_mutation_stats(_IVFPQ_REBUILD_DIR)["batch_commits"] != 0:
+        raise RuntimeError("rebuild left mutation commits behind")
+    _persist_ivfpq_probe_luts(spark, rebuilt, qvec, _IVFPQ_REBUILD_DIR, nprobe=8)
+    return rebuilt.search(None, qvec, k=10, nprobe=8, shortlist=50)

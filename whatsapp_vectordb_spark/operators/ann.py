@@ -2787,6 +2787,42 @@ def maintenance_tick(
     }
 
 
+def rebuild_layout(idx_cls, spark: SparkSession, path: str, **build_kwargs):
+    """DRIFT remediation — the maintenance escalation past folding: a
+    fold (``save``/``maintenance_tick``) compacts the commit log but
+    keeps the quantizers the index was BUILT with; after enough
+    upserts the corpus walks away from them (SQ8 clamp rates rise,
+    k-means cells unbalance, PQ residual distortion grows — the drift
+    signals every ``add_batch`` docstring says to watch). This verb
+    re-trains everything from the CURRENT visible corpus: load the tip,
+    pin the visible float store once (one eager checkpoint — the build
+    reads it several times: quantizer fit, scaler train, assign,
+    encode), run the class's own ``build`` on it, and atomically
+    replace the layout via the house staged commit (old meta removed
+    first, new meta renames last — an interruption leaves the layout
+    loudly unreadable, never new codes under a stale scaler).
+
+    Requires a co-located float store (codes alone cannot re-train —
+    same rule as exact re-rank). Cost is a full rebuild by definition —
+    O(corpus) train+encode+write, the same bill as the original build —
+    so the caller runs it on the drift signal, not on a timer.
+    Visibility is untouched: the rebuilt layout holds exactly the rows
+    the tip served (tombstones fold away physically in the process)."""
+    tip = idx_cls.load(spark, path)
+    if tip.vectors is None:
+        raise ValueError(
+            "rebuild_layout requires a co-located float store "
+            "(save(store_vectors=True)); codes cannot re-train a quantizer"
+        )
+    vecs = tip.vectors.select(tip.id_col, tip.vec_col).localCheckpoint(
+        eager=True
+    )
+    fresh = idx_cls.build(
+        vecs, id_col=tip.id_col, vec_col=tip.vec_col, **build_kwargs
+    )
+    return fresh.save(path, store_vectors=True)
+
+
 def _index_delete(idx, ids, path: str | None) -> None:
     """Shared delete-by-id implementation for the persisted serving
     artifacts (IvfSq8Index / IvfPqIndex — one contract, see
