@@ -261,6 +261,100 @@ def main() -> None:
     )
     out["bounded_fold_serving_ok"] = True
     print(json.dumps(out), flush=True)
+
+    # --- r16: the SNAPSHOT/TICK/REBUILD lifecycle at scale. Two fresh
+    # commits build a log to time-travel over: seq1 upserts 1k clones of
+    # the query vector, seq2 deletes ALL of them — so the tip's top-k
+    # holds no clone while the as_of=1 snapshot's top-k is nothing but
+    # clones. The claims to measure: (a) a snapshot read costs the same
+    # as a tip read (the bound only DROPS union branches — pure
+    # metadata); (b) a declining maintenance tick costs a directory
+    # listing, no Spark job; (c) rebuild is an honest O(corpus) retrain
+    # — the same bill as the original build, the price of fresh
+    # quantizers.
+    from whatsapp_vectordb_spark.operators.ann import (
+        layout_snapshots,
+        maintenance_tick,
+        rebuild_layout,
+    )
+
+    tt_ids = list(range(50_000_000, 50_001_000))
+    tt_batch = spark.createDataFrame(
+        [(i, list(map(float, qvec))) for i in tt_ids],
+        "vec_id long, embedding array<float>",
+    )
+    IvfSq8Index.load(spark, idx_path).upsert(tt_batch, path=idx_path)  # seq1
+    IvfSq8Index.load(spark, idx_path).delete(tt_ids, path=idx_path)  # seq2
+    assert layout_snapshots(idx_path) == [0, 1, 2]
+
+    t0 = time.perf_counter()
+    tip = IvfSq8Index.load(spark, idx_path)
+    tip_top = [
+        r["vec_id"]
+        for r in tip.search(query_vec=qvec, k=8, nprobe=4, shortlist=64).collect()
+    ]
+    out["probe_tip_s"] = round(time.perf_counter() - t0, 2)
+    assert not any(i in tt_ids for i in tip_top), tip_top
+
+    t0 = time.perf_counter()
+    snap = IvfSq8Index.load(spark, idx_path, as_of=1)
+    snap_top = [
+        r["vec_id"]
+        for r in snap.search(query_vec=qvec, k=8, nprobe=4, shortlist=64).collect()
+    ]
+    out["probe_snapshot_s"] = round(time.perf_counter() - t0, 2)
+    # the earlier cycles' clones (30M/40M ids, folded into the base)
+    # outrank the tt clones by id tie-break — visibility of the tt
+    # commits is asserted directly on both bounds instead
+    probe_check = tt_ids[:100]
+    assert (
+        snap.codes.where(F.col("vec_id").isin(probe_check)).count()
+        == len(probe_check)
+    ), "seq1 rows missing from the as_of=1 snapshot"
+    assert (
+        tip.codes.where(F.col("vec_id").isin(probe_check)).count() == 0
+    ), "seq2 deletes leaked into the tip"
+    out["snapshot_over_tip_ratio"] = round(
+        out["probe_snapshot_s"] / out["probe_tip_s"], 2
+    )
+    print(json.dumps(out), flush=True)
+
+    # (b) tick: decline = one listdir; fold = the bounded fold above
+    t0 = time.perf_counter()
+    decline = maintenance_tick(
+        IvfSq8Index, spark, idx_path,
+        max_data_commits=64, max_tombstone_commits=64,
+    )
+    out["tick_decline_s"] = round(time.perf_counter() - t0, 4)
+    assert decline["folded"] is False
+    t0 = time.perf_counter()
+    folded_tick = maintenance_tick(
+        IvfSq8Index, spark, idx_path,
+        max_data_commits=1, max_tombstone_commits=1,
+    )
+    out["tick_fold_s"] = round(time.perf_counter() - t0, 1)
+    assert folded_tick["folded"] and folded_tick["after"]["batch_commits"] == 0
+    print(json.dumps(out), flush=True)
+
+    # (c) rebuild: full retrain from the visible corpus (same protocol
+    # as the build: 64 cells, 50k-row quantizer sample)
+    t0 = time.perf_counter()
+    rebuilt = rebuild_layout(
+        IvfSq8Index, spark, idx_path, n_centroids=64, sample_rows=50_000
+    )
+    out["rebuild_s"] = round(time.perf_counter() - t0, 1)
+    rb_top = [
+        r["vec_id"]
+        for r in rebuilt.search(
+            query_vec=qvec, k=8, nprobe=4, shortlist=64
+        ).collect()
+    ]
+    assert rb_top[0] == tip_top[0], (rb_top, tip_top)
+    out["rebuild_rows"] = rebuilt.codes.count()
+    out["rebuild_over_build_ratio"] = round(
+        out["rebuild_s"] / out["build_save_s"], 2
+    )
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 
