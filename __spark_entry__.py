@@ -66,6 +66,7 @@ _FRONTLOAD: list[str] = [
     "ann_ivfpq_rebuild",
     "ann_ivf_sq8_maintenance_tick",
     "ann_ivfpq_maintenance_tick",
+    "streaming_ivf_sq8_cdc_with_tick",
     "ann_ivfpq_filtered_topk",
     "streaming_ivfpq_cdc",
     "streaming_ivf_sq8_cdc_ordered",

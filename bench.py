@@ -658,6 +658,22 @@ def main() -> None:
 
         streaming_ivfpq_cdc(spark, sf_dir).count()
 
+    # --- the r16 lifecycle rows (snapshot time travel + policy-driven
+    # compaction), one per family — the PQ twins share the code paths;
+    # rebuild is build-dominated by design and rides the run_query
+    # series in BASELINE.md instead of the per-round bench.
+    @timed("ann_ivf_sq8_time_travel")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivf_sq8_time_travel
+
+        ann_ivf_sq8_time_travel(spark, sf_dir).count()
+
+    @timed("ann_ivf_sq8_maintenance_tick")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_ivf_sq8_maintenance_tick
+
+        ann_ivf_sq8_maintenance_tick(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus

@@ -64,6 +64,7 @@ SHOWN = [
     ("ann_ivfpq_index_ingest", "persisted IVF-PQ (memory-bound tier) ingest roundtrip: base+batch 16-byte-code layouts UNION with per-root PartitionFilters, integer LUT-ADC shortlist, broadcast exact re-rank"),
     ("ann_ivf_sq8_index_mutate", "mutation verbs (upsert/delete): seq'd layout union with per-root PartitionFilters, tombstone mask as ONE BroadcastHashJoin LeftAnti pushed below the union, masked co-located floats re-rank"),
     ("ann_ivf_sq8_filtered_topk", "metadata-filtered serving: label predicate pushed to the metadata scan, allowed ids broadcast LeftSemi into the pruned codes scan BEFORE the ADC shortlist"),
+    ("ann_ivf_sq8_time_travel", "snapshot serving (load(as_of=N)): the plan unions ONLY roots committed <= the bound (newer commit dirs contribute no scan), per-root PartitionFilters intact, tombstone mask broadcast"),
 ]
 
 

@@ -3959,9 +3959,18 @@ vis AS (
 )"""
 
 
-def _ivf_sq8_tick_sql() -> str:
+def _sq8_semantic_serve_sql(vis_cte: str) -> str:
+    """All-cells SQ8 serve against a SEMANTIC visible set: the caller
+    supplies a `vis` CTE (vec_id, embedding = what should be visible
+    and what each id should embed), this wraps it with the frozen-scaler
+    encode replay (per-dim min/max over the RAW table — the scaler is
+    trained at build and never retrained by folds), integer ADC over
+    every visible row, shortlist, exact re-rank over vis. Shared by the
+    maintenance-tick row and the streaming CDC-with-tick twin — neither
+    can replay the commit log (the fold erased it), so both gate against
+    first principles instead."""
     return f"""
-WITH {_TICK_VIS_CTE},
+WITH {vis_cte},
 exf AS (
   SELECT vec_id, unnest(embedding) AS x,
          unnest(range(1, len(embedding) + 1)) AS d
@@ -3999,6 +4008,10 @@ WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
 ORDER BY score DESC, v.vec_id ASC
 LIMIT 10
 """
+
+
+def _ivf_sq8_tick_sql() -> str:
+    return _sq8_semantic_serve_sql(_TICK_VIS_CTE)
 
 
 @_register("ann_ivf_sq8_maintenance_tick", _ivf_sq8_tick_sql())

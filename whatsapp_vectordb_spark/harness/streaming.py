@@ -1399,3 +1399,125 @@ def streaming_ivf_sq8_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
     return reloaded.search(
         None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50
     )
+
+
+_SQ8_CDC_TICK_DIR = _oracle_scratch("stream_sq8_cdc_tick")
+
+
+def _sq8_cdc_tick_sql() -> str:
+    from whatsapp_vectordb_spark.harness.ann import _sq8_semantic_serve_sql
+
+    # the change feed's net algebra (same four groups as
+    # streaming_ivf_sq8_cdc) PLUS the fresh inserts — expressed from
+    # first principles because the interleaved ticks fold the commit log
+    # away as the stream runs, leaving nothing for a log replay to read
+    vis = """
+vis AS (
+  SELECT e.vec_id,
+         CASE WHEN (e.vec_id % 10 = 3 AND e.vec_id % 20 <> 3)
+                   OR e.vec_id % 40 = 3
+              THEN q0.qe ELSE e.embedding END AS embedding
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q0
+  WHERE NOT (e.vec_id % 20 = 3 AND e.vec_id % 40 <> 3)
+  UNION ALL
+  SELECT e.vec_id + 100000 AS vec_id, e.embedding
+  FROM embeddings e WHERE e.vec_id % 25 = 0
+)"""
+    return _sq8_semantic_serve_sql(vis)
+
+
+@_register("streaming_ivf_sq8_cdc_with_tick", _sq8_cdc_tick_sql())
+def streaming_ivf_sq8_cdc_with_tick(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC replay with the COMPACTOR RUNNING IN THE LOOP — the full
+    production maintenance posture in one row: the same change feed as
+    ``streaming_ivf_sq8_cdc`` replays file-per-trigger, and after every
+    trigger's commits a zero-threshold ``maintenance_tick`` folds the
+    layout (the bounded O(touched-cells) fold), so serving state
+    interleaves append commits with physical compactions all the way
+    through the stream. The final layout holds NO commit log at all —
+    every mutation has been folded into the base — so the oracle gates
+    the served top-10 from FIRST PRINCIPLES: the feed's net visibility
+    algebra recomputed over the raw table with the frozen-scaler encode
+    replay. A fold that races a commit, drops a tombstone mid-stream,
+    or resurrects a folded-away delete breaks the hash."""
+    import shutil
+
+    from whatsapp_vectordb_spark.harness.ann import _KM_K
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_mutation_stats,
+        maintenance_tick,
+    )
+
+    shutil.rmtree(_SQ8_CDC_TICK_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _SQ8_CDC_TICK_DIR, store_vectors=True
+    )
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qlit = F.lit(qvec).cast("array<float>")
+    no_vec = F.lit(None).cast("array<float>")
+    m10 = F.col("vec_id") % 10 == 3
+    m20 = F.col("vec_id") % 20 == 3
+    m40 = F.col("vec_id") % 40 == 3
+
+    src = os.path.join(_SQ8_CDC_TICK_DIR, "src")
+    groups = [
+        emb.where(m10 & ~m20).select(
+            "vec_id", qlit.alias("embedding"), F.lit("u").alias("op")
+        ),
+        emb.where(m20 & ~m40).select(
+            "vec_id", no_vec.alias("embedding"), F.lit("d").alias("op")
+        ),
+        emb.where(m40).select(
+            "vec_id", qlit.alias("embedding"), F.lit("u").alias("op")
+        ),
+        emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.col("embedding"),
+            F.lit("u").alias("op"),
+        ),
+    ]
+    for g in groups:
+        g.coalesce(1).write.mode("append").parquet(src)
+
+    folds = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # id-disjoint groups per trigger (streaming_ivf_sq8_cdc's note)
+        if batch_df.isEmpty():
+            return
+        idx = IvfSq8Index.load(spark, _SQ8_CDC_TICK_DIR)
+        dels = batch_df.where(F.col("op") == "d").select("vec_id")
+        if not dels.isEmpty():
+            idx.delete(dels, path=_SQ8_CDC_TICK_DIR)
+        ups = batch_df.where(F.col("op") == "u").select("vec_id", "embedding")
+        if not ups.isEmpty():
+            idx.upsert(ups, path=_SQ8_CDC_TICK_DIR)
+        # the compactor in the loop: fold EVERYTHING this trigger wrote
+        tick = maintenance_tick(
+            IvfSq8Index, spark, _SQ8_CDC_TICK_DIR,
+            max_data_commits=0, max_tombstone_commits=0,
+        )
+        if tick["folded"]:
+            folds["n"] += 1
+
+    schema = "vec_id long, embedding array<float>, op string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    stats = layout_mutation_stats(_SQ8_CDC_TICK_DIR)
+    if folds["n"] == 0 or stats["batch_commits"] != 0:
+        raise RuntimeError(
+            f"compactor never interleaved: folds={folds['n']} stats={stats}"
+        )
+    reloaded = IvfSq8Index.load(spark, _SQ8_CDC_TICK_DIR)
+    return reloaded.search(None, qvec, k=10, nprobe=_KM_K, shortlist=50)
