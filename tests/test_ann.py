@@ -2554,3 +2554,75 @@ def test_rebuild_layout_retrains_from_visible_corpus(
     IvfSq8Index.build(emb, n_centroids=4).save(bare)
     with _pytest.raises(ValueError, match="float store"):
         rebuild_layout(IvfSq8Index, spark, bare, n_centroids=4)
+
+
+def test_time_travel_bound_validation_and_snapshot_listing_guards(
+    spark, embeddings, tmp_path
+):
+    """Review hardening: an out-of-range ``as_of`` raises instead of
+    silently serving the tip under a snapshot's name (seqs RESET at
+    every fold — a stale bound is a real hazard, not a typo);
+    ``layout_snapshots`` on a path holding no layout raises instead of
+    fabricating a phantom base snapshot; a declined ``maintenance_tick``
+    returns distinct before/after dicts (no aliasing)."""
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+        maintenance_tick,
+    )
+
+    with _pytest.raises(FileNotFoundError, match="no saved layout"):
+        layout_snapshots(str(tmp_path / "nope"))
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "tt_bounds")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    IvfSq8Index.load(spark, path).delete([1], path=path)  # tip seq = 1
+
+    for bad in (-1, 2, 7):
+        with _pytest.raises(ValueError, match="outside this layout"):
+            IvfSq8Index.load(spark, path, as_of=bad)
+    # in-range bounds (including between-commit logical points) load
+    assert IvfSq8Index.load(spark, path, as_of=0).codes.count() == emb.count()
+    assert (
+        IvfSq8Index.load(spark, path, as_of=1).codes.count()
+        == emb.count() - 1
+    )
+
+    r = maintenance_tick(
+        IvfSq8Index, spark, path, max_data_commits=8, max_tombstone_commits=8
+    )
+    assert r["folded"] is False and r["after"] is not r["before"]
+    r["after"]["batch_commits"] += 99
+    assert r["before"]["batch_commits"] != r["after"]["batch_commits"]
+
+
+def test_rebuild_layout_defaults_to_layout_geometry(
+    spark, embeddings, tmp_path
+):
+    """A bare ``rebuild_layout`` (no build kwargs) re-trains with the
+    LAYOUT'S geometry — cells from the centroid matrix, PQ (m, ksub)
+    from the codebook shape — never ``build``'s signature defaults (a
+    64-cell index rebuilt bare must not silently shrink to 16)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfPqIndex,
+        IvfSq8Index,
+        rebuild_layout,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "rebuild_geom_sq8")
+    IvfSq8Index.build(emb, n_centroids=6).save(path, store_vectors=True)
+    rebuilt = rebuild_layout(IvfSq8Index, spark, path)
+    assert rebuilt.centroids.shape[0] == 6
+    assert IvfSq8Index.load(spark, path).centroids.shape[0] == 6
+
+    pq_path = str(tmp_path / "rebuild_geom_pq")
+    IvfPqIndex.build(
+        emb, n_centroids=4, m=4, ksub=8, sample_rows=200
+    ).save(pq_path, store_vectors=True)
+    pq = rebuild_layout(IvfPqIndex, spark, pq_path)
+    assert pq.centroids.shape[0] == 4
+    assert pq.codebooks.shape[0] == 4 and pq.codebooks.shape[1] == 8

@@ -3959,16 +3959,18 @@ vis AS (
 )"""
 
 
-def _sq8_semantic_serve_sql(vis_cte: str) -> str:
+def _sq8_semantic_serve_sql(vis_cte: str, scaler_from: str = "embeddings") -> str:
     """All-cells SQ8 serve against a SEMANTIC visible set: the caller
     supplies a `vis` CTE (vec_id, embedding = what should be visible
-    and what each id should embed), this wraps it with the frozen-scaler
-    encode replay (per-dim min/max over the RAW table — the scaler is
-    trained at build and never retrained by folds), integer ADC over
-    every visible row, shortlist, exact re-rank over vis. Shared by the
-    maintenance-tick row and the streaming CDC-with-tick twin — neither
-    can replay the commit log (the fold erased it), so both gate against
-    first principles instead."""
+    and what each id should embed), this wraps it with the SQ8 encode
+    replay, integer ADC over every visible row, shortlist, exact
+    re-rank over vis. ``scaler_from`` picks where the per-dim min/max
+    trains: ``"embeddings"`` replays the FROZEN build-time scaler (the
+    maintenance-tick row and the streaming CDC-with-tick twin — folds
+    never retrain), ``"vis"`` replays a RETRAINED scaler over the
+    post-mutation visible set (the rebuild row). One body — a fix to
+    the clamp/rounding replay lands in every semantic oracle at once."""
+    stats_src = "vx" if scaler_from == "vis" else "exf"
     return f"""
 WITH {vis_cte},
 exf AS (
@@ -3976,7 +3978,12 @@ exf AS (
          unnest(range(1, len(embedding) + 1)) AS d
   FROM embeddings
 ),
-stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+vx AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM vis
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM {stats_src} GROUP BY d),
 sd AS (SELECT d, mn,
               CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
        FROM stats),
@@ -3985,11 +3992,6 @@ wgt AS (
   SELECT s.d, s.mn, s.dl,
          CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
   FROM sd s, qv8
-),
-vx AS (
-  SELECT vec_id, unnest(embedding) AS x,
-         unnest(range(1, len(embedding) + 1)) AS d
-  FROM vis
 ),
 iscores AS (
   SELECT v.vec_id,
@@ -4060,16 +4062,18 @@ def ann_ivf_sq8_maintenance_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_TICK_DIR = _oracle_scratch("ivfpq_tick")
 
 
-def _ivfpq_tick_sql() -> str:
-    """LUT-ADC shortlist from the FOLDED base codes (post-tick there is
-    no commit log left to replay — the lut/probe side files pin the
-    engine's integer tables) + exact re-rank against the SEMANTIC
-    visible set: a fold that leaks a deleted id puts it in both
-    shortlists, the engine serves it from its (leaked) float store, and
-    the oracle's vis join drops it — hash breaks. Row loss on this tier
-    is covered by the SQ8 tick row through the shared `_save_layout` /
-    `_fold_touched` implementation."""
-    d = _IVFPQ_TICK_DIR
+def _ivfpq_semantic_serve_sql(d: str) -> str:
+    """The PQ tiers' post-fold gate, shared by the tick and rebuild
+    rows (one body — the LUT join and tie-breaks can never diverge
+    between the two oracles): LUT-ADC shortlist from the FOLDED base
+    codes at ``d`` (post-fold there is no commit log left to replay —
+    the lut/probe side files pin the engine's integer tables) + exact
+    re-rank against the SEMANTIC visible set. A fold/rebuild that leaks
+    a deleted id puts it in both shortlists, the engine serves it from
+    its (leaked) float store, and the oracle's vis join drops it — hash
+    breaks. Row loss on this tier is covered by the SQ8 twins through
+    the shared `_save_layout` / `_fold_touched` / `rebuild_layout`
+    implementations."""
     return f"""
 WITH codes AS (
   SELECT vec_id, codes, centroid
@@ -4096,6 +4100,10 @@ WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
 ORDER BY score DESC, v.vec_id ASC
 LIMIT 10
 """
+
+
+def _ivfpq_tick_sql() -> str:
+    return _ivfpq_semantic_serve_sql(_IVFPQ_TICK_DIR)
 
 
 @_register("ann_ivfpq_maintenance_tick", _ivfpq_tick_sql())
@@ -4143,40 +4151,7 @@ _IVF_SQ8_REBUILD_DIR = _oracle_scratch("ivf_sq8_rebuild")
 
 
 def _ivf_sq8_rebuild_sql() -> str:
-    return f"""
-WITH {_TICK_VIS_CTE},
-vx AS (
-  SELECT vec_id, unnest(embedding) AS x,
-         unnest(range(1, len(embedding) + 1)) AS d
-  FROM vis
-),
-stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM vx GROUP BY d),
-sd AS (SELECT d, mn,
-              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
-       FROM stats),
-qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-wgt AS (
-  SELECT s.d, s.mn, s.dl,
-         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
-  FROM sd s, qv8
-),
-iscores AS (
-  SELECT v.vec_id,
-         SUM(LEAST(255, GREATEST(0,
-               CAST(floor((v.x::DOUBLE - g.mn) / g.dl + 0.5) AS BIGINT))) * g.w
-         ) AS score_int
-  FROM vx v JOIN wgt g ON g.d = v.d
-  GROUP BY v.vec_id
-),
-short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
-q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT v.vec_id,
-       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
-FROM vis v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
-WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
-ORDER BY score DESC, v.vec_id ASC
-LIMIT 10
-"""
+    return _sq8_semantic_serve_sql(_TICK_VIS_CTE, scaler_from="vis")
 
 
 @_register("ann_ivf_sq8_rebuild", _ivf_sq8_rebuild_sql())
@@ -4213,41 +4188,14 @@ _IVFPQ_REBUILD_DIR = _oracle_scratch("ivfpq_rebuild")
 
 
 def _ivfpq_rebuild_sql() -> str:
-    """The PQ tier's rebuild gate — `_ivfpq_tick_sql`'s shape (LUT-ADC
-    shortlist from the engine's rebuilt codes + side-file LUTs, exact
-    re-rank against the SEMANTIC visible set): a rebuild that encodes a
-    deleted row serves it while the oracle's vis join drops it — hash
-    breaks. Scaler/codebook retraining is gated exactly on the SQ8 twin
-    (whose oracle recomputes the retrained scaler in SQL); the
-    codebooks here are sample-trained persisted state, replayed via the
-    LUT side files like every other PQ row."""
-    d = _IVFPQ_REBUILD_DIR
-    return f"""
-WITH codes AS (
-  SELECT vec_id, codes, centroid
-  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
-),
-probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
-lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
-s AS (
-  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
-  FROM codes c
-  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
-  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
-  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
-            AND l.j = j.j AND l.c = c.codes[j.j + 1]
-  GROUP BY 1
-),
-short AS (SELECT vec_id FROM s ORDER BY score ASC, vec_id LIMIT 50),
-{_TICK_VIS_CTE.lstrip()},
-q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT v.vec_id,
-       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
-FROM vis v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
-WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
-ORDER BY score DESC, v.vec_id ASC
-LIMIT 10
-"""
+    """The PQ tier's rebuild gate — the shared `_ivfpq_semantic_serve_sql`
+    body over the rebuild scratch dir: a rebuild that encodes a deleted
+    row serves it while the oracle's vis join drops it — hash breaks.
+    Scaler/codebook retraining is gated exactly on the SQ8 twin (whose
+    oracle recomputes the retrained scaler in SQL); the codebooks here
+    are sample-trained persisted state, replayed via the LUT side files
+    like every other PQ row."""
+    return _ivfpq_semantic_serve_sql(_IVFPQ_REBUILD_DIR)
 
 
 @_register("ann_ivfpq_rebuild", _ivfpq_rebuild_sql())

@@ -2744,13 +2744,37 @@ def layout_snapshots(path: str) -> list[int]:
     """Readable snapshot sequences for a saved serving layout: 0 (the
     base fold) plus every committed mutation seq, ascending. Any value
     here is a valid ``load(as_of=...)`` bound; ``as_of=max`` equals the
-    tip. Pure driver-side directory listing — no Spark job."""
+    tip. Pure driver-side directory listing — no Spark job. Raises on
+    a path holding no layout (a typo would otherwise 'enumerate' a
+    phantom base snapshot and only fail much later inside ``load``)."""
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        raise FileNotFoundError(
+            f"no saved layout at {path!r} (missing meta.json)"
+        )
     bdir = os.path.join(path, "batches")
     seqs = {0} | {
         _parse_batch_seq(b)
         for b in (os.listdir(bdir) if os.path.isdir(bdir) else [])
     }
     return sorted(seqs)
+
+
+def _check_as_of(path: str, as_of: int | None) -> None:
+    """Validate a time-travel bound against the commit log. Bounds
+    BETWEEN committed seqs are legal (a logical point in time — the
+    Delta/Iceberg timestamp-bound analogue), but a bound outside
+    [0, max committed seq] is a caller error: seqs RESET at every fold,
+    so a stale bound remembered from before a fold would otherwise
+    silently serve the TIP while claiming to be a snapshot."""
+    if as_of is None:
+        return
+    tip = max(layout_snapshots(path))
+    if not 0 <= as_of <= tip:
+        raise ValueError(
+            f"as_of={as_of} is outside this layout's commit log "
+            f"[0, {tip}] (seqs reset at each fold — re-read "
+            "layout_snapshots(path) for the readable bounds)"
+        )
 
 
 def maintenance_tick(
@@ -2783,7 +2807,9 @@ def maintenance_tick(
     return {
         "folded": folded,
         "before": before,
-        "after": layout_mutation_stats(path) if folded else before,
+        # distinct dict on the declined path too — a scheduler that
+        # annotates one must not silently corrupt the other
+        "after": layout_mutation_stats(path) if folded else dict(before),
     }
 
 
@@ -2814,12 +2840,16 @@ def rebuild_layout(idx_cls, spark: SparkSession, path: str, **build_kwargs):
             "rebuild_layout requires a co-located float store "
             "(save(store_vectors=True)); codes cannot re-train a quantizer"
         )
+    # geometry defaults come from the LAYOUT, not build()'s signature:
+    # an index built with 64 cells rebuilt bare must get 64 cells back,
+    # not the signature default — a silently shrunken quantizer degrades
+    # recall with no error. Caller kwargs still override (intentional
+    # re-shaping is the other use of this verb).
+    kw = {**tip._rebuild_defaults(), **build_kwargs}
     vecs = tip.vectors.select(tip.id_col, tip.vec_col).localCheckpoint(
         eager=True
     )
-    fresh = idx_cls.build(
-        vecs, id_col=tip.id_col, vec_col=tip.vec_col, **build_kwargs
-    )
+    fresh = idx_cls.build(vecs, id_col=tip.id_col, vec_col=tip.vec_col, **kw)
     return fresh.save(path, store_vectors=True)
 
 
@@ -3270,6 +3300,13 @@ class IvfSq8Index:
             "vec_col": self.vec_col,
         }
 
+    def _rebuild_defaults(self) -> dict:
+        """Geometry for ``rebuild_layout`` when the caller passes no
+        build kwargs: the LAYOUT'S OWN shape, read off the frozen
+        components — never ``build``'s signature defaults (an index
+        built with 64 cells rebuilt bare must get 64 cells back)."""
+        return {"n_centroids": int(self.centroids.shape[0])}
+
     @classmethod
     def build(
         cls,
@@ -3491,6 +3528,7 @@ class IvfSq8Index:
             raise FileNotFoundError(meta_path)
         with open(meta_path) as f:
             meta = _json.load(f)
+        _check_as_of(path, as_of)
         codes = cls._read_layout(spark, path, "codes", as_of)
         if codes is None:
             raise RuntimeError(f"IvfSq8Index at {path!r} has meta.json but no codes")
@@ -3866,6 +3904,16 @@ class IvfPqIndex:
             "vec_col": self.vec_col,
         }
 
+    def _rebuild_defaults(self) -> dict:
+        """Layout geometry for a bare ``rebuild_layout`` — see
+        ``IvfSq8Index._rebuild_defaults``: cells from the centroid
+        matrix, (m, ksub) from the codebook tensor shape."""
+        return {
+            "n_centroids": int(self.centroids.shape[0]),
+            "m": int(self.codebooks.shape[0]),
+            "ksub": int(self.codebooks.shape[1]),
+        }
+
     def _proto(self) -> "IvfPqResidualIndex":
         return IvfPqResidualIndex(
             self.centroids, self.codebooks, self.id_col, self.vec_col
@@ -3975,6 +4023,7 @@ class IvfPqIndex:
             raise FileNotFoundError(meta_path)
         with open(meta_path) as f:
             meta = _json.load(f)
+        _check_as_of(path, as_of)
         codes = IvfSq8Index._read_layout(spark, path, "codes", as_of)
         if codes is None:
             raise RuntimeError(f"IvfPqIndex at {path!r} has meta.json but no codes")
