@@ -2032,19 +2032,21 @@ def test_ivf_sq8_index_mutation_model_replay(spark, embeddings, tmp_path):
 
 
 def test_parse_batch_seq_rejects_nonwriter_shapes():
-    """ADVICE r15: only the writer's exact zero-padded 8-digit head
-    parses as a commit seq. A legacy uuid-only dir whose 32-char hex is
-    coincidentally all decimal digits must order as legacy seq 0 — not
-    as an astronomically large seq that would make its rows permanently
-    undeletable and corrupt _next_batch_seq."""
+    """ADVICE r15 + review: only the writer's shape (>=8-digit decimal
+    head, then an underscore) parses as a commit seq. A legacy
+    uuid-only dir — which never contains an underscore — orders as
+    legacy seq 0 even when its 32 hex chars are coincidentally all
+    decimal; and seqs past 10^8-1 (f"{seq:08d}" grows to 9+ digits)
+    keep parsing instead of silently freezing _next_batch_seq."""
     from whatsapp_vectordb_spark.operators.ann import _parse_batch_seq
 
     assert _parse_batch_seq("00000007_" + "a" * 32) == 7
     assert _parse_batch_seq("12345678_" + "f" * 32) == 12345678
-    # legacy uuid-only dir, all-decimal hex: 32 digits, not 8 → legacy 0
+    # the 10^8-th commit: 9-digit head must keep parsing (not reset to 0)
+    assert _parse_batch_seq("100000000_" + "0" * 22) == 100_000_000
+    # legacy uuid-only dir, all-decimal hex: no underscore → legacy 0
     assert _parse_batch_seq("1" * 32) == 0
-    # all-decimal hex with an underscore split head of the wrong width
-    assert _parse_batch_seq("123456789_" + "0" * 22) == 0
+    # a head narrower than the writer's zero-padding is not a seq
     assert _parse_batch_seq("1234567_" + "0" * 24) == 0
     # plain legacy uuid (mixed hex) still legacy
     assert _parse_batch_seq("deadbeefdeadbeefdeadbeefdeadbeef") == 0
@@ -2626,3 +2628,57 @@ def test_rebuild_layout_defaults_to_layout_geometry(
     pq = rebuild_layout(IvfPqIndex, spark, pq_path)
     assert pq.centroids.shape[0] == 4
     assert pq.codebooks.shape[0] == 4 and pq.codebooks.shape[1] == 8
+
+
+def test_apply_cdc_events_same_op_run_resolves_max_seq_per_id(
+    spark, embeddings, tmp_path
+):
+    """Review finding: two upserts for ONE id inside one same-op run
+    share a single layout commit, so the strictly-older mask cannot
+    order them — the run itself must keep the MAX-seq event per id
+    (dropDuplicates kept an arbitrary row before). Also: a bad op now
+    fails the whole microbatch BEFORE any commit (a mid-loop raise left
+    it half-applied, and a streaming retry would re-commit early runs
+    at newer seqs than attempt one's later runs — feed order lost)."""
+    import pytest as _pytest
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        apply_cdc_events,
+        layout_mutation_stats,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    qv = list(map(float, qvec))
+    half = [0.5 * float(x) for x in qvec]
+    path = str(tmp_path / "cdc_same_id")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    # ONE 'u' run carrying two events for id 7: seq2 (half-vector) then
+    # seq5 (clone) — shuffled rows; the clone MUST win
+    rows = [(7, half, "u", 2), (9, half, "u", 3), (7, qv, "u", 5)]
+    events = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, op string, seq long"
+    )
+    assert apply_cdc_events(IvfSq8Index.load(spark, path), events, path) == 1
+    re = IvfSq8Index.load(spark, path)
+    top = re.search(None, qvec, k=3, nprobe=4, shortlist=20).collect()
+    s0 = [r["score"] for r in top if r["vec_id"] == 0][0]
+    s7 = [r["score"] for r in top if r["vec_id"] == 7]
+    assert s7 and s7[0] == s0, top  # id 7 serves the seq-5 clone
+    # exactly one row for id 7 anywhere
+    assert re.codes.where(F.col("vec_id") == 7).count() == 1
+
+    # a bad op anywhere fails the WHOLE microbatch before any commit
+    pre = layout_mutation_stats(path)["batch_commits"]
+    bad = spark.createDataFrame(
+        [(1, None, "d", 1), (2, qv, "x", 2)],
+        "vec_id long, embedding array<float>, op string, seq long",
+    )
+    with _pytest.raises(ValueError, match="no run of this microbatch"):
+        apply_cdc_events(IvfSq8Index.load(spark, path), bad, path)
+    assert layout_mutation_stats(path)["batch_commits"] == pre
+    assert IvfSq8Index.load(spark, path).codes.where(
+        F.col("vec_id") == 1
+    ).count() == 1  # the 'd' run did NOT apply

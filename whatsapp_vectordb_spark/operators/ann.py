@@ -2702,14 +2702,19 @@ def _parse_batch_seq(name: str) -> int:
     predate any delete commit, so a later tombstone correctly masks
     them, and a later re-add (higher seq) correctly survives.
 
-    The writer's format is a zero-padded 8-digit seq (``f"{seq:08d}"``,
-    ``add_batch``), so the parse requires exactly that shape: a legacy
-    uuid-only dir whose leading hex run is coincidentally all decimal
-    digits must NOT parse as an astronomically large seq — that would
-    make its rows permanently undeletable and corrupt ``_next_batch_seq``
-    (ADVICE r15)."""
+    The writer's format is ``f"{seq:08d}_{uuid}"`` (``add_batch``) — a
+    zero-padded AT-LEAST-8-digit decimal head followed by an underscore
+    (``:08d`` grows past 8 digits without truncating, so seqs beyond
+    10^8-1 still parse; an exactly-8 requirement would silently return
+    0 for them, freezing ``_next_batch_seq`` and mis-ordering every
+    later commit — review finding). A legacy uuid-only dir has NO
+    underscore, so even one whose 32 hex chars are coincidentally all
+    decimal digits cannot parse as an astronomically large seq (the
+    ADVICE r15 hazard)."""
+    if "_" not in name:
+        return 0
     head = name.split("_", 1)[0]
-    return int(head) if head.isdigit() and len(head) == 8 else 0
+    return int(head) if head.isdigit() and len(head) >= 8 else 0
 
 
 def _next_batch_seq(path: str) -> int:
@@ -2902,7 +2907,7 @@ def _index_delete(idx, ids, path: str | None) -> None:
     )
 
 
-def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> bool:
+def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> None:
     """BOUNDED compaction (``save``-as-fold, round-16): rewrite ONLY the
     centroid partitions touched by the accumulated mutation commits and
     leave every other partition dir of the base layout physically in
@@ -2932,8 +2937,13 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> bool:
     raises, pointing at the builder), never a readable state where some
     cells folded and others still count on masked batch dirs.
 
-    Returns True iff it handled the save (including the no-commit
-    no-op); False defers to the full rewrite."""
+    Eligibility (mirror + matching float-store shape) is checked by the
+    CALLER before invoking; once called, the fold always completes (the
+    no-commit case is a free no-op) — there is deliberately NO
+    defer-to-full-rewrite return path, because by the time this function
+    is destructive the old meta is gone and a fallback rewrite over a
+    half-folded layout would be exactly the silent corruption the loud
+    crash order exists to prevent (review finding)."""
     import json as _json
     import shutil
     import uuid
@@ -2945,7 +2955,7 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> bool:
         # mirror of a fully-folded layout: the committed state IS the
         # object's state — rewriting it would be a pure no-op at full
         # corpus cost
-        return True
+        return
 
     # (a) partitions carried by data commits — pure dir listing
     touched: set[int] = set()
@@ -3028,7 +3038,7 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> bool:
         spark.read.parquet(os.path.join(path, "vectors")) if store_vectors else None
     )
     idx._mirror_path = path
-    return True
+    return
 
 
 def _save_layout(idx, path: str, store_vectors: bool | None, code_col: str):
@@ -3068,8 +3078,8 @@ def _save_layout(idx, path: str, store_vectors: bool | None, code_col: str):
     if (
         getattr(idx, "_mirror_path", None) == path
         and store_vectors == disk_has_vectors
-        and _fold_touched(idx, path, store_vectors, code_col)
     ):
+        _fold_touched(idx, path, store_vectors, code_col)
         return idx
     stage = os.path.join(path, "_staging", uuid.uuid4().hex)
     try:
@@ -3146,7 +3156,7 @@ def apply_cdc_events(
     MICROBATCH (thousands of rows by CDC contract — same documented
     bounded-window class as the positional-id reader), and the plan
     collect is one row per RUN (op alternations are rare in real feeds).
-    The events frame pins once (``localCheckpoint``) because each run
+    The runs frame pins once (``localCheckpoint``) because each run
     filters it again — a nondeterministic feed plan could otherwise
     commit different rows than it planned. Returns the number of
     commits made."""
@@ -3155,7 +3165,6 @@ def apply_cdc_events(
     cols = [c for c in events.columns]
     if seq_col not in cols or op_col not in cols:
         raise ValueError(f"events must carry {seq_col!r} and {op_col!r}")
-    events = events.localCheckpoint(eager=True)
     if events.isEmpty():
         return 0
     w = Window.orderBy(F.col(seq_col).asc())
@@ -3172,19 +3181,43 @@ def apply_cdc_events(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    runs = runs.localCheckpoint(eager=True)  # the per-run filters below
+    # ONE eager pin: the per-run filters, the plan collect, and the
+    # within-run dedup below all re-read `runs` — this single checkpoint
+    # snapshots a nondeterministic feed once (the previous extra
+    # checkpoint of `events` itself materialized every microbatch twice
+    # for no added determinism; review finding).
+    runs = runs.localCheckpoint(eager=True)
     plan = [
         (r["_run"], r[op_col])
         for r in runs.select("_run", op_col).distinct().orderBy("_run").collect()
     ]
+    # validate the WHOLE plan before committing anything: a bad op
+    # discovered mid-loop would leave the microbatch half-applied, and
+    # a streaming retry would then re-commit the early runs at NEWER
+    # layout seqs than the later runs of attempt one — feed order lost
+    # (review finding). Fail before the first commit instead.
+    bad = [op for _, op in plan if op not in ("u", "d")]
+    if bad:
+        raise ValueError(
+            f"unknown CDC op(s) {sorted(set(bad))!r} (expected 'u' or 'd'); "
+            "no run of this microbatch was committed"
+        )
+    # within one same-op run, the feed can carry several events for one
+    # id; they share ONE layout commit, so the engine's strictly-older
+    # mask cannot order them — the run itself must resolve to the
+    # MAX-seq event per id or upsert's dropDuplicates would keep an
+    # arbitrary row (review finding)
+    rw = Window.partitionBy(idx.id_col).orderBy(F.col(seq_col).desc())
     for run_id, op in plan:
-        batch = runs.where(F.col("_run") == run_id)
+        batch = (
+            runs.where(F.col("_run") == run_id)
+            .withColumn("_rn", F.row_number().over(rw))
+            .where(F.col("_rn") == 1)
+        )
         if op == "d":
             idx.delete(batch.select(idx.id_col), path=path)
-        elif op == "u":
-            idx.upsert(batch.select(idx.id_col, idx.vec_col), path=path)
         else:
-            raise ValueError(f"unknown CDC op {op!r} (expected 'u' or 'd')")
+            idx.upsert(batch.select(idx.id_col, idx.vec_col), path=path)
     return len(plan)
 
 
