@@ -2284,6 +2284,30 @@ def test_apply_cdc_events_respects_seq_order(spark, embeddings, tmp_path):
     assert s7 and s7[0] == s0
 
 
+def test_apply_cdc_events_empty_batch_commits_nothing(
+    spark, embeddings, tmp_path
+):
+    """An empty microbatch returns 0 commits and leaves the layout
+    untouched. Emptiness is decided from the single pinned frame (the
+    run plan), not a separate pre-checkpoint isEmpty() that a
+    nondeterministic feed could contradict (ADVICE r16)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        apply_cdc_events,
+        layout_mutation_stats,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "cdc_empty")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, op string, seq long"
+    )
+    idx = IvfSq8Index.load(spark, path)
+    assert apply_cdc_events(idx, empty, path) == 0
+    assert layout_mutation_stats(path)["batch_commits"] == 0
+
+
 def test_time_travel_snapshots_follow_commit_log(spark, embeddings, tmp_path):
     """``load(as_of=N)`` is a snapshot read of the commit log: the
     visible id set at every bound matches the model (batches <= N,

@@ -97,7 +97,8 @@ def main() -> None:
     IvfSq8Index.build(base, n_centroids=64, sample_rows=50_000).save(
         idx_path, store_vectors=True
     )
-    out["build_save_s"] = round(time.perf_counter() - t0, 1)
+    build_save_raw = time.perf_counter() - t0
+    out["build_save_s"] = round(build_save_raw, 1)
     print(json.dumps(out), flush=True)
 
     qvec = base.where(F.col("vec_id") == 0).head()["embedding"]
@@ -359,8 +360,10 @@ def main() -> None:
     ]
     assert rb_top[0] == tip_top[0], (rb_top, tip_top)
     out["rebuild_rows"] = rebuilt.codes.count()
+    # unrounded denominator: the rounded build_save_s can be 0.0 on a
+    # small smoke run (same guard class as snapshot_over_tip_ratio)
     out["rebuild_over_build_ratio"] = round(
-        out["rebuild_s"] / out["build_save_s"], 2
+        out["rebuild_s"] / max(build_save_raw, 1e-6), 2
     )
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -1143,8 +1143,12 @@ def streaming_ivf_sq8_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # because the event groups above touch DISJOINT id sets per
         # trigger. A general CDC verb carrying delete+upsert for one id
         # in one trigger must order by a per-event sequence column and
-        # commit per-op in feed order — this harness row is not that
-        # verb and documents the constraint instead.
+        # commit per-op in feed order — that verb EXISTS:
+        # `operators.ann.apply_cdc_events` (the production pattern,
+        # gated by `streaming_ivf_sq8_cdc_ordered`). This legacy row
+        # keeps the simpler deletes-then-upserts split ONLY because its
+        # groups are id-disjoint; do not copy this handler for a feed
+        # without that guarantee — use apply_cdc_events.
         if batch_df.isEmpty():
             return
         idx = IvfSq8Index.load(spark, _SQ8_CDC_DIR)

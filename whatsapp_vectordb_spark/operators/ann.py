@@ -3165,8 +3165,6 @@ def apply_cdc_events(
     cols = [c for c in events.columns]
     if seq_col not in cols or op_col not in cols:
         raise ValueError(f"events must carry {seq_col!r} and {op_col!r}")
-    if events.isEmpty():
-        return 0
     w = Window.orderBy(F.col(seq_col).asc())
     runs = events.withColumn(
         "_chg",
@@ -3185,7 +3183,11 @@ def apply_cdc_events(
     # within-run dedup below all re-read `runs` — this single checkpoint
     # snapshots a nondeterministic feed once (the previous extra
     # checkpoint of `events` itself materialized every microbatch twice
-    # for no added determinism; review finding).
+    # for no added determinism; review finding). Emptiness is decided
+    # from the SAME pinned frame below (empty plan → 0 commits): a
+    # pre-checkpoint isEmpty() on a nondeterministic feed could read
+    # empty while the later pin reads rows, silently dropping the
+    # microbatch (ADVICE r16).
     runs = runs.localCheckpoint(eager=True)
     plan = [
         (r["_run"], r[op_col])
