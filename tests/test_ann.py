@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2306,6 +2308,137 @@ def test_apply_cdc_events_empty_batch_commits_nothing(
     idx = IvfSq8Index.load(spark, path)
     assert apply_cdc_events(idx, empty, path) == 0
     assert layout_mutation_stats(path)["batch_commits"] == 0
+
+
+def test_writer_lease_two_threads_exactly_one_wins(
+    spark, embeddings, tmp_path
+):
+    """The single-writer contract is ENFORCED, not advisory (r16
+    verdict #1): two threads committing a delete to the same saved
+    layout serialize on the O_EXCL writer lease — exactly one may hold
+    it at a time, and a contender that finds it held gets a loud
+    ConcurrentWriterError instead of double-allocating a commit seq."""
+    import threading
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ConcurrentWriterError,
+        IvfSq8Index,
+        _writer_lease,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "lease_race")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+
+    # hold the lease from a side thread, then contend from this one
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with _writer_lease(path, "test_holder"):
+            entered.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(timeout=30)
+    idx = IvfSq8Index.load(spark, path)
+    with pytest.raises(ConcurrentWriterError, match="another thread"):
+        idx.delete([3], path=path)
+    release.set()
+    t.join(timeout=30)
+    # the loser committed NOTHING; after the holder exits, the same
+    # verb succeeds and the lease file is gone again
+    idx = IvfSq8Index.load(spark, path)
+    idx.delete([3], path=path)
+    assert not os.path.exists(os.path.join(path, "_writer.lock"))
+    assert 3 not in {
+        r["vec_id"]
+        for r in IvfSq8Index.load(spark, path)
+        .codes.select("vec_id")
+        .collect()
+    }
+
+
+def test_writer_lease_breaks_stale_and_rejects_live(
+    spark, embeddings, tmp_path
+):
+    """A lease left by a CRASHED writer (dead pid on this host) is
+    broken and the new writer proceeds; a lease held by a LIVE process
+    is respected with a loud error."""
+    import json
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ConcurrentWriterError,
+        IvfSq8Index,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "lease_stale")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    lock = os.path.join(path, "_writer.lock")
+
+    # dead-pid lease → broken, mutation proceeds
+    with open(lock, "w") as f:
+        json.dump(
+            {"pid": 2**22 + 1234, "host": os.uname().nodename,
+             "verb": "crashed", "acquired_at": 0.0},
+            f,
+        )
+    IvfSq8Index.load(spark, path).delete([5], path=path)
+    assert not os.path.exists(lock)
+
+    # live-pid lease (this very process — alive by construction, and
+    # not registered in-process, i.e. a foreign writer) → loud refusal
+    with open(lock, "w") as f:
+        json.dump(
+            {"pid": os.getpid(), "host": os.uname().nodename,
+             "verb": "other_writer", "acquired_at": 1e18},
+            f,
+        )
+    with pytest.raises(ConcurrentWriterError, match="held by another"):
+        IvfSq8Index.load(spark, path).delete([7], path=path)
+    os.unlink(lock)
+
+
+def test_duplicate_commit_seq_fails_loudly_on_read(
+    spark, embeddings, tmp_path
+):
+    """Two commits at the same mutation seq (the corruption a violated
+    single-writer contract produces — the strictly-older mask cannot
+    order them) make every commit-log read raise instead of silently
+    unioning both writers' states: load, layout_snapshots,
+    layout_mutation_stats, and the fold all trip."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ConcurrentWriterError,
+        IvfSq8Index,
+        layout_mutation_stats,
+        layout_snapshots,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "dup_seq")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    idx = IvfSq8Index.load(spark, path)
+    idx.delete([3], path=path)
+    bdir = os.path.join(path, "batches")
+    committed = os.listdir(bdir)
+    assert len(committed) == 1
+    # forge the second writer's commit at the SAME seq, different uuid
+    seq_head = committed[0].split("_", 1)[0]
+    shutil.copytree(
+        os.path.join(bdir, committed[0]),
+        os.path.join(bdir, f"{seq_head}_{'f' * 32}"),
+    )
+    for reader in (
+        lambda: IvfSq8Index.load(spark, path),
+        lambda: layout_snapshots(path),
+        lambda: layout_mutation_stats(path),
+    ):
+        with pytest.raises(ConcurrentWriterError, match="two commits"):
+            reader()
 
 
 def test_time_travel_snapshots_follow_commit_log(spark, embeddings, tmp_path):

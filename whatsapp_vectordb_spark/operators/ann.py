@@ -2717,16 +2717,185 @@ def _parse_batch_seq(name: str) -> int:
     return int(head) if head.isdigit() and len(head) >= 8 else 0
 
 
+def _committed_batches(path: str) -> list[str]:
+    """Committed batch-dir names for a saved layout, sorted — with the
+    DUPLICATE-SEQ tripwire (r16 verdict #1): two dirs parsing the same
+    mutation seq ≥ 1 mean two writers allocated the same sequence
+    number (``<seq>_<uuidA>`` and ``<seq>_<uuidB>`` are distinct rename
+    targets, so both commits 'succeed') — the strictly-older tombstone
+    mask cannot order equal seqs, and a silent union of both would
+    serve an arbitrary merge of two writers' states. Every read of the
+    commit log goes through here, so a violated single-writer contract
+    fails LOUDLY at the next load/stats/fold instead of serving wrong
+    rows. Seq 0 is exempt: legacy uuid-only dirs (pre-mutation-verb
+    layouts) all parse as 0 by design and are append-only data."""
+    bdir = os.path.join(path, "batches")
+    names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    seen: dict[int, str] = {}
+    for b in names:
+        s = _parse_batch_seq(b)
+        if s >= 1 and s in seen:
+            raise ConcurrentWriterError(
+                f"layout at {path!r} holds two commits at mutation seq "
+                f"{s} ({seen[s]!r} and {b!r}) — a second writer violated "
+                "the single-writer contract (the _writer.lock lease "
+                "prevents this when every writer honors it); the layout "
+                "cannot be ordered and must be repaired by removing the "
+                "losing commit before any read or fold"
+            )
+        seen[s] = b
+    return names
+
+
 def _next_batch_seq(path: str) -> int:
     """Next mutation sequence number for a saved layout — 1 + the max
-    committed batch/delete seq (single-writer posture, same as every
-    other maintenance verb on these layouts)."""
-    bdir = os.path.join(path, "batches")
-    if not os.path.isdir(bdir):
-        return 1
+    committed batch/delete seq. Callers hold the writer lease
+    (``_writer_lease``) across this allocation AND the commit rename —
+    the listdir-max+1 is only safe single-writer."""
     return 1 + max(
-        (_parse_batch_seq(b) for b in os.listdir(bdir)), default=0
+        (_parse_batch_seq(b) for b in _committed_batches(path)), default=0
     )
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer contended for (or already corrupted) a saved
+    layout's single-writer mutation contract."""
+
+
+# in-process lease registry: realpath -> [thread_ident, depth]. The
+# lease FILE gives cross-process mutual exclusion (O_CREAT|O_EXCL);
+# this registry gives (a) same-thread REENTRANCY — upsert→add_batch,
+# maintenance_tick→save, rebuild→save all nest writer verbs — and
+# (b) cross-thread exclusion inside one process, where the pid in the
+# lease file cannot distinguish threads.
+import threading as _threading
+
+_LEASES: dict[str, list[int]] = {}
+_LEASES_GUARD = _threading.Lock()
+
+
+class _writer_lease:
+    """THE single-writer contract, enforced (r16 verdict #1): every
+    verb that commits to a saved layout — ``add_batch``/``upsert``/
+    ``delete`` with a path, ``save``/fold, ``maintenance_tick``,
+    ``rebuild_layout``, ``apply_cdc_events`` — acquires
+    ``<path>/_writer.lock`` with ``O_CREAT|O_EXCL`` (atomic on POSIX
+    and on the object-store semantics HDFS exposes for create-no-
+    overwrite) before allocating a mutation seq, and releases it after
+    the commit rename. A contending writer gets a loud
+    ``ConcurrentWriterError`` naming the holder instead of silently
+    double-allocating a seq (the failure ``_committed_batches`` would
+    otherwise only catch after the corruption lands).
+
+    STALE leases (a writer that died holding the lock): broken when
+    the recorded pid is dead on this host, or the lease age exceeds
+    ``ttl`` seconds (the cross-host backstop — a real cluster would
+    carry a fencing token; the ttl mirrors Delta's lease-expiry
+    posture). Breaking re-contends through O_EXCL, so two breakers
+    still serialize. Reentrant per (process, thread): nested verbs on
+    the same layout share the outer hold."""
+
+    def __init__(self, path: str, verb: str, ttl: float = 3600.0):
+        self.path = path
+        self.verb = verb
+        self.ttl = ttl
+        self.key = os.path.realpath(path)
+        self.lease = os.path.join(path, "_writer.lock")
+
+    def __enter__(self):
+        import json as _json
+        import time as _time
+
+        me = _threading.get_ident()
+        with _LEASES_GUARD:
+            held = _LEASES.get(self.key)
+            if held is not None:
+                if held[0] == me:
+                    held[1] += 1
+                    return self
+                raise ConcurrentWriterError(
+                    f"{self.verb}: another thread of this process holds "
+                    f"the writer lease on {self.path!r}"
+                )
+        os.makedirs(self.path, exist_ok=True)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self.lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                holder = self._read_holder()
+                if attempt == 0 and self._is_stale(holder, _time.time()):
+                    # break-and-retry re-contends through O_EXCL: of two
+                    # concurrent breakers, exactly one wins the re-create
+                    try:
+                        os.unlink(self.lease)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentWriterError(
+                    f"{self.verb}: layout at {self.path!r} is held by "
+                    f"another writer ({holder!r}); concurrent mutation "
+                    "would double-allocate a commit seq — retry after the "
+                    "holder finishes, or remove a stale _writer.lock"
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                _json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "host": os.uname().nodename,
+                        "verb": self.verb,
+                        "acquired_at": _time.time(),
+                    },
+                    f,
+                )
+            break
+        with _LEASES_GUARD:
+            _LEASES[self.key] = [me, 1]
+        return self
+
+    def _read_holder(self) -> dict:
+        import json as _json
+
+        try:
+            with open(self.lease) as f:
+                return _json.load(f)
+        except (OSError, ValueError):
+            # mid-write or already-broken lease: treat as anonymous —
+            # the ttl (file mtime) still applies via _is_stale
+            return {}
+
+    def _is_stale(self, holder: dict, now: float) -> bool:
+        if holder.get("host") == os.uname().nodename and isinstance(
+            holder.get("pid"), int
+        ):
+            try:
+                os.kill(holder["pid"], 0)
+                return False  # holder alive on this host
+            except ProcessLookupError:
+                return True  # holder died without releasing
+            except PermissionError:
+                return False  # alive, different uid
+        try:
+            age = now - float(holder.get("acquired_at", "nan"))
+            if age == age:  # not NaN
+                return age > self.ttl
+            return now - os.path.getmtime(self.lease) > self.ttl
+        except OSError:
+            return True  # lease vanished under us — re-contend
+
+    def __exit__(self, *exc):
+        with _LEASES_GUARD:
+            held = _LEASES.get(self.key)
+            if held is None or held[0] != _threading.get_ident():
+                return False
+            held[1] -= 1
+            if held[1] > 0:
+                return False
+            del _LEASES[self.key]
+        try:
+            os.unlink(self.lease)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 def _require_writable(idx, verb: str) -> None:
@@ -2756,11 +2925,7 @@ def layout_snapshots(path: str) -> list[int]:
         raise FileNotFoundError(
             f"no saved layout at {path!r} (missing meta.json)"
         )
-    bdir = os.path.join(path, "batches")
-    seqs = {0} | {
-        _parse_batch_seq(b)
-        for b in (os.listdir(bdir) if os.path.isdir(bdir) else [])
-    }
+    seqs = {0} | {_parse_batch_seq(b) for b in _committed_batches(path)}
     return sorted(seqs)
 
 
@@ -2800,22 +2965,27 @@ def maintenance_tick(
     does nothing: reads stay cheap and the tick costs one listdir.
 
     Returns ``{"folded": bool, "before": stats, "after": stats}`` so a
-    scheduler can log/alert on it. Single-writer posture, same as every
-    other maintenance verb on these layouts."""
-    before = layout_mutation_stats(path)
-    folded = (
-        before["data_commits"] > max_data_commits
-        or before["tombstone_commits"] > max_tombstone_commits
-    )
-    if folded:
-        idx_cls.load(spark, path).save(path)
-    return {
-        "folded": folded,
-        "before": before,
-        # distinct dict on the declined path too — a scheduler that
-        # annotates one must not silently corrupt the other
-        "after": layout_mutation_stats(path) if folded else dict(before),
-    }
+    scheduler can log/alert on it. The whole poll+fold runs under the
+    writer lease (``_writer_lease``): this verb is explicitly the one a
+    background compactor loop — a SECOND process beside the ingest
+    writer — runs, so its single-writer posture must be enforced, not
+    advisory (r16 verdict #1); holding the lease across the stats poll
+    also closes the poll→fold TOCTOU window."""
+    with _writer_lease(path, "maintenance_tick"):
+        before = layout_mutation_stats(path)
+        folded = (
+            before["data_commits"] > max_data_commits
+            or before["tombstone_commits"] > max_tombstone_commits
+        )
+        if folded:
+            idx_cls.load(spark, path).save(path)
+        return {
+            "folded": folded,
+            "before": before,
+            # distinct dict on the declined path too — a scheduler that
+            # annotates one must not silently corrupt the other
+            "after": layout_mutation_stats(path) if folded else dict(before),
+        }
 
 
 def rebuild_layout(idx_cls, spark: SparkSession, path: str, **build_kwargs):
@@ -2838,24 +3008,32 @@ def rebuild_layout(idx_cls, spark: SparkSession, path: str, **build_kwargs):
     O(corpus) train+encode+write, the same bill as the original build —
     so the caller runs it on the drift signal, not on a timer.
     Visibility is untouched: the rebuilt layout holds exactly the rows
-    the tip served (tombstones fold away physically in the process)."""
-    tip = idx_cls.load(spark, path)
-    if tip.vectors is None:
-        raise ValueError(
-            "rebuild_layout requires a co-located float store "
-            "(save(store_vectors=True)); codes cannot re-train a quantizer"
+    the tip served (tombstones fold away physically in the process).
+    Runs under the writer lease end-to-end — the tip it loads must not
+    advance under the retrain, or the swap would silently drop the
+    concurrent commits (r16 verdict #1)."""
+    with _writer_lease(path, "rebuild_layout"):
+        tip = idx_cls.load(spark, path)
+        if tip.vectors is None:
+            raise ValueError(
+                "rebuild_layout requires a co-located float store "
+                "(save(store_vectors=True)); codes cannot re-train a "
+                "quantizer"
+            )
+        # geometry defaults come from the LAYOUT, not build()'s
+        # signature: an index built with 64 cells rebuilt bare must get
+        # 64 cells back, not the signature default — a silently shrunken
+        # quantizer degrades recall with no error. Caller kwargs still
+        # override (intentional re-shaping is the other use of this
+        # verb).
+        kw = {**tip._rebuild_defaults(), **build_kwargs}
+        vecs = tip.vectors.select(tip.id_col, tip.vec_col).localCheckpoint(
+            eager=True
         )
-    # geometry defaults come from the LAYOUT, not build()'s signature:
-    # an index built with 64 cells rebuilt bare must get 64 cells back,
-    # not the signature default — a silently shrunken quantizer degrades
-    # recall with no error. Caller kwargs still override (intentional
-    # re-shaping is the other use of this verb).
-    kw = {**tip._rebuild_defaults(), **build_kwargs}
-    vecs = tip.vectors.select(tip.id_col, tip.vec_col).localCheckpoint(
-        eager=True
-    )
-    fresh = idx_cls.build(vecs, id_col=tip.id_col, vec_col=tip.vec_col, **kw)
-    return fresh.save(path, store_vectors=True)
+        fresh = idx_cls.build(
+            vecs, id_col=tip.id_col, vec_col=tip.vec_col, **kw
+        )
+        return fresh.save(path, store_vectors=True)
 
 
 def _index_delete(idx, ids, path: str | None) -> None:
@@ -2882,20 +3060,23 @@ def _index_delete(idx, ids, path: str | None) -> None:
     if ids.isEmpty():
         return
     if path is not None:
-        IvfSq8Index._gc_staging(path)
-        seq = _next_batch_seq(path)
-        batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
-        stage = os.path.join(path, "_staging", batch_id)
-        try:
-            ids.withColumn("_seq", F.lit(seq).cast("long")).coalesce(
-                1
-            ).write.mode("overwrite").parquet(os.path.join(stage, "deletes"))
-            bdir = os.path.join(path, "batches")
-            os.makedirs(bdir, exist_ok=True)
-            os.rename(stage, os.path.join(bdir, batch_id))
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
+        with _writer_lease(path, "delete"):
+            IvfSq8Index._gc_staging(path)
+            seq = _next_batch_seq(path)
+            batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
+            stage = os.path.join(path, "_staging", batch_id)
+            try:
+                ids.withColumn("_seq", F.lit(seq).cast("long")).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(
+                    os.path.join(stage, "deletes")
+                )
+                bdir = os.path.join(path, "batches")
+                os.makedirs(bdir, exist_ok=True)
+                os.rename(stage, os.path.join(bdir, batch_id))
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
     idx.codes = idx.codes.join(F.broadcast(ids), idx.id_col, "left_anti")
     if idx.vectors is not None:
         idx.vectors = idx.vectors.join(F.broadcast(ids), idx.id_col, "left_anti")
@@ -2950,7 +3131,7 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> None:
 
     spark = idx.codes.sparkSession
     bdir = os.path.join(path, "batches")
-    commits = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    commits = _committed_batches(path)
     if not commits:
         # mirror of a fully-folded layout: the committed state IS the
         # object's state — rewriting it would be a pure no-op at full
@@ -3055,12 +3236,20 @@ def _save_layout(idx, path: str, store_vectors: bool | None, code_col: str):
     (``_fold_touched``) when ``idx`` mirrors the committed state, else
     stage codes/vectors/meta under ``_staging/<uuid>`` and commit with
     the loud order — old meta removed FIRST, staged dirs rename in, new
-    meta renames LAST as the atomic publish."""
+    meta renames LAST as the atomic publish. The whole save/fold holds
+    the writer lease (save rewrites state every other verb's seq
+    allocation depends on)."""
+    _require_writable(idx, "save")
+    with _writer_lease(path, "save"):
+        return _save_layout_locked(idx, path, store_vectors, code_col)
+
+
+def _save_layout_locked(idx, path, store_vectors, code_col):
+    """Body of ``_save_layout`` — runs under the writer lease."""
     import json as _json
     import shutil
     import uuid
 
-    _require_writable(idx, "save")
     IvfSq8Index._gc_staging(path)
     disk_has_vectors = os.path.isdir(os.path.join(path, "vectors")) or any(
         os.path.isdir(os.path.join(path, "batches", b, "vectors"))
@@ -3210,16 +3399,21 @@ def apply_cdc_events(
     # MAX-seq event per id or upsert's dropDuplicates would keep an
     # arbitrary row (review finding)
     rw = Window.partitionBy(idx.id_col).orderBy(F.col(seq_col).desc())
-    for run_id, op in plan:
-        batch = (
-            runs.where(F.col("_run") == run_id)
-            .withColumn("_rn", F.row_number().over(rw))
-            .where(F.col("_rn") == 1)
-        )
-        if op == "d":
-            idx.delete(batch.select(idx.id_col), path=path)
-        else:
-            idx.upsert(batch.select(idx.id_col, idx.vec_col), path=path)
+    # ONE lease across the whole microbatch (inner delete/upsert holds
+    # re-enter): a concurrent writer interleaving between two runs
+    # would break the feed's commit-order guarantee even though each
+    # run alone commits atomically
+    with _writer_lease(path, "apply_cdc_events"):
+        for run_id, op in plan:
+            batch = (
+                runs.where(F.col("_run") == run_id)
+                .withColumn("_rn", F.row_number().over(rw))
+                .where(F.col("_rn") == 1)
+            )
+            if op == "d":
+                idx.delete(batch.select(idx.id_col), path=path)
+            else:
+                idx.upsert(batch.select(idx.id_col, idx.vec_col), path=path)
     return len(plan)
 
 
@@ -3238,7 +3432,7 @@ def layout_mutation_stats(path: str) -> dict:
     rivaling the base partition count — both numbers reset to 0 at
     ``save``."""
     bdir = os.path.join(path, "batches")
-    commits = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    commits = _committed_batches(path)
     data = sum(
         1 for b in commits if os.path.isdir(os.path.join(bdir, b, "codes"))
     )
@@ -3464,14 +3658,13 @@ class IvfSq8Index:
         if os.path.isdir(base) and has_parquet(base):
             roots.append((0, base))
         bdir = os.path.join(path, "batches")
-        if os.path.isdir(bdir):
-            roots.extend(
-                (_parse_batch_seq(b), os.path.join(bdir, b, sub))
-                for b in sorted(os.listdir(bdir))
-                if (as_of is None or _parse_batch_seq(b) <= as_of)
-                and os.path.isdir(os.path.join(bdir, b, sub))
-                and has_parquet(os.path.join(bdir, b, sub))
-            )
+        roots.extend(
+            (_parse_batch_seq(b), os.path.join(bdir, b, sub))
+            for b in _committed_batches(path)
+            if (as_of is None or _parse_batch_seq(b) <= as_of)
+            and os.path.isdir(os.path.join(bdir, b, sub))
+            and has_parquet(os.path.join(bdir, b, sub))
+        )
         return roots
 
     @staticmethod
@@ -3809,34 +4002,39 @@ class IvfSq8Index:
             # (bricking the index); the SemDedupIndex guards identically
             return self
         if path is not None:
-            self._gc_staging(path)
-            seq = _next_batch_seq(path)
-            batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
-            stage = os.path.join(path, "_staging", batch_id)
-            try:
-                enc.select(self.id_col, "sq8_codes", "centroid").withColumn(
-                    "_seq", F.lit(seq).cast("long")
-                ).write.partitionBy("centroid").mode("overwrite").parquet(
-                    os.path.join(stage, "codes")
-                )
-                if os.path.isdir(os.path.join(path, "vectors")):
-                    assigned.select(
-                        self.id_col, self.vec_col, "centroid"
-                    ).withColumn("_seq", F.lit(seq).cast("long")).write.partitionBy(
-                        "centroid"
-                    ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
-                if replace:
-                    batch.select(self.id_col).withColumn(
+            with _writer_lease(path, "add_batch"):
+                self._gc_staging(path)
+                seq = _next_batch_seq(path)
+                batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
+                stage = os.path.join(path, "_staging", batch_id)
+                try:
+                    enc.select(
+                        self.id_col, "sq8_codes", "centroid"
+                    ).withColumn(
                         "_seq", F.lit(seq).cast("long")
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        os.path.join(stage, "deletes")
+                    ).write.partitionBy("centroid").mode("overwrite").parquet(
+                        os.path.join(stage, "codes")
                     )
-                bdir = os.path.join(path, "batches")
-                os.makedirs(bdir, exist_ok=True)
-                os.rename(stage, os.path.join(bdir, batch_id))
-            except BaseException:
-                shutil.rmtree(stage, ignore_errors=True)
-                raise
+                    if os.path.isdir(os.path.join(path, "vectors")):
+                        assigned.select(
+                            self.id_col, self.vec_col, "centroid"
+                        ).withColumn(
+                            "_seq", F.lit(seq).cast("long")
+                        ).write.partitionBy("centroid").mode(
+                            "overwrite"
+                        ).parquet(os.path.join(stage, "vectors"))
+                    if replace:
+                        batch.select(self.id_col).withColumn(
+                            "_seq", F.lit(seq).cast("long")
+                        ).coalesce(1).write.mode("overwrite").parquet(
+                            os.path.join(stage, "deletes")
+                        )
+                    bdir = os.path.join(path, "batches")
+                    os.makedirs(bdir, exist_ok=True)
+                    os.rename(stage, os.path.join(bdir, batch_id))
+                except BaseException:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
         if replace:
             # in-memory mirror of the seq rule: older rows with these
             # ids vanish, then the batch's own rows union in below
@@ -4255,34 +4453,35 @@ class IvfPqIndex:
             # schema inference — commit nothing (house guard)
             return self
         if path is not None:
-            IvfSq8Index._gc_staging(path)
-            seq = _next_batch_seq(path)
-            batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
-            stage = os.path.join(path, "_staging", batch_id)
-            try:
-                enc.select(self.id_col, "codes", "centroid").withColumn(
-                    "_seq", F.lit(seq).cast("long")
-                ).write.partitionBy("centroid").mode("overwrite").parquet(
-                    os.path.join(stage, "codes")
-                )
-                if os.path.isdir(os.path.join(path, "vectors")):
-                    self._assign_vectors(batch).withColumn(
+            with _writer_lease(path, "add_batch"):
+                IvfSq8Index._gc_staging(path)
+                seq = _next_batch_seq(path)
+                batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
+                stage = os.path.join(path, "_staging", batch_id)
+                try:
+                    enc.select(self.id_col, "codes", "centroid").withColumn(
                         "_seq", F.lit(seq).cast("long")
                     ).write.partitionBy("centroid").mode("overwrite").parquet(
-                        os.path.join(stage, "vectors")
+                        os.path.join(stage, "codes")
                     )
-                if replace:
-                    batch.select(self.id_col).withColumn(
-                        "_seq", F.lit(seq).cast("long")
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        os.path.join(stage, "deletes")
-                    )
-                bdir = os.path.join(path, "batches")
-                os.makedirs(bdir, exist_ok=True)
-                os.rename(stage, os.path.join(bdir, batch_id))
-            except BaseException:
-                shutil.rmtree(stage, ignore_errors=True)
-                raise
+                    if os.path.isdir(os.path.join(path, "vectors")):
+                        self._assign_vectors(batch).withColumn(
+                            "_seq", F.lit(seq).cast("long")
+                        ).write.partitionBy("centroid").mode(
+                            "overwrite"
+                        ).parquet(os.path.join(stage, "vectors"))
+                    if replace:
+                        batch.select(self.id_col).withColumn(
+                            "_seq", F.lit(seq).cast("long")
+                        ).coalesce(1).write.mode("overwrite").parquet(
+                            os.path.join(stage, "deletes")
+                        )
+                    bdir = os.path.join(path, "batches")
+                    os.makedirs(bdir, exist_ok=True)
+                    os.rename(stage, os.path.join(bdir, batch_id))
+                except BaseException:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
         if replace:
             old_ids = F.broadcast(batch.select(self.id_col))
             self.codes = self.codes.join(old_ids, self.id_col, "left_anti")
