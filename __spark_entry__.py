@@ -48,18 +48,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations, THEN to the oldest stale cohort. Clear entries once
 # their fresh row lands.
 #
-# r16: all 50 r15 entries landed green r15 rows — cleared. This
-# round's entries: (a) two new registrations completing the persisted
-# index family symmetry (PQ filtered serving, PQ CDC — VERDICT r15
-# #5/#6); (b) every row exercising IvfSq8Index/IvfPqIndex
-# save/load/add_batch — those paths changed this round (upsert
-# in-batch dedupe + strict seq parse per ADVICE r15, and the bounded
-# O(touched-cells) fold per VERDICT r15 #3); (c) the LAST 11-row
-# r10-stale cohort (VERDICT r15 #4) — this drain ends cohort
-# management. 25 total; the remaining ~25 driver slots fall to the
-# stalest greens (r11) automatically via category (4).
+# r17: all 50 r16 entries landed green r16 rows — cleared. This
+# round's entries: (a) new registrations (snapshot RETENTION across
+# folds — VERDICT r16 #2 / ADVICE r16 — and the dedup-index lifecycle
+# symmetry rows, VERDICT r16 #4); (b) every row whose executed code
+# changed this round: the persisted-index commit verbs now run under
+# the enforced single-writer lease (VERDICT r16 #1), every load goes
+# through the epoch-aware `_load_layout_frames`, every fold through
+# the retaining `_fold_touched`, and `apply_cdc_events` decides
+# emptiness from the pinned frame (ADVICE r16); (c) the r11-stale
+# cohort (21 rows) — drains the oldest greens per the standing
+# staleness rule (VERDICT r16 #5). ~48 total; remaining slots fall to
+# the stalest greens automatically via category (4).
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
+    "ann_ivf_sq8_snapshot_retention",
+    "ann_ivfpq_snapshot_retention",
+    "dedup_minhash_index_time_travel",
+    "dedup_winnow_index_time_travel",
+    "dedup_semdedup_index_time_travel",
+    # (b) executed code changed this round (writer lease on every
+    # commit verb, epoch-aware load, retaining fold, CDC emptiness)
     "ann_ivf_sq8_time_travel",
     "ann_ivfpq_time_travel",
     "ann_ivf_sq8_rebuild",
@@ -67,35 +76,39 @@ _FRONTLOAD: list[str] = [
     "ann_ivf_sq8_maintenance_tick",
     "ann_ivfpq_maintenance_tick",
     "streaming_ivf_sq8_cdc_with_tick",
-    "ann_ivfpq_filtered_topk",
-    "streaming_ivfpq_cdc",
     "streaming_ivf_sq8_cdc_ordered",
-    # (b) executed code changed this round (persisted-index mutation
-    # paths: in-batch upsert dedupe, 8-digit seq parse, bounded fold)
+    "streaming_ivf_sq8_cdc",
+    "streaming_ivfpq_cdc",
     "ann_ivf_sq8_index_mutate",
     "ann_ivfpq_index_mutate",
-    "streaming_ivf_sq8_cdc",
     "ann_ivf_sq8_index_serving",
     "ann_ivf_sq8_index_ingest",
-    "ann_ivf_sq8_filtered_topk",
-    "ann_ivf_sq8_batched_rerank_topk",
     "ann_ivfpq_index_ingest",
-    "ann_ivfpq_batched_rerank_topk",
     "streaming_ivf_sq8_index",
     "streaming_sq8_index",
     "streaming_ivfpq_index",
-    # (c) the FINAL r10-stale cohort (11 rows) — drains for good
-    "text_cms_calibration",
-    "text_cms_token_freq",
-    "text_fingerprints",
-    "text_heavy_hitters",
-    "text_language_id",
-    "text_quality_scores",
-    "text_search_rm3",
-    "text_token_stats",
-    "text_unigram_loglik",
-    "upsert_metrics",
-    "vector_quantize_int8",
+    # (c) the r11-stale cohort (21 rows)
+    "docs_profile_cube",
+    "events_json_props",
+    "events_value_drift",
+    "events_value_outliers",
+    "events_value_quantiles",
+    "graph_pagerank_knn",
+    "multimodal_decode_phash_near_dup",
+    "multimodal_resize_dims",
+    "rel_bloom_pruned_join",
+    "rel_salted_distinct_users",
+    "rel_set_ops",
+    "sample_group_cap",
+    "sample_hash_fraction",
+    "sample_split_assign",
+    "sample_weighted_mix",
+    "streaming_enriched_counts",
+    "streaming_topk_events",
+    "text_fuzzy_join",
+    "text_repetition_scores",
+    "text_search_bm25",
+    "text_tfidf_cosine_pairs",
 ]
 
 

@@ -1254,7 +1254,9 @@ def test_ivf_sq8_index_atomic_save_and_batch_commit(spark, embeddings, tmp_path,
     folded._mirror_path = None
 
     def boom2(src, dst):
-        if dst.endswith("meta.json"):
+        # the PUBLISH rename only — the retention move of the old meta
+        # into _retained/ precedes the loud window (r17)
+        if dst == os.path.join(path, "meta.json"):
             raise OSError("simulated crash before meta publish")
         return real_rename(src, dst)
 
@@ -2202,7 +2204,10 @@ def test_save_fold_rewrites_only_touched_cells(spark, embeddings, tmp_path):
     real_rename = os.rename
 
     def boom(src, dst):
-        if dst.endswith("meta.json"):
+        # crash at the PUBLISH rename (the layout's top-level meta) —
+        # the retention move of the OLD meta into _retained/ is also a
+        # meta.json rename but precedes the loud window (r17)
+        if dst == os.path.join(path, "meta.json"):
             raise OSError("simulated crash before meta publish (bounded fold)")
         return real_rename(src, dst)
 
@@ -2470,7 +2475,7 @@ def test_time_travel_snapshots_follow_commit_log(spark, embeddings, tmp_path):
         clones.where(F.col("vec_id") % 40 == 3), path=path
     )
 
-    assert layout_snapshots(path) == [0, 1, 2, 3]
+    assert layout_snapshots(path) == [(0, 0), (0, 1), (0, 2), (0, 3)]
     model = {
         0: set(range(n)),  # base fold, pre-mutation
         1: set(range(n)),  # clones replaced, nothing deleted yet
@@ -2507,6 +2512,230 @@ def test_time_travel_snapshots_follow_commit_log(spark, embeddings, tmp_path):
     ), "surviving clones must serve the replaced vector"
 
 
+def test_fold_retention_preserves_pre_fold_snapshots(
+    spark, embeddings, tmp_path
+):
+    """r16 verdict #2 / ADVICE r16: a fold RETAINS the state it
+    displaces, so ``load(as_of=(epoch, seq))`` survives compaction —
+    pre-fold bounds stay readable with the exact visibility they had,
+    a remembered pair can never alias a same-numbered seq of the new
+    epoch, and a bare-int bound stays current-epoch shorthand."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    n = emb.count()
+    path = str(tmp_path / "ret_sq8")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(clones, path=path)  # (0, 1)
+    IvfSq8Index.load(spark, path).delete(  # (0, 2)
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    IvfSq8Index.load(spark, path).upsert(  # (0, 3)
+        clones.where(F.col("vec_id") % 40 == 3), path=path
+    )
+    # remember what the pre-fold (0, 2) snapshot SERVES, bit-for-bit
+    pre_top = [
+        (r["vec_id"], r["score"])
+        for r in IvfSq8Index.load(spark, path, as_of=2)
+        .search(None, qvec, k=10, nprobe=2, shortlist=50)
+        .collect()
+    ]
+
+    IvfSq8Index.load(spark, path).save(path)  # FOLD → epoch 1
+    # epoch 1 gets its own commits, re-deleting different ids — a seq-2
+    # bound now EXISTS in the new epoch with different visibility
+    IvfSq8Index.load(spark, path).delete([2], path=path)  # (1, 1)
+    IvfSq8Index.load(spark, path).delete([4], path=path)  # (1, 2)
+
+    pairs = layout_snapshots(path)
+    assert [p for p in pairs if p[0] == 1] == [(1, 0), (1, 1), (1, 2)]
+    assert [p for p in pairs if p[0] == 0] == [(0, 0), (0, 1), (0, 2), (0, 3)]
+
+    model = {
+        (0, 0): set(range(n)),
+        (0, 1): set(range(n)),
+        (0, 2): {i for i in range(n) if i % 20 != 3},
+        (0, 3): {i for i in range(n) if not (i % 20 == 3 and i % 40 != 3)},
+        (1, 0): {i for i in range(n) if not (i % 20 == 3 and i % 40 != 3)},
+        (1, 2): {
+            i
+            for i in range(n)
+            if not (i % 20 == 3 and i % 40 != 3) and i not in (2, 4)
+        },
+    }
+    for bound, expected in model.items():
+        snap = IvfSq8Index.load(spark, path, as_of=bound)
+        assert {
+            r["vec_id"] for r in snap.codes.select("vec_id").collect()
+        } == expected, f"as_of={bound}"
+        assert snap.vectors.count() == len(expected), f"vectors {bound}"
+
+    # NO ALIASING: the remembered pre-fold pair serves exactly what the
+    # pre-fold snapshot served, while bare-int 2 means the CURRENT epoch
+    post_top = [
+        (r["vec_id"], r["score"])
+        for r in IvfSq8Index.load(spark, path, as_of=(0, 2))
+        .search(None, qvec, k=10, nprobe=2, shortlist=50)
+        .collect()
+    ]
+    assert post_top == pre_top
+    int2 = IvfSq8Index.load(spark, path, as_of=2)
+    assert {
+        r["vec_id"] for r in int2.codes.select("vec_id").collect()
+    } == model[(1, 2)]
+    # retained-epoch handles are read-only like any snapshot
+    with pytest.raises(RuntimeError, match="read-only as_of="):
+        IvfSq8Index.load(spark, path, as_of=(0, 2)).delete([9], path=path)
+
+
+def test_fold_retention_excludes_cells_created_after_snapshot(
+    spark, embeddings, tmp_path
+):
+    """A base cell INTRODUCED by a later fold (no predecessor dir) must
+    not leak into an older epoch's snapshot: delete every id of one
+    cell, fold (the cell folds to absent), re-add the same ids, fold
+    again (the second fold re-creates the cell) — the between-folds
+    snapshot shows the cell empty, the endpoints show it full."""
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    n = emb.count()
+    path = str(tmp_path / "ret_created")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+
+    idx0 = IvfSq8Index.load(spark, path)
+    cell = idx0.codes.groupBy("centroid").count().orderBy("count").head()[
+        "centroid"
+    ]
+    ids_c = {
+        r["vec_id"]
+        for r in idx0.codes.where(F.col("centroid") == cell)
+        .select("vec_id")
+        .collect()
+    }
+    assert ids_c and len(ids_c) < n
+
+    IvfSq8Index.load(spark, path).delete(sorted(ids_c), path=path)
+    IvfSq8Index.load(spark, path).save(path)  # fold 1: cell → absent
+    assert not os.path.isdir(os.path.join(path, "codes", f"centroid={cell}"))
+
+    # same ids, same embeddings → the frozen quantizer assigns them to
+    # the SAME cell; fold 2 re-creates its base dir with no predecessor
+    IvfSq8Index.load(spark, path).upsert(
+        emb.where(F.col("vec_id").isin(sorted(ids_c))), path=path
+    )
+    IvfSq8Index.load(spark, path).save(path)  # fold 2
+    assert os.path.isdir(os.path.join(path, "codes", f"centroid={cell}"))
+
+    def vis(bound):
+        return {
+            r["vec_id"]
+            for r in IvfSq8Index.load(spark, path, as_of=bound)
+            .codes.select("vec_id")
+            .collect()
+        }
+
+    assert vis((0, 0)) == set(range(n))
+    assert vis((1, 0)) == set(range(n)) - ids_c  # created cell excluded
+    assert vis((2, 0)) == set(range(n))
+    assert {
+        r["vec_id"]
+        for r in IvfSq8Index.load(spark, path)
+        .codes.select("vec_id")
+        .collect()
+    } == set(range(n))
+
+
+def test_vacuum_layout_expires_history(spark, embeddings, tmp_path):
+    """``vacuum_layout`` trims retained pre-fold versions from the OLD
+    end: expired epochs disappear from disk and from
+    ``layout_snapshots``, a bound into them raises loudly instead of
+    serving a partial snapshot, and newer retained epochs plus the tip
+    are untouched."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+        vacuum_layout,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ret_vacuum")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    for vid in (1, 2):  # two folds → retained epochs 1 and 2
+        IvfSq8Index.load(spark, path).delete([vid], path=path)
+        IvfSq8Index.load(spark, path).save(path)
+    assert os.path.isdir(os.path.join(path, "_retained", "00000001"))
+    assert os.path.isdir(os.path.join(path, "_retained", "00000002"))
+    assert {e for e, _ in layout_snapshots(path)} == {0, 1, 2}
+
+    out = vacuum_layout(path, keep_epochs=1)
+    assert out == {"removed": [1], "kept": [2]}
+    assert not os.path.isdir(os.path.join(path, "_retained", "00000001"))
+    assert {e for e, _ in layout_snapshots(path)} == {1, 2}
+    with pytest.raises(ValueError, match="no longer readable"):
+        IvfSq8Index.load(spark, path, as_of=(0, 1))
+    assert IvfSq8Index.load(spark, path, as_of=(1, 0)).codes.count() > 0
+
+    out = vacuum_layout(path, keep_epochs=0)
+    assert out == {"removed": [2], "kept": []}
+    with pytest.raises(ValueError, match="no longer readable"):
+        IvfSq8Index.load(spark, path, as_of=(1, 0))
+    # the tip is untouched by vacuum
+    tip = IvfSq8Index.load(spark, path)
+    assert {1, 2} & {
+        r["vec_id"] for r in tip.codes.select("vec_id").collect()
+    } == set()
+
+
+def test_rebuild_retains_pre_rebuild_snapshot_with_its_own_quantizers(
+    spark, embeddings, tmp_path
+):
+    """A rebuild RETRAINS the scaler/quantizers; the retained
+    pre-rebuild snapshot must score with ITS epoch's frozen components
+    (the retained meta.json), not the tip's — served results bit-equal
+    to what the pre-rebuild tip served."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        rebuild_layout,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "ret_rebuild")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    # a mutation narrows the visible corpus, so the rebuild's retrained
+    # scaler genuinely differs from the build's
+    IvfSq8Index.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 3 == 1).select("vec_id"), path=path
+    )
+    pre = IvfSq8Index.load(spark, path)
+    pre_top = [
+        (r["vec_id"], r["score"])
+        for r in pre.search(None, qvec, k=8, nprobe=4, shortlist=40).collect()
+    ]
+    pre_scaler = (list(pre.mins), list(pre.deltas))
+
+    rebuild_layout(IvfSq8Index, spark, path)  # full rewrite → epoch 1
+
+    snap = IvfSq8Index.load(spark, path, as_of=(0, 1))
+    assert (list(snap.mins), list(snap.deltas)) == pre_scaler
+    got = [
+        (r["vec_id"], r["score"])
+        for r in snap.search(None, qvec, k=8, nprobe=4, shortlist=40).collect()
+    ]
+    assert got == pre_top
+    # and the tip serves the REBUILT layout (log folded away)
+    assert not os.path.isdir(os.path.join(path, "batches"))
+
+
 def test_time_travel_snapshots_are_read_only(spark, embeddings, tmp_path):
     """Every mutating verb refuses a time-travel handle — a fold from a
     snapshot would rewrite the base to the OLD view and delete the batch
@@ -2529,7 +2758,7 @@ def test_time_travel_snapshots_are_read_only(spark, embeddings, tmp_path):
         lambda: snap.delete([2], path=path),
         lambda: snap.save(path),
     ):
-        with _pytest.raises(RuntimeError, match="read-only as_of=0"):
+        with _pytest.raises(RuntimeError, match="read-only as_of="):
             verb()
     # guard fired BEFORE any commit: the log still holds exactly seq1
     assert IvfSq8Index.load(spark, path).codes.count() == emb.count() - 1
@@ -2540,9 +2769,9 @@ def test_time_travel_snapshots_are_read_only(spark, embeddings, tmp_path):
     )
     IvfPqIndex.load(spark, pq_path).delete([1], path=pq_path)
     pq_snap = IvfPqIndex.load(spark, pq_path, as_of=1)
-    with _pytest.raises(RuntimeError, match="read-only as_of=1"):
+    with _pytest.raises(RuntimeError, match="read-only as_of="):
         pq_snap.upsert(batch, path=pq_path)
-    with _pytest.raises(RuntimeError, match="read-only as_of=1"):
+    with _pytest.raises(RuntimeError, match="read-only as_of="):
         pq_snap.save(pq_path)
 
 

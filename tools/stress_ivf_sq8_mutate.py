@@ -286,7 +286,7 @@ def main() -> None:
     )
     IvfSq8Index.load(spark, idx_path).upsert(tt_batch, path=idx_path)  # seq1
     IvfSq8Index.load(spark, idx_path).delete(tt_ids, path=idx_path)  # seq2
-    assert layout_snapshots(idx_path) == [0, 1, 2]
+    assert layout_snapshots(idx_path) == [(0, 0), (0, 1), (0, 2)]
 
     # warm the fresh commits' footers/plans once so the tip-vs-snapshot
     # comparison below measures the BOUND, not cold-read order bias

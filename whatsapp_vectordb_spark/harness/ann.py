@@ -3888,7 +3888,7 @@ def ann_ivf_sq8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_SQ8_TT_DIR, store_vectors=True
     )
     _, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_TT_DIR)
-    if layout_snapshots(_IVF_SQ8_TT_DIR) != [0, 1, 2, 3]:
+    if layout_snapshots(_IVF_SQ8_TT_DIR) != [(0, 0), (0, 1), (0, 2), (0, 3)]:
         raise RuntimeError(
             f"commit log shape drifted: {layout_snapshots(_IVF_SQ8_TT_DIR)}"
         )
@@ -3923,6 +3923,253 @@ def ann_ivfpq_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_TT_DIR)
     snap = IvfPqIndex.load(spark, _IVFPQ_TT_DIR, as_of=2)
     _persist_ivfpq_probe_luts(spark, snap, qvec, _IVFPQ_TT_DIR)
+    return snap.search(None, qvec, k=10, nprobe=2, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
+# SNAPSHOT RETENTION ACROSS FOLDS (round 17) — a fold (save-as-fold)
+# RETAINS the state it displaces under `_retained/<fold_epoch>/` (the
+# pre-fold meta, the consumed commit log, every rewritten base cell),
+# so `load(as_of=(epoch, seq))` survives compaction: the pair form is a
+# STABLE snapshot identifier (seqs reset at each fold, epochs never do
+# — the Delta/Iceberg monotonic-version rule, ADVICE r16), and vacuum
+# is the explicit expiry verb. The row runs the three-commit scenario,
+# FOLDS it, commits two more deletes in the NEW epoch (so a stale seq-2
+# bound aliases a different state if epochs are ignored), then serves
+# `load(as_of=(0, 2))` — the pre-fold post-delete/pre-re-add snapshot.
+# The oracle replays that snapshot from the RETAINED layout alone:
+# epoch-0 base cells resolve retained-first (a fold displaces touched
+# cells; untouched ones are still the live base — the engine's
+# `_snapshot_cell_sources` rule in SQL), epoch-0 commits come from the
+# retained `batches/`, bounded to seq 2, and the live epoch-1 commit
+# log is never read. A fold that loses a displaced cell, leaks a new
+# one, or mis-filters the retained commit log breaks the hash.
+
+_IVF_SQ8_RET_DIR = _oracle_scratch("ivf_sq8_retention")
+
+
+def _retained_visibility_ctes(d: str, codes_col: str, as_of: int) -> str:
+    """Visibility CTEs for a RETAINED pre-fold snapshot (epoch 0 read
+    through `_retained/00000001/` after one fold): base cells prefer the
+    retained copy (cells the fold displaced) and fall back to the live
+    base (cells the fold never touched — physically the same files the
+    epoch-0 reader saw); commits and tombstones replay from the retained
+    commit log only, bounded to ``as_of``. The registering row asserts
+    the fold CREATED no cells (fold.json), which this precedence rule
+    relies on — a drift raises there, loudly, before the oracle runs."""
+    r = f"{d}/_retained/00000001"
+    return f"""
+ret_cells AS (
+  SELECT DISTINCT centroid
+  FROM read_parquet('{r}/codes/*/*.parquet', hive_partitioning = 1)
+),
+base0_codes AS (
+  SELECT vec_id, {codes_col}, centroid
+  FROM read_parquet('{r}/codes/*/*.parquet', hive_partitioning = 1)
+  UNION ALL
+  SELECT vec_id, {codes_col}, centroid
+  FROM read_parquet('{d}/codes/*/*.parquet', hive_partitioning = 1)
+  WHERE centroid NOT IN (SELECT centroid FROM ret_cells)
+),
+base0_vecs AS (
+  SELECT vec_id, embedding, centroid
+  FROM read_parquet('{r}/vectors/*/*.parquet', hive_partitioning = 1)
+  UNION ALL
+  SELECT vec_id, embedding, centroid
+  FROM read_parquet('{d}/vectors/*/*.parquet', hive_partitioning = 1)
+  WHERE centroid NOT IN (SELECT centroid FROM ret_cells)
+),
+codes_all AS (
+  SELECT vec_id, {codes_col}, centroid, 0 AS _seq FROM base0_codes
+  UNION ALL
+  SELECT vec_id, {codes_col}, centroid, _seq
+  FROM read_parquet('{r}/batches/*/codes/*/*.parquet', hive_partitioning = 1)
+  WHERE _seq <= {as_of}
+),
+dels AS (
+  SELECT vec_id AS del_id, MAX(_seq) AS del_seq
+  FROM read_parquet('{r}/batches/*/deletes/*.parquet')
+  WHERE _seq <= {as_of}
+  GROUP BY 1
+),
+codes AS (
+  SELECT c.vec_id, c.{codes_col}, c.centroid
+  FROM codes_all c
+  LEFT JOIN dels t ON c.vec_id = t.del_id AND c._seq < t.del_seq
+  WHERE t.del_id IS NULL
+),
+vecs_all AS (
+  SELECT vec_id, embedding, 0 AS _seq FROM base0_vecs
+  UNION ALL
+  SELECT vec_id, embedding, _seq
+  FROM read_parquet('{r}/batches/*/vectors/*/*.parquet', hive_partitioning = 1)
+  WHERE _seq <= {as_of}
+),
+vecs AS (
+  SELECT v.vec_id, v.embedding
+  FROM vecs_all v
+  LEFT JOIN dels t ON v.vec_id = t.del_id AND v._seq < t.del_seq
+  WHERE t.del_id IS NULL
+)"""
+
+
+def _ivf_sq8_retention_sql() -> str:
+    """The SQ8 serve replay (probe + integer ADC + shortlist + exact
+    re-rank — the `_ivf_sq8_mutate_sql` body) over the RETAINED (0, 2)
+    snapshot's visibility."""
+    d = _IVF_SQ8_RET_DIR
+    return f"""
+WITH {_retained_visibility_ctes(d, "sq8_codes", as_of=2)},
+probe AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+exf AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+stats AS (SELECT d, MIN(x::DOUBLE) AS mn, MAX(x::DOUBLE) AS mx FROM exf GROUP BY d),
+sd AS (SELECT d,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS dl
+       FROM stats),
+qv8 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+wgt AS (
+  SELECT s.d,
+         CAST(floor(qe[s.d]::DOUBLE * s.dl * 1000000000 + 0.5) AS BIGINT) AS w
+  FROM sd s, qv8
+),
+exc AS (
+  SELECT c.vec_id, unnest(c.sq8_codes) AS cd,
+         unnest(range(1, len(c.sq8_codes) + 1)) AS d
+  FROM codes c JOIN probe p ON CAST(c.centroid AS BIGINT) = p.centroid
+),
+iscores AS (
+  SELECT e.vec_id, SUM(e.cd::BIGINT * g.w) AS score_int
+  FROM exc e JOIN wgt g ON g.d = e.d
+  GROUP BY e.vec_id
+),
+short AS (SELECT vec_id FROM iscores ORDER BY score_int DESC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vecs v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_sq8_snapshot_retention", _ivf_sq8_retention_sql())
+def ann_ivf_sq8_snapshot_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-fold snapshot served THROUGH a fold (section comment above):
+    three-commit scenario → fold (epoch 1, state retained) → two fresh
+    epoch-1 deletes → `load(as_of=(0, 2))` serves the retained
+    post-delete/pre-re-add view, scored with epoch 0's own frozen
+    scaler from the retained meta."""
+    import json as _json
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVF_SQ8_RET_DIR, ignore_errors=True)
+    IvfSq8Index.build(emb, n_centroids=_KM_K).save(
+        _IVF_SQ8_RET_DIR, store_vectors=True
+    )
+    _, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_RET_DIR)
+    IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR).save(_IVF_SQ8_RET_DIR)  # FOLD
+    # fresh epoch-1 commits: a reader ignoring epochs would alias seq 2
+    IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR).delete([3], path=_IVF_SQ8_RET_DIR)
+    IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR).delete([0], path=_IVF_SQ8_RET_DIR)
+
+    pairs = layout_snapshots(_IVF_SQ8_RET_DIR)
+    if [p for p in pairs if p[0] == 0] != [(0, 0), (0, 1), (0, 2), (0, 3)]:
+        raise RuntimeError(f"retained commit-log shape drifted: {pairs}")
+    with open(
+        os.path.join(_IVF_SQ8_RET_DIR, "_retained", "00000001", "fold.json")
+    ) as f:
+        fold = _json.load(f)
+    if fold.get("full") or fold.get("created"):
+        raise RuntimeError(
+            f"fold shape drifted (oracle assumes no created cells): {fold}"
+        )
+
+    snap = IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR, as_of=(0, 2))
+    cells = snap.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
+    spark.createDataFrame(
+        [(int(c),) for c in cells], "centroid bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_IVF_SQ8_RET_DIR, "probe")
+    )
+    return snap.search(None, qvec, k=10, nprobe=_IVFSQ8_NPROBE, shortlist=50)
+
+
+_IVFPQ_RET_DIR = _oracle_scratch("ivfpq_retention")
+
+
+def _ivfpq_retention_sql() -> str:
+    """The PQ LUT-ADC serve replay (`_ivfpq_mutate_sql` body) over the
+    RETAINED (0, 2) snapshot's visibility — tier symmetry for the
+    retention contract."""
+    d = _IVFPQ_RET_DIR
+    return f"""
+WITH {_retained_visibility_ctes(d, "codes", as_of=2)},
+probes AS (SELECT centroid FROM read_parquet('{d}/probe/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{d}/lut/*.parquet')),
+s AS (
+  SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS score
+  FROM codes c
+  JOIN probes p ON CAST(c.centroid AS BIGINT) = CAST(p.centroid AS BIGINT)
+  CROSS JOIN range(0,{_IVFPQ_INGEST_M}) j(j)
+  JOIN lut l ON CAST(l.centroid AS BIGINT) = CAST(c.centroid AS BIGINT)
+            AND l.j = j.j AND l.c = c.codes[j.j + 1]
+  GROUP BY 1
+),
+short AS (SELECT vec_id FROM s ORDER BY score ASC, vec_id LIMIT 50),
+q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.embedding::DOUBLE[], q2.qv), 6) AS score
+FROM vecs v JOIN short s ON s.vec_id = v.vec_id CROSS JOIN q2
+WHERE list_dot_product(v.embedding::DOUBLE[], q2.qv) IS NOT NULL
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+
+@_register("ann_ivfpq_snapshot_retention", _ivfpq_retention_sql())
+def ann_ivfpq_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention on the memory-bound tier — same fold + fresh-epoch
+    commits + `load(as_of=(0, 2))` contract as the SQ8 row (one
+    retention rule for both persisted tiers), LUT-ADC shortlist and
+    exact re-rank both reading the retained pre-fold view with epoch 0's
+    own codebooks."""
+    import json as _json
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import IvfPqIndex
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shutil.rmtree(_IVFPQ_RET_DIR, ignore_errors=True)
+    IvfPqIndex.build(
+        emb, n_centroids=8, m=_IVFPQ_INGEST_M, ksub=16, sample_rows=500
+    ).save(_IVFPQ_RET_DIR, store_vectors=True)
+    _, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_RET_DIR)
+    IvfPqIndex.load(spark, _IVFPQ_RET_DIR).save(_IVFPQ_RET_DIR)  # FOLD
+    IvfPqIndex.load(spark, _IVFPQ_RET_DIR).delete([3], path=_IVFPQ_RET_DIR)
+    IvfPqIndex.load(spark, _IVFPQ_RET_DIR).delete([0], path=_IVFPQ_RET_DIR)
+    with open(
+        os.path.join(_IVFPQ_RET_DIR, "_retained", "00000001", "fold.json")
+    ) as f:
+        fold = _json.load(f)
+    if fold.get("full") or fold.get("created"):
+        raise RuntimeError(
+            f"fold shape drifted (oracle assumes no created cells): {fold}"
+        )
+    snap = IvfPqIndex.load(spark, _IVFPQ_RET_DIR, as_of=(0, 2))
+    _persist_ivfpq_probe_luts(spark, snap, qvec, _IVFPQ_RET_DIR)
     return snap.search(None, qvec, k=10, nprobe=2, shortlist=50)
 
 

@@ -2729,22 +2729,9 @@ def _committed_batches(path: str) -> list[str]:
     fails LOUDLY at the next load/stats/fold instead of serving wrong
     rows. Seq 0 is exempt: legacy uuid-only dirs (pre-mutation-verb
     layouts) all parse as 0 by design and are append-only data."""
-    bdir = os.path.join(path, "batches")
-    names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
-    seen: dict[int, str] = {}
-    for b in names:
-        s = _parse_batch_seq(b)
-        if s >= 1 and s in seen:
-            raise ConcurrentWriterError(
-                f"layout at {path!r} holds two commits at mutation seq "
-                f"{s} ({seen[s]!r} and {b!r}) — a second writer violated "
-                "the single-writer contract (the _writer.lock lease "
-                "prevents this when every writer honors it); the layout "
-                "cannot be ordered and must be repaired by removing the "
-                "losing commit before any read or fold"
-            )
-        seen[s] = b
-    return names
+    return _batch_names_checked(
+        os.path.join(path, "batches"), f"layout at {path!r}"
+    )
 
 
 def _next_batch_seq(path: str) -> int:
@@ -2914,37 +2901,356 @@ def _require_writable(idx, verb: str) -> None:
         )
 
 
-def layout_snapshots(path: str) -> list[int]:
-    """Readable snapshot sequences for a saved serving layout: 0 (the
-    base fold) plus every committed mutation seq, ascending. Any value
-    here is a valid ``load(as_of=...)`` bound; ``as_of=max`` equals the
-    tip. Pure driver-side directory listing — no Spark job. Raises on
-    a path holding no layout (a typo would otherwise 'enumerate' a
-    phantom base snapshot and only fail much later inside ``load``)."""
-    if not os.path.exists(os.path.join(path, "meta.json")):
+def _layout_epoch(path: str) -> int:
+    """Current FOLD EPOCH of a saved layout — the monotonically
+    increasing counter ``meta.json`` carries (``fold_epoch``), bumped by
+    every fold/full-rewrite save. Commit SEQS reset at each fold; the
+    epoch never does, so an ``(epoch, seq)`` pair is a STABLE snapshot
+    identifier across folds (the Delta/Iceberg monotonic-version rule —
+    ADVICE r16). Pre-epoch layouts read as epoch 0."""
+    import json as _json
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
         raise FileNotFoundError(
             f"no saved layout at {path!r} (missing meta.json)"
         )
-    seqs = {0} | {_parse_batch_seq(b) for b in _committed_batches(path)}
-    return sorted(seqs)
+    with open(meta_path) as f:
+        return int(_json.load(f).get("fold_epoch", 0))
 
 
-def _check_as_of(path: str, as_of: int | None) -> None:
-    """Validate a time-travel bound against the commit log. Bounds
-    BETWEEN committed seqs are legal (a logical point in time — the
-    Delta/Iceberg timestamp-bound analogue), but a bound outside
-    [0, max committed seq] is a caller error: seqs RESET at every fold,
-    so a stale bound remembered from before a fold would otherwise
-    silently serve the TIP while claiming to be a snapshot."""
+def _retained_root(path: str) -> str:
+    return os.path.join(path, "_retained")
+
+
+def _retained_dir(path: str, epoch: int) -> str:
+    return os.path.join(_retained_root(path), f"{epoch:08d}")
+
+
+def _retained_epochs(path: str) -> list[int]:
+    """Fold epochs with a retained pre-fold version on disk, ascending.
+    ``_retained/<F>`` holds the state fold F DISPLACED — epoch F-1's
+    meta, its commit log (``batches/``), and every base cell dir the
+    fold rewrote or a full rewrite replaced (``fold.json`` records
+    which shape)."""
+    root = _retained_root(path)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d) for d in os.listdir(root) if d.isdigit() and len(d) == 8
+    )
+
+
+def _fold_info(path: str, epoch: int) -> dict:
+    """``fold.json`` of one retained fold: ``{"full": bool, "created":
+    [cells the fold introduced with no predecessor]}``. A retained dir
+    without it is an interrupted retention move — unreadable, loudly."""
+    import json as _json
+
+    fp = os.path.join(_retained_dir(path, epoch), "fold.json")
+    try:
+        with open(fp) as f:
+            return _json.load(f)
+    except OSError:
+        raise RuntimeError(
+            f"retained snapshot {epoch} at {path!r} has no fold.json — "
+            "an interrupted fold's partial retention; vacuum it"
+        ) from None
+
+
+def _batch_names_checked(bdir: str, where: str) -> list[str]:
+    """Sorted committed batch-dir names under ``bdir`` with the
+    duplicate-seq tripwire (see ``_committed_batches``)."""
+    names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    seen: dict[int, str] = {}
+    for b in names:
+        s = _parse_batch_seq(b)
+        if s >= 1 and s in seen:
+            raise ConcurrentWriterError(
+                f"{where} holds two commits at mutation seq {s} "
+                f"({seen[s]!r} and {b!r}) — a second writer violated "
+                "the single-writer contract (the _writer.lock lease "
+                "prevents this when every writer honors it); the layout "
+                "cannot be ordered and must be repaired by removing the "
+                "losing commit before any read or fold"
+            )
+        seen[s] = b
+    return names
+
+
+def _epoch_batch_dir(path: str, epoch: int, current: int) -> str:
+    """The ``batches/`` directory holding epoch ``epoch``'s commit log:
+    live for the current epoch, else inside the retained dir of the
+    fold that CONSUMED it (fold ``epoch+1``)."""
+    if epoch == current:
+        return os.path.join(path, "batches")
+    return os.path.join(_retained_dir(path, epoch + 1), "batches")
+
+
+def _readable_epochs(path: str) -> list[int]:
+    """Epochs ``load(as_of=(epoch, seq))`` can serve, ascending: the
+    current epoch, plus every older epoch reachable through a CONTIGUOUS
+    retained chain (reconstructing epoch e needs ``_retained/<f>`` for
+    every fold f in (e, current] — a vacuumed gap ends the history)."""
+    current = _layout_epoch(path)
+    retained = set(_retained_epochs(path))
+    out = [current]
+    f = current
+    while f in retained:
+        out.append(f - 1)
+        f -= 1
+    return sorted(out)
+
+
+def layout_snapshots(path: str) -> list[tuple[int, int]]:
+    """Readable snapshot bounds for a saved serving layout, ascending:
+    ``(fold_epoch, commit_seq)`` pairs — seq 0 is each epoch's base
+    fold, and the pair form survives folds (seqs reset at every fold,
+    epochs never do, so a remembered pair can never silently alias a
+    different snapshot — ADVICE r16). The current epoch's pairs are
+    always present; OLDER epochs appear when their pre-fold state is
+    still retained (``_retained/<fold>`` — see ``vacuum_layout``). Any
+    listed pair is a valid ``load(as_of=...)`` bound; the max pair is
+    the tip. Pure driver-side directory listing — no Spark job. Raises
+    on a path holding no layout (a typo would otherwise 'enumerate' a
+    phantom base snapshot and only fail much later inside ``load``)."""
+    current = _layout_epoch(path)
+    pairs: list[tuple[int, int]] = []
+    for e in _readable_epochs(path):
+        bdir = _epoch_batch_dir(path, e, current)
+        seqs = {0} | {
+            _parse_batch_seq(b)
+            for b in _batch_names_checked(bdir, f"epoch {e} of {path!r}")
+        }
+        pairs.extend((e, s) for s in sorted(seqs))
+    return sorted(pairs)
+
+
+def _check_as_of(
+    path: str, as_of: int | tuple[int, int] | None
+) -> tuple[int, int] | None:
+    """Normalize + validate a time-travel bound against the commit log
+    → ``(epoch, seq)`` (or None for the tip). A bare int is shorthand
+    for the CURRENT epoch (the pre-retention API, unchanged); the pair
+    form is the stable identifier ``layout_snapshots`` returns — safe
+    to remember across folds, because a stale epoch resolves through
+    the retained pre-fold versions instead of silently aliasing a
+    same-numbered seq of the new epoch (ADVICE r16), and raises loudly
+    once vacuum has dropped its chain. Seq bounds BETWEEN committed
+    seqs are legal (a logical point in time — the Delta/Iceberg
+    timestamp-bound analogue); a seq outside the epoch's [0, tip] is a
+    caller error."""
     if as_of is None:
-        return
-    tip = max(layout_snapshots(path))
-    if not 0 <= as_of <= tip:
+        return None
+    current = _layout_epoch(path)
+    if isinstance(as_of, int):
+        e, s = current, as_of
+    else:
+        e, s = int(as_of[0]), int(as_of[1])
+    if e > current or e < 0:
         raise ValueError(
-            f"as_of={as_of} is outside this layout's commit log "
-            f"[0, {tip}] (seqs reset at each fold — re-read "
-            "layout_snapshots(path) for the readable bounds)"
+            f"as_of epoch {e} does not exist: this layout is at fold "
+            f"epoch {current}"
         )
+    readable = _readable_epochs(path)
+    if e not in readable:
+        raise ValueError(
+            f"as_of epoch {e} is no longer readable: its retained "
+            f"pre-fold chain was vacuumed (readable epochs: {readable}; "
+            "see vacuum_layout's retention)"
+        )
+    bdir = _epoch_batch_dir(path, e, current)
+    tip = max(
+        (
+            _parse_batch_seq(b)
+            for b in _batch_names_checked(bdir, f"epoch {e} of {path!r}")
+        ),
+        default=0,
+    )
+    if not 0 <= s <= tip:
+        raise ValueError(
+            f"as_of=(epoch {e}, seq {s}) is outside this layout's "
+            f"epoch-{e} commit log [0, {tip}] — re-read "
+            "layout_snapshots(path) for the readable bounds"
+        )
+    return (e, s)
+
+
+def _snapshot_cell_sources(
+    path: str, epoch: int
+) -> dict[int, tuple[str, int]]:
+    """Resolve epoch ``epoch``'s BASE cell set against the retained fold
+    chain: for each centroid cell alive at that epoch, where its
+    then-content lives NOW — ``("live", 0)`` for cells no later fold
+    touched (still physically in the tip base — zero copies were ever
+    made), or ``("ret", f)`` for the SMALLEST fold f > epoch that
+    displaced it into ``_retained/<f>``. Pure driver-side walk over the
+    fold metadata, newest→oldest: each fold's retained cells override
+    later sources (they are the older content), a fold's ``created``
+    cells drop out (they did not exist before it), and a ``full``
+    rewrite resets the set to exactly its retained base. O(folds walked
+    × cells) dict ops — no Spark job, no data reads."""
+    current = _layout_epoch(path)
+
+    def cells_in(root: str) -> set[int]:
+        if not os.path.isdir(root):
+            return set()
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("centroid=")
+        }
+
+    sources: dict[int, tuple[str, int]] = {
+        c: ("live", 0) for c in cells_in(os.path.join(path, "codes"))
+    }
+    for f in range(current, epoch, -1):
+        info = _fold_info(path, f)
+        ret_cells = cells_in(os.path.join(_retained_dir(path, f), "codes"))
+        if info.get("full"):
+            sources = {c: ("ret", f) for c in ret_cells}
+            continue
+        for c in info.get("created", []):
+            sources.pop(int(c), None)
+        for c in ret_cells:
+            sources[c] = ("ret", f)
+    return sources
+
+
+def _snapshot_table(
+    spark: SparkSession,
+    path: str,
+    sub: str,
+    epoch: int,
+    seq: int,
+    sources: dict[int, tuple[str, int]],
+) -> DataFrame | None:
+    """One layout table (``codes``/``vectors``/``deletes``) as it stood
+    at snapshot ``(epoch, seq)`` of an OLDER epoch — the retention read
+    path (current-epoch snapshots use ``_layout_roots``, identical cost
+    to a tip read). Base cells group by their resolved source dir (one
+    scan of the live base + one per consulted retained fold, each under
+    an ``isin`` partition filter — pruning intact, union width is the
+    number of folds consulted, not the cell count); epoch-e mutation
+    commits read from the retained ``batches/`` the fold at e+1
+    consumed, bounded to ``seq`` exactly like a live time-travel read.
+    Rows carry ``_seq`` for the caller's strictly-older mask."""
+    from functools import reduce
+
+    def has_parquet(root: str) -> bool:
+        for _, _, files in os.walk(root):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    parts: list[DataFrame] = []
+    if sub != "deletes":
+        groups: dict[tuple[str, int], list[int]] = {}
+        for c, src in sources.items():
+            groups.setdefault(src, []).append(c)
+        for (kind, f), cells in sorted(groups.items()):
+            root = (
+                os.path.join(path, sub)
+                if kind == "live"
+                else os.path.join(_retained_dir(path, f), sub)
+            )
+            if not (os.path.isdir(root) and has_parquet(root)):
+                if sub == "vectors":
+                    return None  # this epoch's layout had no float store
+                raise RuntimeError(
+                    f"snapshot (epoch {epoch}) of {path!r}: resolved "
+                    f"{sub} root {root!r} is missing — interrupted "
+                    "retention; vacuum the broken fold"
+                )
+            parts.append(
+                spark.read.parquet(root)
+                .where(F.col("centroid").isin(sorted(cells)))
+                .withColumn("_seq", F.lit(0).cast("long"))
+            )
+    bdir = _epoch_batch_dir(path, epoch, _layout_epoch(path))
+    for b in _batch_names_checked(bdir, f"epoch {epoch} of {path!r}"):
+        if _parse_batch_seq(b) > seq:
+            continue
+        root = os.path.join(bdir, b, sub)
+        if os.path.isdir(root) and has_parquet(root):
+            df = spark.read.parquet(root)
+            if "_seq" not in df.columns:
+                df = df.withColumn(
+                    "_seq", F.lit(_parse_batch_seq(b)).cast("long")
+                )
+            parts.append(df)
+    if not parts:
+        return None
+    return reduce(lambda a, b2: a.unionByName(b2), parts)
+
+
+def vacuum_layout(path: str, keep_epochs: int = 2) -> dict:
+    """Expire retained pre-fold versions — the storage-reclaim half of
+    snapshot retention (Delta VACUUM / Iceberg expire_snapshots): keep
+    the newest ``keep_epochs`` retained folds (i.e. the current epoch
+    plus that many pre-fold snapshots stay readable), delete the rest.
+    History is a contiguous chain (reconstructing epoch e needs every
+    retained fold in (e, current]), so expiry always trims from the
+    OLD end; a later ``load(as_of=(expired_epoch, s))`` raises loudly
+    (``_check_as_of``) instead of serving a partial snapshot. Runs
+    under the writer lease — a vacuum racing a fold could delete the
+    version the fold is mid-publishing. Returns the removed and kept
+    fold epochs."""
+    import shutil
+
+    if keep_epochs < 0:
+        raise ValueError("keep_epochs must be >= 0")
+    with _writer_lease(path, "vacuum_layout"):
+        current = _layout_epoch(path)
+        cut = current - keep_epochs
+        removed = [f for f in _retained_epochs(path) if f <= cut]
+        for f in removed:
+            shutil.rmtree(_retained_dir(path, f), ignore_errors=True)
+        return {"removed": removed, "kept": _retained_epochs(path)}
+
+
+def _load_layout_frames(spark, path: str, as_of, meta: dict):
+    """Shared ``load`` body for both persisted tiers: normalize the
+    time-travel bound and produce the (meta, codes, vectors, tombstone
+    marks, normalized bound) the class constructor masks and wraps.
+    Three read shapes, in cost order: tip (``as_of=None``) and
+    CURRENT-epoch snapshots read the live layout through
+    ``_layout_roots`` (a snapshot only DROPS union branches — 0.96× a
+    tip read, measured r16); an OLDER epoch resolves through the
+    retained fold chain (``_snapshot_cell_sources``/``_snapshot_table``
+    — r16 verdict #2), including that epoch's OWN ``meta.json`` from
+    the retained dir: a rebuild retrains the quantizers, so a pre-
+    rebuild snapshot must score with the pre-rebuild scaler/codebooks,
+    never the tip's."""
+    import json as _json
+
+    norm = _check_as_of(path, as_of)
+    current = int(meta.get("fold_epoch", 0))
+    if norm is not None and norm[0] < current:
+        e, s = norm
+        with open(
+            os.path.join(_retained_dir(path, e + 1), "meta.json")
+        ) as f:
+            meta = _json.load(f)
+        sources = _snapshot_cell_sources(path, e)
+        codes = _snapshot_table(spark, path, "codes", e, s, sources)
+        marks_raw = _snapshot_table(spark, path, "deletes", e, s, sources)
+        marks = (
+            marks_raw.groupBy(F.col(meta["id_col"]).alias("_del_id")).agg(
+                F.max("_seq").alias("_del_seq")
+            )
+            if marks_raw is not None
+            else None
+        )
+        vecs = _snapshot_table(spark, path, "vectors", e, s, sources)
+    else:
+        seq_bound = None if norm is None else norm[1]
+        codes = IvfSq8Index._read_layout(spark, path, "codes", seq_bound)
+        marks = IvfSq8Index._read_delete_marks(
+            spark, path, meta["id_col"], seq_bound
+        )
+        vecs = IvfSq8Index._read_layout(spark, path, "vectors", seq_bound)
+    return meta, codes, vecs, marks, norm
 
 
 def maintenance_tick(
@@ -3165,6 +3471,7 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> None:
         )
         touched.update(int(r["centroid"]) for r in hit)
 
+    new_epoch = _layout_epoch(path) + 1
     stage = os.path.join(path, "_staging", uuid.uuid4().hex)
     subs = ["codes"] + (["vectors"] if store_vectors else [])
     try:
@@ -3191,27 +3498,44 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> None:
                 fv.select(idx.id_col, idx.vec_col, "centroid").write.partitionBy(
                     "centroid"
                 ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
+        meta = idx._meta_dict()
+        meta["fold_epoch"] = new_epoch
         with open(os.path.join(stage, "meta.json"), "w") as f:
-            _json.dump(idx._meta_dict(), f)
+            _json.dump(meta, f)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
-    # staging materialized — commit: loud window opens here
+    # staging materialized — commit: loud window opens here. The fold
+    # RETAINS everything it displaces (r16 verdict #2): the pre-fold
+    # meta, the consumed commit log, and every base cell it rewrites
+    # move (rename — O(touched) metadata ops, no data copy) into
+    # `_retained/<new_epoch>/`, so `load(as_of=(old_epoch, seq))`
+    # survives the fold. `vacuum_layout` expires retained versions.
+    ret = _retained_dir(path, new_epoch)
+    os.makedirs(ret, exist_ok=True)
+    created: list[int] = []
     meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        os.remove(meta_path)
+    os.rename(meta_path, os.path.join(ret, "meta.json"))
     for sub in subs:
         dst_root = os.path.join(path, sub)
+        ret_root = os.path.join(ret, sub)
         os.makedirs(dst_root, exist_ok=True)
+        os.makedirs(ret_root, exist_ok=True)
         for cell in sorted(touched):
             dst = os.path.join(dst_root, f"centroid={cell}")
             src = os.path.join(stage, sub, f"centroid={cell}")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)  # old cell out (may have no successor:
-                # a cell whose every row was tombstoned folds to absent)
+                # old cell out — retained, not destroyed (it may have no
+                # successor: a fully-tombstoned cell folds to absent)
+                os.rename(dst, os.path.join(ret_root, f"centroid={cell}"))
+            elif sub == "codes" and os.path.isdir(src):
+                created.append(cell)  # no predecessor: this fold
+                # introduced the cell — pre-fold snapshots exclude it
             if os.path.isdir(src):
                 os.rename(src, dst)
-    shutil.rmtree(bdir)
+    os.rename(bdir, os.path.join(ret, "batches"))
+    with open(os.path.join(ret, "fold.json"), "w") as f:
+        _json.dump({"full": False, "created": sorted(created)}, f)
     os.rename(os.path.join(stage, "meta.json"), meta_path)  # loud window closes
     shutil.rmtree(stage, ignore_errors=True)
     idx.codes = spark.read.parquet(os.path.join(path, "codes"))
@@ -3270,6 +3594,18 @@ def _save_layout_locked(idx, path, store_vectors, code_col):
     ):
         _fold_touched(idx, path, store_vectors, code_col)
         return idx
+    # epoch bookkeeping: a rewrite OVER a consistent prior layout is a
+    # fold (epoch bumps, prior state retained — r16 verdict #2 /
+    # ADVICE r16); a fresh save starts at epoch 0. A path holding
+    # retained history but an interrupted tip (meta gone mid-save)
+    # resumes numbering past the retained max so epochs stay monotonic.
+    meta_path = os.path.join(path, "meta.json")
+    prior = os.path.exists(meta_path)
+    retained_max = max(_retained_epochs(path), default=-1)
+    if prior:
+        new_epoch = max(_layout_epoch(path), retained_max) + 1
+    else:
+        new_epoch = retained_max + 1 if retained_max >= 0 else 0
     stage = os.path.join(path, "_staging", uuid.uuid4().hex)
     try:
         idx.codes.select(idx.id_col, code_col, "centroid").write.partitionBy(
@@ -3285,21 +3621,34 @@ def _save_layout_locked(idx, path, store_vectors, code_col):
             ).write.partitionBy("centroid").mode("overwrite").parquet(
                 os.path.join(stage, "vectors")
             )
+        meta = idx._meta_dict()
+        meta["fold_epoch"] = new_epoch
         with open(os.path.join(stage, "meta.json"), "w") as f:
-            _json.dump(idx._meta_dict(), f)
+            _json.dump(meta, f)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
     # staging fully materialized — now the commit sequence. Unreadable
     # (loud) between the meta removal and the final rename; never a
-    # readable state whose meta mismatches the codes beside it.
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        os.remove(meta_path)
+    # readable state whose meta mismatches the codes beside it. A
+    # CONSISTENT prior layout is RETAINED whole (meta + codes + vectors
+    # + commit log rename into `_retained/<new_epoch>/`, `full: true` —
+    # pre-rewrite snapshots stay readable); an interrupted prior (no
+    # meta) is garbage and is deleted as before.
+    ret = _retained_dir(path, new_epoch) if prior else None
+    if ret is not None:
+        os.makedirs(ret, exist_ok=True)
+        os.rename(meta_path, os.path.join(ret, "meta.json"))
     for sub in ("codes", "vectors", "batches"):
         old = os.path.join(path, sub)
         if os.path.exists(old):
-            shutil.rmtree(old)
+            if ret is not None:
+                os.rename(old, os.path.join(ret, sub))
+            else:
+                shutil.rmtree(old)
+    if ret is not None:
+        with open(os.path.join(ret, "fold.json"), "w") as f:
+            _json.dump({"full": True, "created": []}, f)
     os.rename(os.path.join(stage, "codes"), os.path.join(path, "codes"))
     if store_vectors:
         os.rename(os.path.join(stage, "vectors"), os.path.join(path, "vectors"))
@@ -3730,19 +4079,27 @@ class IvfSq8Index:
 
     @classmethod
     def load(
-        cls, spark: SparkSession, path: str, as_of: int | None = None
+        cls,
+        spark: SparkSession,
+        path: str,
+        as_of: int | tuple[int, int] | None = None,
     ) -> "IvfSq8Index":
         """Open the committed layout — the TIP by default, or (with
-        ``as_of``) a READ-ONLY snapshot of the index as it stood after
-        mutation commit ``as_of`` (``layout_snapshots(path)`` lists the
-        valid bounds; 0 = the base fold). Snapshot semantics follow the
-        commit log exactly: batch dirs with seq > as_of are never
-        opened, tombstones fold only over commits <= as_of, and the
-        strictly-older mask applies within the bound — so a snapshot
-        shows precisely the rows a reader at that commit saw. Snapshot
-        handles refuse every mutating verb (``_require_writable``);
-        cost over a tip load is zero (the bound only DROPS union
-        branches and mask entries)."""
+        ``as_of``) a READ-ONLY snapshot. The bound is either a bare
+        commit seq (CURRENT-epoch shorthand) or the stable
+        ``(fold_epoch, seq)`` pair ``layout_snapshots(path)`` returns —
+        the pair form survives folds: seqs reset at every fold but
+        epochs never do, and an older epoch resolves through the
+        retained pre-fold versions (``vacuum_layout`` expires them;
+        ADVICE r16 / r16 verdict #2). Snapshot semantics follow the
+        epoch's commit log exactly: batch dirs with seq > bound are
+        never opened, tombstones fold only over commits <= bound, the
+        strictly-older mask applies within it, and the snapshot scores
+        with ITS epoch's frozen quantizer/scaler (a rebuild retrains
+        them). Snapshot handles refuse every mutating verb
+        (``_require_writable``); current-epoch bound cost over a tip
+        load is zero (the bound only DROPS union branches and mask
+        entries)."""
         import json as _json
 
         meta_path = os.path.join(path, "meta.json")
@@ -3756,11 +4113,11 @@ class IvfSq8Index:
             raise FileNotFoundError(meta_path)
         with open(meta_path) as f:
             meta = _json.load(f)
-        _check_as_of(path, as_of)
-        codes = cls._read_layout(spark, path, "codes", as_of)
+        meta, codes, vecs, marks, norm = _load_layout_frames(
+            spark, path, as_of, meta
+        )
         if codes is None:
             raise RuntimeError(f"IvfSq8Index at {path!r} has meta.json but no codes")
-        marks = cls._read_delete_marks(spark, path, meta["id_col"], as_of)
         idx = cls(
             _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
@@ -3768,16 +4125,12 @@ class IvfSq8Index:
             meta["deltas"],
             meta["id_col"],
             meta["vec_col"],
-            vectors=_mask_deleted(
-                cls._read_layout(spark, path, "vectors", as_of),
-                marks,
-                meta["id_col"],
-            ),
+            vectors=_mask_deleted(vecs, marks, meta["id_col"]),
         )
-        idx._as_of = as_of
+        idx._as_of = norm
         # plans == committed state, by construction — but only the TIP
         # may fold (a snapshot's fold would destroy newer commits)
-        idx._mirror_path = path if as_of is None else None
+        idx._mirror_path = path if norm is None else None
         return idx
 
     def cell_stats(self) -> dict:
@@ -4239,10 +4592,14 @@ class IvfPqIndex:
         return _save_layout(self, path, store_vectors, "codes")
 
     @classmethod
-    def load(cls, spark, path: str, as_of: int | None = None) -> "IvfPqIndex":
+    def load(
+        cls, spark, path: str, as_of: int | tuple[int, int] | None = None
+    ) -> "IvfPqIndex":
         """Tip load, or (``as_of``) a read-only time-travel snapshot —
         the ``IvfSq8Index.load`` contract (one commit log shape, one
-        snapshot rule for both persisted tiers)."""
+        snapshot rule — bare seq for the current epoch, ``(epoch,
+        seq)`` pairs across folds through retention — for both
+        persisted tiers)."""
         import json as _json
 
         meta_path = os.path.join(path, "meta.json")
@@ -4256,26 +4613,22 @@ class IvfPqIndex:
             raise FileNotFoundError(meta_path)
         with open(meta_path) as f:
             meta = _json.load(f)
-        _check_as_of(path, as_of)
-        codes = IvfSq8Index._read_layout(spark, path, "codes", as_of)
+        meta, codes, vecs, marks, norm = _load_layout_frames(
+            spark, path, as_of, meta
+        )
         if codes is None:
             raise RuntimeError(f"IvfPqIndex at {path!r} has meta.json but no codes")
-        marks = IvfSq8Index._read_delete_marks(spark, path, meta["id_col"], as_of)
         idx = cls(
             _mask_deleted(codes, marks, meta["id_col"]),
             meta["centroids"],
             meta["codebooks"],
             meta["id_col"],
             meta["vec_col"],
-            vectors=_mask_deleted(
-                IvfSq8Index._read_layout(spark, path, "vectors", as_of),
-                marks,
-                meta["id_col"],
-            ),
+            vectors=_mask_deleted(vecs, marks, meta["id_col"]),
         )
-        idx._as_of = as_of
+        idx._as_of = norm
         # only the TIP may fold (see IvfSq8Index.load)
-        idx._mirror_path = path if as_of is None else None
+        idx._mirror_path = path if norm is None else None
         return idx
 
     def probe_cells(self, query_vec, nprobe: int = 2) -> list[int]:
