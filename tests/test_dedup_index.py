@@ -254,9 +254,12 @@ def test_minhash_index_compact_preserves_probe_results(spark, documents, tmp_pat
     merged = idx.compact()
     assert merged == 2
     assert len(idx._live_batch_dirs()) == 1
-    # superseded dirs physically reclaimed too
+    # superseded dirs RETAINED (r17: they are the pre-compaction
+    # time-travel bounds) until the explicit vacuum reclaims them
     import os
 
+    assert len(os.listdir(idx._batches_path)) == 3
+    idx.vacuum()
     assert len(os.listdir(idx._batches_path)) == 1
     # state bit-identical across the compaction
     assert idx._content_fingerprint(idx._stored("signatures")) == sig_fp
@@ -356,6 +359,9 @@ def test_winnow_index_compact_preserves_probe_results(spark, tmp_path):
     merged = idx.compact()
     assert merged == 2
     assert len(idx._live_entries()) == 1
+    # superseded entries RETAINED until vacuum (r17)
+    assert len(os.listdir(idx._fp_path)) == 3
+    idx.vacuum()
     assert len(os.listdir(idx._fp_path)) == 1
     assert MinHashDedupIndex._content_fingerprint(idx._stored()) == fp
     assert idx.compact() == 0
@@ -540,3 +546,172 @@ def test_winnow_compact_with_dataless_entries_is_noop(spark, tmp_path):
     assert len(idx._live_entries()) == 2
     assert idx._stored() is None
     assert idx.compact() == 0
+
+
+# ------------------------------------------------------- time travel (r17)
+
+
+def test_minhash_index_pairs_at_survives_compaction(
+    spark, documents, tmp_path
+):
+    """r16 verdict #4: the dedup tiers get the serving layouts'
+    snapshot story — ``pairs_at(as_of)`` replays the verdict set at any
+    retained commit, THROUGH a compaction (superseded dirs are retained,
+    dead-by-manifest for tip readers only); vacuum expires the history
+    with a loud error, never a silent partial state."""
+    import pytest
+
+    from whatsapp_vectordb_spark.operators.dedup import minhash_near_duplicates
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = documents.select("doc_id", "text").limit(90).cache()
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1).unionByName(
+        b1.where(F.col("doc_id").isin(3, 9)).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    b3 = docs.where(F.col("doc_id") % 3 == 2).unionByName(
+        b1.where(F.col("doc_id") == 6).select(
+            (F.col("doc_id") + 3000).alias("doc_id"), "text"
+        )
+    )
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_tt"), threshold=0.5)
+    idx.add_batch(b1)  # seq 1
+    idx.add_batch(b2)  # seq 2
+    assert idx.compact() == 2  # seq 3
+    idx.add_batch(b3)  # seq 4
+    assert idx.snapshots() == [0, 1, 2, 3, 4]
+
+    # bound BEFORE the compaction reads the retained dirs
+    at2 = _pairs(idx.pairs_at(2))
+    exp2 = _pairs(minhash_near_duplicates(b1.unionByName(b2), threshold=0.5))
+    assert at2 == exp2 and (3, 1003) in {(a, b) for a, b, _ in at2}
+    # bound at/after the compaction reads the compacted dir
+    assert _pairs(idx.pairs_at(3)) == exp2
+    tip = _pairs(idx.pairs_at())
+    exp_tip = _pairs(
+        minhash_near_duplicates(
+            b1.unionByName(b2).unionByName(b3), threshold=0.5
+        )
+    )
+    assert tip == exp_tip and tip > at2
+    assert _pairs(idx.pairs_at(0)) == set()
+
+    idx.vacuum()
+    with pytest.raises(ValueError, match="no longer readable"):
+        idx.pairs_at(2)
+    assert _pairs(idx.pairs_at(3)) == exp2  # the compacted bound survives
+    assert _pairs(idx.pairs_at()) == exp_tip
+    docs.unpersist()
+
+
+def test_winnow_index_pairs_at_survives_compaction(spark, tmp_path):
+    """Substring tier twin of the MinHash time-travel contract."""
+    import pytest
+
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base + " one"), (2, "totally different words here xyz abc")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame([(3, base + " two")], "doc_id long, text string")
+    b3 = spark.createDataFrame([(4, base + " three")], "doc_id long, text string")
+
+    idx = WinnowDedupIndex(spark, str(tmp_path / "wn_tt"), min_shared=2)
+    idx.add_batch(b1)  # seq 1
+    idx.add_batch(b2)  # seq 2
+    assert idx.compact() == 2  # seq 3
+    idx.add_batch(b3)  # seq 4
+    assert idx.snapshots() == [0, 1, 2, 3, 4]
+
+    def pat(bound=None):
+        return {
+            (r["id_a"], r["id_b"]) for r in idx.pairs_at(bound).collect()
+        }
+
+    assert pat(1) == set()
+    assert pat(2) == {(1, 3)}
+    assert pat(3) == {(1, 3)}
+    assert pat() == {(1, 3), (1, 4), (3, 4)}
+
+    idx.vacuum()
+    with pytest.raises(ValueError, match="no longer readable"):
+        idx.pairs_at(2)
+    assert pat(3) == {(1, 3)}
+
+
+def test_semdedup_index_verdicts_at(spark, embeddings, tmp_path):
+    """Semantic tier: ``verdicts_at(as_of)`` replays the kept/removed
+    flags as of any retained commit (greedy decisions are final, so the
+    bounded state IS the verdict history)."""
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    emb = embeddings.select("vec_id", "embedding").limit(60).cache()
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1).unionByName(copies)
+
+    idx = SemDedupIndex(
+        spark, str(tmp_path / "sd_tt"), threshold=0.95, n_clusters=4
+    )
+    r1 = {
+        r["vec_id"]: r["kept"] for r in idx.add_batch(b1).collect()
+    }  # seq 1
+    r2 = {r["vec_id"]: r["kept"] for r in idx.add_batch(b2).collect()}  # seq 2
+    assert idx.compact() == 2  # seq 3
+
+    v1 = {r["vec_id"]: r["kept"] for r in idx.verdicts_at(1).collect()}
+    assert v1 == r1
+    v2 = {r["vec_id"]: r["kept"] for r in idx.verdicts_at(2).collect()}
+    assert v2 == {**r1, **r2}
+    # through the compaction: bound 3 = same verdicts, compacted state
+    assert {
+        r["vec_id"]: r["kept"] for r in idx.verdicts_at(3).collect()
+    } == v2
+    assert {
+        r["vec_id"]: r["kept"] for r in idx.verdicts_at().collect()
+    } == v2
+    # exact copies of kept batch-1 rows must be removed in batch 2
+    kept1 = {i for i, k in r1.items() if k}
+    dominated = {i + 100_000 for i in kept1 if i % 10 == 0}
+    assert dominated and all(v2[d] is False for d in dominated)
+    emb.unpersist()
+
+
+def test_dedup_index_maintenance_tick_policy(spark, documents, tmp_path):
+    """The dedup tiers' compaction-policy verb (the serving layouts'
+    maintenance_tick contract): declines under the threshold at listdir
+    cost, compacts past it, retention untouched either way."""
+    from whatsapp_vectordb_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+        WinnowDedupIndex,
+    )
+
+    docs = documents.select("doc_id", "text").limit(40).cache()
+    idx = MinHashDedupIndex(spark, str(tmp_path / "mh_tick"), threshold=0.5)
+    for i in range(3):
+        idx.add_batch(docs.where(F.col("doc_id") % 3 == i))
+    out = idx.maintenance_tick(max_live_dirs=8)
+    assert out == {
+        "compacted": False,
+        "live_dirs_before": 3,
+        "live_dirs_after": 3,
+    }
+    out = idx.maintenance_tick(max_live_dirs=2)
+    assert out["compacted"] and out["live_dirs_after"] == 1
+    # retention intact: the pre-compaction bound still reads
+    assert idx.pairs_at(2) is not None and idx.snapshots()[-1] == 4
+
+    widx = WinnowDedupIndex(spark, str(tmp_path / "wn_tick"), min_shared=2)
+    widx.add_batch(docs.where(F.col("doc_id") % 2 == 0))
+    widx.add_batch(docs.where(F.col("doc_id") % 2 == 1))
+    assert widx.maintenance_tick(max_live_entries=8)["compacted"] is False
+    out = widx.maintenance_tick(max_live_entries=1)
+    assert out["compacted"] and out["live_dirs_after"] == 1
+    docs.unpersist()

@@ -251,9 +251,15 @@ FROM hx GROUP BY doc_id
 """
 
 
-def _minhash_pairs_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float) -> str:
+def _minhash_pairs_sql(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+    source: str = _AUG_SQL,
+) -> str:
     r = num_hashes // bands
-    sig = _minhash_sig_sql(num_hashes, shingle_n, _AUG_SQL)
+    sig = _minhash_sig_sql(num_hashes, shingle_n, source)
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
             b=b,
@@ -270,7 +276,7 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-corpus AS ({_AUG_SQL}),
+corpus AS ({source}),
 toks AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
 shl AS (SELECT doc_id, {_sh_sql(shingle_n)} AS shingles FROM toks),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM shl),

@@ -1209,3 +1209,130 @@ def dedup_semdedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_SDIDX_COMPACT_DIR, "cents")
     )
     return res.select("vec_id", "batch_no", "centroid", "cent_sim", "kept")
+
+
+# ==========================================================================
+# Dedup-index TIME TRAVEL (r16 verdict #4) — the three incremental index
+# tiers get the serving layouts' snapshot story: batch commits are seq-
+# numbered, a compaction RETAINS the dirs it supersedes (dead-by-manifest
+# for tip readers only), and `pairs_at(as_of)` / `verdicts_at(as_of)`
+# replay the verdict set — which docs the corpus considered duplicates,
+# and why — as of any retained commit. Each row ingests the augmented
+# corpus in three batches (seqs 1-3), COMPACTS (seq 4), ingests a fourth
+# batch (seq 5 — the tip differs from every pre-compaction bound), then
+# reads the bound at seq 3 THROUGH the compaction. The oracle is fully
+# SEMANTIC — it never reads the index files: documents are immutable, so
+# the verdict set at commit 3 equals the one-shot batch operator over
+# exactly the docs ingested by then (the union-of-batches ≡ one-shot
+# invariant, bounded) — a lost retained dir, a mis-scoped manifest, or a
+# seq misparse surfaces as a missing/phantom pair and breaks the hash.
+
+_MH_TT_SRC = f"SELECT doc_id, text FROM ({_AUG_SQL}) WHERE doc_id % 4 IN (0, 1, 2)"
+
+
+@_register(
+    "dedup_minhash_index_time_travel",
+    _minhash_pairs_sql(16, 4, 3, 0.5, source=_MH_TT_SRC),
+)
+def dedup_minhash_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-tier time travel (section comment above): ingest in
+    four batches with a compaction between #3 and #4, then serve
+    ``pairs_at(3)`` — the full verified near-dup pair set over the
+    first three batches' corpus, read from the RETAINED pre-compaction
+    commits (the seq-4 compaction's manifest is ignored at this bound,
+    the seq-5 batch never opens)."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    path = _oracle_scratch("mh_tt_oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = MinHashDedupIndex(
+        spark, path, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    for i in range(3):  # seqs 1-3
+        idx.add_batch(aug.where(F.pmod(F.col("doc_id"), F.lit(4)) == i))
+    if idx.compact() != 3:  # seq 4 — retains the three ingest dirs
+        raise RuntimeError("compaction shape drifted")
+    idx.add_batch(aug.where(F.pmod(F.col("doc_id"), F.lit(4)) == 3))  # seq 5
+    if idx.snapshots() != [0, 1, 2, 3, 4, 5]:
+        raise RuntimeError(f"commit log shape drifted: {idx.snapshots()}")
+    return idx.pairs_at(3)
+
+
+_WN_TT_SRC = f"SELECT doc_id, text FROM ({_AUG_SQL}) WHERE doc_id % 4 IN (0, 1, 2)"
+
+
+@_register(
+    "dedup_winnow_index_time_travel",
+    _winnow_pairs_sql(5, 4, 2, _WN_TT_SRC),
+)
+def dedup_winnow_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-tier time travel — same scenario, same bound, over the
+    winnowing-fingerprint index (loose per-batch files + a retained
+    compaction dir): ``pairs_at(3)`` returns every pair sharing >= 2
+    fingerprints within the first three batches' corpus."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import WinnowDedupIndex
+
+    path = _oracle_scratch("wn_tt_oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    aug = _augmented_docs(spark, sf_dir)
+    idx = WinnowDedupIndex(spark, path, k=5, w=4, min_shared=2)
+    for i in range(3):  # seqs 1-3
+        idx.add_batch(aug.where(F.pmod(F.col("doc_id"), F.lit(4)) == i))
+    if idx.compact() != 3:  # seq 4
+        raise RuntimeError("compaction shape drifted")
+    idx.add_batch(aug.where(F.pmod(F.col("doc_id"), F.lit(4)) == 3))  # seq 5
+    return idx.pairs_at(3)
+
+
+_SDIDX_TT_DIR = _oracle_scratch("semdedup_index_tt_oracle")
+
+
+@_register(
+    "dedup_semdedup_index_time_travel",
+    f"SELECT vec_id, kept FROM ({_semdedup_certificate_sql(_SDIDX_TT_DIR, 0.95)})",
+)
+def dedup_semdedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-tier time travel: three ingest batches (greedy ε-net
+    election, flags persisted for the certificate), a compaction, a
+    fourth batch — then ``verdicts_at(3)`` replays every pre-compaction
+    kept/removed verdict from the retained commits. The oracle
+    re-derives the flags non-recursively via the greedy-uniqueness
+    certificate over the first three batches' persisted election — the
+    seq-5 batch's ids must NOT appear."""
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.dedup_index import SemDedupIndex
+
+    shutil.rmtree(_SDIDX_TT_DIR, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    idx = SemDedupIndex(
+        spark, os.path.join(_SDIDX_TT_DIR, "idx"), threshold=0.95, n_clusters=8
+    )
+    parts = []
+    for i in range(3):  # seqs 1-3
+        b = aug.where(F.pmod(F.col("vec_id"), F.lit(4)) == i)
+        parts.append(idx.add_batch(b).withColumn("batch_no", F.lit(i)))
+    if idx.compact() != 3:  # seq 4
+        raise RuntimeError("compaction shape drifted")
+    idx.add_batch(aug.where(F.pmod(F.col("vec_id"), F.lit(4)) == 3))  # seq 5
+    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    aug.join(res, "vec_id").select(
+        "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
+    ).write.mode("overwrite").parquet(os.path.join(_SDIDX_TT_DIR, "cells"))
+    cents = idx._load_centroids()
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_SDIDX_TT_DIR, "cents")
+    )
+    return idx.verdicts_at(3)

@@ -61,14 +61,44 @@ def _gc_staging(path: str) -> None:
                     pass
 
 
+def _parse_seq(name: str) -> int:
+    """Commit sequence from a state entry name — ``<seq>_<uuid>`` batch
+    dirs, ``<seq>_<uuid>.parquet`` fingerprint files, or
+    ``compact_<seq>_<uuid>`` compaction entries (the serving layouts'
+    ``_parse_batch_seq`` contract: zero-padded at-least-8-digit decimal
+    head). Legacy unnumbered entries order as 0 — they predate the
+    time-travel verbs and are append-only data, so any bound includes
+    them (round 17)."""
+    if name.startswith("compact_"):
+        name = name[len("compact_") :]
+    if "_" not in name:
+        return 0
+    head = name.split("_", 1)[0]
+    return int(head) if head.isdigit() and len(head) >= 8 else 0
+
+
+def _lease(path: str, verb: str):
+    """The house writer lease (``ann._writer_lease`` — O_EXCL lock file,
+    stale-breaking, same-thread reentrant), shared by the dedup indexes:
+    they carry the identical single-writer posture, so the r17
+    enforcement applies here too. Lazy import: ``operators.ann`` only
+    imports this module inside function bodies, so no cycle."""
+    from whatsapp_vectordb_spark.operators.ann import _writer_lease
+
+    return _writer_lease(path, verb)
+
+
 class _BatchDirIndex:
     """Shared machinery for indexes whose state accretes as ATOMIC
-    ``batches/<uuid>`` directory commits: live-dir listing with
-    ``replaces.json`` manifest supersession, dead-dir GC, the
-    count+xxhash64-XOR content fingerprint, and the checksum-gated
-    single-rename ``compact()``. Subclasses set ``_TABLES`` (the table
-    subdirs committed together in each batch dir) and implement their
-    own ``add_batch``."""
+    ``batches/<seq>_<uuid>`` directory commits: live-dir listing with
+    ``replaces.json`` manifest supersession, the count+xxhash64-XOR
+    content fingerprint, the checksum-gated single-rename ``compact()``,
+    commit-seq TIME TRAVEL (``as_of`` bounds on every state read — a
+    compaction RETAINS the dirs it supersedes, invisible to tip reads
+    by manifest, until ``vacuum()`` reclaims them; r16 verdict #4), and
+    the ``maintenance_tick`` compaction policy. Subclasses set
+    ``_TABLES`` (the table subdirs committed together in each batch
+    dir) and implement their own ``add_batch``."""
 
     _TABLES: tuple[str, ...] = ()
 
@@ -80,29 +110,73 @@ class _BatchDirIndex:
     def _batches_path(self) -> str:
         return os.path.join(self.path, "batches")
 
-    def _live_batch_dirs(self) -> list[str]:
-        """Committed batch dir names minus every dir named in ANY
-        ``replaces.json`` manifest present under ``batches/``. A
-        compacted dir carries the manifest of the dirs it merged; the
-        moment its single commit rename lands, the replaced dirs are
-        dead to readers even while still on disk (crash-before-delete
-        leaves them as invisible garbage, never double-counted shingles).
-        Manifests from dead dirs still apply — a chain of compactions
-        must keep every transitively-replaced dir dead."""
-        import json as _json
-
+    def _all_batch_dirs(self) -> list[str]:
         root = self._batches_path
         if not os.path.exists(root):
             return []
-        dirs = [
-            b for b in sorted(os.listdir(root))
+        return [
+            b
+            for b in sorted(os.listdir(root))
             if os.path.isdir(os.path.join(root, b))
         ]
-        dead = self._dead_names()
+
+    def _next_seq(self) -> int:
+        """1 + max committed seq over ALL dirs (dead included — a
+        compaction's retained victims must never be re-numbered over).
+        Callers hold the writer lease across allocation + rename."""
+        return 1 + max(
+            (_parse_seq(b) for b in self._all_batch_dirs()), default=0
+        )
+
+    def snapshots(self) -> list[int]:
+        """Readable time-travel bounds: every commit seq still on disk
+        (retained-dead dirs count — that is what retention is for),
+        ascending, 0 prepended (the empty pre-ingest state). A bound
+        older than what ``vacuum`` kept raises at read time."""
+        return sorted(
+            {0} | {_parse_seq(b) for b in self._all_batch_dirs()}
+        )
+
+    def _live_batch_dirs(self, as_of: int | None = None) -> list[str]:
+        """Batch dir names LIVE at the tip (default) or at commit bound
+        ``as_of``: dirs with seq <= the bound, minus every dir a
+        manifest visible AT THAT BOUND declares dead. A compacted dir
+        carries the manifest of the dirs it merged; the moment its
+        single commit rename lands, the replaced dirs are dead to TIP
+        readers even while still on disk — but a bound BEFORE the
+        compaction ignores its manifest and reads the retained dirs
+        (time travel through compaction). Manifests from dead dirs
+        still apply — a chain of compactions must keep every
+        transitively-replaced dir dead.
+
+        VACUUM TRIPWIRE: if a manifest names a dir that is gone from
+        disk yet would be LIVE at this bound (named only by manifests
+        NEWER than the bound), the bound's history was vacuumed —
+        raise instead of silently serving a partial state."""
+        dirs = self._all_batch_dirs()
+        on_disk = set(dirs)
+        if as_of is not None:
+            dirs = [b for b in dirs if _parse_seq(b) <= as_of]
+        dead = self._dead_names(as_of)
+        if as_of is not None:
+            vanished = self._dead_names(None) - on_disk
+            lost = [
+                v
+                for v in vanished
+                if _parse_seq(v) <= as_of and v not in dead
+            ]
+            if lost:
+                raise ValueError(
+                    f"as_of={as_of} is no longer readable at {self.path!r}: "
+                    f"vacuum reclaimed commits this bound needs ({sorted(lost)}); "
+                    "re-read snapshots() for the retained bounds"
+                )
         return [b for b in dirs if b not in dead]
 
-    def _dead_names(self) -> set[str]:
-        """Every name declared dead by ANY manifest under ``batches/``."""
+    def _dead_names(self, as_of: int | None = None) -> set[str]:
+        """Every name declared dead by a manifest visible at the bound
+        (manifests in dirs with seq > ``as_of`` do not apply — their
+        compaction had not happened yet)."""
         import json as _json
 
         root = self._batches_path
@@ -110,6 +184,8 @@ class _BatchDirIndex:
         if not os.path.exists(root):
             return dead
         for b in os.listdir(root):
+            if as_of is not None and _parse_seq(b) > as_of:
+                continue
             man = os.path.join(root, b, "replaces.json")
             if os.path.exists(man):
                 try:
@@ -148,16 +224,16 @@ class _BatchDirIndex:
         ).collect()[0]
         return int(row["n"]), int(row["x"])
 
-    def _stored(self, which: str) -> DataFrame | None:
-        """Union of table ``which`` across LIVE committed batch dirs
-        (compaction-superseded dirs are dead by manifest — see
+    def _stored(self, which: str, as_of: int | None = None) -> DataFrame | None:
+        """Union of table ``which`` across batch dirs LIVE at the tip
+        (default) or at time-travel bound ``as_of`` (see
         ``_live_batch_dirs``). A batch dir only exists once its single
         commit rename succeeded, so everything listed here is complete —
         all tables, all files."""
         root = self._batches_path
         paths = [
             os.path.join(root, b, which)
-            for b in self._live_batch_dirs()
+            for b in self._live_batch_dirs(as_of)
             if os.path.isdir(os.path.join(root, b, which))
             and any(
                 f.endswith(".parquet")
@@ -171,21 +247,27 @@ class _BatchDirIndex:
     def _commit_batch(self, frames: dict[str, DataFrame]) -> None:
         """Stage every table of one batch under a single ``_staging``
         dir, then commit with ONE atomic directory rename into
-        ``batches/<uuid>`` — the tables become visible together or not
-        at all (the MinHash index's ADVICE-r12 contract, generalized)."""
+        ``batches/<seq>_<uuid>`` — the tables become visible together or
+        not at all (the MinHash index's ADVICE-r12 contract,
+        generalized). Seq allocation + rename run under the writer
+        lease (r17 — the serving layouts' enforced single-writer
+        contract)."""
         import shutil
         import uuid
 
-        batch_id = uuid.uuid4().hex
-        stage = os.path.join(self.path, "_staging", batch_id)
-        try:
-            for which, df in frames.items():
-                df.write.mode("overwrite").parquet(os.path.join(stage, which))
-            os.makedirs(self._batches_path, exist_ok=True)
-            os.rename(stage, os.path.join(self._batches_path, batch_id))
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
+        with _lease(self.path, "add_batch"):
+            batch_id = f"{self._next_seq():08d}_{uuid.uuid4().hex}"
+            stage = os.path.join(self.path, "_staging", batch_id)
+            try:
+                for which, df in frames.items():
+                    df.write.mode("overwrite").parquet(
+                        os.path.join(stage, which)
+                    )
+                os.makedirs(self._batches_path, exist_ok=True)
+                os.rename(stage, os.path.join(self._batches_path, batch_id))
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
 
     def compact(self) -> int:
         """Merge every live ``batches/<uuid>`` dir into ONE — the
@@ -204,49 +286,85 @@ class _BatchDirIndex:
         rename, a content-checksum invariant (count + xxhash64 XOR per
         table) verifies the staged data equals the live union —
         mismatch aborts with the old state intact. Mirrors
-        ``VectorIndex.compact`` (index.py) for the vector table."""
+        ``VectorIndex.compact`` (index.py) for the vector table.
+
+        RETENTION (r17): the superseded dirs are NOT deleted — dead by
+        manifest for tip readers, they are exactly the snapshots a
+        time-travel bound before this compaction reads; ``vacuum()`` is
+        the explicit reclaim verb (the serving layouts' fold/vacuum
+        split). Runs under the writer lease."""
         import json as _json
         import shutil
         import uuid
 
-        _gc_staging(self.path)
-        self._gc_dead_batches()
-        live = self._live_batch_dirs()
-        if len(live) <= 1:
-            return 0
-        before = {
-            which: self._content_fingerprint(df)
-            for which in self._TABLES
-            if (df := self._stored(which)) is not None
-        }
-        batch_id = uuid.uuid4().hex
-        stage = os.path.join(self.path, "_staging", batch_id)
-        try:
-            for which in before:
-                self._stored(which).write.mode("overwrite").parquet(
-                    os.path.join(stage, which)
-                )
-            os.makedirs(stage, exist_ok=True)  # both tables may be empty
-            # TRANSITIVE manifest: carry forward every already-dead name
-            # too — otherwise GC deleting an older compact dir (whose
-            # manifest was keeping a failed-rmtree survivor dead) before
-            # that survivor would resurrect it as live state
-            with open(os.path.join(stage, "replaces.json"), "w") as f:
-                _json.dump(sorted(set(live) | self._dead_names()), f)
-            for which, fp in before.items():
-                staged = self.spark.read.parquet(os.path.join(stage, which))
-                if self._content_fingerprint(staged) != fp:
-                    raise RuntimeError(
-                        f"compaction checksum mismatch on {which!r}: "
-                        "staged content differs from the live union — "
-                        "aborting with the old state intact"
+        with _lease(self.path, "compact"):
+            _gc_staging(self.path)
+            live = self._live_batch_dirs()
+            if len(live) <= 1:
+                return 0
+            before = {
+                which: self._content_fingerprint(df)
+                for which in self._TABLES
+                if (df := self._stored(which)) is not None
+            }
+            batch_id = f"{self._next_seq():08d}_{uuid.uuid4().hex}"
+            stage = os.path.join(self.path, "_staging", batch_id)
+            try:
+                for which in before:
+                    self._stored(which).write.mode("overwrite").parquet(
+                        os.path.join(stage, which)
                     )
-            os.rename(stage, os.path.join(self._batches_path, batch_id))
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        self._gc_dead_batches()
-        return len(live)
+                os.makedirs(stage, exist_ok=True)  # both tables may be empty
+                # TRANSITIVE manifest: carry forward every already-dead
+                # name too — otherwise GC deleting an older compact dir
+                # (whose manifest was keeping a failed-rmtree survivor
+                # dead) before that survivor would resurrect it as live
+                # state
+                with open(os.path.join(stage, "replaces.json"), "w") as f:
+                    _json.dump(sorted(set(live) | self._dead_names()), f)
+                for which, fp in before.items():
+                    staged = self.spark.read.parquet(os.path.join(stage, which))
+                    if self._content_fingerprint(staged) != fp:
+                        raise RuntimeError(
+                            f"compaction checksum mismatch on {which!r}: "
+                            "staged content differs from the live union — "
+                            "aborting with the old state intact"
+                        )
+                os.rename(stage, os.path.join(self._batches_path, batch_id))
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            return len(live)
+
+    def vacuum(self) -> None:
+        """Reclaim compaction-superseded batch dirs and orphaned staging
+        — the explicit retention-expiry verb (r17): until it runs,
+        every pre-compaction commit stays readable via
+        ``_stored(..., as_of)``; after it, those bounds raise loudly at
+        read time (the ``_live_batch_dirs`` vacuum tripwire). Under the
+        writer lease — racing a compaction could delete the dir it is
+        mid-publishing against."""
+        with _lease(self.path, "vacuum"):
+            _gc_staging(self.path)
+            self._gc_dead_batches()
+
+    def maintenance_tick(self, max_live_dirs: int = 8) -> dict:
+        """ONE compaction-policy decision — the verb a background
+        maintenance loop runs per index per interval (the serving
+        layouts' ``maintenance_tick`` contract): poll the live dir
+        count (one listdir + manifest reads, no Spark job); compact
+        when it exceeds ``max_live_dirs`` (dir LISTING is what degrades
+        at streaming cadence, one dir lands per trigger). Retention
+        untouched — ``vacuum`` stays a separate decision. Runs under
+        the writer lease end-to-end (poll→compact TOCTOU)."""
+        with _lease(self.path, "maintenance_tick"):
+            before = len(self._live_batch_dirs())
+            merged = self.compact() if before > max_live_dirs else 0
+            return {
+                "compacted": merged > 0,
+                "live_dirs_before": before,
+                "live_dirs_after": len(self._live_batch_dirs()),
+            }
 
 
 class MinHashDedupIndex(_BatchDirIndex):
@@ -382,9 +500,47 @@ class MinHashDedupIndex(_BatchDirIndex):
         sh_new.unpersist()
         return pairs
 
+    def pairs_at(self, as_of: int | None = None) -> DataFrame:
+        """The index's FULL verdict set — every verified near-dup pair
+        ``(id_a, id_b, jaccard)`` derivable from the state committed at
+        bound ``as_of`` (tip when None): band-key candidates within the
+        bounded signatures, exact Jaccard on the bounded shingles. This
+        is the time-travel read (r16 verdict #4): "which docs did
+        yesterday's corpus consider duplicates, and why" replayed from
+        retained commits — equal to the union of the per-batch
+        ``add_batch`` pair sets through that commit (documents are
+        immutable, so a pair exists iff both members' state is in the
+        bound — the same argument as the union-of-batches ≡ one-shot
+        invariant)."""
+        banded = self._stored("signatures", as_of)
+        if banded is None:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double"
+            )
+        sh = self._stored("shingles", as_of)
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_key") == F.col("b.band_key"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return _verify_jaccard(
+            cand, sh.select("doc_id", "_h"), "doc_id", self.threshold, 6
+        )
+
     def _commit_appends(self, banded_new: DataFrame, sh_new: DataFrame) -> None:
         """Stage BOTH tables under one batch directory, then commit with a
-        SINGLE atomic directory rename into ``batches/<uuid>/``
+        SINGLE atomic directory rename into ``batches/<seq>_<uuid>/``
         (``_BatchDirIndex._commit_batch``).
 
         The pre-r13 scheme renamed part-files into two live dirs in a
@@ -442,30 +598,59 @@ class WinnowDedupIndex:
     def _fp_path(self) -> str:
         return os.path.join(self.path, "fingerprints")
 
-    def _live_entries(self) -> list[str]:
-        """Live state entry names under ``fingerprints/``: loose
-        ``<uuid>.parquet`` files (one per committed batch) plus
-        ``compact_<uuid>`` dirs, minus every name in ANY
-        ``replaces.json`` manifest — same supersession rule as
-        ``MinHashDedupIndex._live_batch_dirs`` (a committed compaction
-        makes the merged entries dead even before they are deleted)."""
+    def _all_entries(self) -> list[str]:
         p = self._fp_path
         if not os.path.exists(p):
             return []
-        entries = sorted(os.listdir(p))
-        dead = self._dead_entry_names()
         return [
             e
-            for e in entries
-            if e not in dead
-            and (
-                e.endswith(".parquet")
-                or (e.startswith("compact_") and os.path.isdir(os.path.join(p, e)))
-            )
+            for e in sorted(os.listdir(p))
+            if e.endswith(".parquet")
+            or (e.startswith("compact_") and os.path.isdir(os.path.join(p, e)))
         ]
 
-    def _dead_entry_names(self) -> set[str]:
-        """Every entry name declared dead by ANY compact manifest."""
+    def _next_seq(self) -> int:
+        """1 + max committed seq over ALL entries (dead included).
+        Callers hold the writer lease across allocation + rename."""
+        return 1 + max((_parse_seq(e) for e in self._all_entries()), default=0)
+
+    def snapshots(self) -> list[int]:
+        """Readable time-travel bounds — the ``_BatchDirIndex`` contract
+        (every commit seq still on disk, 0 = pre-ingest)."""
+        return sorted({0} | {_parse_seq(e) for e in self._all_entries()})
+
+    def _live_entries(self, as_of: int | None = None) -> list[str]:
+        """State entry names under ``fingerprints/`` LIVE at the tip
+        (default) or at commit bound ``as_of``: loose
+        ``<seq>_<uuid>.parquet`` files (one per committed batch) plus
+        ``compact_<seq>_<uuid>`` dirs, minus every name in a manifest
+        visible AT THE BOUND — same supersession + retention +
+        vacuum-tripwire rules as ``_BatchDirIndex._live_batch_dirs``
+        (a committed compaction makes the merged entries dead to tip
+        readers even before deletion; a bound BEFORE it reads them)."""
+        entries = self._all_entries()
+        on_disk = set(entries)
+        if as_of is not None:
+            entries = [e for e in entries if _parse_seq(e) <= as_of]
+        dead = self._dead_entry_names(as_of)
+        if as_of is not None:
+            vanished = self._dead_entry_names(None) - on_disk
+            lost = [
+                v
+                for v in vanished
+                if _parse_seq(v) <= as_of and v not in dead
+            ]
+            if lost:
+                raise ValueError(
+                    f"as_of={as_of} is no longer readable at {self.path!r}: "
+                    f"vacuum reclaimed commits this bound needs ({sorted(lost)}); "
+                    "re-read snapshots() for the retained bounds"
+                )
+        return [e for e in entries if e not in dead]
+
+    def _dead_entry_names(self, as_of: int | None = None) -> set[str]:
+        """Every entry name declared dead by a compact manifest visible
+        at the bound (newer compactions' manifests do not apply)."""
         import json as _json
 
         p = self._fp_path
@@ -473,6 +658,8 @@ class WinnowDedupIndex:
         if not os.path.exists(p):
             return dead
         for e in os.listdir(p):
+            if as_of is not None and _parse_seq(e) > as_of:
+                continue
             man = os.path.join(p, e, "replaces.json")
             if e.startswith("compact_") and os.path.exists(man):
                 try:
@@ -482,9 +669,9 @@ class WinnowDedupIndex:
                     pass
         return dead
 
-    def _stored(self) -> DataFrame | None:
+    def _stored(self, as_of: int | None = None) -> DataFrame | None:
         paths = []
-        for e in self._live_entries():
+        for e in self._live_entries(as_of):
             full = os.path.join(self._fp_path, e)
             if e.endswith(".parquet"):
                 paths.append(full)
@@ -497,6 +684,37 @@ class WinnowDedupIndex:
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def pairs_at(self, as_of: int | None = None) -> DataFrame:
+        """The index's FULL verdict set at commit bound ``as_of`` (tip
+        when None): every pair sharing >= ``min_shared`` winnowing
+        fingerprints within the bounded state — the substring tier's
+        time-travel read (r16 verdict #4), equal to the union of the
+        per-batch ``add_batch`` pair sets through that commit (documents
+        immutable — the union-of-batches ≡ one-shot argument)."""
+        fp = self._stored(as_of)
+        if fp is None:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, n_shared long"
+            )
+        d = fp.select("doc_id", "fp_hash").distinct()
+        a, b = d.alias("a"), d.alias("b")
+        return (
+            a.join(
+                b,
+                on=[
+                    F.col("a.fp_hash") == F.col("b.fp_hash"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+        )
 
     def _gc_dead_entries(self) -> None:
         """Reclaim entries superseded by a committed compaction (already
@@ -526,44 +744,73 @@ class WinnowDedupIndex:
         a ``replaces.json`` manifest stage under ``_staging/<uuid>`` and
         publish with ONE ``os.rename``; a count + xxhash64-XOR checksum
         against the live union gates the rename; a crash at any point
-        leaves a readable, correct index."""
+        leaves a readable, correct index. RETENTION (r17): superseded
+        entries stay on disk — dead by manifest for tip readers, they
+        are the pre-compaction time-travel bounds until ``vacuum()``
+        reclaims them. Under the writer lease."""
         import json as _json
         import shutil
         import uuid
 
-        _gc_staging(self.path)
-        self._gc_dead_entries()
-        live = self._live_entries()
-        if len(live) <= 1:
-            return 0
-        stored = self._stored()
-        if stored is None:
-            # >1 live entries but none yields parquet data (e.g. compact
-            # dirs whose data subdir was lost): nothing to merge — the
-            # fingerprint of None would raise AttributeError (ADVICE r14)
-            return 0
-        before = _BatchDirIndex._content_fingerprint(stored)
-        cid = f"compact_{uuid.uuid4().hex}"
-        stage = os.path.join(self.path, "_staging", cid)
-        try:
-            stored.write.mode("overwrite").parquet(os.path.join(stage, "data"))
-            with open(os.path.join(stage, "replaces.json"), "w") as f:
-                # transitive manifest (same resurrection hazard as the
-                # batch-dir compact): keep already-dead names dead
-                _json.dump(sorted(set(live) | self._dead_entry_names()), f)
-            staged = self.spark.read.parquet(os.path.join(stage, "data"))
-            if _BatchDirIndex._content_fingerprint(staged) != before:
-                raise RuntimeError(
-                    "compaction checksum mismatch on fingerprints: staged "
-                    "content differs from the live union — aborting with "
-                    "the old state intact"
+        with _lease(self.path, "compact"):
+            _gc_staging(self.path)
+            live = self._live_entries()
+            if len(live) <= 1:
+                return 0
+            stored = self._stored()
+            if stored is None:
+                # >1 live entries but none yields parquet data (e.g.
+                # compact dirs whose data subdir was lost): nothing to
+                # merge — the fingerprint of None would raise
+                # AttributeError (ADVICE r14)
+                return 0
+            before = _BatchDirIndex._content_fingerprint(stored)
+            cid = f"compact_{self._next_seq():08d}_{uuid.uuid4().hex}"
+            stage = os.path.join(self.path, "_staging", cid)
+            try:
+                stored.write.mode("overwrite").parquet(
+                    os.path.join(stage, "data")
                 )
-            os.rename(stage, os.path.join(self._fp_path, cid))
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        self._gc_dead_entries()
-        return len(live)
+                with open(os.path.join(stage, "replaces.json"), "w") as f:
+                    # transitive manifest (same resurrection hazard as the
+                    # batch-dir compact): keep already-dead names dead
+                    _json.dump(
+                        sorted(set(live) | self._dead_entry_names()), f
+                    )
+                staged = self.spark.read.parquet(os.path.join(stage, "data"))
+                if _BatchDirIndex._content_fingerprint(staged) != before:
+                    raise RuntimeError(
+                        "compaction checksum mismatch on fingerprints: "
+                        "staged content differs from the live union — "
+                        "aborting with the old state intact"
+                    )
+                os.rename(stage, os.path.join(self._fp_path, cid))
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            return len(live)
+
+    def vacuum(self) -> None:
+        """Reclaim compaction-superseded entries + orphaned staging —
+        the explicit retention-expiry verb (the ``_BatchDirIndex.vacuum``
+        contract); expired bounds raise loudly at read time."""
+        with _lease(self.path, "vacuum"):
+            _gc_staging(self.path)
+            self._gc_dead_entries()
+
+    def maintenance_tick(self, max_live_entries: int = 8) -> dict:
+        """ONE compaction-policy decision per interval — the
+        ``_BatchDirIndex.maintenance_tick`` contract (poll the live
+        entry count, compact past the threshold, retention untouched),
+        under the writer lease end-to-end."""
+        with _lease(self.path, "maintenance_tick"):
+            before = len(self._live_entries())
+            merged = self.compact() if before > max_live_entries else 0
+            return {
+                "compacted": merged > 0,
+                "live_dirs_before": before,
+                "live_dirs_after": len(self._live_entries()),
+            }
 
     def add_batch(
         self,
@@ -662,29 +909,34 @@ class WinnowDedupIndex:
         import shutil
         import uuid
 
-        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
-        stage_fp = os.path.join(stage, "fingerprints")
-        try:
-            fp_new.coalesce(1).write.mode("overwrite").parquet(stage_fp)
-            parts = [
-                f for f in os.listdir(stage_fp) if f.endswith(".parquet")
-            ]
-            if len(parts) != 1:
-                # Explicit raise, not assert: under ``python -O`` an assert
-                # vanishes, and renaming only parts[0] while the finally
-                # rmtree deletes the rest would be permanent fingerprint
-                # loss. coalesce(1) guarantees one file; anything else
-                # means the invariant broke and the commit must abort.
-                raise RuntimeError(
-                    f"single-file commit invariant broken: staged {parts}"
+        with _lease(self.path, "add_batch"):
+            stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+            stage_fp = os.path.join(stage, "fingerprints")
+            try:
+                fp_new.coalesce(1).write.mode("overwrite").parquet(stage_fp)
+                parts = [
+                    f for f in os.listdir(stage_fp) if f.endswith(".parquet")
+                ]
+                if len(parts) != 1:
+                    # Explicit raise, not assert: under ``python -O`` an
+                    # assert vanishes, and renaming only parts[0] while the
+                    # finally rmtree deletes the rest would be permanent
+                    # fingerprint loss. coalesce(1) guarantees one file;
+                    # anything else means the invariant broke and the
+                    # commit must abort.
+                    raise RuntimeError(
+                        f"single-file commit invariant broken: staged {parts}"
+                    )
+                os.makedirs(self._fp_path, exist_ok=True)
+                os.rename(
+                    os.path.join(stage_fp, parts[0]),
+                    os.path.join(
+                        self._fp_path,
+                        f"{self._next_seq():08d}_{uuid.uuid4().hex}.parquet",
+                    ),
                 )
-            os.makedirs(self._fp_path, exist_ok=True)
-            os.rename(
-                os.path.join(stage_fp, parts[0]),
-                os.path.join(self._fp_path, f"{uuid.uuid4().hex}.parquet"),
-            )
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
 
 
 class SemDedupIndex(_BatchDirIndex):
@@ -926,3 +1178,22 @@ class SemDedupIndex(_BatchDirIndex):
         ids_df = assigned.select(F.col(icol).alias("vec_id"))
         self._commit_batch({"kept": kept_rows, "ids": ids_df})
         return res
+
+    def verdicts_at(self, as_of: int | None = None) -> DataFrame:
+        """The index's VERDICT SET at commit bound ``as_of`` (tip when
+        None): every id the index had judged by that commit with its
+        final kept/removed flag — the semantic tier's time-travel read
+        (r16 verdict #4): "which docs did yesterday's corpus keep, which
+        did it fold into a representative". Greedy decisions are FINAL
+        (stored state is append-only — the class contract), so the
+        bounded union of the ``ids``/``kept`` tables IS the state after
+        that commit: kept = membership in the bounded ``kept`` table."""
+        ids = self._stored("ids", as_of)
+        if ids is None:
+            return self.spark.createDataFrame([], "vec_id long, kept boolean")
+        kept = self._stored("kept", as_of)
+        if kept is None:
+            return ids.select("vec_id", F.lit(False).alias("kept"))
+        return ids.select("vec_id").join(
+            kept.select("vec_id", F.lit(True).alias("kept")), "vec_id", "left"
+        ).select("vec_id", F.coalesce("kept", F.lit(False)).alias("kept"))
