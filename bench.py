@@ -121,6 +121,31 @@ def _io_canary_mbs() -> float:
     return round(best, 1)
 
 
+def _wait_for_quiet(max_polls: int = 20, interval_s: float = 30.0) -> dict:
+    """Bounded quiet-window gate (VERDICT r16 #6): poll BOTH canaries
+    until both pass their thresholds or the poll budget runs out —
+    official end-of-round records should start inside a quiet window
+    instead of merely flagging a degraded one after the fact. Returns
+    the poll evidence for the payload; the run proceeds either way (an
+    exhausted wait records loudly, it does not block the round)."""
+    polls = 0
+    cpu, io = _host_canary(), _io_canary_mbs()
+    while (
+        cpu > CANARY_DEGRADED_SEC or io < IO_CANARY_DEGRADED_MBS
+    ) and polls < max_polls:
+        polls += 1
+        time.sleep(interval_s)
+        cpu, io = _host_canary(), _io_canary_mbs()
+    return {
+        "polls": polls,
+        "max_polls": max_polls,
+        "quiet_achieved": cpu <= CANARY_DEGRADED_SEC
+        and io >= IO_CANARY_DEGRADED_MBS,
+        "cpu_sec": cpu,
+        "io_mb_s": io,
+    }
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -141,6 +166,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    require_quiet = "--require-quiet" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_REQUIRE_QUIET", ""
+    ) in ("1", "true")
+    quiet_wait = _wait_for_quiet() if require_quiet else None
     canary_pre = _host_canary()
     io_pre = _io_canary_mbs()
     spark = get_spark(app_name="wvs-bench")
@@ -768,6 +797,17 @@ def main() -> None:
         "host_degraded": canary > CANARY_DEGRADED_SEC
         or io_canary < IO_CANARY_DEGRADED_MBS,
     }
+    if quiet_wait is not None:
+        payload["require_quiet"] = quiet_wait
+        if payload["host_degraded"]:
+            # the bounded gate is exhausted or the window closed mid-run
+            # — record the failure explicitly (VERDICT r16 #6's "Done")
+            payload["quiet_retry_exhausted"] = (
+                f"--require-quiet waited {quiet_wait['polls']}/"
+                f"{quiet_wait['max_polls']} polls "
+                f"(quiet_achieved={quiet_wait['quiet_achieved']}) but the "
+                "run still recorded degraded canaries"
+            )
     # The driver's BENCH_r*.json capture keeps only a truncated stdout
     # tail, losing the head of this one-line JSON (the first ~4 queries'
     # timings were unrecoverable from r9's artifact — VERDICT r9 #4). Also

@@ -7,6 +7,8 @@ A correctness-green operator with the wrong plan fails here.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -980,6 +982,67 @@ def test_ivfpq_index_filtered_probe_keeps_pruning_and_broadcasts(
     assert "BroadcastHashJoin LeftSemi BuildRight" in p, p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert "PushedFilters: [IsNotNull(label), EqualTo(label" in p, p
+
+
+def test_retained_snapshot_plan_prunes_and_tip_ignores_retention(
+    spark, embeddings, tmp_path
+):
+    """Snapshot retention's scale contract (r17): (a) a TIP read over a
+    folded layout never touches the retention machinery — its plan
+    scans exactly the folded base + live commits, no ``_retained``
+    path anywhere (retention costs tip readers nothing); (b) a
+    RETAINED-epoch snapshot plan unions one scan per resolved source
+    group + the retained commit roots within the bound — the LIVE
+    commit log (newer epoch's batches) contributes no scan, partition
+    pruning (centroid filters) reaches every branch, and the tombstone
+    mask stays a broadcast anti-join."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        _snapshot_cell_sources,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "ret_plan")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    repl = emb.where(F.col("vec_id") % 25 == 0).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(repl, path=path)  # (0, 1) codes
+    IvfSq8Index.load(spark, path).delete([3, 23], path=path)  # (0, 2)
+    IvfSq8Index.load(spark, path).save(path)  # FOLD → epoch 1
+    IvfSq8Index.load(spark, path).upsert(  # (1, 1) — beyond the bound
+        repl.where(F.col("vec_id") % 50 == 0), path=path
+    )
+
+    def scans(p):
+        return [ln for ln in p.splitlines() if "Scan parquet" in ln]
+
+    def pruned_scans(p):
+        return [
+            ln
+            for ln in p.splitlines()
+            if "PartitionFilters" in ln and "centroid" in ln
+        ]
+
+    # (a) tip read: folded base + the one live commit — retention free
+    p_tip = plan(IvfSq8Index.load(spark, path).probe(qvec, k=5, nprobe=2))
+    assert "_retained" not in p_tip, p_tip
+    assert len(pruned_scans(p_tip)) == 2, p_tip
+
+    # (b) retained snapshot at (0, 2)
+    snap = IvfSq8Index.load(spark, path, as_of=(0, 2))
+    groups = len(set(_snapshot_cell_sources(path, 0).values()))
+    p_snap = plan(snap.probe(qvec, k=5, nprobe=2))
+    # source groups + the (0,1) batch codes root; the epoch-1 live
+    # commit contributes NO scan
+    assert len(pruned_scans(p_snap)) == groups + 1, p_snap
+    live_batches = sorted(os.listdir(os.path.join(path, "batches")))
+    assert live_batches and all(b not in p_snap for b in live_batches), (
+        p_snap
+    )
+    assert "BroadcastHashJoin LeftAnti BuildRight" in p_snap, p_snap
+    assert "SortMergeJoin" not in p_snap, p_snap
 
 
 def test_time_travel_snapshot_drops_newer_roots_keeps_pruning(
