@@ -1026,8 +1026,11 @@ def test_retained_snapshot_plan_prunes_and_tip_ignores_retention(
         ]
 
     # (a) tip read: folded base + the one live commit — retention free
+    # (match the layout's retained ROOT, not the bare "_retained"
+    # substring: this test's own pytest tmp dir name contains it)
+    ret_root = os.path.join(path, "_retained")
     p_tip = plan(IvfSq8Index.load(spark, path).probe(qvec, k=5, nprobe=2))
-    assert "_retained" not in p_tip, p_tip
+    assert ret_root not in p_tip, p_tip
     assert len(pruned_scans(p_tip)) == 2, p_tip
 
     # (b) retained snapshot at (0, 2)
