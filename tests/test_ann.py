@@ -2365,6 +2365,70 @@ def test_writer_lease_two_threads_exactly_one_wins(
     }
 
 
+def test_writer_lease_two_processes_exactly_one_wins(
+    spark, embeddings, tmp_path
+):
+    """Cross-PROCESS half of the single-writer contract: a second OS
+    process holding the lease blocks this one with a loud error (its
+    pid is genuinely alive, so no stale-break); after it dies without
+    releasing, the dead-pid stale-break lets the next writer proceed."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        ConcurrentWriterError,
+        IvfSq8Index,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "lease_proc")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+    lock = os.path.join(path, "_writer.lock")
+
+    # a real second process acquires the lease and holds it
+    child = subprocess.Popen(
+        [
+            _sys.executable,
+            "-c",
+            "import sys, time; sys.path.insert(0, sys.argv[2]);"
+            "from whatsapp_vectordb_spark.operators.ann import _writer_lease;"
+            "l = _writer_lease(sys.argv[1], 'other_process');"
+            "l.__enter__(); print('HELD', flush=True); time.sleep(60)",
+            path,
+            os.getcwd(),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        with pytest.raises(ConcurrentWriterError, match="held by another"):
+            IvfSq8Index.load(spark, path).delete([3], path=path)
+        # the holder DIES without releasing — dead-pid stale-break
+        child.kill()
+        child.wait(timeout=30)
+        deadline = _time.time() + 30
+        while True:  # pid release can lag the wait() a beat
+            try:
+                IvfSq8Index.load(spark, path).delete([3], path=path)
+                break
+            except ConcurrentWriterError:
+                if _time.time() > deadline:
+                    raise
+                _time.sleep(0.5)
+        assert not os.path.exists(lock)
+        assert 3 not in {
+            r["vec_id"]
+            for r in IvfSq8Index.load(spark, path)
+            .codes.select("vec_id")
+            .collect()
+        }
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+
 def test_writer_lease_breaks_stale_and_rejects_live(
     spark, embeddings, tmp_path
 ):
