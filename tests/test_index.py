@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -313,3 +315,50 @@ class TestDeleteWhere:
             if d.startswith("_bucket=")
         }
         assert after == mtimes  # zero matches → zero rewrites
+
+
+def test_vector_index_mutations_hold_the_writer_lease(spark, tmp_path):
+    """r17: the Pinecone-analog index's mutation verbs run under the
+    house writer lease (sibling lock file — the unbucketed upsert swaps
+    the data dir wholesale, so the lock cannot live inside it): a
+    contending writer gets a loud error instead of silently losing rows
+    to a concurrent dynamic-partition overwrite."""
+    import threading
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.index import VectorIndex
+    from whatsapp_vectordb_spark.operators.ann import (
+        ConcurrentWriterError,
+        _writer_lease,
+    )
+
+    idx = VectorIndex.create_or_get(
+        spark, str(tmp_path), "lease_idx", dimension=4, num_id_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [(f"vector_id_{i}", [float(i)] * 4) for i in range(8)],
+        "id string, embedding array<float>",
+    )
+    idx.upsert(batch)
+    assert not os.path.exists(idx.path + ".writer.lock")  # released
+
+    entered, release = threading.Event(), threading.Event()
+
+    def holder():
+        with _writer_lease(
+            idx.path, "other", lock_path=idx.path + ".writer.lock"
+        ):
+            entered.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(timeout=30)
+    with pytest.raises(ConcurrentWriterError):
+        idx.delete(["vector_id_3"])
+    release.set()
+    t.join(timeout=30)
+    assert idx.delete(["vector_id_3"]) == 1
+    assert idx.read().count() == 7

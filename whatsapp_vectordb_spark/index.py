@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 from whatsapp_vectordb_spark.types import DEFAULT_METRIC, METRICS
 
 
+def _single_writer(verb: str):
+    """Run a VectorIndex mutation under the house writer lease (r17 —
+    the enforced single-writer contract the serving layouts and dedup
+    indexes carry): concurrent dynamic-partition overwrites or
+    generation-dir swaps would silently lose one writer's rows. The
+    lock file lives BESIDE the data dir (``<path>.writer.lock``) because
+    the unbucketed upsert replaces the dir wholesale — a lock inside it
+    would vanish with the old generation mid-hold."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            from whatsapp_vectordb_spark.operators.ann import _writer_lease
+
+            with _writer_lease(
+                self.path, verb, lock_path=self.path + ".writer.lock"
+            ):
+                return fn(self, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 class VectorIndex:
     """Handle to one named vector index under a filesystem root."""
 
@@ -122,6 +147,7 @@ class VectorIndex:
     def _bucket_of(id_col, n: int):
         return F.pmod(F.xxhash64(id_col), F.lit(n))
 
+    @_single_writer("upsert")
     def upsert(self, batch: DataFrame) -> None:
         """K3: write a batch of ``(id, embedding, text, metadata, namespace)``
         rows; an id already present is *replaced* (Pinecone upsert contract,
@@ -228,6 +254,7 @@ class VectorIndex:
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    @_single_writer("delete")
     def delete(self, ids: list[str]) -> int:
         """Delete vectors by id (the Pinecone ``vectors/delete`` verb — the
         lifecycle complement of the K3 upsert; the reference's curl admin
@@ -261,6 +288,7 @@ class VectorIndex:
         keep = existing.join(F.broadcast(ids_df), "id", "left_anti")
         return self._swap_full(keep, n_before)
 
+    @_single_writer("delete_where")
     def delete_where(self, condition) -> int:
         """Delete by metadata predicate (the Pinecone ``vectors/delete``
         ``filter=`` form — TTL expiry, tenant offboarding, label purges).
@@ -369,6 +397,7 @@ class VectorIndex:
             df = df.where(F.col("id") > after_id)
         return df.orderBy(F.col("id").asc()).limit(page_size)
 
+    @_single_writer("compact")
     def compact(self, max_files_per_partition: int = 1) -> int:
         """Maintenance: rewrite partitions that have accumulated more than
         ``max_files_per_partition`` parquet files (repeated bounded-rewrite

@@ -2782,12 +2782,22 @@ class _writer_lease:
     still serialize. Reentrant per (process, thread): nested verbs on
     the same layout share the outer hold."""
 
-    def __init__(self, path: str, verb: str, ttl: float = 3600.0):
+    def __init__(
+        self,
+        path: str,
+        verb: str,
+        ttl: float = 3600.0,
+        lock_path: str | None = None,
+    ):
         self.path = path
         self.verb = verb
         self.ttl = ttl
         self.key = os.path.realpath(path)
-        self.lease = os.path.join(path, "_writer.lock")
+        # lock_path: for artifacts whose data dir is itself REPLACED by a
+        # whole-directory swap (VectorIndex's generation rename), the
+        # lease must live BESIDE the dir, not inside it — a lock inside
+        # would vanish mid-hold with the old generation
+        self.lease = lock_path or os.path.join(path, "_writer.lock")
 
     def __enter__(self):
         import json as _json
@@ -2804,7 +2814,7 @@ class _writer_lease:
                     f"{self.verb}: another thread of this process holds "
                     f"the writer lease on {self.path!r}"
                 )
-        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(os.path.dirname(self.lease) or ".", exist_ok=True)
         for attempt in (0, 1):
             try:
                 fd = os.open(self.lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
