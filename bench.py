@@ -703,6 +703,26 @@ def main() -> None:
 
         ann_ivf_sq8_maintenance_tick(spark, sf_dir).count()
 
+    # --- the r17 retention rows, one per family (the PQ / winnow /
+    # semdedup twins share the code paths): a pre-fold snapshot served
+    # THROUGH a fold via the retained chain, and the dedup tier's
+    # verdict-set replay through a retained compaction.
+    @timed("ann_ivf_sq8_snapshot_retention")
+    def _():
+        from whatsapp_vectordb_spark.harness import (
+            ann_ivf_sq8_snapshot_retention,
+        )
+
+        ann_ivf_sq8_snapshot_retention(spark, sf_dir).count()
+
+    @timed("dedup_minhash_index_time_travel")
+    def _():
+        from whatsapp_vectordb_spark.harness import (
+            dedup_minhash_index_time_travel,
+        )
+
+        dedup_minhash_index_time_travel(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus

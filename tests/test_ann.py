@@ -2759,6 +2759,51 @@ def test_vacuum_layout_expires_history(spark, embeddings, tmp_path):
     } == set()
 
 
+def test_maintenance_tick_keep_epochs_bounds_retention(
+    spark, embeddings, tmp_path
+):
+    """``maintenance_tick(keep_epochs=K)`` makes the compactor loop
+    self-contained on storage: each folding tick vacuums retained
+    versions past the budget in the same lease hold, so a per-trigger
+    compactor holds exactly K pre-fold snapshots instead of one per
+    trigger forever. Default (None) retains everything."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        _retained_epochs,
+        maintenance_tick,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / "tick_budget")
+    IvfSq8Index.build(emb, n_centroids=4).save(path)
+
+    for i, vid in enumerate((1, 2, 3), start=1):
+        IvfSq8Index.load(spark, path).delete([vid], path=path)
+        out = maintenance_tick(
+            IvfSq8Index,
+            spark,
+            path,
+            max_data_commits=0,
+            max_tombstone_commits=0,
+            keep_epochs=1,
+        )
+        assert out["folded"] and "vacuum" in out
+        # exactly ONE retained version survives each tick: the newest
+        assert _retained_epochs(path) == [i]
+    # the surviving pre-fold bound reads; older ones are expired loudly
+    assert IvfSq8Index.load(spark, path, as_of=(2, 0)).codes.count() > 0
+    with pytest.raises(ValueError, match="no longer readable"):
+        IvfSq8Index.load(spark, path, as_of=(1, 0))
+
+    # default keeps everything: the next fold adds a version, vacuums none
+    IvfSq8Index.load(spark, path).delete([4], path=path)
+    out = maintenance_tick(
+        IvfSq8Index, spark, path, max_data_commits=0, max_tombstone_commits=0
+    )
+    assert out["folded"] and "vacuum" not in out
+    assert _retained_epochs(path) == [3, 4]
+
+
 def test_rebuild_retains_pre_rebuild_snapshot_with_its_own_quantizers(
     spark, embeddings, tmp_path
 ):

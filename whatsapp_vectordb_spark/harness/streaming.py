@@ -1501,10 +1501,13 @@ def streaming_ivf_sq8_cdc_with_tick(
         ups = batch_df.where(F.col("op") == "u").select("vec_id", "embedding")
         if not ups.isEmpty():
             idx.upsert(ups, path=_SQ8_CDC_TICK_DIR)
-        # the compactor in the loop: fold EVERYTHING this trigger wrote
+        # the compactor in the loop: fold EVERYTHING this trigger wrote,
+        # retaining ONE pre-fold snapshot per tick (keep_epochs=1, r17) —
+        # a per-trigger compactor without a retention budget grows one
+        # retained version per trigger forever
         tick = maintenance_tick(
             IvfSq8Index, spark, _SQ8_CDC_TICK_DIR,
-            max_data_commits=0, max_tombstone_commits=0,
+            max_data_commits=0, max_tombstone_commits=0, keep_epochs=1,
         )
         if tick["folded"]:
             folds["n"] += 1

@@ -3269,6 +3269,7 @@ def maintenance_tick(
     path: str,
     max_data_commits: int = 8,
     max_tombstone_commits: int = 4,
+    keep_epochs: int | None = None,
 ) -> dict:
     """ONE maintenance-policy decision for a saved serving layout — the
     verb a background compactor loop runs per index per interval. Polls
@@ -3280,13 +3281,22 @@ def maintenance_tick(
     (the bounded O(touched-cells) compaction). Under both thresholds it
     does nothing: reads stay cheap and the tick costs one listdir.
 
-    Returns ``{"folded": bool, "before": stats, "after": stats}`` so a
-    scheduler can log/alert on it. The whole poll+fold runs under the
-    writer lease (``_writer_lease``): this verb is explicitly the one a
-    background compactor loop — a SECOND process beside the ingest
-    writer — runs, so its single-writer posture must be enforced, not
-    advisory (r16 verdict #1); holding the lease across the stats poll
-    also closes the poll→fold TOCTOU window."""
+    ``keep_epochs`` makes the compactor loop SELF-CONTAINED on storage:
+    after a fold, retained pre-fold versions beyond the newest
+    ``keep_epochs`` are vacuumed (``vacuum_layout``) in the same tick —
+    the fold creates exactly one retained epoch per run, so without a
+    budget a per-trigger compactor grows one version per trigger
+    forever. ``None`` (default) retains everything: expiry stays a
+    separate, explicit decision.
+
+    Returns ``{"folded": bool, "before": stats, "after": stats}`` (plus
+    ``"vacuum"`` when a budget was applied) so a scheduler can
+    log/alert on it. The whole poll+fold runs under the writer lease
+    (``_writer_lease``): this verb is explicitly the one a background
+    compactor loop — a SECOND process beside the ingest writer — runs,
+    so its single-writer posture must be enforced, not advisory (r16
+    verdict #1); holding the lease across the stats poll also closes
+    the poll→fold TOCTOU window."""
     with _writer_lease(path, "maintenance_tick"):
         before = layout_mutation_stats(path)
         folded = (
@@ -3295,13 +3305,16 @@ def maintenance_tick(
         )
         if folded:
             idx_cls.load(spark, path).save(path)
-        return {
+        out = {
             "folded": folded,
             "before": before,
             # distinct dict on the declined path too — a scheduler that
             # annotates one must not silently corrupt the other
             "after": layout_mutation_stats(path) if folded else dict(before),
         }
+        if folded and keep_epochs is not None:
+            out["vacuum"] = vacuum_layout(path, keep_epochs=keep_epochs)
+        return out
 
 
 def rebuild_layout(idx_cls, spark: SparkSession, path: str, **build_kwargs):
