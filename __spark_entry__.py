@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the retaining `_fold_touched`, and `apply_cdc_events` decides
 # emptiness from the pinned frame (ADVICE r16); (c) the r11-stale
 # cohort (21 rows) — drains the oldest greens per the standing
-# staleness rule (VERDICT r16 #5). ~48 total; remaining slots fall to
+# staleness rule (VERDICT r16 #5). 44 total; remaining slots fall to
 # the stalest greens automatically via category (4).
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
