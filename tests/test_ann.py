@@ -2759,6 +2759,51 @@ def test_vacuum_layout_expires_history(spark, embeddings, tmp_path):
     } == set()
 
 
+def test_reader_recovers_its_snapshot_through_a_fold(
+    spark, embeddings, tmp_path
+):
+    """The reader-isolation half of retention: a fold RENAMES the cells
+    a live reader's plans reference (pre-retention it deleted them), so
+    an in-flight handle over the old paths dies loudly — but its data
+    now survives at the retained path, and re-loading with the
+    remembered ``(epoch, seq)`` bound reproduces the exact snapshot the
+    reader was on. Loud failure + lossless recovery, instead of the old
+    loud failure + gone-forever."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        layout_snapshots,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    path = str(tmp_path / "reader_iso")
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    IvfSq8Index.load(spark, path).delete([5], path=path)  # (0, 1)
+
+    reader = IvfSq8Index.load(spark, path)  # tip handle at (0, 1)
+    bound = max(layout_snapshots(path))  # what the reader remembers
+    assert bound == (0, 1)
+    before = reader.search(
+        None, qvec, k=8, nprobe=4, shortlist=40
+    ).collect()
+
+    IvfSq8Index.load(spark, path).save(path)  # FOLD → epoch 1
+
+    # the stale handle's plans reference renamed paths — loud, not wrong
+    with pytest.raises(Exception, match="(?i)file|path|exist"):
+        reader.search(None, qvec, k=8, nprobe=4, shortlist=40).collect()
+    # recovery: the remembered bound resolves through the retained chain
+    # to the bit-identical snapshot
+    again = (
+        IvfSq8Index.load(spark, path, as_of=bound)
+        .search(None, qvec, k=8, nprobe=4, shortlist=40)
+        .collect()
+    )
+    assert [(r["vec_id"], r["score"]) for r in again] == [
+        (r["vec_id"], r["score"]) for r in before
+    ]
+
+
 def test_maintenance_tick_keep_epochs_bounds_retention(
     spark, embeddings, tmp_path
 ):
