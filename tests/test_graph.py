@@ -77,3 +77,108 @@ class TestTriangleCount:
         )
         r = triangle_count(edges).head()
         assert (r["n_triangles"], r["n_edges"], r["n_nodes"]) == (0, 3, 4)
+
+
+# --------------------------------------------------------------------------
+# Round 17: graph-ANN beam search (operators/ann.py graph_beam_topk).
+# --------------------------------------------------------------------------
+
+
+def _py_beam(vecs, edges, qvec, k, beam, iters, entry):
+    """Pure-Python mirror of the documented traversal contract: entry =
+    lowest ids, expand frontier ∪ out-neighbors, rank by (rounded cosine
+    desc, id asc), visited top-k."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 6)
+
+    score = {i: cos(v, qvec) for i, v in vecs.items()}
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    frontier = sorted(vecs)[:entry]
+    visited = set(frontier)
+    for _ in range(iters):
+        cand = set(frontier)
+        for f in frontier:
+            cand.update(out.get(f, []))
+        frontier = sorted(cand, key=lambda i: (-score[i], i))[:beam]
+        visited.update(cand)
+    ranked = sorted(visited, key=lambda i: (-score[i], i))[:k]
+    return [(i, score[i]) for i in ranked]
+
+
+def test_graph_beam_matches_python_mirror(spark):
+    import numpy as np
+
+    from whatsapp_vectordb_spark.operators.ann import graph_beam_topk
+
+    rng = np.random.default_rng(7)
+    vecs = {i: [float(x) for x in rng.integers(-5, 6, size=6)] for i in range(30)}
+    # brute-force top-2 out-neighbors per node — a real (if tiny) kNN graph
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    edges = []
+    for i, v in vecs.items():
+        nbrs = sorted(
+            (j for j in vecs if j != i),
+            key=lambda j: (-cos(v, vecs[j]), j),
+        )[:2]
+        edges.extend((i, j) for j in nbrs)
+    qvec = vecs[17]
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    edf = spark.createDataFrame(edges, "src long, nbr long")
+    got = [
+        (r["vec_id"], r["score"])
+        for r in graph_beam_topk(
+            emb, edf, qvec, k=8, beam_width=4, iters=3, n_entry=2
+        ).collect()
+    ]
+    assert got == _py_beam(vecs, edges, qvec, k=8, beam=4, iters=3, entry=2)
+
+
+def test_graph_beam_is_deterministic_and_visited_bounded(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import graph_beam_topk, knn_graph_lsh
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    edges = knn_graph_lsh(emb, k=3, n_planes=32, bands=4, impl="numpy", dim=64)
+    a = graph_beam_topk(emb, edges, qvec, k=10, beam_width=4, iters=2).collect()
+    b = graph_beam_topk(emb, edges, qvec, k=10, beam_width=4, iters=2).collect()
+    assert a == b
+    # visited ⊆ entry + iters·beam·(graph_k+1) candidates → k rows at most
+    assert 0 < len(a) <= 10
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_graph_beam_plan_broadcasts_frontier_no_cartesian(spark):
+    from whatsapp_vectordb_spark.operators.ann import graph_beam_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, nbr long"
+    )
+    plan = graph_beam_topk(
+        emb, edges, [1.0, 1.0], k=5, beam_width=3, iters=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -4473,3 +4473,76 @@ def ann_ivfpq_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("rebuild left mutation commits behind")
     _persist_ivfpq_probe_luts(spark, rebuilt, qvec, _IVFPQ_REBUILD_DIR, nprobe=8)
     return rebuilt.search(None, qvec, k=10, nprobe=8, shortlist=50)
+
+
+# ==========================================================================
+# Round 17: graph-ANN beam search (operators/ann.py graph_beam_topk) — the
+# third ANN access pattern (navigate edges toward the query) joining the
+# cell-probe (IVF*) and hash-bucket (LSH) families. The kNN graph edge
+# list persists to scratch (it is itself the oracle-checked ann_knn_graph
+# construction, bit-exact portable LSH candidates); the oracle replays the
+# ENTIRE traversal — entry frontier, every expand/score/cut round, the
+# visited-set top-k — as statically unrolled CTEs over the same edges.
+# ==========================================================================
+
+_GRAPH_BEAM_DIR = _oracle_scratch("graph_beam_oracle")
+
+
+def _graph_beam_oracle(iters: int, beam: int, entry: int, k: int) -> str:
+    """Unroll the fixed-iteration beam traversal into one SQL query:
+    c_t = frontier ∪ out-neighbors(frontier), f_t = top-``beam`` of c_t
+    by (rounded cosine DESC, id ASC), result = visited (∪ c_t) top-``k``.
+    Generated from the SAME (iters, beam, entry, k) literals the Spark
+    row passes, so the two sides cannot drift."""
+    ctes = [
+        f"e AS (SELECT src, nbr FROM read_parquet('{_GRAPH_BEAM_DIR}/edges/*.parquet'))",
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
+        "sc AS (SELECT m.vec_id, ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.qv), 6) AS s"
+        " FROM embeddings m, q"
+        " WHERE list_cosine_similarity(m.embedding::DOUBLE[], q.qv) IS NOT NULL)",
+        f"f0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT {entry})",
+    ]
+    prev = "f0"
+    cands = []
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"c{t} AS (SELECT DISTINCT vec_id FROM ("
+            f"SELECT vec_id FROM {prev} UNION ALL "
+            f"SELECT e.nbr AS vec_id FROM e JOIN {prev} ON e.src = {prev}.vec_id))"
+        )
+        ctes.append(
+            f"f{t} AS (SELECT c{t}.vec_id FROM c{t} JOIN sc ON sc.vec_id = c{t}.vec_id"
+            f" ORDER BY sc.s DESC, c{t}.vec_id ASC LIMIT {beam})"
+        )
+        cands.append(f"SELECT vec_id FROM c{t}")
+        prev = f"f{t}"
+    ctes.append("v AS (" + " UNION ".join(cands) + ")")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.vec_id, sc.s AS score
+FROM v JOIN sc ON sc.vec_id = v.vec_id
+ORDER BY score DESC, v.vec_id ASC
+LIMIT {k}
+"""
+    )
+
+
+@_register("ann_graph_beam_topk", _graph_beam_oracle(iters=3, beam=8, entry=4, k=10))
+def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the kNN graph (the already-gated ann_knn_graph construction),
+    persist its edges, then beam-search it: 3 broadcast-frontier hops from
+    the 4 lowest ids, beam 8, visited top-10. Per-hop cost is independent
+    of corpus size — the graph-ANN scale story."""
+    from whatsapp_vectordb_spark.operators.ann import graph_beam_topk, knn_graph_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64).select(
+        "src", "nbr"
+    ).write.mode("overwrite").parquet(os.path.join(_GRAPH_BEAM_DIR, "edges"))
+    edges = spark.read.parquet(os.path.join(_GRAPH_BEAM_DIR, "edges"))
+    return graph_beam_topk(
+        emb, edges, qvec, k=10, beam_width=8, iters=3, n_entry=4
+    )

@@ -1737,6 +1737,82 @@ def knn_graph_lsh(
     )
 
 
+def graph_beam_topk(
+    df: DataFrame,
+    edges: DataFrame,
+    query_vec,
+    k: int = 10,
+    beam_width: int = 8,
+    iters: int = 3,
+    n_entry: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Graph-ANN search: best-first BEAM traversal over a precomputed kNN
+    graph (the NSW/HNSW-family search step — Malkov & Yashunin 2018,
+    single-layer form — run over the ``knn_graph_lsh`` edge list instead
+    of an in-memory graph). Complements the cell-probe (IVF) and
+    hash-bucket (LSH) families with the third major ANN access pattern:
+    navigate edges toward the query instead of enumerating a partition
+    of space.
+
+    Deterministic contract (oracle-replayable): entry frontier = the
+    ``n_entry`` LOWEST ids (no randomness); each of ``iters`` rounds
+    expands frontier ∪ out-neighbors(frontier), scores candidates by
+    cosine ROUNDED to ``round_to`` (ties → id ascending — the engine
+    portability discipline every top-k here uses), keeps the best
+    ``beam_width`` as the next frontier, and accumulates every scored
+    candidate into the visited set; the result is the visited top-``k``.
+    Fixed iteration count (not convergence) keeps the plan replayable by
+    a statically unrolled SQL oracle.
+
+    Scale shape: the frontier is ≤ ``beam_width`` rows by construction —
+    every hop is a BROADCAST-frontier equi-join against the distributed
+    edge list (pruned to the frontier's adjacency, never a full-graph
+    pass) plus one broadcast-candidate join against the vector table to
+    score ≤ ``beam_width·(k_graph+1)`` rows. Per-hop cost is independent
+    of corpus size N — the property that makes graph ANN attractive at
+    100 TB — and the iteration state (ids only) is pinned with an eager
+    ``localCheckpoint`` each round so the lineage stays O(1) deep, the
+    same discipline as the pointer-doubling connected components.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+
+    def scored(ids: DataFrame) -> DataFrame:
+        s = F.round(cosine_similarity(F.col(vec_col), qlit), round_to)
+        return (
+            vecs.join(F.broadcast(ids), id_col)
+            .select(F.col(id_col), s.alias("score"))
+            .where(F.col("score").isNotNull())
+        )
+
+    out_edges = edges.select(F.col("src"), F.col("nbr"))
+    frontier = (
+        df.select(F.col(id_col)).orderBy(F.col(id_col).asc()).limit(n_entry)
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for _ in range(iters):
+        nbrs = out_edges.join(
+            F.broadcast(frontier), out_edges["src"] == F.col(id_col)
+        ).select(F.col("nbr").alias(id_col))
+        cand = frontier.unionByName(nbrs).distinct().localCheckpoint(eager=True)
+        frontier = (
+            scored(cand)
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(beam_width)
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(cand).distinct().localCheckpoint(eager=True)
+    return (
+        scored(visited)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def assign_cells_quantized(
     df: DataFrame,
     centroids_df: DataFrame,
