@@ -3222,3 +3222,137 @@ def test_apply_cdc_events_same_op_run_resolves_max_seq_per_id(
     assert IvfSq8Index.load(spark, path).codes.where(
         F.col("vec_id") == 1
     ).count() == 1  # the 'd' run did NOT apply
+
+
+# --------------------------------------------------------------------------
+# Round 17: verify_layout — the fsck verb.
+# --------------------------------------------------------------------------
+
+
+def _fsck_layout(spark, embeddings, tmp_path, name):
+    from whatsapp_vectordb_spark.operators.ann import IvfSq8Index
+
+    emb = embeddings.select("vec_id", "embedding")
+    path = str(tmp_path / name)
+    IvfSq8Index.build(emb, n_centroids=4).save(path, store_vectors=True)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    clones = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
+    )
+    IvfSq8Index.load(spark, path).upsert(clones, path=path)
+    IvfSq8Index.load(spark, path).delete(
+        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
+    )
+    return path
+
+
+def test_verify_layout_clean_is_ok(spark, embeddings, tmp_path):
+    from whatsapp_vectordb_spark.operators.ann import verify_layout
+
+    path = _fsck_layout(spark, embeddings, tmp_path, "fsck_clean")
+    rep = verify_layout(path)
+    assert rep["ok"] and rep["errors"] == [] and rep["warnings"] == []
+    assert rep["info"]["commits"] == 2
+    # deep check passes too and actually ran
+    deep = verify_layout(path, spark=spark)
+    assert deep["ok"] and deep["info"].get("deep_checked")
+
+
+def test_verify_layout_flags_duplicate_seq_and_orphans(
+    spark, embeddings, tmp_path
+):
+    import os
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import verify_layout
+
+    path = _fsck_layout(spark, embeddings, tmp_path, "fsck_dup")
+    bdir = os.path.join(path, "batches")
+    victim = sorted(os.listdir(bdir))[0]
+    forged = f"{victim.split('_')[0]}_{'f' * 32}"
+    shutil.copytree(os.path.join(bdir, victim), os.path.join(bdir, forged))
+    os.makedirs(os.path.join(path, "_staging", "deadbeef"))
+
+    rep = verify_layout(path)
+    assert not rep["ok"]
+    assert any("duplicate mutation seq" in e for e in rep["errors"])
+    assert any("_staging" in w for w in rep["warnings"])
+
+
+def test_verify_layout_warns_stale_lease_and_seq_gap(
+    spark, embeddings, tmp_path
+):
+    import json
+    import os
+    import shutil
+
+    from whatsapp_vectordb_spark.operators.ann import verify_layout
+
+    path = _fsck_layout(spark, embeddings, tmp_path, "fsck_stale")
+    # dead-pid lease (pid 1 is init, alive — use an impossible pid)
+    with open(os.path.join(path, "_writer.lock"), "w") as f:
+        json.dump(
+            {"pid": 2**22 + 12345, "host": os.uname().nodename,
+             "verb": "save", "acquired_at": 0.0},
+            f,
+        )
+    # drop commit seq 1 → gap (seq 2 remains)
+    bdir = os.path.join(path, "batches")
+    shutil.rmtree(os.path.join(bdir, sorted(os.listdir(bdir))[0]))
+
+    rep = verify_layout(path)
+    assert rep["ok"]  # warnings only
+    assert any("stale _writer.lock" in w for w in rep["warnings"])
+    assert any("seq gaps [1]" in w for w in rep["warnings"])
+
+
+def test_verify_layout_errors_on_torn_retention_and_meta(
+    spark, embeddings, tmp_path
+):
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfSq8Index,
+        verify_layout,
+    )
+
+    path = _fsck_layout(spark, embeddings, tmp_path, "fsck_torn")
+    # fold once so a retained snapshot exists (epoch 0 → 1)
+    IvfSq8Index.load(spark, path).save(path)
+    fold_json = os.path.join(path, "_retained", "00000001", "fold.json")
+    assert os.path.exists(fold_json)
+    os.remove(fold_json)
+    rep = verify_layout(path)
+    assert not rep["ok"]
+    assert any("no fold.json" in e for e in rep["errors"])
+
+    os.remove(os.path.join(path, "meta.json"))
+    rep2 = verify_layout(path)
+    assert not rep2["ok"]
+    assert any("missing meta.json" in e for e in rep2["errors"])
+
+
+def test_verify_layout_deep_catches_codes_vectors_divergence(
+    spark, embeddings, tmp_path
+):
+    import glob
+    import os
+
+    from whatsapp_vectordb_spark.operators.ann import verify_layout
+
+    path = _fsck_layout(spark, embeddings, tmp_path, "fsck_deep")
+    # tear the co-located float store of the upsert commit
+    bdir = os.path.join(path, "batches")
+    upsert_dir = sorted(os.listdir(bdir))[0]
+    parts = glob.glob(os.path.join(bdir, upsert_dir, "vectors", "*", "*.parquet"))
+    assert parts
+    os.remove(parts[0])
+
+    assert verify_layout(path)["ok"]  # metadata level cannot see it
+    deep = verify_layout(path, spark=spark)
+    assert not deep["ok"]
+    # either shape of the torn store: row-count divergence, or the
+    # commit's only float part gone entirely
+    assert any(
+        "codes has" in e or "torn float store" in e for e in deep["errors"]
+    )

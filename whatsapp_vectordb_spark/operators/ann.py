@@ -3295,6 +3295,175 @@ def vacuum_layout(path: str, keep_epochs: int = 2) -> dict:
         return {"removed": removed, "kept": _retained_epochs(path)}
 
 
+def verify_layout(path: str, spark: SparkSession | None = None) -> dict:
+    """FSCK for a persisted serving layout — the read-only integrity
+    audit an operator runs before trusting (or repairing) an index a
+    crashed/raced writer may have left behind. Complements the loud
+    in-line tripwires (duplicate-seq on every commit-log read, fold.json
+    on every retained-chain resolve) with ONE verb that surfaces every
+    violation at once instead of failing on the first:
+
+    errors (layout serves wrong/no data until repaired):
+      - missing/unparseable ``meta.json`` (interrupted save publish);
+      - duplicate mutation seqs across commit dirs (a second writer —
+        the corruption the ``_writer.lock`` lease exists to prevent);
+      - a retained dir with no ``fold.json`` (interrupted retention
+        move) or a retained epoch newer than the tip's.
+    warnings (benign but worth reclaiming/watching):
+      - orphaned ``_staging`` entries (crashed pre-commit writer —
+        swept by the next mutation verb's ``_gc_staging``);
+      - a stale ``_writer.lock`` (holder pid dead on this host, or
+        older than the TTL backstop) — broken by the next acquirer;
+      - seq gaps in the commit log (a writer that died after lease
+        acquisition but before its commit rename; harmless — seqs
+        order commits, they need not be dense);
+      - a commit dir holding no parquet at all (legacy empty commit).
+
+    Pure driver-side metadata walk — NO Spark job — so it is safe to run
+    against a layout another process is actively serving (it takes no
+    lease: a fold racing the walk can at worst produce a transient
+    false positive, never corruption). Pass ``spark`` to ADD the deep
+    data check: per-root codes↔vectors row-count parity (a commit whose
+    co-located float store lost rows re-ranks incorrectly).
+
+    Returns ``{"ok": bool, "errors": [...], "warnings": [...],
+    "info": {...}}``; ``ok`` means zero errors (warnings allowed).
+    """
+    import json as _json
+    import time as _time
+
+    errors: list[str] = []
+    warnings: list[str] = []
+    info: dict = {"path": path}
+
+    meta_path = os.path.join(path, "meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        current = int(meta.get("fold_epoch", 0))
+        info["fold_epoch"] = current
+    except OSError:
+        errors.append("missing meta.json — no committed layout (or an "
+                      "interrupted save: old meta removed, new not yet "
+                      "renamed in)")
+        meta, current = {}, 0
+    except ValueError:
+        errors.append("meta.json is not valid JSON — torn publish")
+        meta, current = {}, 0
+
+    # commit log: duplicate seqs are an error; gaps only a warning
+    bdir = os.path.join(path, "batches")
+    names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    seen: dict[int, str] = {}
+    seqs: list[int] = []
+    for b in names:
+        s = _parse_batch_seq(b)
+        if s >= 1 and s in seen:
+            errors.append(
+                f"duplicate mutation seq {s}: {seen[s]!r} and {b!r} — "
+                "two writers committed at the same sequence; remove the "
+                "losing commit before any read or fold"
+            )
+        seen[s] = b
+        if s >= 1:
+            seqs.append(s)
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(os.path.join(bdir, b))
+            for f in files
+        )
+        if not has_parquet:
+            warnings.append(f"commit dir {b!r} holds no parquet (legacy "
+                            "empty commit) — skipped by reads")
+    info["commits"] = len(names)
+    missing = sorted(set(range(1, max(seqs, default=0) + 1)) - set(seqs))
+    if missing:
+        warnings.append(
+            f"commit-log seq gaps {missing} — a writer died between "
+            "seq allocation and its commit rename (harmless: seqs "
+            "order commits, density is not required)"
+        )
+
+    # staging orphans
+    stag = os.path.join(path, "_staging")
+    orphans = sorted(os.listdir(stag)) if os.path.isdir(stag) else []
+    info["staging_orphans"] = len(orphans)
+    if orphans:
+        warnings.append(
+            f"{len(orphans)} orphaned _staging entr"
+            f"{'y' if len(orphans) == 1 else 'ies'} (crashed pre-commit "
+            "writer) — reclaimed by the next mutation verb"
+        )
+
+    # writer lease
+    lease = os.path.join(path, "_writer.lock")
+    if os.path.exists(lease):
+        probe = _writer_lease(path, "verify_layout")
+        holder = probe._read_holder()
+        if probe._is_stale(holder, _time.time()):
+            warnings.append(
+                f"stale _writer.lock (holder {holder!r} dead or past "
+                "TTL) — the next acquirer breaks it"
+            )
+        else:
+            info["active_writer"] = holder
+
+    # retention chain
+    retained = _retained_epochs(path)
+    info["retained_epochs"] = retained
+    for e in retained:
+        if e > current:
+            errors.append(
+                f"retained fold epoch {e} is newer than the tip epoch "
+                f"{current} — meta.json regressed (torn publish?)"
+            )
+        if not os.path.exists(
+            os.path.join(_retained_dir(path, e), "fold.json")
+        ):
+            errors.append(
+                f"retained snapshot {e} has no fold.json — an "
+                "interrupted fold's partial retention; vacuum it"
+            )
+
+    # deep check: per-root codes↔vectors row parity (only when both
+    # stores exist for that root — vectors are optional per layout)
+    if spark is not None and not errors:
+
+        def count_rows(root: str) -> int | None:
+            # a store dir holding zero parquet (every part file torn
+            # out) cannot even infer a schema — that IS the finding
+            if not any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(root)
+                for f in files
+            ):
+                return None
+            return spark.read.parquet(root).count()
+
+        for seq, codes_root in IvfSq8Index._layout_roots(path, "codes"):
+            vec_root = codes_root[: -len("codes")] + "vectors"
+            if not os.path.isdir(vec_root):
+                continue
+            n_codes = count_rows(codes_root)
+            n_vecs = count_rows(vec_root)
+            if n_vecs is None:
+                errors.append(
+                    f"commit seq {seq}: co-located vectors dir holds no "
+                    "parquet (torn float store) — re-rank through this "
+                    "commit cannot serve"
+                )
+            elif n_codes != n_vecs:
+                errors.append(
+                    f"commit seq {seq}: codes has {n_codes} rows but "
+                    f"co-located vectors has {n_vecs} — re-rank would "
+                    "score a different row set than the code scan"
+                )
+        info["deep_checked"] = True
+
+    return {"ok": not errors, "errors": errors, "warnings": warnings,
+            "info": info}
+
+
 def _load_layout_frames(spark, path: str, as_of, meta: dict):
     """Shared ``load`` body for both persisted tiers: normalize the
     time-travel bound and produce the (meta, codes, vectors, tombstone
