@@ -715,3 +715,102 @@ def test_dedup_index_maintenance_tick_policy(spark, documents, tmp_path):
     out = widx.maintenance_tick(max_live_entries=1)
     assert out["compacted"] and out["live_dirs_after"] == 1
     docs.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Round 17: verify() — the dedup-index fsck (the serving layouts'
+# verify_layout twin).
+# --------------------------------------------------------------------------
+
+
+def _built_mh_index(spark, documents, tmp_path, name):
+    from whatsapp_vectordb_spark.operators.dedup_index import MinHashDedupIndex
+
+    docs = documents.select("doc_id", "text").limit(80)
+    idx = MinHashDedupIndex(spark, str(tmp_path / name), threshold=0.5)
+    idx.add_batch(docs.where(F.col("doc_id") < 40))
+    idx.add_batch(docs.where(F.col("doc_id") >= 40))
+    return idx
+
+
+def test_dedup_index_verify_clean_and_deep_after_compaction(
+    spark, documents, tmp_path
+):
+    idx = _built_mh_index(spark, documents, tmp_path, "fsck_mh_clean")
+    rep = idx.verify()
+    assert rep["ok"] and rep["errors"] == [] and rep["warnings"] == []
+    assert rep["info"]["state_dirs"] == 2
+
+    assert idx.compact() == 2
+    deep = idx.verify(deep=True)
+    assert deep["ok"], deep["errors"]
+    # the compaction commit replayed against its pre-compaction bound
+    assert any(v == "ok" for _, _, v in deep["info"]["deep_checked"])
+
+
+def test_dedup_index_verify_flags_duplicate_seq_orphans_and_stale_lease(
+    spark, documents, tmp_path
+):
+    import json
+    import os
+    import shutil
+
+    idx = _built_mh_index(spark, documents, tmp_path, "fsck_mh_bad")
+    bdir = idx._batches_path
+    victim = sorted(os.listdir(bdir))[0]
+    forged = f"{victim.split('_')[0]}_{'e' * 32}"
+    shutil.copytree(os.path.join(bdir, victim), os.path.join(bdir, forged))
+    os.makedirs(os.path.join(idx.path, "_staging", "cafebabe"))
+    with open(os.path.join(idx.path, "_writer.lock"), "w") as f:
+        json.dump(
+            {"pid": 2**22 + 54321, "host": os.uname().nodename,
+             "verb": "compact", "acquired_at": 0.0},
+            f,
+        )
+
+    rep = idx.verify()
+    assert not rep["ok"]
+    assert any("duplicate commit seq" in e for e in rep["errors"])
+    assert any("_staging" in w for w in rep["warnings"])
+    assert any("stale _writer.lock" in w for w in rep["warnings"])
+
+
+def test_dedup_index_verify_deep_catches_tampered_retained_victim(
+    spark, documents, tmp_path
+):
+    import glob
+    import os
+
+    idx = _built_mh_index(spark, documents, tmp_path, "fsck_mh_tamper")
+    assert idx.compact() == 2
+    # corrupt a RETAINED victim: the pre-compaction bound no longer
+    # reproduces what the compaction published
+    bdir = idx._batches_path
+    live = set(idx._live_batch_dirs())
+    victims = [b for b in sorted(os.listdir(bdir)) if b not in live]
+    assert victims
+    parts = glob.glob(os.path.join(bdir, victims[0], "*", "*.parquet"))
+    assert parts
+    os.remove(parts[0])
+
+    assert idx.verify()["ok"]  # metadata level cannot see it
+    deep = idx.verify(deep=True)
+    assert not deep["ok"]
+    assert any("no longer reproduce" in e for e in deep["errors"])
+
+
+def test_dedup_index_verify_unreadable_manifest_warns(
+    spark, documents, tmp_path
+):
+    import os
+
+    idx = _built_mh_index(spark, documents, tmp_path, "fsck_mh_manifest")
+    assert idx.compact() == 2
+    live = idx._live_batch_dirs()
+    man = os.path.join(idx._batches_path, live[0], "replaces.json")
+    assert os.path.exists(man)
+    with open(man, "w") as f:
+        f.write("{truncated")
+    rep = idx.verify()
+    assert rep["ok"]  # degraded read, not corruption
+    assert any("unreadable replaces.json" in w for w in rep["warnings"])

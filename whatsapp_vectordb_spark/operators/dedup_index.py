@@ -367,6 +367,122 @@ class _BatchDirIndex:
             }
 
 
+    def verify(self, deep: bool = False) -> dict:
+        """FSCK for a batch-dir dedup index — the dedup twin of the
+        serving layouts' ``verify_layout`` (one read-only verb, every
+        violation at once; same error/warning split):
+
+        errors: duplicate commit seqs across state dirs (a raced
+        writer — the ``_writer.lock`` lease exists to prevent it; reads
+        cannot order equal seqs). warnings: orphaned ``_staging``
+        entries, a stale writer lease, unreadable ``replaces.json``
+        manifests (reads degrade them to plain batch dirs — flagged
+        because a half-written manifest usually means an interrupted
+        compaction publish).
+
+        ``deep=True`` adds the RETENTION-CONSISTENCY replay, phrased
+        entirely in public time-travel semantics: a compaction commit
+        adds no data, so for every live dir carrying a manifest the
+        per-table content fingerprint at bound ``seq`` must equal the
+        bound ``seq - 1`` just before it — i.e. the retained victims
+        still reproduce exactly what their compaction published. A
+        bound already vacuumed skips with a note (nothing left to
+        compare), never a false error. Metadata walk takes no lease —
+        safe against a live writer (worst case a transient flag)."""
+        import json as _json
+        import time as _time
+
+        errors: list[str] = []
+        warnings: list[str] = []
+        info: dict = {"path": self.path}
+
+        dirs = self._all_batch_dirs()
+        info["state_dirs"] = len(dirs)
+        seen: dict[int, str] = {}
+        for b in dirs:
+            s = _parse_seq(b)
+            if s >= 1 and s in seen:
+                errors.append(
+                    f"duplicate commit seq {s}: {seen[s]!r} and {b!r} — "
+                    "a second writer violated the single-writer "
+                    "contract; remove the losing commit"
+                )
+            seen[s] = b
+            man = os.path.join(self._batches_path, b, "replaces.json")
+            if os.path.exists(man):
+                try:
+                    with open(man) as f:
+                        _json.load(f)
+                except (OSError, ValueError):
+                    warnings.append(
+                        f"unreadable replaces.json in {b!r} — reads "
+                        "treat it as a plain batch dir (interrupted "
+                        "compaction publish?)"
+                    )
+
+        stag = os.path.join(self.path, "_staging")
+        orphans = sorted(os.listdir(stag)) if os.path.isdir(stag) else []
+        info["staging_orphans"] = len(orphans)
+        if orphans:
+            warnings.append(
+                f"{len(orphans)} orphaned _staging entr"
+                f"{'y' if len(orphans) == 1 else 'ies'} — reclaimed by "
+                "the next mutation verb"
+            )
+
+        lease = os.path.join(self.path, "_writer.lock")
+        if os.path.exists(lease):
+            probe = _lease(self.path, "verify")
+            holder = probe._read_holder()
+            if probe._is_stale(holder, _time.time()):
+                warnings.append(
+                    f"stale _writer.lock (holder {holder!r} dead or "
+                    "past TTL) — the next acquirer breaks it"
+                )
+            else:
+                info["active_writer"] = holder
+
+        if deep and not errors:
+            checked = []
+            for b in self._live_batch_dirs():
+                if not os.path.exists(
+                    os.path.join(self._batches_path, b, "replaces.json")
+                ):
+                    continue
+                s = _parse_seq(b)
+                for which in self._TABLES:
+                    try:
+                        at = self._stored(which, as_of=s)
+                        before = self._stored(which, as_of=s - 1)
+                    except ValueError:
+                        checked.append((s, which, "vacuumed — skipped"))
+                        continue
+                    fp_at = (
+                        self._content_fingerprint(at)
+                        if at is not None
+                        else (0, 0)
+                    )
+                    fp_before = (
+                        self._content_fingerprint(before)
+                        if before is not None
+                        else (0, 0)
+                    )
+                    if fp_at != fp_before:
+                        errors.append(
+                            f"compaction commit seq {s} table {which!r}: "
+                            f"content fingerprint {fp_at} differs from "
+                            f"the pre-compaction bound {fp_before} — the "
+                            "retained victims no longer reproduce what "
+                            "the compaction published"
+                        )
+                    else:
+                        checked.append((s, which, "ok"))
+            info["deep_checked"] = checked
+
+        return {"ok": not errors, "errors": errors,
+                "warnings": warnings, "info": info}
+
+
 class MinHashDedupIndex(_BatchDirIndex):
     _TABLES = ("signatures", "shingles")
 
