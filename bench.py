@@ -723,6 +723,12 @@ def main() -> None:
 
         dedup_minhash_index_time_travel(spark, sf_dir).count()
 
+    @timed("ann_graph_beam_topk")
+    def _():
+        from whatsapp_vectordb_spark.harness import ann_graph_beam_topk
+
+        ann_graph_beam_topk(spark, sf_dir).count()
+
     # --- WhatsApp Python DataSource at sf scale: the connector's
     # per-partition overhead on the record next to spark.read.text over
     # the SAME 32 shard files (partition-per-file on both sides). Corpus

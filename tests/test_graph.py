@@ -182,3 +182,45 @@ def test_graph_beam_plan_broadcasts_frontier_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_graph_beam_bucketed_path_equals_dataframe_path(
+    spark, embeddings, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    raw = knn_graph_lsh(emb, k=3, n_planes=32, bands=4, impl="numpy", dim=64)
+    bucketed = save_knn_graph(raw, str(tmp_path / "beam_edges"), n_buckets=8)
+
+    a = [
+        (r["vec_id"], r["score"])
+        for r in graph_beam_topk(
+            emb, raw, qvec, k=10, beam_width=4, iters=2
+        ).collect()
+    ]
+    b = [
+        (r["vec_id"], r["score"])
+        for r in graph_beam_topk(
+            emb, bucketed, qvec, k=10, beam_width=4, iters=2,
+            bucket_col="src_bucket", n_buckets=8,
+        ).collect()
+    ]
+    assert a == b and len(a) == 10
+
+    # the hop's bucket IN-list reaches the edge layout as PartitionFilters
+    hop = bucketed.where(F.col("src_bucket").isin([0, 3])).where(
+        F.col("src").isin([0, 1, 2])
+    )
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = hop._jdf.queryExecution().explainString(em)
+    assert "PartitionFilters" in p and "src_bucket" in p

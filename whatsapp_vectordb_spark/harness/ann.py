@@ -4495,7 +4495,8 @@ def _graph_beam_oracle(iters: int, beam: int, entry: int, k: int) -> str:
     Generated from the SAME (iters, beam, entry, k) literals the Spark
     row passes, so the two sides cannot drift."""
     ctes = [
-        f"e AS (SELECT src, nbr FROM read_parquet('{_GRAPH_BEAM_DIR}/edges/*.parquet'))",
+        # bucketed layout: parts live under edges/src_bucket=N/
+        f"e AS (SELECT src, nbr FROM read_parquet('{_GRAPH_BEAM_DIR}/edges/*/*.parquet'))",
         "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
         "sc AS (SELECT m.vec_id, ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.qv), 6) AS s"
         " FROM embeddings m, q"
@@ -4532,17 +4533,33 @@ LIMIT {k}
 @_register("ann_graph_beam_topk", _graph_beam_oracle(iters=3, beam=8, entry=4, k=10))
 def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the kNN graph (the already-gated ann_knn_graph construction),
-    persist its edges, then beam-search it: 3 broadcast-frontier hops from
-    the 4 lowest ids, beam 8, visited top-10. Per-hop cost is independent
-    of corpus size — the graph-ANN scale story."""
-    from whatsapp_vectordb_spark.operators.ann import graph_beam_topk, knn_graph_lsh
+    persist it SOURCE-BUCKETED (save_knn_graph), then beam-search it: 3
+    broadcast-frontier hops from the 4 lowest ids, beam 8, visited
+    top-10. Each hop's bucket IN-list reaches the edge layout as
+    PartitionFilters, so a hop reads only the frontier's buckets —
+    per-hop cost independent of corpus size (the graph-ANN scale story,
+    measured in tools/stress_graph_beam.py)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
-    knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64).select(
-        "src", "nbr"
-    ).write.mode("overwrite").parquet(os.path.join(_GRAPH_BEAM_DIR, "edges"))
-    edges = spark.read.parquet(os.path.join(_GRAPH_BEAM_DIR, "edges"))
+    edges = save_knn_graph(
+        knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64),
+        os.path.join(_GRAPH_BEAM_DIR, "edges"),
+        n_buckets=16,
+    )
     return graph_beam_topk(
-        emb, edges, qvec, k=10, beam_width=8, iters=3, n_entry=4
+        emb,
+        edges,
+        qvec,
+        k=10,
+        beam_width=8,
+        iters=3,
+        n_entry=4,
+        bucket_col="src_bucket",
+        n_buckets=16,
     )

@@ -1748,6 +1748,8 @@ def graph_beam_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Graph-ANN search: best-first BEAM traversal over a precomputed kNN
     graph (the NSW/HNSW-family search step — Malkov & Yashunin 2018,
@@ -1768,14 +1770,22 @@ def graph_beam_topk(
     a statically unrolled SQL oracle.
 
     Scale shape: the frontier is ≤ ``beam_width`` rows by construction —
-    every hop is a BROADCAST-frontier equi-join against the distributed
-    edge list (pruned to the frontier's adjacency, never a full-graph
-    pass) plus one broadcast-candidate join against the vector table to
-    score ≤ ``beam_width·(k_graph+1)`` rows. Per-hop cost is independent
-    of corpus size N — the property that makes graph ANN attractive at
-    100 TB — and the iteration state (ids only) is pinned with an eager
-    ``localCheckpoint`` each round so the lineage stays O(1) deep, the
-    same discipline as the pointer-doubling connected components.
+    every hop is a BROADCAST-frontier equi-join against the edge list
+    plus one broadcast-candidate join against the vector table to score
+    ≤ ``beam_width·(k_graph+1)`` rows. The hop's cost is the EDGE SCAN:
+    a raw edge frame is scanned in full each hop (measured 2.08× the
+    time at 10× the corpus — cheap but linear,
+    tools/stress_graph_beam.py), so at scale pass a SOURCE-BUCKETED
+    layout (``save_knn_graph`` — ``partitionBy(src_bucket)``) and set
+    ``bucket_col``/``n_buckets``: the hop then filters to the frontier's
+    buckets as a literal IN-list, partition pruning cuts the read to
+    ≤ ``beam_width`` buckets, and per-hop cost becomes independent of
+    corpus size — the property that makes graph ANN attractive at
+    100 TB, bought exactly the way the serving tiers buy it
+    (``partitionBy(centroid)``). Iteration state (ids only) is pinned
+    with an eager ``localCheckpoint`` each round so the lineage stays
+    O(1) deep, the same discipline as the pointer-doubling connected
+    components.
     """
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     vecs = df.select(F.col(id_col), F.col(vec_col))
@@ -1786,6 +1796,76 @@ def graph_beam_topk(
             vecs.join(F.broadcast(ids), id_col)
             .select(F.col(id_col), s.alias("score"))
             .where(F.col("score").isNotNull())
+        )
+
+    bucketed = bucket_col is not None and bucket_col in edges.columns
+    if bucketed:
+        # DRIVER-STATE traversal — the serving shape. Every set in a
+        # beam traversal is bounded BY CONSTRUCTION (frontier ≤
+        # beam_width, candidates ≤ beam_width·(degree+1), visited ≤
+        # entry + iters·candidates), so the iteration state lives
+        # driver-side (the MMR-shortlist discipline) and each hop runs
+        # exactly TWO pruned cluster reads: the frontier's edge buckets
+        # (literal IN-list → PartitionFilters on the save_knn_graph
+        # layout) and the NEW candidate ids' vectors (IN-list pushed to
+        # the scan; ids already scored are never re-read). No full
+        # edge-list or vector-table scan anywhere — per-hop cost is
+        # O(frontier·degree), independent of corpus size.
+        score_expr = F.round(
+            cosine_similarity(F.col(vec_col), qlit), round_to
+        ).alias("score")
+
+        def score_new(ids: list) -> dict:
+            if not ids:
+                return {}
+            rows = (
+                vecs.where(F.col(id_col).isin(ids))
+                .select(F.col(id_col), score_expr)
+                .where(F.col("score").isNotNull())
+                .collect()
+            )
+            return {r[id_col]: r["score"] for r in rows}
+
+        entry_ids = [
+            r[id_col]
+            for r in df.select(F.col(id_col))
+            .orderBy(F.col(id_col).asc())
+            .limit(n_entry)
+            .collect()
+        ]
+        scores = score_new(entry_ids)
+        queried = set(entry_ids)  # incl. null-score ids — never re-read
+        frontier_ids = entry_ids
+        visited: set = set(entry_ids)
+        for _ in range(iters):
+            buckets = sorted({i % n_buckets for i in frontier_ids})
+            nbr_rows = (
+                edges.where(F.col(bucket_col).isin(buckets))
+                .where(F.col("src").isin(frontier_ids))
+                .select("nbr")
+                .distinct()
+                .collect()
+            )
+            cand = set(frontier_ids) | {r["nbr"] for r in nbr_rows}
+            fresh = sorted(cand - queried)
+            queried |= cand
+            scores.update(score_new(fresh))
+            ranked = sorted(
+                (i for i in cand if i in scores),
+                key=lambda i: (-scores[i], i),
+            )
+            frontier_ids = ranked[:beam_width]
+            visited |= cand
+        top = sorted(
+            (i for i in visited if i in scores),
+            key=lambda i: (-scores[i], i),
+        )[:k]
+        spark = df.sparkSession
+        out_schema = (
+            df.select(F.col(id_col), score_expr).schema
+        )
+        return spark.createDataFrame(
+            [(i, scores[i]) for i in top], out_schema
         )
 
     out_edges = edges.select(F.col("src"), F.col("nbr"))
@@ -1811,6 +1891,34 @@ def graph_beam_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def save_knn_graph(
+    edges: DataFrame, path: str, n_buckets: int = 64
+) -> DataFrame:
+    """Persist a kNN-graph edge list for beam traversal, PARTITIONED BY
+    SOURCE BUCKET (``src % n_buckets`` — integer pmod, engine-portable)
+    — the layout that makes ``graph_beam_topk``'s per-hop cost
+    O(frontier adjacency) instead of O(|edges|): a hop filters to the
+    frontier's buckets as a literal IN-list, which Spark turns into
+    PartitionFilters on this layout (measured: a full-edge-list hop
+    scans 10× the bytes at 10× the corpus; a bucket-pruned hop reads
+    ≤ beam_width buckets regardless of corpus size —
+    tools/stress_graph_beam.py). Same move as the serving tiers'
+    ``partitionBy(centroid)`` cell layout. Returns the reloaded frame
+    (carrying the partition column) ready to pass to ``graph_beam_topk``
+    with ``bucket_col="src_bucket", n_buckets=n_buckets``."""
+    spark = edges.sparkSession
+    (
+        edges.select(
+            "src", "nbr", (F.col("src") % n_buckets).alias("src_bucket")
+        )
+        .repartition("src_bucket")
+        .write.partitionBy("src_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
 
 
 def assign_cells_quantized(
