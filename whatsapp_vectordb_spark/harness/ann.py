@@ -4488,15 +4488,16 @@ def ann_ivfpq_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAPH_BEAM_DIR = _oracle_scratch("graph_beam_oracle")
 
 
-def _graph_beam_oracle(iters: int, beam: int, entry: int, k: int) -> str:
-    """Unroll the fixed-iteration beam traversal into one SQL query:
+def _graph_beam_cte(iters: int, beam: int, entry: int, dir_: str) -> str:
+    """WITH-body of the unrolled fixed-iteration beam traversal:
     c_t = frontier ∪ out-neighbors(frontier), f_t = top-``beam`` of c_t
-    by (rounded cosine DESC, id ASC), result = visited (∪ c_t) top-``k``.
-    Generated from the SAME (iters, beam, entry, k) literals the Spark
+    by (rounded cosine DESC, id ASC); ends with ``v`` (the visited set)
+    and ``sc`` (rounded scores) for the caller's final select.
+    Generated from the SAME (iters, beam, entry) literals the Spark
     row passes, so the two sides cannot drift."""
     ctes = [
         # bucketed layout: parts live under edges/src_bucket=N/
-        f"e AS (SELECT src, nbr FROM read_parquet('{_GRAPH_BEAM_DIR}/edges/*/*.parquet'))",
+        f"e AS (SELECT src, nbr FROM read_parquet('{dir_}/edges/*/*.parquet'))",
         "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
         "sc AS (SELECT m.vec_id, ROUND(list_cosine_similarity(m.embedding::DOUBLE[], q.qv), 6) AS s"
         " FROM embeddings m, q"
@@ -4518,9 +4519,13 @@ def _graph_beam_oracle(iters: int, beam: int, entry: int, k: int) -> str:
         cands.append(f"SELECT vec_id FROM c{t}")
         prev = f"f{t}"
     ctes.append("v AS (" + " UNION ".join(cands) + ")")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _graph_beam_oracle(iters: int, beam: int, entry: int, k: int) -> str:
+    """Visited top-``k`` of the unrolled traversal (see _graph_beam_cte)."""
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _graph_beam_cte(iters, beam, entry, _GRAPH_BEAM_DIR)
         + f"""
 SELECT v.vec_id, sc.s AS score
 FROM v JOIN sc ON sc.vec_id = v.vec_id
@@ -4562,4 +4567,79 @@ def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_entry=4,
         bucket_col="src_bucket",
         n_buckets=16,
+    )
+
+
+# Recall gate for the beam tier — the family discipline (every ANN tier
+# carries one; the recall NUMBER is hash-checked, answer quality is part
+# of the contract). Geometry: a DENSER graph than the topk row (k=10
+# neighbors from 8 bands of 4 bits — graph connectivity is what bounds
+# beam recall: the k=5/4-band graph plateaus at 0.5 from the fixed
+# entries, the k=10/8-band graph reaches 0.9-1.0) and a wider traversal
+# (beam 16, 4 hops, 8 entries). Measured 0.9 at sf0.01.
+_GRAPH_BEAM_GATE_DIR = _oracle_scratch("graph_beam_gate_oracle")
+
+_GRAPH_BEAM_GATE_ORACLE = (
+    _graph_beam_cte(iters=4, beam=16, entry=8, dir_=_GRAPH_BEAM_GATE_DIR)
+    + """,
+ann AS (
+  SELECT v.vec_id FROM v JOIN sc ON sc.vec_id = v.vec_id
+  ORDER BY sc.s DESC, v.vec_id ASC
+  LIMIT 10
+),
+exact AS (
+  SELECT vec_id FROM sc
+  ORDER BY s DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k, ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+FROM ann JOIN exact ON ann.vec_id = exact.vec_id
+"""
+)
+
+
+@_register("ann_graph_beam_recall_gate", _GRAPH_BEAM_GATE_ORACLE)
+def ann_graph_beam_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the beam traversal vs exact brute-force top-10 over
+    the denser serving graph — a single ``(k, recall)`` row, hash-
+    checked (0.9 at sf0.01). The knob hierarchy mirrors IVF's
+    nprobe/shortlist: graph degree+bands buy connectivity (reach),
+    beam/iters/entries buy traversal coverage; past the connectivity
+    ceiling more beam cannot help (measured: the sparse graph plateaus
+    at 0.5 under a 4× wider beam)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
+    from whatsapp_vectordb_spark.operators.search import topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    edges = save_knn_graph(
+        knn_graph_lsh(emb, k=10, n_planes=32, bands=8, impl="numpy", dim=64),
+        os.path.join(_GRAPH_BEAM_GATE_DIR, "edges"),
+        n_buckets=16,
+    )
+    beam_ids = graph_beam_topk(
+        emb,
+        edges,
+        qvec,
+        k=10,
+        beam_width=16,
+        iters=4,
+        n_entry=8,
+        bucket_col="src_bucket",
+        n_buckets=16,
+    ).select("vec_id")
+    exact_ids = topk(emb, qvec, k=10, round_to=ROUND_SCORE).select("vec_id")
+    return (
+        beam_ids.join(exact_ids, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias(
+                "recall"
+            ),
+        )
     )
