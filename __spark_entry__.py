@@ -62,6 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the stalest greens automatically via category (4).
 _FRONTLOAD: list[str] = [
     # (a) new registrations this round
+    "ann_graph_beam_batched",
     "ann_graph_beam_recall_gate",
     "ann_graph_beam_topk",
     "ann_ivf_sq8_snapshot_retention",

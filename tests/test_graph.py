@@ -224,3 +224,40 @@ def test_graph_beam_bucketed_path_equals_dataframe_path(
     )
     p = hop._jdf.queryExecution().explainString(em)
     assert "PartitionFilters" in p and "src_bucket" in p
+
+
+def test_graph_beam_batched_equals_single_calls(spark, embeddings, tmp_path):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk,
+        graph_beam_topk_batched,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    edges = save_knn_graph(
+        knn_graph_lsh(emb, k=3, n_planes=32, bands=4, impl="numpy", dim=64),
+        str(tmp_path / "beam_edges_b"),
+        n_buckets=8,
+    )
+    kw = dict(
+        k=5, beam_width=4, iters=2, n_entry=4,
+        bucket_col="src_bucket", n_buckets=8,
+    )
+    batched = graph_beam_topk_batched(emb, edges, [0, 1, 2], **kw).collect()
+    got = {
+        q: [(r["vec_id"], r["score"]) for r in batched if r["query_id"] == q]
+        for q in (0, 1, 2)
+    }
+    for q in (0, 1, 2):
+        qvec = emb.where(F.col("vec_id") == q).head()["embedding"]
+        single = [
+            (r["vec_id"], r["score"])
+            for r in graph_beam_topk(emb, edges, qvec, **kw).collect()
+        ]
+        assert got[q] == single, f"query {q} diverged"
+    # ranks are 1..k per query
+    ranks = [r["rank"] for r in batched if r["query_id"] == 0]
+    assert ranks == list(range(1, len(ranks) + 1))

@@ -4643,3 +4643,104 @@ def ann_graph_beam_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Batched beam — the family discipline (N queries = one pruned read per
+# hop stage, bit-equal to N single calls). Separate scratch dir so the
+# three beam rows never clobber each other's persisted edges mid-check.
+_GRAPH_BEAM_BATCH_DIR = _oracle_scratch("graph_beam_batched_oracle")
+
+
+def _graph_beam_batched_oracle(
+    iters: int, beam: int, entry: int, k: int, qids: tuple, dir_: str
+) -> str:
+    """Per-query unrolled traversals (shared edge list + entry frontier,
+    per-query score CTEs) unioned, ranked per query — generated from the
+    SAME literals the Spark row passes."""
+    ctes = [
+        f"e AS (SELECT src, nbr FROM read_parquet('{dir_}/edges/*/*.parquet'))",
+        f"f0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT {entry})",
+    ]
+    arms = []
+    for q in qids:
+        sc = f"sc_q{q}"
+        ctes.append(
+            f"{sc} AS (SELECT m.vec_id,"
+            f" ROUND(list_cosine_similarity(m.embedding::DOUBLE[], qq.qv), 6) AS s"
+            f" FROM embeddings m,"
+            f" (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {q}) qq"
+            f" WHERE list_cosine_similarity(m.embedding::DOUBLE[], qq.qv) IS NOT NULL)"
+        )
+        prev = "f0"
+        cands = []
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"c{t}_q{q} AS (SELECT DISTINCT vec_id FROM ("
+                f"SELECT vec_id FROM {prev} UNION ALL "
+                f"SELECT e.nbr AS vec_id FROM e JOIN {prev} ON e.src = {prev}.vec_id))"
+            )
+            ctes.append(
+                f"f{t}_q{q} AS (SELECT c.vec_id FROM c{t}_q{q} c"
+                f" JOIN {sc} ON {sc}.vec_id = c.vec_id"
+                f" ORDER BY {sc}.s DESC, c.vec_id ASC LIMIT {beam})"
+            )
+            cands.append(f"SELECT vec_id FROM c{t}_q{q}")
+            prev = f"f{t}_q{q}"
+        ctes.append(f"v_q{q} AS (" + " UNION ".join(cands) + ")")
+        arms.append(
+            f"SELECT CAST({q} AS BIGINT) AS query_id, v.vec_id, {sc}.s AS score"
+            f" FROM v_q{q} v JOIN {sc} ON {sc}.vec_id = v.vec_id"
+        )
+    ctes.append("allv AS (" + " UNION ALL ".join(arms) + ")")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS rank
+  FROM allv
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+    )
+
+
+@_register(
+    "ann_graph_beam_batched",
+    _graph_beam_batched_oracle(
+        iters=3, beam=8, entry=4, k=5, qids=(0, 1, 2),
+        dir_=_GRAPH_BEAM_BATCH_DIR,
+    ),
+)
+def ann_graph_beam_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stored queries walk the bucketed graph together: per hop
+    ONE edge read pruned to the union of frontiers' buckets and ONE
+    vector read pruned to the union of first-seen candidates, scored
+    against the broadcast query frame — bit-equal to three single
+    traversals (asserted in tests/test_graph.py)."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk_batched,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = save_knn_graph(
+        knn_graph_lsh(emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64),
+        os.path.join(_GRAPH_BEAM_BATCH_DIR, "edges"),
+        n_buckets=16,
+    )
+    return graph_beam_topk_batched(
+        emb,
+        edges,
+        [0, 1, 2],
+        k=5,
+        beam_width=8,
+        iters=3,
+        n_entry=4,
+        bucket_col="src_bucket",
+        n_buckets=16,
+    )

@@ -1893,6 +1893,142 @@ def graph_beam_topk(
     )
 
 
+def graph_beam_topk_batched(
+    df: DataFrame,
+    edges: DataFrame,
+    query_ids,
+    k: int = 10,
+    beam_width: int = 8,
+    iters: int = 3,
+    n_entry: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    bucket_col: str = "src_bucket",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Batched beam traversal: Q stored query vectors walk the SAME
+    bucketed edge layout (``save_knn_graph``) together — the family
+    discipline every serving tier keeps (N queries = one pruned read
+    per stage, bit-equal to N single calls, asserted in tests). Per
+    hop there are exactly TWO cluster jobs regardless of Q: one edge
+    read pruned to the UNION of all queries' frontier buckets (each
+    query then takes its own adjacency from the collected pairs), and
+    one vector read pruned to the union of ids any query sees for the
+    first time, scored against the broadcast Q-row query frame in the
+    same job. Per-query state (frontier/visited/scores) is driver-side
+    and bounded by construction, exactly as the single-query serving
+    path. Returns ``(query_id, vec_id, score, rank)``, rank 1..k per
+    query by (score DESC, id ASC)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    qids = list(query_ids)
+    qrows = (
+        df.where(F.col(id_col).isin(qids))
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    qvecs = {r[id_col]: [float(x) for x in r[vec_col]] for r in qrows}
+    missing = [q for q in qids if q not in qvecs]
+    if missing:
+        raise ValueError(f"query ids not in the corpus: {missing}")
+    qdf = spark.createDataFrame(
+        [(int(q), qvecs[q]) for q in qids],
+        "query_id long, _qv array<double>",
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    score_expr = F.round(
+        cosine_similarity(F.col(vec_col), F.col("_qv")), round_to
+    ).alias("score")
+
+    def score_union(ids: list) -> dict:
+        if not ids:
+            return {}
+        rows = (
+            vecs.where(F.col(id_col).isin(ids))
+            .crossJoin(F.broadcast(qdf))
+            .select(F.col("query_id"), F.col(id_col), score_expr)
+            .where(F.col("score").isNotNull())
+            .collect()
+        )
+        return {(r["query_id"], r[id_col]): r["score"] for r in rows}
+
+    entry_ids = [
+        r[id_col]
+        for r in df.select(F.col(id_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_entry)
+        .collect()
+    ]
+    scores = score_union(entry_ids)
+    state = {
+        q: {
+            "frontier": entry_ids[:],
+            "visited": set(entry_ids),
+            "queried": set(entry_ids),
+        }
+        for q in qids
+    }
+    for _ in range(iters):
+        all_frontier = sorted(
+            {i for st in state.values() for i in st["frontier"]}
+        )
+        buckets = sorted({i % n_buckets for i in all_frontier})
+        pairs = (
+            edges.where(F.col(bucket_col).isin(buckets))
+            .where(F.col("src").isin(all_frontier))
+            .select("src", "nbr")
+            .distinct()
+            .collect()
+        )
+        adj: dict = {}
+        for r in pairs:
+            adj.setdefault(r["src"], []).append(r["nbr"])
+        new_union: set = set()
+        for q, st in state.items():
+            cand = set(st["frontier"])
+            for fid in st["frontier"]:
+                cand.update(adj.get(fid, []))
+            st["cand"] = cand
+            new_union |= cand - st["queried"]
+        scores.update(score_union(sorted(new_union)))
+        for q, st in state.items():
+            st["queried"] |= st["cand"]
+            ranked = sorted(
+                (i for i in st["cand"] if (q, i) in scores),
+                key=lambda i: (-scores[(q, i)], i),
+            )
+            st["frontier"] = ranked[:beam_width]
+            st["visited"] |= st["cand"]
+    out = []
+    for q in qids:
+        st = state[q]
+        top = sorted(
+            (i for i in st["visited"] if (q, i) in scores),
+            key=lambda i: (-scores[(q, i)], i),
+        )[:k]
+        out.extend(
+            (int(q), int(i), float(scores[(q, i)]), rank + 1)
+            for rank, i in enumerate(top)
+        )
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField("query_id", id_field.dataType, False),
+            StructField(id_col, id_field.dataType, False),
+            StructField("score", DoubleType(), False),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def save_knn_graph(
     edges: DataFrame, path: str, n_buckets: int = 64
 ) -> DataFrame:
