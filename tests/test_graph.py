@@ -261,3 +261,49 @@ def test_graph_beam_batched_equals_single_calls(spark, embeddings, tmp_path):
     # ranks are 1..k per query
     ranks = [r["rank"] for r in batched if r["query_id"] == 0]
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_graph_beam_filtered_collects_only_allowed_both_paths(
+    spark, embeddings, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
+
+    emb3 = embeddings
+    emb = emb3.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = emb3.where(F.col("vec_id") == 7).head()["label"]
+    allowed = emb3.where(F.col("label") == lbl).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+
+    raw = knn_graph_lsh(emb, k=5, n_planes=32, bands=8, impl="numpy", dim=64)
+    bucketed = save_knn_graph(raw, str(tmp_path / "beam_edges_f"), n_buckets=8)
+    kw = dict(k=5, beam_width=8, iters=3, n_entry=8)
+
+    a = [
+        (r["vec_id"], r["score"])
+        for r in graph_beam_topk(emb, raw, qvec, allowed=allowed, **kw).collect()
+    ]
+    b = [
+        (r["vec_id"], r["score"])
+        for r in graph_beam_topk(
+            emb, bucketed, qvec, allowed=allowed,
+            bucket_col="src_bucket", n_buckets=8, **kw
+        ).collect()
+    ]
+    assert a == b
+    assert a and all(i in allowed_ids for i, _ in a)
+    # the filtered result is the unfiltered visited ranking restricted
+    # to allowed ids (collection-time filter, not traversal filter)
+    wide = dict(kw, k=10**6)
+    unfiltered = [
+        (r["vec_id"], r["score"])
+        for r in graph_beam_topk(emb, raw, qvec, **wide).collect()
+    ]
+    expect = [(i, s) for i, s in unfiltered if i in allowed_ids][:5]
+    assert a == expect

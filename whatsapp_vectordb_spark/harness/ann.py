@@ -4744,3 +4744,63 @@ def ann_graph_beam_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_col="src_bucket",
         n_buckets=16,
     )
+
+
+# Filtered beam — the family's filtered-search variant, in the HNSW
+# convention: navigation UNfiltered (pruning disallowed hubs would
+# disconnect the graph exactly where the filter is selective), the
+# filter applies to result collection (visited ∩ allowed). Uses the
+# denser serving graph (the recall-gate geometry) so the visited set
+# covers the allowed region.
+_GRAPH_BEAM_FILTER_DIR = _oracle_scratch("graph_beam_filtered_oracle")
+
+_GRAPH_BEAM_FILTERED_ORACLE = (
+    _graph_beam_cte(iters=4, beam=16, entry=8, dir_=_GRAPH_BEAM_FILTER_DIR)
+    + """
+SELECT v.vec_id, sc.s AS score
+FROM v
+JOIN sc ON sc.vec_id = v.vec_id
+JOIN embeddings em ON em.vec_id = v.vec_id
+WHERE em.label = (SELECT label FROM embeddings WHERE vec_id = 7)
+ORDER BY score DESC, v.vec_id ASC
+LIMIT 10
+"""
+)
+
+
+@_register("ann_graph_beam_filtered_topk", _GRAPH_BEAM_FILTERED_ORACLE)
+def ann_graph_beam_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 among visited embeddings sharing vec_id 7's label: the
+    walk navigates the full graph (beam-16 × 4 hops over the dense
+    k=10/8-band graph), the label's id set broadcast-semi-joins the
+    visited scores. Unlike the cell-probe tiers' pre-scan filter, k
+    matches are NOT guaranteed — the documented filtered-beam
+    trade-off; at this geometry the visited set covers the label."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        graph_beam_topk,
+        knn_graph_lsh,
+        save_knn_graph,
+    )
+
+    emb3 = _t(spark, sf_dir, "embeddings")
+    emb = emb3.select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    lbl = emb3.where(F.col("vec_id") == 7).head()["label"]
+    allowed = emb3.where(F.col("label") == lbl).select("vec_id")
+    edges = save_knn_graph(
+        knn_graph_lsh(emb, k=10, n_planes=32, bands=8, impl="numpy", dim=64),
+        os.path.join(_GRAPH_BEAM_FILTER_DIR, "edges"),
+        n_buckets=16,
+    )
+    return graph_beam_topk(
+        emb,
+        edges,
+        qvec,
+        k=10,
+        beam_width=16,
+        iters=4,
+        n_entry=8,
+        bucket_col="src_bucket",
+        n_buckets=16,
+        allowed=allowed,
+    )

@@ -1750,6 +1750,7 @@ def graph_beam_topk(
     round_to: int = 6,
     bucket_col: str | None = None,
     n_buckets: int = 64,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-ANN search: best-first BEAM traversal over a precomputed kNN
     graph (the NSW/HNSW-family search step — Malkov & Yashunin 2018,
@@ -1786,6 +1787,15 @@ def graph_beam_topk(
     with an eager ``localCheckpoint`` each round so the lineage stays
     O(1) deep, the same discipline as the pointer-doubling connected
     components.
+
+    ``allowed`` (a one-column id frame) is FILTERED SEARCH, the HNSW
+    convention: navigation stays UNfiltered (pruning disallowed hubs
+    would disconnect the graph exactly where the filter is selective),
+    the filter applies to result COLLECTION — the returned top-``k``
+    comes from visited ∩ allowed. Consequence the serving tiers don't
+    have: fewer than ``k`` rows can come back when the walk's visited
+    set undersamples the allowed region (widen beam/iters, or use the
+    cell-probe tiers whose pre-scan filter guarantees k matches).
     """
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     vecs = df.select(F.col(id_col), F.col(vec_col))
@@ -1856,8 +1866,16 @@ def graph_beam_topk(
             )
             frontier_ids = ranked[:beam_width]
             visited |= cand
+        pool = visited
+        if allowed is not None:
+            arows = (
+                allowed.select(F.col(allowed.columns[0]).alias(id_col))
+                .where(F.col(id_col).isin(sorted(visited)))
+                .collect()
+            )
+            pool = {r[id_col] for r in arows}
         top = sorted(
-            (i for i in visited if i in scores),
+            (i for i in pool if i in scores),
             key=lambda i: (-scores[i], i),
         )[:k]
         spark = df.sparkSession
@@ -1886,11 +1904,16 @@ def graph_beam_topk(
             .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(cand).distinct().localCheckpoint(eager=True)
-    return (
-        scored(visited)
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    final = scored(visited)
+    if allowed is not None:
+        final = final.join(
+            F.broadcast(
+                allowed.select(F.col(allowed.columns[0]).alias(id_col))
+            ),
+            id_col,
+            "left_semi",
+        )
+    return final.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def graph_beam_topk_batched(
