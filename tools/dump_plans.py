@@ -67,7 +67,7 @@ SHOWN = [
     ("ann_ivf_sq8_time_travel", "snapshot serving (load(as_of=N)): the plan unions ONLY roots committed <= the bound (newer commit dirs contribute no scan), per-root PartitionFilters intact, tombstone mask broadcast"),
     ("ann_ivf_sq8_snapshot_retention", "retained pre-fold snapshot (load(as_of=(epoch, seq)) THROUGH a fold): one pruned scan per resolved cell-source group (live base + consulted _retained folds), retained commit roots bounded by seq, the newer epoch's live commit log contributes NO scan, tombstone mask broadcast"),
     ("dedup_minhash_index_time_travel", "dedup verdict-set replay at a retained commit: bounded signatures self-join on (band, band_key) — inverted index, no cartesian — then exact-Jaccard verify joins on the bounded shingle store"),
-    ("ann_graph_beam_topk", "graph-ANN beam search: broadcast-frontier equi-join against the persisted kNN-graph edge list per hop (per-hop cost independent of corpus size), broadcast-candidate score join, visited top-k"),
+    ("ann_graph_beam_topk", "graph-ANN beam search (driver-state serving path): the traversal runs EAGERLY — per hop one edge read pruned to the frontier's buckets (PartitionFilters on the partitionBy(src_bucket) layout, plan-pinned in tests/test_graph.py) and one IN-list vector read for new candidates — so the returned frame is the materialized bounded result below, not a lazy plan; per-hop read cost measured flat (0.98x) under a 10x corpus (BASELINE round 17)"),
 ]
 
 
