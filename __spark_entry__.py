@@ -64,6 +64,7 @@ _FRONTLOAD: list[str] = [
     # (a) new registrations this round
     "ann_graph_beam_batched",
     "ann_graph_beam_filtered_topk",
+    "ann_graph_incremental_index",
     "ann_graph_beam_recall_gate",
     "ann_graph_beam_topk",
     "ann_ivf_sq8_snapshot_retention",

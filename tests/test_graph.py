@@ -307,3 +307,100 @@ def test_graph_beam_filtered_collects_only_allowed_both_paths(
     ]
     expect = [(i, s) for i, s in unfiltered if i in allowed_ids][:5]
     assert a == expect
+
+
+# --------------------------------------------------------------------------
+# Round 17: KnnGraphIndex — incremental graph maintenance.
+# --------------------------------------------------------------------------
+
+
+def test_graph_index_any_split_equals_one_shot(spark, embeddings, tmp_path):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
+    from whatsapp_vectordb_spark.operators.graph_index import KnnGraphIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    one = sorted(
+        (r["src"], r["nbr"], r["cos_sim"], r["rank"])
+        for r in knn_graph_lsh(
+            emb, k=5, n_planes=32, bands=4, impl="numpy", dim=64
+        ).collect()
+    )
+    # a THREE-way uneven split, folded mid-ingest — still bit-identical
+    idx = KnnGraphIndex(
+        spark, str(tmp_path / "kgi_split"), k=5, n_planes=32, bands=4, dim=64
+    )
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 0))
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 1))
+    assert idx.compact() == 2
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    inc = sorted(
+        (r["src"], r["nbr"], r["cos_sim"], r["rank"])
+        for r in idx.edges().collect()
+    )
+    assert inc == one
+    rep = idx.verify(deep=True)
+    assert rep["ok"], rep["errors"]
+
+
+def test_graph_index_time_travel_replays_first_batch(
+    spark, embeddings, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
+    from whatsapp_vectordb_spark.operators.graph_index import KnnGraphIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    idx = KnnGraphIndex(
+        spark, str(tmp_path / "kgi_tt"), k=5, n_planes=32, bands=4, dim=64
+    )
+    idx.add_batch(b1)
+    seq1 = idx.snapshots()[-1]
+    idx.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+    # yesterday's graph: the bound replays exactly the batch-1 build
+    old = sorted(
+        (r["src"], r["nbr"], r["cos_sim"], r["rank"])
+        for r in idx.edges(as_of=seq1).collect()
+    )
+    expect = sorted(
+        (r["src"], r["nbr"], r["cos_sim"], r["rank"])
+        for r in knn_graph_lsh(
+            b1, k=5, n_planes=32, bands=4, impl="numpy", dim=64
+        ).collect()
+    )
+    assert old == expect
+    # tip differs (the second batch rewired neighborhoods)
+    tip = sorted(
+        (r["src"], r["nbr"], r["cos_sim"], r["rank"])
+        for r in idx.edges().collect()
+    )
+    assert tip != old
+
+
+def test_graph_index_is_append_only_and_serves_beam(
+    spark, embeddings, tmp_path
+):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.operators.ann import graph_beam_topk
+    from whatsapp_vectordb_spark.operators.graph_index import KnnGraphIndex
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = KnnGraphIndex(
+        spark, str(tmp_path / "kgi_app"), k=3, n_planes=32, bands=4, dim=64
+    )
+    idx.add_batch(emb.where(F.col("vec_id") < 30))
+    with _pytest.raises(ValueError, match="append-only"):
+        idx.add_batch(emb.where(F.col("vec_id") < 5))
+    # serving handoff: bucketed layout straight from the index
+    serving = idx.save_serving(str(tmp_path / "kgi_serve"), n_buckets=8)
+    qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    rows = graph_beam_topk(
+        emb, serving, qvec, k=5, beam_width=4, iters=2,
+        bucket_col="src_bucket", n_buckets=8,
+    ).collect()
+    assert 0 < len(rows) <= 5

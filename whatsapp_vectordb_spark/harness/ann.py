@@ -775,9 +775,7 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@_register(
-    "ann_knn_graph",
-    """
+_ANN_KNN_GRAPH_ORACLE = """
 WITH planes AS (
   SELECT p.p AS p, i.i AS i,
          CASE WHEN ('0x' || substr(md5('0:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT & 1 = 1
@@ -820,8 +818,10 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
-""",
-)
+"""
+
+
+@_register("ann_knn_graph", _ANN_KNN_GRAPH_ORACLE)
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whatsapp_vectordb_spark.operators.ann import knn_graph_lsh
 
@@ -4804,3 +4804,39 @@ def ann_graph_beam_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
         allowed=allowed,
     )
+
+
+# Incremental graph maintenance — the graph tier's lifecycle closure
+# (operators/graph_index.py KnnGraphIndex): ingest in batches, compact
+# via the maintenance-tick policy, serve the per-node top-k. The ORACLE
+# IS THE ONE-SHOT GRAPH SQL (shared with ann_knn_graph verbatim): the
+# LSH candidate set is union-decomposable and the stored per-batch pair
+# tables union to exactly it, so a two-batch ingest folded by the
+# compactor must reproduce the single-pass build bit for bit — the
+# batch-split-invariance contract, checked against DuckDB.
+
+
+@_register("ann_graph_incremental_index", _ANN_KNN_GRAPH_ORACLE)
+def ann_graph_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch ingest (even ids, then odd) + a zero-threshold
+    maintenance tick (compaction with retained victims) + edges() —
+    must equal the one-shot knn_graph_lsh over the union."""
+    import shutil
+    import tempfile
+
+    from whatsapp_vectordb_spark.operators.graph_index import KnnGraphIndex
+    from whatsapp_vectordb_spark.session import local_scratch_root
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="wvs_kgi_", dir=local_scratch_root())
+    shutil.rmtree(path, ignore_errors=True)
+    idx = KnnGraphIndex(spark, path, k=5, n_planes=32, bands=4, dim=64)
+    idx.add_batch(emb.where(F.col("vec_id") % 2 == 0))
+    idx.add_batch(emb.where(F.col("vec_id") % 2 == 1))
+    tick = idx.maintenance_tick(max_live_dirs=1)
+    if not tick["compacted"]:
+        raise RuntimeError("tick should have folded two live dirs")
+    out = idx.edges()
+    # pin the bounded result so the scratch dir can be reclaimed by the
+    # session end regardless of when the driver collects
+    return out.localCheckpoint(eager=True)
