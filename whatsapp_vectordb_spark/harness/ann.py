@@ -17,6 +17,7 @@ from whatsapp_vectordb_spark.functions.vector import (
     euclidean_distance,
     l2_norm,
 )
+from whatsapp_vectordb_spark.operators.ann import _cluster_for_write
 from whatsapp_vectordb_spark.operators.search import topk, topk_batched
 
 from whatsapp_vectordb_spark.harness._core import ROUND_SCORE, _BM25_TERMS, _TOKS, _oracle_scratch, _register, _t  # noqa: E501
@@ -350,7 +351,7 @@ def _build_ivfpq_state(spark: SparkSession, sf_dir: str, out_dir: str, nprobe: i
     pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
     # the deployed layout: codes + centroid, partitioned by centroid
     cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
-    cells.write.partitionBy("centroid").mode("overwrite").parquet(
+    _cluster_for_write(cells).write.partitionBy("centroid").mode("overwrite").parquet(
         os.path.join(out_dir, "cells")
     )
     probe_ids = ivf.probe_centroid_ids(qvec, nprobe=nprobe)
@@ -434,7 +435,7 @@ def ann_ivfpq_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = IvfIndex.build_balanced(emb, n_centroids=8)
     pq = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
     cells = pq.encode(emb).join(ivf.assigned.select("vec_id", "centroid"), "vec_id")
-    cells.write.partitionBy("centroid").mode("overwrite").parquet(
+    _cluster_for_write(cells).write.partitionBy("centroid").mode("overwrite").parquet(
         os.path.join(_IVFPQ_B_DIR, "cells")
     )
     qrows = (
@@ -566,7 +567,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     idx = IvfPqResidualIndex.build(emb, n_centroids=8, m=8, ksub=16, sample_rows=500)
-    idx.encode(emb).write.partitionBy("centroid").mode("overwrite").parquet(
+    _cluster_for_write(idx.encode(emb)).write.partitionBy("centroid").mode("overwrite").parquet(
         os.path.join(_IVFPQR_ORACLE_DIR, "cells")
     )
     cells = idx.probe_cells(qvec, nprobe=2)
@@ -869,7 +870,7 @@ def ann_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = OpqIvfPqIndex.build(
         emb, n_centroids=8, m=8, ksub=16, sample_rows=500, opq_iters=4
     )
-    idx.encode(emb).write.partitionBy("centroid").mode("overwrite").parquet(
+    _cluster_for_write(idx.encode(emb)).write.partitionBy("centroid").mode("overwrite").parquet(
         os.path.join(_OPQ_IVFPQ_DIR, "cells")
     )
     cells = idx.probe_cells(qvec, nprobe=2)
@@ -2491,7 +2492,15 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, assigned, _ = kmeans_lloyd(
-        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+        # mapside update (r17 optimization): bit-identical to the
+        # portable formula the oracle unrolls (pinned by the shared
+        # cluster_kmeans_mapside oracle row, tests/test_ann.py parity,
+        # and stress_ann_curve --kmeans-compare at scale) but each
+        # iteration shuffles k*d*partitions partial rows instead of
+        # joining the N*d exploded components (guide: shuffle fewer
+        # bytes / aggregate before you shuffle)
+        update_mode="mapside"
     )
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     # quantized query via the SAME Spark expression the oracle replays
@@ -2516,7 +2525,7 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "centroid"), "vec_id"
     )
     path = os.path.join(_IVF_SQ8_DIR, "codes")
-    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    _cluster_for_write(codes).write.partitionBy("centroid").mode("overwrite").parquet(path)
     return ivf_sq8_topk(spark.read.parquet(path), cells, qvec, deltas, k=10)
 
 
@@ -2612,7 +2621,15 @@ def _build_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, assigned, _ = kmeans_lloyd(
-        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+        # mapside update (r17 optimization): bit-identical to the
+        # portable formula the oracle unrolls (pinned by the shared
+        # cluster_kmeans_mapside oracle row, tests/test_ann.py parity,
+        # and stress_ann_curve --kmeans-compare at scale) but each
+        # iteration shuffles k*d*partitions partial rows instead of
+        # joining the N*d exploded components (guide: shuffle fewer
+        # bytes / aggregate before you shuffle)
+        update_mode="mapside"
     )
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     q0 = (
@@ -2635,7 +2652,7 @@ def _build_ivf_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "centroid"), "vec_id"
     )
     path = os.path.join(_IVF_SQ8_RR_DIR, "codes")
-    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    _cluster_for_write(codes).write.partitionBy("centroid").mode("overwrite").parquet(path)
     return ivf_sq8_rerank_topk(
         spark.read.parquet(path),
         emb,
@@ -2734,7 +2751,15 @@ def ann_ivf_sq8_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, assigned, _ = kmeans_lloyd(
-        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+        # mapside update (r17 optimization): bit-identical to the
+        # portable formula the oracle unrolls (pinned by the shared
+        # cluster_kmeans_mapside oracle row, tests/test_ann.py parity,
+        # and stress_ann_curve --kmeans-compare at scale) but each
+        # iteration shuffles k*d*partitions partial rows instead of
+        # joining the N*d exploded components (guide: shuffle fewer
+        # bytes / aggregate before you shuffle)
+        update_mode="mapside"
     )
     qrows = (
         emb.where(F.col("vec_id").isin(*_IVFSQ8_BATCH_QIDS))
@@ -2762,7 +2787,7 @@ def ann_ivf_sq8_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "centroid"), "vec_id"
     )
     path = os.path.join(_IVF_SQ8_B_DIR, "codes")
-    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    _cluster_for_write(codes).write.partitionBy("centroid").mode("overwrite").parquet(path)
     return ivf_sq8_batched_topk(
         spark.read.parquet(path), queries, probe_map, deltas, k=5
     )
@@ -2968,7 +2993,15 @@ def ann_ivf_sq8_batched_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, assigned, _ = kmeans_lloyd(
-        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode="portable"
+        emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+        # mapside update (r17 optimization): bit-identical to the
+        # portable formula the oracle unrolls (pinned by the shared
+        # cluster_kmeans_mapside oracle row, tests/test_ann.py parity,
+        # and stress_ann_curve --kmeans-compare at scale) but each
+        # iteration shuffles k*d*partitions partial rows instead of
+        # joining the N*d exploded components (guide: shuffle fewer
+        # bytes / aggregate before you shuffle)
+        update_mode="mapside"
     )
     qrows = (
         emb.where(F.col("vec_id").isin(*_IVFSQ8_BATCH_QIDS))
@@ -2996,7 +3029,7 @@ def ann_ivf_sq8_batched_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFra
         assigned.select("vec_id", "centroid"), "vec_id"
     )
     path = os.path.join(_IVF_SQ8_BRR_DIR, "codes")
-    codes.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    _cluster_for_write(codes).write.partitionBy("centroid").mode("overwrite").parquet(path)
     return ivf_sq8_batched_rerank_topk(
         spark.read.parquet(path),
         emb,

@@ -32,6 +32,39 @@ from whatsapp_vectordb_spark.functions.vector import cosine_similarity
 from whatsapp_vectordb_spark.operators.search import topk
 
 
+def _cluster_for_write(df: DataFrame, col: str = "centroid") -> DataFrame:
+    """Cluster rows by the partition column before a ``partitionBy(col)``
+    parquet write. Without it every input task writes one file per value
+    it happens to hold — tasks × cells files (256 ~3 KB files per layout
+    table at the bench scale; measured r17: the 256-file commit made the
+    same write 4× slower and every later pruned scan ~2× slower). AQE's
+    REBALANCE both coalesces small cells into shared write tasks and
+    splits oversized cells at ``advisoryPartitionSizeInBytes``, so files
+    come out near target size at ANY corpus scale — the Iceberg
+    ``write.distribution-mode=hash`` layout, per the optimization
+    guide's small-files rule. Row contents are untouched."""
+    return df.hint("rebalance", col)
+
+
+def _run_writes(thunks) -> None:
+    """Run independent write actions concurrently (guide §2.6: Spark's
+    scheduler happily runs several jobs at once; actions are only
+    sequential because driver code calls them sequentially). The staged
+    layout tables of one commit — codes, co-located floats, tombstones —
+    are independent jobs over the same pinned input, so submitting them
+    from a small thread pool lets each job's task tail back-fill the
+    others' idle cores instead of serializing three commit latencies."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
@@ -623,9 +656,9 @@ class IvfIndex:
         import json
         import os
 
-        self.assigned.write.partitionBy("centroid").mode("overwrite").parquet(
-            os.path.join(path, "cells")
-        )
+        _cluster_for_write(self.assigned).write.partitionBy("centroid").mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "cells"))
         with open(os.path.join(path, "centroids.json"), "w") as f:
             json.dump(
                 {
@@ -667,9 +700,9 @@ class IvfIndex:
 
         assigned = self.assign(batch)
         if path is not None:
-            assigned.write.partitionBy("centroid").mode("append").parquet(
-                os.path.join(path, "cells")
-            )
+            _cluster_for_write(assigned).write.partitionBy("centroid").mode(
+                "append"
+            ).parquet(os.path.join(path, "cells"))
         self.assigned = self.assigned.unionByName(assigned, allowMissingColumns=True)
         return self
 
@@ -4019,9 +4052,14 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> None:
                 marks,
                 idx.id_col,
             )
-            folded.select(idx.id_col, code_col, "centroid").write.partitionBy(
-                "centroid"
-            ).mode("overwrite").parquet(os.path.join(stage, "codes"))
+            writes = [
+                lambda: _cluster_for_write(
+                    folded.select(idx.id_col, code_col, "centroid")
+                )
+                .write.partitionBy("centroid")
+                .mode("overwrite")
+                .parquet(os.path.join(stage, "codes"))
+            ]
             if store_vectors:
                 fv = _mask_deleted(
                     IvfSq8Index._read_layout(spark, path, "vectors").where(
@@ -4030,9 +4068,15 @@ def _fold_touched(idx, path: str, store_vectors: bool, code_col: str) -> None:
                     marks,
                     idx.id_col,
                 )
-                fv.select(idx.id_col, idx.vec_col, "centroid").write.partitionBy(
-                    "centroid"
-                ).mode("overwrite").parquet(os.path.join(stage, "vectors"))
+                writes.append(
+                    lambda: _cluster_for_write(
+                        fv.select(idx.id_col, idx.vec_col, "centroid")
+                    )
+                    .write.partitionBy("centroid")
+                    .mode("overwrite")
+                    .parquet(os.path.join(stage, "vectors"))
+                )
+            _run_writes(writes)
         meta = idx._meta_dict()
         meta["fold_epoch"] = new_epoch
         with open(os.path.join(stage, "meta.json"), "w") as f:
@@ -4143,19 +4187,28 @@ def _save_layout_locked(idx, path, store_vectors, code_col):
         new_epoch = retained_max + 1 if retained_max >= 0 else 0
     stage = os.path.join(path, "_staging", uuid.uuid4().hex)
     try:
-        idx.codes.select(idx.id_col, code_col, "centroid").write.partitionBy(
-            "centroid"
-        ).mode("overwrite").parquet(os.path.join(stage, "codes"))
-        if store_vectors:
-            if idx.vectors is None:
-                raise ValueError(
-                    "store_vectors=True but this index carries no vectors"
-                )
-            idx.vectors.select(
-                idx.id_col, idx.vec_col, "centroid"
-            ).write.partitionBy("centroid").mode("overwrite").parquet(
-                os.path.join(stage, "vectors")
+        if store_vectors and idx.vectors is None:
+            raise ValueError(
+                "store_vectors=True but this index carries no vectors"
             )
+        writes = [
+            lambda: _cluster_for_write(
+                idx.codes.select(idx.id_col, code_col, "centroid")
+            )
+            .write.partitionBy("centroid")
+            .mode("overwrite")
+            .parquet(os.path.join(stage, "codes"))
+        ]
+        if store_vectors:
+            writes.append(
+                lambda: _cluster_for_write(
+                    idx.vectors.select(idx.id_col, idx.vec_col, "centroid")
+                )
+                .write.partitionBy("centroid")
+                .mode("overwrite")
+                .parquet(os.path.join(stage, "vectors"))
+            )
+        _run_writes(writes)
         meta = idx._meta_dict()
         meta["fold_epoch"] = new_epoch
         with open(os.path.join(stage, "meta.json"), "w") as f:
@@ -4879,16 +4932,20 @@ class IvfSq8Index:
         if replace:
             batch = batch.dropDuplicates([self.id_col])
         batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            # nothing to ingest — and an EMPTY partitioned batch dir on
+            # disk would hold no partition subdirs, making every later
+            # load()'s per-root parquet read fail schema inference
+            # (bricking the index); the SemDedupIndex guards identically.
+            # Decided on the PINNED batch (`enc` is an inner join of two
+            # map-only 1:1 derivatives of it on the id, so enc is empty
+            # iff the batch is) — checking `enc` paid an extra
+            # encode+assign+join job per commit for the same answer.
+            return self
         assigned = assign_nearest_centroid(batch, self.centroids, self.vec_col)
         enc = sq8_encode(
             batch, self.mins, self.deltas, id_col=self.id_col, vec_col=self.vec_col
         ).join(assigned.select(self.id_col, "centroid"), self.id_col)
-        if enc.isEmpty():
-            # nothing to ingest — and an EMPTY partitioned batch dir on
-            # disk would hold no partition subdirs, making every later
-            # load()'s per-root parquet read fail schema inference
-            # (bricking the index); the SemDedupIndex guards identically
-            return self
         if path is not None:
             with _writer_lease(path, "add_batch"):
                 self._gc_staging(path)
@@ -4896,27 +4953,36 @@ class IvfSq8Index:
                 batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
                 stage = os.path.join(path, "_staging", batch_id)
                 try:
-                    enc.select(
-                        self.id_col, "sq8_codes", "centroid"
-                    ).withColumn(
-                        "_seq", F.lit(seq).cast("long")
-                    ).write.partitionBy("centroid").mode("overwrite").parquet(
-                        os.path.join(stage, "codes")
-                    )
-                    if os.path.isdir(os.path.join(path, "vectors")):
-                        assigned.select(
-                            self.id_col, self.vec_col, "centroid"
-                        ).withColumn(
-                            "_seq", F.lit(seq).cast("long")
-                        ).write.partitionBy("centroid").mode(
-                            "overwrite"
-                        ).parquet(os.path.join(stage, "vectors"))
-                    if replace:
-                        batch.select(self.id_col).withColumn(
-                            "_seq", F.lit(seq).cast("long")
-                        ).coalesce(1).write.mode("overwrite").parquet(
-                            os.path.join(stage, "deletes")
+                    writes = [
+                        lambda: _cluster_for_write(
+                            enc.select(
+                                self.id_col, "sq8_codes", "centroid"
+                            ).withColumn("_seq", F.lit(seq).cast("long"))
                         )
+                        .write.partitionBy("centroid")
+                        .mode("overwrite")
+                        .parquet(os.path.join(stage, "codes"))
+                    ]
+                    if os.path.isdir(os.path.join(path, "vectors")):
+                        writes.append(
+                            lambda: _cluster_for_write(
+                                assigned.select(
+                                    self.id_col, self.vec_col, "centroid"
+                                ).withColumn("_seq", F.lit(seq).cast("long"))
+                            )
+                            .write.partitionBy("centroid")
+                            .mode("overwrite")
+                            .parquet(os.path.join(stage, "vectors"))
+                        )
+                    if replace:
+                        writes.append(
+                            lambda: batch.select(self.id_col)
+                            .withColumn("_seq", F.lit(seq).cast("long"))
+                            .coalesce(1)
+                            .write.mode("overwrite")
+                            .parquet(os.path.join(stage, "deletes"))
+                        )
+                    _run_writes(writes)
                     bdir = os.path.join(path, "batches")
                     os.makedirs(bdir, exist_ok=True)
                     os.rename(stage, os.path.join(bdir, batch_id))
@@ -5335,11 +5401,14 @@ class IvfPqIndex:
         if replace:
             batch = batch.dropDuplicates([self.id_col])
         batch = batch.select(self.id_col, self.vec_col).localCheckpoint(eager=True)
-        enc = self._proto().encode(batch)
-        if enc.isEmpty():
+        if batch.isEmpty():
             # an EMPTY partitioned batch dir would brick later loads on
-            # schema inference — commit nothing (house guard)
+            # schema inference — commit nothing (house guard). Decided
+            # on the PINNED batch: encode is a map-only 1:1 derivation,
+            # so enc is empty iff the batch is, and checking enc paid an
+            # extra encode job per commit.
             return self
+        enc = self._proto().encode(batch)
         if path is not None:
             with _writer_lease(path, "add_batch"):
                 IvfSq8Index._gc_staging(path)
@@ -5347,23 +5416,36 @@ class IvfPqIndex:
                 batch_id = f"{seq:08d}_{uuid.uuid4().hex}"
                 stage = os.path.join(path, "_staging", batch_id)
                 try:
-                    enc.select(self.id_col, "codes", "centroid").withColumn(
-                        "_seq", F.lit(seq).cast("long")
-                    ).write.partitionBy("centroid").mode("overwrite").parquet(
-                        os.path.join(stage, "codes")
-                    )
-                    if os.path.isdir(os.path.join(path, "vectors")):
-                        self._assign_vectors(batch).withColumn(
-                            "_seq", F.lit(seq).cast("long")
-                        ).write.partitionBy("centroid").mode(
-                            "overwrite"
-                        ).parquet(os.path.join(stage, "vectors"))
-                    if replace:
-                        batch.select(self.id_col).withColumn(
-                            "_seq", F.lit(seq).cast("long")
-                        ).coalesce(1).write.mode("overwrite").parquet(
-                            os.path.join(stage, "deletes")
+                    writes = [
+                        lambda: _cluster_for_write(
+                            enc.select(
+                                self.id_col, "codes", "centroid"
+                            ).withColumn("_seq", F.lit(seq).cast("long"))
                         )
+                        .write.partitionBy("centroid")
+                        .mode("overwrite")
+                        .parquet(os.path.join(stage, "codes"))
+                    ]
+                    if os.path.isdir(os.path.join(path, "vectors")):
+                        writes.append(
+                            lambda: _cluster_for_write(
+                                self._assign_vectors(batch).withColumn(
+                                    "_seq", F.lit(seq).cast("long")
+                                )
+                            )
+                            .write.partitionBy("centroid")
+                            .mode("overwrite")
+                            .parquet(os.path.join(stage, "vectors"))
+                        )
+                    if replace:
+                        writes.append(
+                            lambda: batch.select(self.id_col)
+                            .withColumn("_seq", F.lit(seq).cast("long"))
+                            .coalesce(1)
+                            .write.mode("overwrite")
+                            .parquet(os.path.join(stage, "deletes"))
+                        )
+                    _run_writes(writes)
                     bdir = os.path.join(path, "batches")
                     os.makedirs(bdir, exist_ok=True)
                     os.rename(stage, os.path.join(bdir, batch_id))

@@ -626,6 +626,7 @@ def run_ivf_sq8_index_stream(
 
     from whatsapp_vectordb_spark.operators.ann import (
         IvfIndex,
+        _cluster_for_write,
         assign_cells_quantized,
         ivf_sq8_topk,
         sq8_encode,
@@ -655,9 +656,9 @@ def run_ivf_sq8_index_stream(
             "vec_id",
         )
 
-    encode_assign(boot).write.partitionBy("centroid").mode("overwrite").parquet(
-        os.path.join(codes_dir, "batch_id=-1")
-    )
+    _cluster_for_write(encode_assign(boot)).write.partitionBy("centroid").mode(
+        "overwrite"
+    ).parquet(os.path.join(codes_dir, "batch_id=-1"))
 
     stream = (
         spark.readStream.schema(spark.read.parquet(emb_path).schema)
@@ -669,9 +670,11 @@ def run_ivf_sq8_index_stream(
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        encode_assign(batch_df).write.partitionBy("centroid").mode(
-            "overwrite"
-        ).parquet(os.path.join(codes_dir, f"batch_id={batch_id}"))
+        _cluster_for_write(encode_assign(batch_df)).write.partitionBy(
+            "centroid"
+        ).mode("overwrite").parquet(
+            os.path.join(codes_dir, f"batch_id={batch_id}")
+        )
 
     q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
     q.awaitTermination()
