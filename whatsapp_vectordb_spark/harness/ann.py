@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -260,7 +262,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the probed centroid ids so the oracle replays the same probe
     loaded = IvfIndex.load(spark, _IVF_ORACLE_DIR)
     probe_ids = loaded.probe_centroid_ids(qvec, nprobe=2)
-    spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
+    local_df(spark, [(int(c),) for c in probe_ids], "centroid bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_IVF_ORACLE_DIR, "probe"))
     return loaded.probe(qvec, k=10, nprobe=2, round_to=ROUND_SCORE)
@@ -296,7 +298,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = PqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0)
     idx.save(_PQ_ORACLE_DIR, idx.encode(emb))
     lut = idx.lut_int(qvec)
-    spark.createDataFrame(
+    local_df(spark, 
         [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
         "j int, c int, w bigint",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_PQ_ORACLE_DIR, "lut"))
@@ -355,11 +357,11 @@ def _build_ivfpq_state(spark: SparkSession, sf_dir: str, out_dir: str, nprobe: i
         os.path.join(out_dir, "cells")
     )
     probe_ids = ivf.probe_centroid_ids(qvec, nprobe=nprobe)
-    spark.createDataFrame([(int(c),) for c in probe_ids], "centroid bigint").coalesce(
+    local_df(spark, [(int(c),) for c in probe_ids], "centroid bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "probe"))
     lut = pq.lut_int(qvec)
-    spark.createDataFrame(
+    local_df(spark, 
         [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
         "j int, c int, w bigint",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "lut"))
@@ -447,7 +449,7 @@ def ann_ivfpq_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_map = {
         qid: ivf.probe_centroid_ids(vec, nprobe=2) for qid, vec in queries
     }
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(q), int(c)) for q, cs in probe_map.items() for c in cs],
         "query_id bigint, centroid bigint",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_IVFPQ_B_DIR, "probe"))
@@ -459,7 +461,7 @@ def ann_ivfpq_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(lut.shape[0])
             for c in range(lut.shape[1])
         )
-    spark.createDataFrame(lut_rows, "query_id bigint, j int, c int, w bigint").coalesce(
+    local_df(spark, lut_rows, "query_id bigint, j int, c int, w bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_IVFPQ_B_DIR, "lut"))
     stored = spark.read.parquet(os.path.join(_IVFPQ_B_DIR, "cells"))
@@ -571,7 +573,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_IVFPQR_ORACLE_DIR, "cells")
     )
     cells = idx.probe_cells(qvec, nprobe=2)
-    spark.createDataFrame([(int(c),) for c in cells], "centroid bigint").coalesce(
+    local_df(spark, [(int(c),) for c in cells], "centroid bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_IVFPQR_ORACLE_DIR, "probe"))
     luts = idx.luts_int(qvec, cells)
@@ -581,7 +583,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(luts[c].shape[0])
         for k in range(luts[c].shape[1])
     ]
-    spark.createDataFrame(rows, "centroid bigint, j int, c int, w bigint").coalesce(
+    local_df(spark, rows, "centroid bigint, j int, c int, w bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_IVFPQR_ORACLE_DIR, "lut"))
     stored = spark.read.parquet(os.path.join(_IVFPQR_ORACLE_DIR, "cells"))
@@ -761,7 +763,7 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = OpqIndex.build(emb, m=8, ksub=16, sample_rows=500, seed=0, opq_iters=4)
     idx.save(_OPQ_ORACLE_DIR, idx.encode(emb))
     lut = idx.lut_int(qvec)
-    spark.createDataFrame(
+    local_df(spark, 
         [(j, c, int(lut[j, c])) for j in range(lut.shape[0]) for c in range(lut.shape[1])],
         "j int, c int, w bigint",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_OPQ_ORACLE_DIR, "lut"))
@@ -874,7 +876,7 @@ def ann_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_OPQ_IVFPQ_DIR, "cells")
     )
     cells = idx.probe_cells(qvec, nprobe=2)
-    spark.createDataFrame([(int(c),) for c in cells], "centroid bigint").coalesce(
+    local_df(spark, [(int(c),) for c in cells], "centroid bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "probe"))
     luts = idx.luts_int(qvec, cells)
@@ -884,7 +886,7 @@ def ann_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(luts[c].shape[0])
         for k in range(luts[c].shape[1])
     ]
-    spark.createDataFrame(rows, "centroid bigint, j int, c int, w bigint").coalesce(
+    local_df(spark, rows, "centroid bigint, j int, c int, w bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_OPQ_IVFPQ_DIR, "lut"))
     stored = spark.read.parquet(os.path.join(_OPQ_IVFPQ_DIR, "cells"))
@@ -1052,7 +1054,7 @@ def _kmeans_converge_summary(
         emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, update_mode=update_mode
     )
     counts = assigned.groupBy("centroid").agg(F.count("*").cast("long").alias("n_members"))
-    summary = spark.createDataFrame(
+    summary = local_df(spark, 
         [
             (
                 cid,
@@ -1834,7 +1836,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for np_ in sweep
         for c in loaded.probe_centroid_ids(qvec, nprobe=np_)
     ]
-    spark.createDataFrame(probe_rows, "nprobe bigint, centroid bigint").coalesce(
+    local_df(spark, probe_rows, "nprobe bigint, centroid bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_IVF_SWEEP_DIR, "probe"))
 
@@ -1995,7 +1997,7 @@ def ann_ivf_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, vec in queries
         for c in loaded.probe_centroid_ids(vec, nprobe=2)
     ]
-    spark.createDataFrame(probe_rows, "query_id long, centroid bigint").coalesce(
+    local_df(spark, probe_rows, "query_id long, centroid bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_IVF_BATCH_DIR, "probe"))
     return loaded.probe_batched(queries, k=5, nprobe=2, round_to=ROUND_SCORE)
@@ -2919,7 +2921,7 @@ def ann_ivf_sq8_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = IvfSq8Index.load(spark, _IVF_SQ8_IDX_DIR)
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     cells = loaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVF_SQ8_IDX_DIR, "probe")
@@ -3254,7 +3256,7 @@ def ann_ivf_sq8_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reloaded = IvfSq8Index.load(spark, _IVF_SQ8_INGEST_DIR)
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVF_SQ8_INGEST_DIR, "probe")
@@ -3326,7 +3328,7 @@ def _persist_ivfpq_probe_luts(spark, idx, qvec, dir_: str, nprobe: int = 2):
     the batch ingest row and the streaming twin (both must stay
     bit-identical to the SQL's ``lut[j·ksub + code]`` contract)."""
     cells = idx.probe_cells(qvec, nprobe=nprobe)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(dir_, "probe"))
     luts = idx.luts_int(qvec, cells)
@@ -3336,7 +3338,7 @@ def _persist_ivfpq_probe_luts(spark, idx, qvec, dir_: str, nprobe: int = 2):
         for j in range(luts[c].shape[0])
         for kk in range(luts[c].shape[1])
     ]
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "centroid bigint, j int, c int, w bigint"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(dir_, "lut"))
     return cells
@@ -3533,7 +3535,7 @@ def ann_ivf_sq8_index_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reloaded, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_MUTATE_DIR)
     cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVF_SQ8_MUTATE_DIR, "probe")
@@ -3663,7 +3665,7 @@ def ann_ivf_sq8_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = emb3.where(F.col("vec_id") == 7).head()["label"]
     allowed = emb3.where(F.col("label") == lbl).select("vec_id")
     cells = idx.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVF_SQ8_FILTER_DIR, "probe")
@@ -3849,12 +3851,12 @@ def ann_ivfpq_batched_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
                 for j in range(lut.shape[0])
                 for kk in range(lut.shape[1])
             )
-    spark.createDataFrame(
+    local_df(spark, 
         probe_rows, "query_id bigint, centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVFPQ_BR_DIR, "probe")
     )
-    spark.createDataFrame(
+    local_df(spark, 
         lut_rows, "query_id bigint, centroid bigint, j int, c int, w bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVFPQ_BR_DIR, "lut")
@@ -3927,7 +3929,7 @@ def ann_ivf_sq8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     snap = IvfSq8Index.load(spark, _IVF_SQ8_TT_DIR, as_of=2)
     cells = snap.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVF_SQ8_TT_DIR, "probe")
@@ -4132,7 +4134,7 @@ def ann_ivf_sq8_snapshot_retention(
 
     snap = IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR, as_of=(0, 2))
     cells = snap.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_IVF_SQ8_RET_DIR, "probe")
@@ -4858,7 +4860,7 @@ def ann_graph_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from whatsapp_vectordb_spark.operators.graph_index import KnnGraphIndex
-    from whatsapp_vectordb_spark.session import local_scratch_root
+    from whatsapp_vectordb_spark.session import local_df, local_scratch_root
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     path = tempfile.mkdtemp(prefix="wvs_kgi_", dir=local_scratch_root())

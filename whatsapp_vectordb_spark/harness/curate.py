@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -333,7 +335,7 @@ def sample_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     built = IvfIndex.build_balanced(emb, n_centroids=8)
     cents_path = os.path.join(_DIVERSE_DIR, "centroids")
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
         "centroid bigint, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(cents_path)

@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -1148,7 +1150,7 @@ def dedup_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
     ).write.mode("overwrite").parquet(os.path.join(_SDIDX_DIR, "cells"))
     cents = idx._load_centroids()
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_SDIDX_DIR, "cents"))
@@ -1202,7 +1204,7 @@ def dedup_semdedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
     ).write.mode("overwrite").parquet(os.path.join(_SDIDX_COMPACT_DIR, "cells"))
     cents = idx._load_centroids()
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1329,7 +1331,7 @@ def dedup_semdedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFr
         "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
     ).write.mode("overwrite").parquet(os.path.join(_SDIDX_TT_DIR, "cells"))
     cents = idx._load_centroids()
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(

@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -337,7 +339,7 @@ def index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(out, "namespace string, vector_count long, n_updated long")
+    return local_df(spark, out, "namespace string, vector_count long, n_updated long")
 
 
 @_register(
@@ -472,7 +474,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(cid), [float(v) for v in comps[cid]], float(np.dot(mean, comps[cid])))
         for cid in range(comps.shape[0])
     ]
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "comp_id bigint, comp array<double>, offset double"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(_PCA_DIR, "components"))
     # project with the PERSISTED floats (identical bytes to what the oracle
@@ -536,7 +538,7 @@ def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "n_remaining bigint, id_checksum bigint, n_deleted bigint"
     )
 
@@ -587,7 +589,7 @@ def index_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             cursor = rows[-1]["id"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(pages, "page bigint, id string")
+    return local_df(spark, pages, "page bigint, id string")
 
 
 # ==========================================================================
@@ -709,7 +711,7 @@ def index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "n_vectors bigint, id_checksum bigint, max_files_per_bucket bigint"
     )
 
@@ -757,7 +759,7 @@ def index_ttl_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "n_remaining bigint, id_checksum bigint, n_deleted bigint"
     )
 
@@ -821,7 +823,7 @@ def _ensure_pq_micro(spark: SparkSession, sf_dir: str, m: int) -> tuple[str, str
         for c in range(idx.codebooks.shape[1])
         for d in range(dsub)
     ]
-    spark.createDataFrame(
+    local_df(spark, 
         book_rows, "bj int, bc int, bd int, v_micro long"
     ).coalesce(1).write.mode("overwrite").parquet(books_path)
     with open(marker, "w") as f:
@@ -997,7 +999,7 @@ def embed_opq_vs_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(idx.codebooks.shape[1])
             for d in range(dsub)
         ]
-        spark.createDataFrame(rows, "bj int, bc int, bd int, v_micro long").coalesce(
+        local_df(spark, rows, "bj int, bc int, bd int, v_micro long").coalesce(
             1
         ).write.mode("overwrite").parquet(os.path.join(_OPQ_CMP_DIR, name))
 
@@ -1014,7 +1016,7 @@ def embed_opq_vs_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(_PQ_SWEEP_DIM)
         for k in range(_PQ_SWEEP_DIM)
     ]
-    spark.createDataFrame(rot_rows, "d int, k int, r_micro long").coalesce(
+    local_df(spark, rot_rows, "d int, k int, r_micro long").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(_OPQ_CMP_DIR, "rot"))
 

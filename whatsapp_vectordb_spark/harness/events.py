@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -925,7 +927,7 @@ def events_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", F.row_number().over(w).alias("_rn")
     )
     totals = ev.groupBy("event_type").agg(F.count("*").alias("_total"))
-    pcts = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    pcts = local_df(spark, [(50,), (90,), (99,)], "pct int")
     exact = (
         ranked.join(totals, "event_type")
         .join(F.broadcast(pcts))

@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -282,7 +284,7 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(3):
         two = queries[2 * i : 2 * i + 2]
-        spark.createDataFrame(
+        local_df(spark, 
             [(r["query_id"], r["query_vec"]) for r in two],
             "query_id bigint, query_vec array<float>",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(scratch, f"stage{i}"))
@@ -407,7 +409,7 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(state, ignore_errors=True)
-    return spark.createDataFrame(out, "event_type string, n_bins bigint, psi double")
+    return local_df(spark, out, "event_type string, n_bins bigint, psi double")
 
 
 # Streaming HLL maintenance: stream ≡ batch (register MAX-merge is
@@ -980,7 +982,7 @@ def streaming_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "batch_no", "centroid", "cent_sim", "kept"
     ).write.mode("overwrite").parquet(os.path.join(_SD_STREAM_DIR, "cells"))
     cents = idx._load_centroids()
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1182,7 +1184,7 @@ def streaming_ivf_sq8_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     reloaded = IvfSq8Index.load(spark, _SQ8_CDC_DIR)
     cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_SQ8_CDC_DIR, "probe")
@@ -1395,7 +1397,7 @@ def streaming_ivf_sq8_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     reloaded = IvfSq8Index.load(spark, _SQ8_CDC_ORD_DIR)
     cells = reloaded.probe_centroid_ids(qvec, nprobe=_IVFSQ8_NPROBE)
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(c),) for c in cells], "centroid bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(_SQ8_CDC_ORD_DIR, "probe")

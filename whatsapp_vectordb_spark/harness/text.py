@@ -9,6 +9,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import (
@@ -164,7 +166,7 @@ def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("_tk").alias("tok")
     )
     counters = cms_counters(toks, "tok", width=1024)
-    probes = spark.createDataFrame([(t,) for t in _BM25_TERMS], "tok string")
+    probes = local_df(spark, [(t,) for t in _BM25_TERMS], "tok string")
     est = cms_estimate(counters, probes, "tok", width=1024)
     tru = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
     return (

@@ -24,6 +24,8 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.types import DEFAULT_METRIC, METRICS
@@ -104,7 +106,7 @@ class VectorIndex:
                 spark, root, name, row["dimension"], row["metric"],
                 int(row.get("num_id_buckets") or 0),
             )
-        reg = spark.createDataFrame(
+        reg = local_df(spark, 
             [(
                 name, dimension, metric, num_id_buckets,
                 _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
@@ -132,7 +134,7 @@ class VectorIndex:
     def _empty(self) -> DataFrame:
         from whatsapp_vectordb_spark.types import VECTOR_RECORD_SCHEMA
 
-        return self.spark.createDataFrame([], VECTOR_RECORD_SCHEMA)
+        return local_df(self.spark, [], VECTOR_RECORD_SCHEMA)
 
     def read(self) -> DataFrame:
         df = self._read_raw()
@@ -271,7 +273,7 @@ class VectorIndex:
         """
         if not ids:
             return 0
-        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        ids_df = local_df(self.spark, [(i,) for i in ids], "id string")
         raw = self._read_raw()
         if "_bucket" in raw.columns:
             b = self._bucket_of(F.col("id"), self.num_id_buckets)
@@ -369,7 +371,7 @@ class VectorIndex:
         (file-level pruning), then filters ids within them."""
         df = self._read_raw()
         if self.num_id_buckets > 0 and "_bucket" in df.columns:
-            tiny = self.spark.createDataFrame([(i,) for i in ids], "id string")
+            tiny = local_df(self.spark, [(i,) for i in ids], "id string")
             buckets = [
                 r["b"]
                 for r in tiny.select(

@@ -26,6 +26,8 @@ import os
 
 import numpy as np
 from pyspark.sql import DataFrame
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.vector import cosine_similarity
@@ -785,11 +787,11 @@ class IvfIndex:
             for qid, vec in queries
             for c in self.probe_centroid_ids(vec, nprobe)
         ]
-        qdf = spark.createDataFrame(
+        qdf = local_df(spark, 
             [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
             "query_id long, _qv array<double>",
         )
-        probes = spark.createDataFrame(
+        probes = local_df(spark, 
             probe_rows, "query_id long, _pcell bigint"
         ).join(F.broadcast(qdf), "query_id")
         cells = sorted({c for _, c in probe_rows})
@@ -1334,11 +1336,11 @@ def ivfpq_batched_topk(
             .where(F.col("_rk") <= k)
             .drop("_rk")
         )
-    wdf = spark.createDataFrame(
+    wdf = local_df(spark, 
         [(qid, [int(x) for x in lut.ravel()]) for qid, lut in luts.items()],
         "query_id long, _lut array<bigint>",
     )
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         probe_rows, "query_id long, _pcell bigint"
     ).join(F.broadcast(wdf), "query_id")
     # Σ_j lut[j·ksub + code_j] over the flattened per-query LUT (F.get is
@@ -1575,7 +1577,7 @@ def ivfpq_residual_batched_topk(
         luts = index.luts_int(qvecs[qid], cells)
         for c in cells:
             lut_rows.append((qid, int(c), [int(x) for x in luts[c].ravel()]))
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         lut_rows, "query_id long, _pcell bigint, _lut array<bigint>"
     )
     cells_all = sorted({c for _, cells in probe_items for c in cells})
@@ -1915,7 +1917,7 @@ def graph_beam_topk(
         out_schema = (
             df.select(F.col(id_col), score_expr).schema
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(i, scores[i]) for i in top], out_schema
         )
 
@@ -1994,7 +1996,7 @@ def graph_beam_topk_batched(
     missing = [q for q in qids if q not in qvecs]
     if missing:
         raise ValueError(f"query ids not in the corpus: {missing}")
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(int(q), qvecs[q]) for q in qids],
         "query_id long, _qv array<double>",
     )
@@ -2082,7 +2084,7 @@ def graph_beam_topk_batched(
             StructField("rank", IntegerType(), False),
         ]
     )
-    return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)
 
 
 def save_knn_graph(
@@ -2325,7 +2327,7 @@ def kmeans_lloyd(
     movement: dict[int, int] = {cid: 0 for cid, _ in cents}
 
     def _assign(current) -> DataFrame:
-        cents_df = spark.createDataFrame(
+        cents_df = local_df(spark, 
             [(cid, qc) for cid, qc in current], "centroid bigint, cvec array<bigint>"
         )
         return assign_cells_quantized(
@@ -2943,11 +2945,11 @@ def ivf_sq8_batched_topk(
             .where(F.col("_rk") <= k)
             .drop("_rk")
         )
-    wdf = spark.createDataFrame(
+    wdf = local_df(spark, 
         [(qid, w) for qid, w in wvecs.items()],
         "query_id long, _w array<bigint>",
     )
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         probe_rows, "query_id long, _pcell bigint"
     ).join(F.broadcast(wdf), "query_id")
     score = F.aggregate(
@@ -3047,7 +3049,7 @@ def batched_exact_rerank(
     )
 
     spark = vectors_df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
         "query_id long, _qv array<double>",
     )
@@ -3926,7 +3928,7 @@ def _index_delete(idx, ids, path: str | None) -> None:
         rows = [(i,) for i in ids]
         if not rows:
             return
-        ids = spark.createDataFrame(rows, [idx.id_col])
+        ids = local_df(spark, rows, [idx.id_col])
     # pin: the disk write and the in-memory anti-joins are separate
     # jobs — a nondeterministic ids plan could tombstone one set on
     # disk and mask another in memory
@@ -4605,6 +4607,46 @@ class IvfSq8Index:
         return roots
 
     @staticmethod
+    def _read_seq_roots(spark: SparkSession, roots) -> DataFrame:
+        """One frame per committed root, unioned by name, each row
+        carrying its commit ``_seq``. The FIRST root's schema is
+        inferred from its footer; every later root that allocated a
+        real commit seq (name parsed ``>= 1`` — written by the house
+        verbs, which always stamp ``_seq`` and the same columns)
+        reuses that schema EXPLICITLY, skipping a per-root driver
+        footer-read round trip (r17: a mutation composite's 8 loads ×
+        3 tables × N commits each paid one). Base and legacy
+        unnumbered roots (seq 0) keep inferring — only they may lack
+        the ``_seq`` column."""
+        from functools import reduce
+
+        first_seq, first_root = roots[0]
+        first = spark.read.parquet(first_root)
+        if "_seq" not in first.columns:
+            base_fields = list(first.schema.fields)
+            first = first.withColumn("_seq", F.lit(first_seq).cast("long"))
+        else:
+            base_fields = [f for f in first.schema.fields if f.name != "_seq"]
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        with_seq = StructType(
+            base_fields + [StructField("_seq", LongType(), True)]
+        )
+
+        def read_one(seq: int, root: str) -> DataFrame:
+            if seq >= 1:
+                return spark.read.schema(with_seq).parquet(root)
+            df = spark.read.parquet(root)
+            if "_seq" not in df.columns:
+                df = df.withColumn("_seq", F.lit(seq).cast("long"))
+            return df
+
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [first] + [read_one(seq, r) for seq, r in roots[1:]],
+        )
+
+    @staticmethod
     def _read_layout(
         spark: SparkSession, path: str, sub: str, as_of: int | None = None
     ) -> DataFrame | None:
@@ -4617,22 +4659,10 @@ class IvfSq8Index:
         union). Callers apply ``_mask_deleted`` (which drops ``_seq``)
         before serving rows. ``as_of`` bounds the union to commits
         ``<= as_of`` (time travel — see ``_layout_roots``)."""
-        from functools import reduce
-
         roots = IvfSq8Index._layout_roots(path, sub, as_of)
         if not roots:
             return None
-
-        def read_one(seq: int, root: str) -> DataFrame:
-            df = spark.read.parquet(root)
-            if "_seq" not in df.columns:
-                df = df.withColumn("_seq", F.lit(seq).cast("long"))
-            return df
-
-        return reduce(
-            lambda a, b: a.unionByName(b),
-            (read_one(seq, r) for seq, r in roots),
-        )
+        return IvfSq8Index._read_seq_roots(spark, roots)
 
     @staticmethod
     def _read_delete_marks(
@@ -4645,22 +4675,10 @@ class IvfSq8Index:
         dir holding only ``deletes``, an upsert commits codes + vectors
         + its own ids' tombstones under ONE rename. ``as_of`` bounds
         the fold to tombstones committed ``<= as_of`` (time travel)."""
-        from functools import reduce
-
         roots = IvfSq8Index._layout_roots(path, "deletes", as_of)
         if not roots:
             return None
-
-        def read_one(seq: int, root: str) -> DataFrame:
-            df = spark.read.parquet(root)
-            if "_seq" not in df.columns:
-                df = df.withColumn("_seq", F.lit(seq).cast("long"))
-            return df
-
-        marks = reduce(
-            lambda a, b: a.unionByName(b),
-            (read_one(seq, r) for seq, r in roots),
-        )
+        marks = IvfSq8Index._read_seq_roots(spark, roots)
         return marks.groupBy(F.col(id_col).alias("_del_id")).agg(
             F.max("_seq").alias("_del_seq")
         )
@@ -5713,7 +5731,7 @@ def semdedup(
                 schema=f"{icol} {id_type}, centroid int, cent_sim double, kept boolean",
             )
         )
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(proto.centroids)],
         "centroid int, _cv array<double>",
     )

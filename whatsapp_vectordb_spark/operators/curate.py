@@ -21,6 +21,8 @@ these are the standard pretraining-pipeline stages expressed Spark-first).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 
@@ -540,7 +542,7 @@ def grouped_prefix_sum(
         rows.append((r["_pid"], g, running.get(g, 0)))
         running[g] = running.get(g, 0) + int(r["_tot"])
     gtype = dict(part.dtypes)[group_col]
-    off = spark.createDataFrame(
+    off = local_df(spark, 
         rows, f"_pid int, {group_col} {gtype}, _off long"
     )
     return (
@@ -654,7 +656,7 @@ def epoch_waterfill(
             alloc = (budget - ckstar) * r["w"] // (wtot - wkstar)
         epochs_micro = (2 * 1_000_000 * alloc + r["n"]) // (2 * r["n"])
         out.append((r["source"], r["n"], r["w"], cap, alloc, epochs_micro))
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "source string, n_tokens long, weight long, cap_tokens long, "
         "alloc_tokens long, epochs_micro long",

@@ -27,6 +27,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.operators.dedup import (
@@ -255,14 +257,26 @@ class _BatchDirIndex:
         import shutil
         import uuid
 
+        from whatsapp_vectordb_spark.operators.ann import _run_writes
+
         with _lease(self.path, "add_batch"):
             batch_id = f"{self._next_seq():08d}_{uuid.uuid4().hex}"
             stage = os.path.join(self.path, "_staging", batch_id)
             try:
-                for which, df in frames.items():
-                    df.write.mode("overwrite").parquet(
-                        os.path.join(stage, which)
-                    )
+                # one commit's tables are independent jobs over pinned
+                # inputs — run them concurrently (guide §2.6), and let
+                # REBALANCE coalesce each to advisory-size files instead
+                # of one tiny file per upstream task (guide §6)
+                _run_writes(
+                    [
+                        (
+                            lambda w=which, d=df: d.hint("rebalance")
+                            .write.mode("overwrite")
+                            .parquet(os.path.join(stage, w))
+                        )
+                        for which, df in frames.items()
+                    ]
+                )
                 os.makedirs(self._batches_path, exist_ok=True)
                 os.rename(stage, os.path.join(self._batches_path, batch_id))
             except BaseException:
@@ -610,7 +624,7 @@ class MinHashDedupIndex(_BatchDirIndex):
                 raise ValueError("pairs_path requires a stable batch_key")
             dest = os.path.join(pairs_path, f"batch_id={batch_key}")
             if not banded_new.isEmpty() or not os.path.exists(dest):
-                pairs.write.mode("overwrite").parquet(dest)
+                pairs.hint("rebalance").write.mode("overwrite").parquet(dest)
         self._commit_appends(banded_new, sh_new)
         banded_new.unpersist()
         sh_new.unpersist()
@@ -630,7 +644,7 @@ class MinHashDedupIndex(_BatchDirIndex):
         invariant)."""
         banded = self._stored("signatures", as_of)
         if banded is None:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "id_a long, id_b long, jaccard double"
             )
         sh = self._stored("shingles", as_of)
@@ -810,7 +824,7 @@ class WinnowDedupIndex:
         immutable — the union-of-batches ≡ one-shot argument)."""
         fp = self._stored(as_of)
         if fp is None:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "id_a long, id_b long, n_shared long"
             )
         d = fp.select("doc_id", "fp_hash").distinct()
@@ -1006,7 +1020,7 @@ class WinnowDedupIndex:
             # pairs with it — keep the committed attempt's pair file
             # rather than clobbering it with the empty recompute
             if not fp_new.isEmpty() or not os.path.exists(dest):
-                pairs.write.mode("overwrite").parquet(dest)
+                pairs.hint("rebalance").write.mode("overwrite").parquet(dest)
         self._commit_append(fp_new)
         fp_new.unpersist()
         return pairs
@@ -1204,7 +1218,7 @@ class SemDedupIndex(_BatchDirIndex):
         )
         stored_kept = self._stored("kept")
         if stored_kept is None:
-            stored_kept = self.spark.createDataFrame(
+            stored_kept = local_df(self.spark, 
                 [], f"vec_id long, embedding array<double>, centroid int, cent_sim double"
             )
         tau, rt = float(self.threshold), int(self.round_to)
@@ -1277,7 +1291,7 @@ class SemDedupIndex(_BatchDirIndex):
             # post-commit retry guard: keep the committed attempt's flag
             # file rather than clobbering it with the empty recompute
             if not empty or not os.path.exists(dest):
-                res.write.mode("overwrite").parquet(dest)
+                res.hint("rebalance").write.mode("overwrite").parquet(dest)
         if empty:
             return res  # fully anti-joined replay: no state to commit
         kept_rows = (
@@ -1306,7 +1320,7 @@ class SemDedupIndex(_BatchDirIndex):
         that commit: kept = membership in the bounded ``kept`` table."""
         ids = self._stored("ids", as_of)
         if ids is None:
-            return self.spark.createDataFrame([], "vec_id long, kept boolean")
+            return local_df(self.spark, [], "vec_id long, kept boolean")
         kept = self._stored("kept", as_of)
         if kept is None:
             return ids.select("vec_id", F.lit(False).alias("kept"))

@@ -21,6 +21,8 @@ O(cap) after the rank filter.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.text import portable_hash
@@ -125,7 +127,7 @@ def weighted_mix(
             StructField("_w", DoubleType()),
         ]
     )
-    w_df = spark.createDataFrame([(g, float(w)) for g, w in weights.items()], w_schema)
+    w_df = local_df(spark, [(g, float(w)) for g, w in weights.items()], w_schema)
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     gw = counts.join(F.broadcast(w_df), group_col)
     lam = gw.agg(F.min(F.col("_n") / F.col("_w")).alias("_lam"))

@@ -34,6 +34,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -366,7 +368,7 @@ def mmr_rerank(
         selected.append(best[0])
         remaining.discard(best[0])
         out.append((rank, best[0], int(best[1])))
-    return spark.createDataFrame(out, f"rank bigint, {id_col} long, mmr_score10 bigint")
+    return local_df(spark, out, f"rank bigint, {id_col} long, mmr_score10 bigint")
 
 
 def knn_label_propagation(

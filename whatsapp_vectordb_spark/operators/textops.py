@@ -15,6 +15,8 @@ feature expression.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.functions.text import (
@@ -354,7 +356,7 @@ def rm3_search(
         .select("term", F.lit(float(expand_weight)).alias("w"))
     )
     spark = df.sparkSession
-    seeds_df = spark.createDataFrame([(t, 1.0) for t in seeds], "term string, w double")
+    seeds_df = local_df(spark, [(t, 1.0) for t in seeds], "term string, w double")
     terms_df = seeds_df.unionByName(expansion)
     out = bm25_search_weighted(
         df,
@@ -1210,7 +1212,7 @@ def bpe_learn(
     if prev is not words:
         prev.unpersist(blocking=True)
     words.unpersist(blocking=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
 

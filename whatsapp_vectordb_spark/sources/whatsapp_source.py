@@ -151,11 +151,11 @@ def ensure_write_resolution(spark, fmt: str) -> None:
     import shutil
     import tempfile
 
-    from whatsapp_vectordb_spark.session import local_scratch_root
+    from whatsapp_vectordb_spark.session import local_df, local_scratch_root
 
     d = tempfile.mkdtemp(prefix="ws_warmup_", dir=local_scratch_root())
     try:
-        spark.createDataFrame(
+        local_df(spark, 
             [("00.00.00, 00:00:00", "warmup", "warmup")],
             "ts_raw string, sender string, message string",
         ).write.format(fmt).mode("overwrite").save(os.path.join(d, "w"))

@@ -21,6 +21,8 @@ compares final state).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from whatsapp_vectordb_spark.session import local_df
 from pyspark.sql import functions as F
 
 from whatsapp_vectordb_spark.operators.events import normalize_event_ts
@@ -553,7 +555,7 @@ def run_ivf_maintenance_stream(
     bootstrap = emb.where(F.col("vec_id") % 2 == 0)
 
     built = IvfIndex.build_balanced(bootstrap, n_centroids=n_centroids)
-    cents_df = spark.createDataFrame(
+    cents_df = local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
         "centroid bigint, cvec array<double>",
     )
@@ -637,7 +639,7 @@ def run_ivf_sq8_index_stream(
     boot = emb.where(F.col("vec_id") < boot_below)
 
     built = IvfIndex.build_balanced(boot, n_centroids=n_centroids)
-    cents_df = spark.createDataFrame(
+    cents_df = local_df(spark, 
         [(int(i), [float(x) for x in c]) for i, c in enumerate(built.centroids)],
         "centroid bigint, cvec array<double>",
     )
