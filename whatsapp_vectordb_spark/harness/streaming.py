@@ -1154,12 +1154,15 @@ def streaming_ivf_sq8_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         idx = IvfSq8Index.load(spark, _SQ8_CDC_DIR)
-        dels = batch_df.where(F.col("op") == "d").select("vec_id")
-        if not dels.isEmpty():
-            idx.delete(dels, path=_SQ8_CDC_DIR)
-        ups = batch_df.where(F.col("op") == "u").select("vec_id", "embedding")
-        if not ups.isEmpty():
-            idx.upsert(ups, path=_SQ8_CDC_DIR)
+        # the verbs pin their input and no-op on empty themselves, so
+        # pre-checking emptiness here paid a redundant job per op per
+        # trigger (r17)
+        idx.delete(batch_df.where(F.col("op") == "d").select("vec_id"),
+                   path=_SQ8_CDC_DIR)
+        idx.upsert(
+            batch_df.where(F.col("op") == "u").select("vec_id", "embedding"),
+            path=_SQ8_CDC_DIR,
+        )
 
     schema = "vec_id long, embedding array<float>, op string"
     stream = (
@@ -1266,12 +1269,13 @@ def streaming_ivfpq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         idx = IvfPqIndex.load(spark, _IVFPQ_CDC_DIR)
-        dels = batch_df.where(F.col("op") == "d").select("vec_id")
-        if not dels.isEmpty():
-            idx.delete(dels, path=_IVFPQ_CDC_DIR)
-        ups = batch_df.where(F.col("op") == "u").select("vec_id", "embedding")
-        if not ups.isEmpty():
-            idx.upsert(ups, path=_IVFPQ_CDC_DIR)
+        # verbs no-op on empty input themselves — see the SQ8 twin (r17)
+        idx.delete(batch_df.where(F.col("op") == "d").select("vec_id"),
+                   path=_IVFPQ_CDC_DIR)
+        idx.upsert(
+            batch_df.where(F.col("op") == "u").select("vec_id", "embedding"),
+            path=_IVFPQ_CDC_DIR,
+        )
 
     schema = "vec_id long, embedding array<float>, op string"
     stream = (
