@@ -71,7 +71,7 @@ def local_df(spark: SparkSession, data, schema=None):
     Semantics are unchanged: the explicit schema is applied either way,
     and anything this helper cannot convert (empty input, non-list
     data, exotic schemas) falls back to the original call."""
-    if isinstance(data, (list, tuple)) and data and schema is not None:
+    if isinstance(data, (list, tuple)) and schema is not None:
         try:
             import pandas as pd
 
@@ -80,7 +80,7 @@ def local_df(spark: SparkSession, data, schema=None):
             elif isinstance(schema, (list, tuple)) and all(
                 isinstance(n, str) for n in schema
             ):
-                names = list(schema)
+                names = list(schema) if data else None
             else:
                 names = None
             if names is not None and all(
