@@ -116,3 +116,38 @@ def test_bench_recorded_matches_baseline_md():
         elif table and line.strip() and not line.startswith("|"):
             break  # table ended (first prose line after rows started)
     assert table == bench.RECORDED_SF01_MEDIANS
+
+
+def test_bench_per_query_tail_line_fits_and_parses():
+    """VERDICT r17 #2: the per-query line printed LAST by bench.py must
+    survive the driver's 2000-char stdout-tail capture — complete, JSON-
+    parseable, contract-shaped, with every timed entry present — at the
+    current 70-entry set AND under a degraded-host width bound (every
+    value at its max encoded width)."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    with open(os.path.join(REPO, "BENCH_LOCAL_r18.json")) as f:
+        rec = json.load(f)
+    cases = {
+        "current": rec["queries_all"],
+        # worst realistic width: everything just under 100 s (4 chars)
+        "degraded": {q: [99.9] for q in rec["queries_all"]},
+    }
+    for label, timings_all in cases.items():
+        line = bench.per_query_tail_line(timings_all, rec["value"], rec["sf"])
+        assert len(line) + 1 <= 2000, (label, len(line))
+        tail = ("x" * 3000 + "\n" + line + "\n")[-2000:]
+        last = [ln for ln in tail.splitlines() if ln.strip()][-1]
+        parsed = json.loads(last)
+        assert parsed["metric"] == "headline_queries_total"
+        assert set(parsed["queries"]) == set(timings_all)
+        assert parsed["sf"] == rec["sf"]
+        # mins ride within rounding of the raw reps
+        for q, ts in timings_all.items():
+            assert abs(parsed["queries"][q] - min(ts)) <= 0.5 + 1e-9
