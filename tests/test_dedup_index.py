@@ -814,3 +814,48 @@ def test_dedup_index_verify_unreadable_manifest_warns(
     rep = idx.verify()
     assert rep["ok"]  # degraded read, not corruption
     assert any("unreadable replaces.json" in w for w in rep["warnings"])
+
+
+def test_lazy_pair_returns_survive_later_ingests_and_compaction(
+    spark, documents, tmp_path
+):
+    """r18: add_batch returns a LAZY pair frame pinned to the pre-commit
+    state (batch side eagerly checkpointed, stored side read by explicit
+    pre-commit paths). Consuming every returned frame only AFTER all
+    ingests AND a compaction must yield exactly the per-batch pair sets
+    an eager consumer saw — for both the MinHash and Winnow tiers."""
+    from whatsapp_vectordb_spark.operators.dedup_index import (
+        MinHashDedupIndex,
+        WinnowDedupIndex,
+    )
+
+    docs = documents.select("doc_id", "text").limit(90).cache()
+    batches = [
+        docs.where(F.col("doc_id") % 3 == i).unionByName(
+            docs.where((F.col("doc_id") % 3 == (i + 1) % 3) & (F.col("doc_id") < 9))
+            .select((F.col("doc_id") + 5000 * (i + 1)).alias("doc_id"), "text")
+        )
+        for i in range(3)
+    ]
+
+    # eager reference: consume each batch's pairs immediately
+    ref = MinHashDedupIndex(spark, str(tmp_path / "mh_eager"), threshold=0.5)
+    eager = [_pairs(ref.add_batch(b)) for b in batches]
+
+    lazy_idx = MinHashDedupIndex(spark, str(tmp_path / "mh_lazy"), threshold=0.5)
+    frames = [lazy_idx.add_batch(b) for b in batches[:2]]
+    assert lazy_idx.compact() == 2  # supersedes (retains) both batch dirs
+    frames.append(lazy_idx.add_batch(batches[2]))
+    # consume only now — after two later commits and a compaction
+    assert [_pairs(f) for f in frames] == eager
+
+    def _wpairs(df):
+        return {(r["id_a"], r["id_b"], r["n_shared"]) for r in df.collect()}
+
+    wref = WinnowDedupIndex(spark, str(tmp_path / "wn_eager"))
+    weager = [_wpairs(wref.add_batch(b)) for b in batches]
+    wlazy = WinnowDedupIndex(spark, str(tmp_path / "wn_lazy"))
+    wframes = [wlazy.add_batch(b) for b in batches[:2]]
+    assert wlazy.compact() == 2
+    wframes.append(wlazy.add_batch(batches[2]))
+    assert [_wpairs(f) for f in wframes] == weager

@@ -515,10 +515,11 @@ class MinHashDedupIndex(_BatchDirIndex):
         self.shingle_n = shingle_n
         self.threshold = threshold
 
-    def _banded(self, df: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
-        """(banded keys, hashed shingles) for a document frame."""
-        sh = _hashed_shingles(df, "text", id_col, self.shingle_n)
-        sig = _signatures_from_hashed(sh, id_col, self.num_hashes)
+    def _banded_from_hashed(self, sh: DataFrame) -> DataFrame:
+        """Banded keys derived from a ``(doc_id, _x1, _x2, _h)`` hashed-
+        shingle frame (signature mins + band-key md5 — pure derivation,
+        no new source reads)."""
+        sig = _signatures_from_hashed(sh, "doc_id", self.num_hashes)
         r = self.num_hashes // self.bands
         band_structs = [
             F.struct(
@@ -535,10 +536,9 @@ class MinHashDedupIndex(_BatchDirIndex):
             )
             for b in range(self.bands)
         ]
-        banded = sig.select(
-            F.col(id_col).alias("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bk")
         ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-        return banded, sh.select(F.col(id_col).alias("doc_id"), "_x1", "_x2", "_h")
 
     def add_batch(
         self,
@@ -571,7 +571,23 @@ class MinHashDedupIndex(_BatchDirIndex):
         visible together or not at all, so there is no window where a doc
         has band rows without its shingles (anti-joined out forever with
         a broken verify side) or shingles without its signatures
-        (re-ingested and double-counted)."""
+        (re-ingested and double-counted).
+
+        The returned pairs are LAZY but PINNED (r18): every input of the
+        pair plan is immutable — the batch's hashed shingles are eagerly
+        localCheckpointed (which also pins the re-ingest anti-join
+        against the pre-commit state), and the stored side reads the
+        pre-commit batch dirs by explicit path; the append below only
+        ADDS a sibling dir, so consuming the result at any later point
+        (after further ingests, after a compaction — compaction RETAINS
+        its victims) computes exactly this batch's verified pair set.
+        The candidate join + Jaccard verify therefore run only when the
+        pairs are actually consumed — an ingest whose caller never reads
+        them (or reads them from ``pairs_path``) never pays for them.
+        Only ``vacuum()`` can invalidate an unconsumed result, loudly
+        (the referenced dirs disappear): consume or persist returned
+        pairs before vacuuming, as the durability contract already
+        requires."""
         _gc_staging(self.path)
         stored_ids = self._stored("signatures")
         if stored_ids is not None:
@@ -580,9 +596,15 @@ class MinHashDedupIndex(_BatchDirIndex):
                 id_col,
                 "left_anti",
             )
-        banded_new, sh_new = self._banded(batch, id_col)
-        banded_new = banded_new.cache()
-        sh_new = sh_new.cache()
+        # ONE eager pin of the expensive map work (tokenize + shingle +
+        # md5); signatures, band keys, commit writes and the pair verify
+        # all derive from these blocks without touching live state again
+        sh_new = (
+            _hashed_shingles(batch, "text", id_col, self.shingle_n)
+            .select(F.col(id_col).alias("doc_id"), "_x1", "_x2", "_h")
+            .localCheckpoint(eager=True)
+        )
+        banded_new = self._banded_from_hashed(sh_new)
 
         stored_banded = self._stored("signatures")
         stored_sh = self._stored("shingles")
@@ -613,21 +635,13 @@ class MinHashDedupIndex(_BatchDirIndex):
         pairs = _verify_jaccard(
             cand, all_sh.select(F.col("doc_id"), "_h"), "doc_id", self.threshold, 6
         )
-        # PIN the result before appending: the verify plan reads the stored
-        # parquet lazily, and the append below mutates that directory — a
-        # cache() is not enough (evicted partitions would recompute over
-        # the doubled state: inflated n_common, even zero denominators).
-        # localCheckpoint(eager) cuts the lineage at materialized blocks.
-        pairs = pairs.localCheckpoint(eager=True)
         if pairs_path is not None:
             if batch_key is None:
                 raise ValueError("pairs_path requires a stable batch_key")
             dest = os.path.join(pairs_path, f"batch_id={batch_key}")
-            if not banded_new.isEmpty() or not os.path.exists(dest):
+            if not sh_new.isEmpty() or not os.path.exists(dest):
                 pairs.hint("rebalance").write.mode("overwrite").parquet(dest)
         self._commit_appends(banded_new, sh_new)
-        banded_new.unpersist()
-        sh_new.unpersist()
         return pairs
 
     def pairs_at(self, as_of: int | None = None) -> DataFrame:
@@ -968,9 +982,19 @@ class WinnowDedupIndex:
           and a post-commit retry (which recomputes an empty pair set)
           will NOT clobber the committed batch's pair file. Consumers
           read ``pairs_path``; the return value is best-effort on retry.
-        * or treat the returned (eagerly materialized) pairs as part of
-          the batch's output transaction: persist them durably before
-          acknowledging the batch anywhere.
+        * or treat the returned pairs as part of the batch's output
+          transaction: persist them durably before acknowledging the
+          batch anywhere.
+
+        The returned pairs are LAZY but PINNED (r18, same contract as
+        the MinHash index): the batch's fingerprints are eagerly
+        localCheckpointed (pinning the re-ingest anti-join too) and the
+        stored side reads the pre-commit fingerprint files by explicit
+        path — the append only ADDS a file, so a later consumption
+        (after further ingests or a compaction) computes exactly this
+        batch's pair set; the fingerprint join + n_shared count run only
+        when the pairs are consumed. Only ``vacuum()`` can invalidate an
+        unconsumed result, loudly.
         """
         from whatsapp_vectordb_spark.operators.dedup import winnow_fingerprints
 
@@ -982,10 +1006,11 @@ class WinnowDedupIndex:
                 id_col,
                 "left_anti",
             )
-        fp_new = winnow_fingerprints(
-            batch, id_col=id_col, k=self.k, w=self.w
-        ).select(F.col(id_col).alias("doc_id"), "fp_pos", "fp_hash")
-        fp_new = fp_new.cache()
+        fp_new = (
+            winnow_fingerprints(batch, id_col=id_col, k=self.k, w=self.w)
+            .select(F.col(id_col).alias("doc_id"), "fp_pos", "fp_hash")
+            .localCheckpoint(eager=True)
+        )
         all_fp = fp_new if stored is None else stored.unionByName(fp_new)
 
         a = fp_new.select("doc_id", "fp_hash").distinct().alias("a")
@@ -1008,9 +1033,6 @@ class WinnowDedupIndex:
             .agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= self.min_shared)
         )
-        # pin before the append mutates the stored dir (same hazard the
-        # MinHash index documents: lazily-read state + append = corruption)
-        pairs = pairs.localCheckpoint(eager=True)
         if pairs_path is not None:
             if batch_key is None:
                 raise ValueError("pairs_path requires a stable batch_key")
@@ -1022,7 +1044,6 @@ class WinnowDedupIndex:
             if not fp_new.isEmpty() or not os.path.exists(dest):
                 pairs.hint("rebalance").write.mode("overwrite").parquet(dest)
         self._commit_append(fp_new)
-        fp_new.unpersist()
         return pairs
 
     def _commit_append(self, fp_new: DataFrame) -> None:
