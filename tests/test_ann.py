@@ -3356,3 +3356,29 @@ def test_verify_layout_deep_catches_codes_vectors_divergence(
     assert any(
         "codes has" in e or "torn float store" in e for e in deep["errors"]
     )
+
+
+def test_fused_sq8_train_cell_counts_matches_train_and_tripwire(spark, embeddings):
+    """r18: IvfSq8Index.build's fused measurement pass must produce a
+    scaler BIT-IDENTICAL to sq8_train (both impls) and a tripwire
+    decision identical to the old cell_stats-over-MLlib route."""
+    from whatsapp_vectordb_spark.operators.ann import (
+        IvfIndex,
+        _sq8_train_cell_counts,
+        assign_nearest_centroid,
+        sq8_train,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    idx = IvfIndex.build(emb, n_centroids=8)
+    assigned = assign_nearest_centroid(emb, idx.centroids, "embedding")
+    mins_f, deltas_f, counts = _sq8_train_cell_counts(assigned, "embedding", 8)
+    for impl in ("expr", "numpy"):
+        m, d = sq8_train(emb, impl=impl)
+        assert mins_f == m and deltas_f == d, impl
+    total = sum(counts)
+    assert total == emb.count()
+    old_share = idx.cell_stats()["max_share"]
+    assert (max(counts) / total > 0.5) == (old_share > 0.5)
+    # on the gate fixture the shares agree to the stats' own rounding
+    assert abs(max(counts) / total - old_share) < 5e-4

@@ -2524,6 +2524,77 @@ def binary_hamming_topk(
     )
 
 
+def _sq8_spark_min_fold(m: "np.ndarray") -> "np.ndarray":
+    """Columnwise min under Spark's ordering: NaN ranks above +inf, so it
+    never wins a min unless the whole column is NaN (the F.min-skips-NaN
+    parity rule the numpy train paths share — ADVICE r12)."""
+    isnan = np.isnan(m)
+    out = np.where(isnan, np.inf, m).min(axis=0)
+    return np.where(isnan.all(axis=0), np.nan, out)
+
+
+def _sq8_scaler_from_minmax(mn, mx) -> tuple[list[float], list[float]]:
+    """The shared driver-side scaler post-processing: delta=(max-min)/255,
+    constant dims delta=1 — identical across the expr, numpy and fused
+    train paths (min/max are exact in any association, so all three are
+    bit-identical by construction)."""
+    mins = [float(v) for v in mn]
+    deltas = [
+        ((float(b) - float(a)) / 255.0) if b > a else 1.0
+        for a, b in zip(mn, mx)
+    ]
+    return mins, deltas
+
+
+def _sq8_train_cell_counts(
+    assigned: DataFrame, vec_col: str, n_cells: int
+) -> tuple[list[float], list[float], list[int]]:
+    """FUSED scaler train + layout tripwire input (r18, guide §1.2): ONE
+    Arrow pass over the house-assigned frame computes the per-dimension
+    (min, max) — bit-identical to ``sq8_train`` in either impl — AND the
+    per-centroid occupancy counts the degenerate-layout tripwire
+    thresholds. Replaces two separate jobs per build (the MLlib
+    ``model.transform`` + aggregate behind ``cell_stats`` and the
+    ``sq8_train`` aggregate). Empty input returns ([], [], zeros) —
+    matching ``sq8_train``'s ([], []) on empty."""
+    def part_stats(batches):
+        import pandas as pd
+
+        mn = mx = None
+        cnt = np.zeros(n_cells, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pmn, pmx = _sq8_spark_min_fold(m), m.max(axis=0)
+            mn = pmn if mn is None else _sq8_spark_min_fold(np.vstack([mn, pmn]))
+            mx = pmx if mx is None else np.maximum(mx, pmx)
+            cnt += np.bincount(
+                pdf["centroid"].to_numpy().astype(np.int64), minlength=n_cells
+            )
+        if mn is not None:
+            yield pd.DataFrame(
+                {"mn": [mn.tolist()], "mx": [mx.tolist()], "cnt": [cnt.tolist()]}
+            )
+
+    parts = (
+        assigned.select(vec_col, "centroid")
+        .mapInPandas(
+            part_stats, schema="mn array<double>, mx array<double>, cnt array<long>"
+        )
+        .collect()
+    )
+    if not parts:
+        return [], [], [0] * n_cells
+    # collect() surfaces a NaN array element as None — cast back to
+    # float64 (None -> NaN) before folding
+    mn = _sq8_spark_min_fold(np.array([r["mn"] for r in parts], dtype=np.float64))
+    mx = np.max(np.array([r["mx"] for r in parts], dtype=np.float64), axis=0)
+    counts = np.sum([r["cnt"] for r in parts], axis=0, dtype=np.int64)
+    mins, deltas = _sq8_scaler_from_minmax(mn, mx)
+    return mins, deltas, [int(c) for c in counts]
+
+
 def sq8_train(
     df: DataFrame, vec_col: str = "embedding", impl: str = "expr"
 ) -> tuple[list[float], list[float]]:
@@ -2553,12 +2624,7 @@ def sq8_train(
     the same NaN-as-greater-than-all ordering (``_spark_min_fold``;
     plain max already matches Spark's propagate-on-max)."""
     if impl == "numpy":
-        def _spark_min_fold(m: "np.ndarray") -> "np.ndarray":
-            # columnwise min under Spark's ordering: NaN ranks above +inf,
-            # so it never wins a min unless the whole column is NaN
-            isnan = np.isnan(m)
-            out = np.where(isnan, np.inf, m).min(axis=0)
-            return np.where(isnan.all(axis=0), np.nan, out)
+        _spark_min_fold = _sq8_spark_min_fold
 
         def part_minmax(batches):
             import pandas as pd
@@ -2587,12 +2653,7 @@ def sq8_train(
         # float64 (None -> NaN) before folding
         mn = _spark_min_fold(np.array([r["mn"] for r in parts], dtype=np.float64))
         mx = np.max(np.array([r["mx"] for r in parts], dtype=np.float64), axis=0)
-        mins = [float(v) for v in mn]
-        deltas = [
-            ((float(b) - float(a)) / 255.0) if b > a else 1.0
-            for a, b in zip(mn, mx)
-        ]
-        return mins, deltas
+        return _sq8_scaler_from_minmax(mn, mx)
     rows = (
         df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
         .groupBy("d")
@@ -2603,9 +2664,7 @@ def sq8_train(
         .orderBy("d")
         .collect()
     )
-    mins = [r["mn"] for r in rows]
-    deltas = [((r["mx"] - r["mn"]) / 255.0) if r["mx"] > r["mn"] else 1.0 for r in rows]
-    return mins, deltas
+    return _sq8_scaler_from_minmax([r["mn"] for r in rows], [r["mx"] for r in rows])
 
 
 def sq8_encode(
@@ -4487,27 +4546,49 @@ class IvfSq8Index:
         sample_rows: int | None = None,
         seed: int = 1,
     ) -> "IvfSq8Index":
-        """Quantizer via ``IvfIndex.build_balanced`` (the degenerate-layout
-        tripwire included — a mega-cell composite would be a hidden full
-        scan), optionally fit on a ``sample_rows`` sample (the 1M×1536
-        protocol); SQ8 trained on the FULL corpus (one aggregate);
-        encode+assign are each one map pass."""
+        """MLlib quantizer fit with the degenerate-layout tripwire
+        (``build_balanced``'s contract — a mega-cell composite would be a
+        hidden full scan), optionally fit on a ``sample_rows`` sample
+        (the 1M×1536 protocol); SQ8 trained on the FULL corpus;
+        encode+assign are each one map pass.
+
+        FUSED measurement pass (r18, guide §1.2/§2.3): the scaler train
+        and the tripwire's occupancy counts ride ONE Arrow pass over the
+        house nearest-centroid assignment (``_sq8_train_cell_counts``)
+        instead of two jobs — the ``sq8_train`` aggregate (whose expr
+        form posexplodes N·dim rows through a shuffle) and the MLlib
+        ``model.transform`` + aggregate behind ``cell_stats``. The
+        scaler is bit-identical to ``sq8_train`` in either impl (min/max
+        are exact in any association; ``train_impl`` is kept for API
+        compatibility); the tripwire now thresholds ``max_share`` of the
+        house assignment over the ENCODED corpus — the layout actually
+        being persisted — rather than MLlib's assignment of the fit
+        sample (same decision on every gate corpus, asserted by test)."""
         fit_on = df
         if sample_rows is not None:
             n = df.count()
             if n > sample_rows:
                 fit_on = df.sample(fraction=sample_rows / n, seed=seed)
-        proto = IvfIndex.build_balanced(
-            fit_on, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-            iters=iters,
+        centroids = IvfIndex.build(
+            fit_on, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        ).centroids  # fit only — the MLlib assignment frame is never acted on
+        assigned = assign_nearest_centroid(df, centroids, vec_col)
+        mins, deltas, counts = _sq8_train_cell_counts(
+            assigned, vec_col, n_centroids
         )
-        mins, deltas = sq8_train(df, vec_col=vec_col, impl=train_impl)
-        assigned = assign_nearest_centroid(df, proto.centroids, vec_col)
+        total = sum(counts)
+        if total and max(counts) / total > 0.5:
+            proto = IvfIndex.build_portable(
+                fit_on, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+                iters=iters,
+            )
+            centroids = proto.centroids
+            assigned = assign_nearest_centroid(df, centroids, vec_col)
         codes = sq8_encode(df, mins, deltas, id_col=id_col, vec_col=vec_col).join(
             assigned.select(id_col, "centroid"), id_col
         )
         return cls(
-            codes, proto.centroids, mins, deltas, id_col, vec_col,
+            codes, centroids, mins, deltas, id_col, vec_col,
             vectors=assigned.select(id_col, vec_col, "centroid"),
         )
 
