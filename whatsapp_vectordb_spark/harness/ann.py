@@ -3501,18 +3501,22 @@ LIMIT 10
 
 def _mutate_index(idx_cls, spark, emb, path: str):
     """Run the shared three-commit mutation scenario against a freshly
-    saved index at ``path`` and return (reloaded index, query vector)."""
+    saved index at ``path`` and return (reloaded index, query vector).
+
+    ONE tip load drives all three verbs (r18, the CDC rows' trigger-
+    scoped handle reuse): each commit's bytes derive only from its
+    batch, the frozen meta and the on-disk seq allocation — never from
+    the handle's in-memory frames — so the committed scenario is
+    bit-identical to the old load-per-verb form, and the returned index
+    is still a FRESH load of the committed state."""
     qvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
     clones = emb.where(F.col("vec_id") % 10 == 3).select(
         "vec_id", F.lit(qvec).cast("array<float>").alias("embedding")
     )
-    idx_cls.load(spark, path).upsert(clones, path=path)
-    idx_cls.load(spark, path).delete(
-        emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path
-    )
-    idx_cls.load(spark, path).upsert(
-        clones.where(F.col("vec_id") % 40 == 3), path=path
-    )
+    tip = idx_cls.load(spark, path)
+    tip.upsert(clones, path=path)
+    tip.delete(emb.where(F.col("vec_id") % 20 == 3).select("vec_id"), path=path)
+    tip.upsert(clones.where(F.col("vec_id") % 40 == 3), path=path)
     return idx_cls.load(spark, path), qvec
 
 
@@ -4116,9 +4120,12 @@ def ann_ivf_sq8_snapshot_retention(
     )
     _, qvec = _mutate_index(IvfSq8Index, spark, emb, _IVF_SQ8_RET_DIR)
     IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR).save(_IVF_SQ8_RET_DIR)  # FOLD
-    # fresh epoch-1 commits: a reader ignoring epochs would alias seq 2
-    IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR).delete([3], path=_IVF_SQ8_RET_DIR)
-    IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR).delete([0], path=_IVF_SQ8_RET_DIR)
+    # fresh epoch-1 commits: a reader ignoring epochs would alias seq 2.
+    # One post-fold load drives both (the _mutate_index handle-reuse
+    # argument; the fold above invalidated any earlier handle)
+    tip = IvfSq8Index.load(spark, _IVF_SQ8_RET_DIR)
+    tip.delete([3], path=_IVF_SQ8_RET_DIR)
+    tip.delete([0], path=_IVF_SQ8_RET_DIR)
 
     pairs = layout_snapshots(_IVF_SQ8_RET_DIR)
     if [p for p in pairs if p[0] == 0] != [(0, 0), (0, 1), (0, 2), (0, 3)]:
@@ -4193,8 +4200,10 @@ def ann_ivfpq_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).save(_IVFPQ_RET_DIR, store_vectors=True)
     _, qvec = _mutate_index(IvfPqIndex, spark, emb, _IVFPQ_RET_DIR)
     IvfPqIndex.load(spark, _IVFPQ_RET_DIR).save(_IVFPQ_RET_DIR)  # FOLD
-    IvfPqIndex.load(spark, _IVFPQ_RET_DIR).delete([3], path=_IVFPQ_RET_DIR)
-    IvfPqIndex.load(spark, _IVFPQ_RET_DIR).delete([0], path=_IVFPQ_RET_DIR)
+    # one post-fold load drives both epoch-1 deletes (SQ8 twin's note)
+    tip = IvfPqIndex.load(spark, _IVFPQ_RET_DIR)
+    tip.delete([3], path=_IVFPQ_RET_DIR)
+    tip.delete([0], path=_IVFPQ_RET_DIR)
     with open(
         os.path.join(_IVFPQ_RET_DIR, "_retained", "00000001", "fold.json")
     ) as f:
