@@ -458,6 +458,11 @@ def portable_lsh_join(
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk")
     )
+    # cache the tiny banded frame (ids × bands): the self-join otherwise
+    # evaluates the whole signature pass once PER SIDE — the broadcast
+    # build job materializes the cache, the probe side reuses it (r18;
+    # same discipline as minhash_near_duplicates' banded cache)
+    banded = banded.cache()
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1759,11 +1764,28 @@ def knn_graph_lsh(
         impl=impl,
         dim=dim,
     )
+    # symmetrize with ONE explode instead of a self-union (r18, guide
+    # §1.2): a union of two selects over `pairs` duplicates the whole
+    # upstream pipeline in the physical plan — the signature pass, the
+    # band self-join, its dedup exchange and the cosine verify all ran
+    # TWICE (once per branch; Spark does not share common subplans).
+    # The exploded directed-edge rows are identical to the union's.
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cos_sim"
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cos_sim")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("nbr"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("nbr"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.nbr", "e.cos_sim")
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
     return (
         sym.withColumn("rank", F.row_number().over(w))

@@ -902,9 +902,20 @@ def connected_components(
         # changed is pre-initialized to 0, so a zero-iteration run would
         # "converge" with every node its own component — wrong labels
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # one explode, not a self-union (r18): the union form put the whole
+    # `edges` subtree in the plan twice — an expensive pair computation
+    # fed here would run once per branch even under the cache (the
+    # doubling is inside the cached plan's first materialization)
     und = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("node"), F.col(dst).alias("nbr")),
+                    F.struct(F.col(dst).alias("node"), F.col(src).alias("nbr")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
         .dropDuplicates(["node", "nbr"])
         .cache()
     )
