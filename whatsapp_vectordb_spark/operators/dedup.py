@@ -1249,24 +1249,33 @@ def binary_near_dup_pairs(
     sigs = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), lo.alias("lo"), hi.alias("hi")
     )
-    per_band = []
+    # ONE pass producing every band row (explode, not an n_bands-way
+    # self-union which evaluated the upstream — for the multimodal row,
+    # the whole decode pipeline — once per band per join side; r18), and
+    # a cache so the self-join's two sides share that single evaluation
+    band_structs = []
     for b in range(n_bands):
         src = F.col("lo") if b * band_bits < 32 else F.col("hi")
         shift = (b * band_bits) % 32
-        per_band.append(
-            sigs.select(
-                "id",
-                "lo",
-                "hi",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.shiftrightunsigned(src, shift)
                 .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .alias("bval"),
             )
         )
-    banded = per_band[0]
-    for other in per_band[1:]:
-        banded = banded.unionByName(other)
+    banded = (
+        sigs.select(
+            "id", "lo", "hi", F.explode(F.array(*band_structs)).alias("bk")
+        )
+        .select(
+            "id", "lo", "hi",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bval").alias("bval"),
+        )
+        .cache()
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

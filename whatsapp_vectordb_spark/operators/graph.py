@@ -57,10 +57,15 @@ def pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     base = scale * (damping_den - damping_num) // damping_den
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # cache the projected edge list: the caller may hand in an EXPENSIVE
+    # derived graph (graph_pagerank_knn feeds the whole kNN-graph build),
+    # and before r18 this function's plan evaluated it four times — twice
+    # in the node-set union and twice under outdeg/ed. One cache + an
+    # explode (not a self-union, which duplicates the subtree per branch)
+    # evaluates it once.
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).cache()
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
+        e.select(F.explode(F.array("_s", "_d")).alias("node"))
         .distinct()
         .cache()
     )
@@ -108,6 +113,9 @@ def triangle_count(
     orientation here is the id-ordered special case; swap the comparator
     to (degree, id) for power-law graphs — same plan shape).
     """
+    # cache the canonicalized edge set: it is referenced six times below
+    # (three join legs, the node-set derivation, the edge tally) and each
+    # reference re-ran the distinct's shuffle before r18
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
@@ -115,14 +123,15 @@ def triangle_count(
         )
         .where(F.col("lo") != F.col("hi"))
         .distinct()
+        .cache()
     )
     e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = e1.join(e2, "b")
     tris = wedges.join(e3, ["a", "c"])
-    n_nodes = und.select(F.col("lo").alias("v")).unionByName(
-        und.select(F.col("hi").alias("v"))
+    n_nodes = und.select(
+        F.explode(F.array("lo", "hi")).alias("v")
     ).distinct()
     return (
         tris.agg(F.count("*").cast("long").alias("n_triangles"))

@@ -199,13 +199,24 @@ class KnnGraphIndex(_BatchDirIndex):
         pairs = self._stored("pairs", as_of)
         if pairs is None:
             raise ValueError(f"no committed batches at {self.path!r}")
+        # one explode, not a self-union (r18, the knn_graph_lsh fix):
+        # the union form scanned the stored pair files once per branch
         sym = pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cos_sim"
-        ).unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cos_sim"
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("nbr"),
+                        F.col("cos_sim"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"),
+                        F.col("id_a").alias("nbr"),
+                        F.col("cos_sim"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.nbr", "e.cos_sim")
         w = Window.partitionBy("src").orderBy(
             F.col("cos_sim").desc(), F.col("nbr").asc()
         )
