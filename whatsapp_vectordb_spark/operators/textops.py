@@ -1007,8 +1007,13 @@ def distinct_ngram_diversity(
     that order.
     """
     t = df.select(F.col(by), tokens(text_col).alias("_tk")).where(F.size("_tk") > 0)
-    per_n = []
-    for n in ns:
+
+    # ONE tokenize pass emitting every order's grams (r18): the previous
+    # per-n self-union re-ran the tokenization once per order. Each n
+    # contributes an array of (n, gram) structs (empty when the doc is
+    # shorter than n — same rows as the old per-branch size filter), all
+    # orders concatenated and exploded in the same map.
+    def _gram_structs(n: int):
         if n == 1:
             grams = F.col("_tk")
         else:
@@ -1016,16 +1021,19 @@ def distinct_ngram_diversity(
                 F.sequence(F.lit(0), F.size("_tk") - n),
                 lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, n), " "),
             )
-        per_n.append(
-            t.where(F.size("_tk") >= n).select(
-                F.col(by),
-                F.lit(n).cast("int").alias("n"),
-                F.explode(grams).alias("_g"),
-            )
+        arr = F.transform(
+            grams,
+            lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("_g")),
         )
-    allg = per_n[0]
-    for other in per_n[1:]:
-        allg = allg.unionByName(other)
+        return F.coalesce(
+            F.when(F.size("_tk") >= n, arr),
+            F.array().cast("array<struct<n:int,_g:string>>"),
+        )
+
+    allg = t.select(
+        F.col(by),
+        F.explode(F.concat(*[_gram_structs(n) for n in ns])).alias("s"),
+    ).select(F.col(by), F.col("s.n").alias("n"), F.col("s._g").alias("_g"))
     return allg.groupBy(by, "n").agg(
         F.count("*").cast("long").alias("n_total"),
         F.count_distinct("_g").cast("long").alias("n_distinct"),
