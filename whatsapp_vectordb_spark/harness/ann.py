@@ -3327,10 +3327,12 @@ def _persist_ivfpq_probe_luts(spark, idx, qvec, dir_: str, nprobe: int = 2):
     shared ``_ivfpq_ingest_sql`` oracle replays — ONE implementation for
     the batch ingest row and the streaming twin (both must stay
     bit-identical to the SQL's ``lut[j·ksub + code]`` contract)."""
+    from whatsapp_vectordb_spark.operators.ann import _run_writes
+
     cells = idx.probe_cells(qvec, nprobe=nprobe)
-    local_df(spark, 
+    probe_df = local_df(spark,
         [(int(c),) for c in cells], "centroid bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(dir_, "probe"))
+    )
     luts = idx.luts_int(qvec, cells)
     rows = [
         (int(c), j, kk, int(luts[c][j, kk]))
@@ -3338,9 +3340,18 @@ def _persist_ivfpq_probe_luts(spark, idx, qvec, dir_: str, nprobe: int = 2):
         for j in range(luts[c].shape[0])
         for kk in range(luts[c].shape[1])
     ]
-    local_df(spark, 
-        rows, "centroid bigint, j int, c int, w bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(dir_, "lut"))
+    lut_df = local_df(spark, rows, "centroid bigint, j int, c int, w bigint")
+    # two independent driver-local side files — overlap the jobs (§2.6)
+    _run_writes(
+        [
+            lambda: probe_df.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dir_, "probe")),
+            lambda: lut_df.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dir_, "lut")),
+        ]
+    )
     return cells
 
 
