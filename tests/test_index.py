@@ -362,3 +362,40 @@ def test_vector_index_mutations_hold_the_writer_lease(spark, tmp_path):
     t.join(timeout=30)
     assert idx.delete(["vector_id_3"]) == 1
     assert idx.read().count() == 7
+
+
+def test_local_df_semantics_match_row_path_on_edge_values(spark):
+    """r17-verdict latent edge + ADVICE r17: local_df's Arrow fast path
+    must match the row path's semantics — None stays null (not NaN),
+    a None in a bare-names int column stays LONG-with-null (not DOUBLE),
+    and a float NaN stays NaN (not null)."""
+    import math
+
+    from whatsapp_vectordb_spark.session import local_df
+
+    # None -> null through an explicit DDL schema (fast path)
+    rows = local_df(
+        spark, [(1, [0.5, None]), (2, None)], "id long, xs array<double>"
+    ).orderBy("id").collect()
+    assert rows[0]["xs"][1] is None and rows[1]["xs"] is None
+
+    # bare-names schema + None: must infer LONG with a null, like the
+    # row path (the pandas detour would have inferred DOUBLE)
+    df = local_df(spark, [(1, 10), (2, None)], ["id", "v"])
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert {r["v"] for r in df.collect()} == {10, None}
+
+    # float NaN survives as NaN (the row path's semantics), never null
+    out = local_df(
+        spark, [(1, float("nan"))], "id long, x double"
+    ).collect()[0]
+    assert out["x"] is not None and math.isnan(out["x"])
+
+    # StructType schemas ride the fast path with identical content
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    st = StructType([StructField("a", LongType()), StructField("b", LongType())])
+    assert {tuple(r) for r in local_df(spark, [(1, 2), (3, None)], st).collect()} == {
+        (1, 2),
+        (3, None),
+    }

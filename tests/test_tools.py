@@ -151,3 +151,14 @@ def test_bench_per_query_tail_line_fits_and_parses():
         # mins ride within rounding of the raw reps
         for q, ts in timings_all.items():
             assert abs(parsed["queries"][q] - min(ts)) <= 0.5 + 1e-9
+
+
+def test_schema_field_names_ddl_edge_forms():
+    """ADVICE r17: backtick-quoted names containing spaces and the
+    'name: type' colon DDL form must parse to the exact field names."""
+    from whatsapp_vectordb_spark.session import _schema_field_names
+
+    assert _schema_field_names("a bigint, b array<int>") == ["a", "b"]
+    assert _schema_field_names("`weird col` string, b int") == ["weird col", "b"]
+    assert _schema_field_names("a: int, b: string") == ["a", "b"]
+    assert _schema_field_names("`x, y` int, z map<string,int>") == ["x, y", "z"]

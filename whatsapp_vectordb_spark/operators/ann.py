@@ -4738,7 +4738,18 @@ class IvfSq8Index:
 
         def read_one(seq: int, root: str) -> DataFrame:
             if seq >= 1:
-                return spark.read.schema(with_seq).parquet(root)
+                # explicit-schema read, with the dir-name seq as the
+                # fallback: a numbered root whose files physically lack
+                # the _seq column (older build, external tooling) reads
+                # as all-NULL _seq under the explicit schema, which
+                # would silently break last-writer-wins masking and
+                # time-travel bounds (ADVICE r17) — coalesce restores
+                # the old stamped-from-dir-name behavior at zero cost
+                # (house-written roots always carry a non-null _seq).
+                df = spark.read.schema(with_seq).parquet(root)
+                return df.withColumn(
+                    "_seq", F.coalesce(F.col("_seq"), F.lit(seq).cast("long"))
+                )
             df = spark.read.parquet(root)
             if "_seq" not in df.columns:
                 df = df.withColumn("_seq", F.lit(seq).cast("long"))

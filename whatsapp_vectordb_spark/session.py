@@ -42,12 +42,19 @@ def local_scratch_root() -> str:
 
 def _schema_field_names(schema: str) -> list[str]:
     """Top-level field names of a DDL schema string ("a bigint, b
-    array<int>") — bracket-aware so nested type commas don't split."""
+    array<int>") — bracket-aware so nested type commas don't split.
+    Handles backtick-quoted names (spaces inside) and the ``name: type``
+    colon DDL form (ADVICE r17)."""
     names: list[str] = []
     depth = 0
     start = 0
     s = schema.strip()
+    in_bt = False
     for i, ch in enumerate(s + ","):
+        if ch == "`":
+            in_bt = not in_bt
+        if in_bt:
+            continue
         if ch in "<(":
             depth += 1
         elif ch in ">)":
@@ -55,7 +62,10 @@ def _schema_field_names(schema: str) -> list[str]:
         elif ch == "," and depth == 0:
             field = s[start:i].strip()
             if field:
-                names.append(field.split()[0].strip("`"))
+                if field.startswith("`") and field.count("`") >= 2:
+                    names.append(field[1 : field.index("`", 1)])
+                else:
+                    names.append(field.split()[0].rstrip(":").strip("`"))
             start = i + 1
     return names
 
@@ -75,17 +85,48 @@ def local_df(spark: SparkSession, data, schema=None):
         try:
             import pandas as pd
 
+            from pyspark.sql.types import StructType
+
+            bare_names = False
             if isinstance(schema, str):
                 names = _schema_field_names(schema)
+            elif isinstance(schema, StructType):
+                names = schema.fieldNames()
             elif isinstance(schema, (list, tuple)) and all(
                 isinstance(n, str) for n in schema
             ):
                 names = list(schema) if data else None
+                bare_names = True
             else:
                 names = None
             if names is not None and all(
                 not isinstance(r, dict) and len(r) == len(names) for r in data
             ):
+                # bare-names schema: Spark infers types, and the pandas
+                # detour would change them — a None in an otherwise-int
+                # column coerces the column to float64, so Spark infers
+                # DOUBLE where the row path infers LONG with a null
+                # (ADVICE r17). Fall back whenever a None is present.
+                if bare_names and any(
+                    v is None for r in data for v in r
+                ):
+                    return spark.createDataFrame(data, schema)
+                # float NaN is folded to NULL by the pandas/Arrow detour
+                # (pyarrow treats NaN-as-null) where the row path keeps
+                # NaN — the r17-verdict latent edge; fall back on any NaN
+                # (top level or one list level down; these frames are
+                # driver-local kilobytes, the scan is free)
+                def _nan(v):
+                    if isinstance(v, float):
+                        return v != v
+                    if isinstance(v, (list, tuple)):
+                        return any(
+                            isinstance(x, float) and x != x for x in v
+                        )
+                    return False
+
+                if any(_nan(v) for r in data for v in r):
+                    return spark.createDataFrame(data, schema)
                 pdf = pd.DataFrame(
                     {n: [r[i] for r in data] for i, n in enumerate(names)},
                     columns=names,
