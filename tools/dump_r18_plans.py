@@ -60,17 +60,48 @@ def main() -> None:
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from whatsapp_vectordb_spark.harness import QUERIES
+    from pyspark.sql import functions as F
+
+    from whatsapp_vectordb_spark.harness import QUERIES, _t
     from whatsapp_vectordb_spark.session import get_spark
 
     out_dir = os.path.join(REPO, "plans", "r18")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="wvs-r18-plans")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # The two 1536-dim entries are bench-only (VERDICT r17 item 1) —
+    # build their frames exactly as bench.py does.
+    def _emb1536():
+        emb = _t(spark, sf_dir, "embeddings")
+        e = emb.select(
+            "vec_id",
+            F.flatten(F.array_repeat(F.col("embedding"), 24)).alias("embedding"),
+        )
+        q = e.where(F.col("vec_id") == 0).head()["embedding"]
+        return e, q
+
+    def _knn_topk_1536_expr(spark, sf_dir):
+        from whatsapp_vectordb_spark.operators.search import topk
+
+        e, q = _emb1536()
+        return topk(e, q, k=10)
+
+    def _ann_pq1536_adc_topk(spark, sf_dir):
+        from whatsapp_vectordb_spark.operators.ann import PqIndex
+
+        e, q = _emb1536()
+        pq = PqIndex.build(e, m=16, ksub=16, sample_rows=1000, seed=0)
+        return pq.adc_topk(pq.encode(e), q, k=10)
+
+    BENCH_ONLY = {
+        "knn_topk_1536_expr": _knn_topk_1536_expr,
+        "ann_pq1536_adc_topk": _ann_pq1536_adc_topk,
+    }
     for name in names:
         t0 = time.time()
         try:
-            df = QUERIES[name](spark, sf_dir)
+            df = BENCH_ONLY.get(name, QUERIES.get(name))(spark, sf_dir)
             em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
