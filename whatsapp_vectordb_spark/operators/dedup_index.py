@@ -589,10 +589,14 @@ class MinHashDedupIndex(_BatchDirIndex):
         pairs before vacuuming, as the durability contract already
         requires."""
         _gc_staging(self.path)
-        stored_ids = self._stored("signatures")
-        if stored_ids is not None:
+        # ONE read of the stored signatures serves both the re-ingest
+        # anti-join and the candidate join's stored side (r18 — the
+        # second _stored("signatures") paid a second listing + schema
+        # inference per ingest for an identical frame)
+        stored_banded = self._stored("signatures")
+        if stored_banded is not None:
             batch = batch.join(
-                stored_ids.select(F.col("doc_id").alias(id_col)).dropDuplicates(),
+                stored_banded.select(F.col("doc_id").alias(id_col)).dropDuplicates(),
                 id_col,
                 "left_anti",
             )
@@ -606,7 +610,6 @@ class MinHashDedupIndex(_BatchDirIndex):
         )
         banded_new = self._banded_from_hashed(sh_new)
 
-        stored_banded = self._stored("signatures")
         stored_sh = self._stored("shingles")
         all_banded = (
             banded_new
